@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** One engine operator: a Spark implementation plus (when SQL-expressible) a
+  * DuckDB oracle query the driver hash-compares against.
+  *
+  * Design note (see SURVEY.md §0): the reference checkout at /root/reference
+  * was empty this round, so operator semantics derive from SURVEY.md §2's
+  * blueprint (TinkerPop/Blueprints property-graph surface + the driver's
+  * relational/streaming/LLM-pipeline north star), not from reference file
+  * citations.
+  */
+final case class Op(
+    key: String,
+    fn: (SparkSession, String) => DataFrame,
+    oracle: Option[String])
+
+trait OpModule { def ops: Seq[Op] }
+
+/** Loaders for the driver-generated parquet fixtures (TESTDATA.md). */
+object Tables {
+  val names: Seq[String] = Seq("region", "nation", "customer", "supplier",
+    "part", "orders", "lineitem", "events", "documents", "embeddings")
+
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame =
+    if (name == "events") {
+      // events.ts is parquet TIMESTAMP(NANOS), which Spark's reader rejects;
+      // read it as raw long nanos and truncate to micros — exactly what
+      // DuckDB's reader does natively, so the oracle sees identical values.
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      spark.read.parquet(s"$dir/events.parquet")
+        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    } else spark.read.parquet(s"$dir/$name.parquet")
+}
+
+/** Cross-engine numeric determinism helpers.
+  *
+  * IEEE double addition is not associative, so SUM(double) depends on
+  * accumulation order and can differ between Spark and DuckDB (and between
+  * partitionings!). Casting each addend to DECIMAL(38,10) makes the sum exact
+  * and order-independent; casting the exact result back to double is a single
+  * correctly-rounded operation, identical in both engines. Verified
+  * bit-identical on the fixtures (sum of 6k lineitem prices:
+  * 0x1.2ea9a154f5c29p28 in both engines).
+  *
+  * Per-row *scalar* double ops (*, /, -, sqrt) are IEEE-deterministic and need
+  * no treatment.
+  */
+object util {
+  /** Total order over every output column (left to right, ascending).
+    * lineitem's (l_orderkey, l_linenumber) is NOT unique in the fixtures, so
+    * row-level outputs sort by ALL columns; equal rows are then
+    * interchangeable and the ordered compare is deterministic. Matches
+    * DuckDB's ORDER BY ALL (columns must be non-null: Spark sorts nulls
+    * first, DuckDB last). */
+  def sortAll(df: DataFrame): DataFrame = df.orderBy(df.columns.map(col).toSeq: _*)
+}
+
+object num {
+  private val D = DecimalType(38, 10)
+  /** Order-independent exact sum of a double column, returned as double. */
+  def dsum(c: Column): Column = sum(c.cast(D)).cast(DoubleType)
+  /** Order-independent average (exact sum / count), returned as double. */
+  def davg(c: Column): Column = sum(c.cast(D)).cast(DoubleType) / count(c)
+  /** DuckDB SQL for dsum. The VARCHAR hop matters: DuckDB's direct
+    * DECIMAL→DOUBLE cast double-rounds (int128→double, then /10^scale) and
+    * can be 1 ulp off Spark's correctly-rounded cast; its VARCHAR→DOUBLE
+    * parse is correctly rounded and matches Spark bit-for-bit. */
+  def DSUM(e: String): String =
+    s"CAST(CAST(SUM(CAST(($e) AS DECIMAL(38,10))) AS VARCHAR) AS DOUBLE)"
+  /** DuckDB SQL for davg. */
+  def DAVG(e: String): String = s"(${DSUM(e)} / COUNT($e))"
+  /** DuckDB SQL for a windowed dsum; `over` is the full OVER(...) clause. */
+  def DSUM_OVER(e: String, over: String): String =
+    s"CAST(CAST(SUM(CAST(($e) AS DECIMAL(38,10))) $over AS VARCHAR) AS DOUBLE)"
+}

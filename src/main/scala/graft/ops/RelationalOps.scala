@@ -1,0 +1,268 @@
+package graft.ops
+
+import graft.{Op, OpModule, Tables}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Relational core: scans, projection/filter, every join flavor, global
+  * sort/limit, top-k per group, set operations. All declarative
+  * DataFrame/Catalyst plans: predicate pushdown, column pruning and join
+  * strategy selection (broadcast vs shuffled hash vs SMJ, AQE-adjusted) are
+  * delegated to the optimizer. Every query ends in a total-order sort so the
+  * DuckDB oracle hash-compare is deterministic.
+  *
+  * Scale notes (100 TB design point):
+  *  - scans push filters + pruned schemas into the parquet reader;
+  *  - dimension joins (nation/region/part/supplier at realistic scales)
+  *    are broadcast-hinted; fact-fact joins shuffle on their equi-keys;
+  *  - the theta/range self-join is equi-anchored on the customer key so it
+  *    never degenerates into a broadcast-nested-loop over the fact table;
+  *  - the as-of join is the union+running-max rewrite (one shuffle on the
+  *    partition key, no per-row subquery).
+  */
+object RelationalOps extends OpModule {
+
+  def ops: Seq[Op] = Seq(
+
+    Op("scan_parquet",
+      (s, dir) => graft.util.sortAll(Tables(s, dir, "lineitem")),
+      Some("SELECT * FROM lineitem ORDER BY ALL")),
+
+    Op("scan_pruned",
+      (s, dir) => graft.util.sortAll(Tables(s, dir, "lineitem")
+        .filter(col("l_shipdate") < lit("1996-01-01"))
+        .select("l_orderkey", "l_linenumber", "l_extendedprice")),
+      Some("""SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+        WHERE l_shipdate < TIMESTAMP '1996-01-01'
+        ORDER BY ALL""")),
+
+    Op("project_rename",
+      (s, dir) => Tables(s, dir, "part")
+        .select(col("p_partkey").as("part_id"), col("p_name").as("part_name"),
+          (col("p_retailprice") * lit(0.9)).as("discounted"))
+        .orderBy("part_id"),
+      Some("""SELECT p_partkey AS part_id, p_name AS part_name,
+        p_retailprice * 0.9 AS discounted FROM part ORDER BY part_id""")),
+
+    Op("filter_pred",
+      (s, dir) => Tables(s, dir, "lineitem")
+        .filter(col("l_quantity").between(10, 20) &&
+          col("l_returnflag").isin("A", "R") && col("l_shipdate").isNotNull)
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
+        .transform(graft.util.sortAll),
+      Some("""SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
+        FROM lineitem WHERE l_quantity BETWEEN 10 AND 20
+        AND l_returnflag IN ('A','R') AND l_shipdate IS NOT NULL
+        ORDER BY ALL""")),
+
+    Op("filter_like",
+      (s, dir) => Tables(s, dir, "part")
+        .filter(col("p_type").like("PROMO%") || col("p_name").rlike("^blue .*"))
+        .select("p_partkey", "p_name", "p_type")
+        .orderBy("p_partkey"),
+      Some("""SELECT p_partkey, p_name, p_type FROM part
+        WHERE p_type LIKE 'PROMO%' OR regexp_matches(p_name, '^blue .*')
+        ORDER BY p_partkey""")),
+
+    Op("join_inner",
+      (s, dir) => {
+        val li = Tables(s, dir, "lineitem"); val o = Tables(s, dir, "orders")
+        li.join(o, li("l_orderkey") === o("o_orderkey"))
+          .select("l_orderkey", "l_linenumber", "o_custkey", "o_orderstatus",
+            "l_extendedprice")
+          .transform(graft.util.sortAll)
+      },
+      Some("""SELECT l_orderkey, l_linenumber, o_custkey, o_orderstatus,
+        l_extendedprice FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        ORDER BY ALL""")),
+
+    Op("join_broadcast",
+      (s, dir) => {
+        val c = Tables(s, dir, "customer")
+        val n = Tables(s, dir, "nation"); val r = Tables(s, dir, "region")
+        c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+          .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+          .groupBy("r_name", "n_name")
+          .agg(count(lit(1)).as("n_cust"), graft.num.dsum(col("c_acctbal")).as("acctbal"))
+          .orderBy("r_name", "n_name")
+      },
+      Some(s"""SELECT r_name, n_name, COUNT(*) AS n_cust,
+        ${graft.num.DSUM("c_acctbal")} AS acctbal
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_name, n_name ORDER BY r_name, n_name""")),
+
+    Op("join_left",
+      (s, dir) => {
+        val c = Tables(s, dir, "customer")
+        val o = Tables(s, dir, "orders").filter(col("o_orderpriority") === "1-URGENT")
+        c.join(o, c("c_custkey") === o("o_custkey"), "left")
+          .groupBy("c_custkey", "c_name")
+          .agg(count(col("o_orderkey")).as("n_urgent"))
+          .orderBy("c_custkey")
+      },
+      Some("""SELECT c_custkey, c_name, COUNT(o_orderkey) AS n_urgent
+        FROM customer LEFT JOIN (SELECT * FROM orders WHERE o_orderpriority = '1-URGENT') o
+        ON c_custkey = o_custkey GROUP BY c_custkey, c_name ORDER BY c_custkey""")),
+
+    Op("join_full",
+      (s, dir) => {
+        val cn = Tables(s, dir, "customer").groupBy("c_nationkey")
+          .agg(count(lit(1)).as("n_cust"))
+        val sn = Tables(s, dir, "supplier").groupBy("s_nationkey")
+          .agg(count(lit(1)).as("n_supp"))
+        cn.join(sn, cn("c_nationkey") === sn("s_nationkey"), "full")
+          .select(coalesce(col("c_nationkey"), col("s_nationkey")).as("nationkey"),
+            coalesce(col("n_cust"), lit(0L)).as("n_cust"),
+            coalesce(col("n_supp"), lit(0L)).as("n_supp"))
+          .orderBy("nationkey")
+      },
+      Some("""SELECT COALESCE(cn.c_nationkey, sn.s_nationkey) AS nationkey,
+        COALESCE(cn.n_cust, 0) AS n_cust, COALESCE(sn.n_supp, 0) AS n_supp
+        FROM (SELECT c_nationkey, COUNT(*) AS n_cust FROM customer GROUP BY 1) cn
+        FULL JOIN (SELECT s_nationkey, COUNT(*) AS n_supp FROM supplier GROUP BY 1) sn
+        ON cn.c_nationkey = sn.s_nationkey ORDER BY nationkey""")),
+
+    Op("join_semi",
+      (s, dir) => {
+        val c = Tables(s, dir, "customer")
+        val o = Tables(s, dir, "orders").filter(col("o_orderpriority") === "1-URGENT")
+        c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+          .select("c_custkey", "c_name", "c_acctbal")
+          .orderBy("c_custkey")
+      },
+      Some("""SELECT c_custkey, c_name, c_acctbal FROM customer
+        WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+          AND o_orderpriority = '1-URGENT')
+        ORDER BY c_custkey""")),
+
+    Op("join_anti",
+      (s, dir) => {
+        val c = Tables(s, dir, "customer")
+        val o = Tables(s, dir, "orders").filter(col("o_orderpriority") === "1-URGENT")
+        c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+          .select("c_custkey", "c_name", "c_acctbal")
+          .orderBy("c_custkey")
+      },
+      Some("""SELECT c_custkey, c_name, c_acctbal FROM customer
+        WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+          AND o_orderpriority = '1-URGENT')
+        ORDER BY c_custkey""")),
+
+    Op("join_cross",
+      (s, dir) => {
+        val r = Tables(s, dir, "region").select("r_name")
+        val st = Tables(s, dir, "orders").select("o_orderstatus").distinct()
+        r.crossJoin(st).orderBy("r_name", "o_orderstatus")
+      },
+      Some("""SELECT r_name, o_orderstatus FROM region
+        CROSS JOIN (SELECT DISTINCT o_orderstatus FROM orders) s
+        ORDER BY r_name, o_orderstatus""")),
+
+    // Equi-anchored range join: for each order, how many orders by the same
+    // customer land in the following 30 days (inclusive of itself). The
+    // customer-key equi anchor keeps this a shuffled hash/SMJ join at scale;
+    // the range predicate is applied post-match, never as a nested loop.
+    Op("join_theta_range",
+      (s, dir) => {
+        val o = Tables(s, dir, "orders")
+        val a = o.select(col("o_orderkey").as("a_key"), col("o_custkey").as("a_cust"),
+          col("o_orderdate").as("a_date"))
+        val b = o.select(col("o_custkey").as("b_cust"), col("o_orderdate").as("b_date"))
+        a.join(b, col("a_cust") === col("b_cust") &&
+            col("b_date") >= col("a_date") &&
+            col("b_date") <= col("a_date") + expr("INTERVAL 30 DAYS"))
+          .groupBy(col("a_key").as("o_orderkey"))
+          .agg(count(lit(1)).as("n_next30"))
+          .orderBy("o_orderkey")
+      },
+      Some("""SELECT a.o_orderkey, COUNT(*) AS n_next30 FROM orders a
+        JOIN orders b ON a.o_custkey = b.o_custkey
+          AND b.o_orderdate >= a.o_orderdate
+          AND b.o_orderdate <= a.o_orderdate + INTERVAL 30 DAY
+        GROUP BY a.o_orderkey ORDER BY a.o_orderkey""")),
+
+    // As-of join via the union + running-max rewrite: tag clicks 0 and
+    // purchases 1, sort each user's merged timeline once, and carry the
+    // latest click timestamp forward. One shuffle on user_id — no per-row
+    // subquery, no nested loop; this is the scalable form of ASOF JOIN.
+    Op("join_asof",
+      (s, dir) => {
+        val ev = Tables(s, dir, "events")
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("user_id"), col("ts"), lit(0).as("tag"), lit(-1L).as("event_id"))
+        val purch = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts"), lit(1).as("tag"), col("event_id"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id").orderBy("ts", "tag", "event_id")
+          .rowsBetween(Long.MinValue, 0)
+        clicks.union(purch)
+          .withColumn("last_click_ts", max(when(col("tag") === 0, col("ts"))).over(w))
+          .filter(col("tag") === 1)
+          .select("event_id", "user_id", "ts", "last_click_ts")
+          .orderBy("event_id")
+      },
+      Some("""SELECT p.event_id, p.user_id, p.ts,
+        (SELECT max(c.ts) FROM events c WHERE c.event_type = 'click'
+          AND c.user_id = p.user_id AND c.ts <= p.ts) AS last_click_ts
+        FROM events p WHERE p.event_type = 'purchase' ORDER BY p.event_id""")),
+
+    Op("sort_limit",
+      (s, dir) => Tables(s, dir, "lineitem")
+        .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+        .limit(100)
+        .select("l_orderkey", "l_linenumber", "l_extendedprice"),
+      Some("""SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+        ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 100""")),
+
+    Op("topk_per_group",
+      (s, dir) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("o_custkey").orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        Tables(s, dir, "orders")
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 3)
+          .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+          .orderBy("o_custkey", "rn")
+      },
+      Some("""SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+          ROW_NUMBER() OVER (PARTITION BY o_custkey
+            ORDER BY o_totalprice DESC, o_orderkey) AS rn FROM orders) t
+        WHERE rn <= 3 ORDER BY o_custkey, rn""")),
+
+    Op("set_union",
+      (s, dir) => {
+        val o = Tables(s, dir, "orders")
+        o.filter(col("o_orderstatus") === "F").select("o_custkey")
+          .union(o.filter(col("o_orderstatus") === "P").select("o_custkey"))
+          .distinct()
+          .orderBy("o_custkey")
+      },
+      Some("""SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        UNION SELECT o_custkey FROM orders WHERE o_orderstatus = 'P'
+        ORDER BY o_custkey""")),
+
+    Op("set_intersect",
+      (s, dir) => {
+        val o = Tables(s, dir, "orders")
+        o.filter(col("o_orderstatus") === "F").select("o_custkey")
+          .intersect(o.filter(col("o_orderstatus") === "P").select("o_custkey"))
+          .orderBy("o_custkey")
+      },
+      Some("""SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        INTERSECT SELECT o_custkey FROM orders WHERE o_orderstatus = 'P'
+        ORDER BY o_custkey""")),
+
+    Op("set_except",
+      (s, dir) => {
+        val o = Tables(s, dir, "orders")
+        o.filter(col("o_orderstatus") === "F").select("o_custkey")
+          .except(o.filter(col("o_orderstatus") === "P").select("o_custkey"))
+          .orderBy("o_custkey")
+      },
+      Some("""SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        EXCEPT SELECT o_custkey FROM orders WHERE o_orderstatus = 'P'
+        ORDER BY o_custkey"""))
+  )
+}
