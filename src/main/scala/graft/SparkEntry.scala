@@ -9,7 +9,8 @@ object SparkEntry {
   private def modules: Seq[OpModule] = Seq(
     ops.RelationalOps,
     ops.AggWindowOps,
-    ops.ScalarFnOps)
+    ops.ScalarFnOps,
+    ops.GraphOps)
 
   lazy val allOps: Seq[Op] = {
     val all = modules.flatMap(_.ops)

@@ -1,0 +1,196 @@
+package graft.graph
+
+import graft.{Tables, num}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deterministic property graph derived from the star-schema fixtures
+  * (FIXTURES.md "Derived graph fixture"; SURVEY.md §2.10). Both engines —
+  * this Spark builder and the DuckDB oracle CTEs in [[GraphSql]] — construct
+  * the IDENTICAL graph from the same parquet tables, so every graph operator
+  * is hash-compared end-to-end including construction.
+  *
+  * Vertex ids are label-tagged longs: tag · 10^12 + natural key. Keys stay
+  * < 10^12 at any realistic SF, ids never collide across labels, and the
+  * encoding is one multiply-add in both engines.
+  *
+  * Edge set (see GraphSql.E for the SQL twin):
+  *   customer→nation, supplier→nation ('in_nation'); nation→region
+  *   ('in_region'); order→customer ('by'); order→part ('contains', weight =
+  *   exact Σ l_quantity); part→supplier ('supplied_by', distinct);
+  *   customer→supplier ('colocated': same nation AND key ≡ key mod 10 — the
+  *   mod keeps the bipartite blowup sparse so triangle wedge counts stay
+  *   bounded at bench SF); user→event ('did', weight = value).
+  *
+  * Visibility (EzBake's cell-visibility tradition, [ezbake-recall]):
+  * customers/suppliers with key ≡ 0 (mod 5) are 'secret'; edges with
+  * (src+dst) ≡ 0 (mod 7) are 'secret'; everything else 'public'.
+  */
+object GraphFixture {
+  val B = 1000000000000L
+  val Tag: Map[String, Int] = Map("region" -> 1, "nation" -> 2,
+    "customer" -> 3, "supplier" -> 4, "part" -> 5, "order" -> 6,
+    "user" -> 7, "event" -> 8)
+
+  def vid(tag: Int, key: Column): Column = lit(tag * B) + key.cast("long")
+
+  // Graph construction is shared by ~14 operator keys; memoize + persist per
+  // (session, dir) so Verify/Bench build it once (the reference family's
+  // analog: the graph is stored, not re-derived per query).
+  private val memo =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), PropertyGraph]
+
+  def apply(s: SparkSession, dir: String): PropertyGraph =
+    memo.getOrElseUpdate((s, dir), build(s, dir))
+
+  private def build(s: SparkSession, dir: String): PropertyGraph = {
+    def t(n: String) = Tables(s, dir, n)
+    val nullD = lit(null).cast("double")
+    def vpart(df: DataFrame, tag: Int, key: String, label: String,
+        name: Column, vis: Column, value: Column): DataFrame =
+      df.select(vid(tag, col(key)).as("id"), lit(label).as("label"),
+        name.as("name"), vis.as("vis"), value.as("val"))
+    def secretIf(key: String): Column =
+      when(col(key) % 5 === 0, "secret").otherwise("public")
+
+    val vertices = Seq(
+      vpart(t("region"), 1, "r_regionkey", "region", col("r_name"), lit("public"), nullD),
+      vpart(t("nation"), 2, "n_nationkey", "nation", col("n_name"), lit("public"), nullD),
+      vpart(t("customer"), 3, "c_custkey", "customer", col("c_name"),
+        secretIf("c_custkey"), col("c_acctbal")),
+      vpart(t("supplier"), 4, "s_suppkey", "supplier", col("s_name"),
+        secretIf("s_suppkey"), col("s_acctbal")),
+      vpart(t("part"), 5, "p_partkey", "part", col("p_name"), lit("public"),
+        col("p_retailprice")),
+      vpart(t("orders"), 6, "o_orderkey", "order", col("o_orderstatus"),
+        lit("public"), col("o_totalprice")),
+      vpart(t("events").select("user_id").distinct(), 7, "user_id", "user",
+        concat(lit("user_"), col("user_id").cast("string")), lit("public"), nullD),
+      vpart(t("events"), 8, "event_id", "event", col("event_type"),
+        lit("public"), col("value"))
+    ).reduce(_ unionAll _).persist()
+
+    def epart(df: DataFrame, st: Int, sk: String, dt: Int, dk: String,
+        label: String, weight: Column): DataFrame =
+      df.select(vid(st, col(sk)).as("src"), vid(dt, col(dk)).as("dst"),
+        lit(label).as("label"), weight.as("weight"))
+
+    val contains = t("lineitem")
+      .groupBy(vid(6, col("l_orderkey")).as("src"), vid(5, col("l_partkey")).as("dst"))
+      .agg(num.dsum(col("l_quantity")).as("weight"))
+      .select(col("src"), col("dst"), lit("contains").as("label"), col("weight"))
+    val colocated = t("customer")
+      .join(broadcast(t("supplier")),
+        col("c_nationkey") === col("s_nationkey") &&
+          col("c_custkey") % 10 === col("s_suppkey") % 10)
+      .select(vid(3, col("c_custkey")).as("src"), vid(4, col("s_suppkey")).as("dst"),
+        lit("colocated").as("label"), nullD.as("weight"))
+
+    val edges = Seq(
+      epart(t("customer"), 3, "c_custkey", 2, "c_nationkey", "in_nation", nullD),
+      epart(t("supplier"), 4, "s_suppkey", 2, "s_nationkey", "in_nation", nullD),
+      epart(t("nation"), 2, "n_nationkey", 1, "n_regionkey", "in_region", nullD),
+      epart(t("orders"), 6, "o_orderkey", 3, "o_custkey", "by", nullD),
+      contains,
+      epart(t("lineitem").select("l_partkey", "l_suppkey").distinct(),
+        5, "l_partkey", 4, "l_suppkey", "supplied_by", nullD),
+      colocated,
+      epart(t("events"), 7, "user_id", 8, "event_id", "did", col("value"))
+    ).reduce(_ unionAll _)
+      .withColumn("vis",
+        when((col("src") + col("dst")) % 7 === 0, "secret").otherwise("public"))
+      .persist()
+
+    PropertyGraph(vertices, edges)
+  }
+}
+
+/** DuckDB twins of GraphFixture + the iterative oracles. Kept adjacent to the
+  * Spark construction so the two stay in lockstep — any fixture change must
+  * touch both. */
+object GraphSql {
+  val V: String = """
+    SELECT 1000000000000 + r_regionkey AS id, 'region' AS label, r_name AS name,
+           'public' AS vis, CAST(NULL AS DOUBLE) AS val FROM region
+    UNION ALL SELECT 2000000000000 + n_nationkey, 'nation', n_name, 'public',
+           CAST(NULL AS DOUBLE) FROM nation
+    UNION ALL SELECT 3000000000000 + c_custkey, 'customer', c_name,
+           CASE WHEN c_custkey % 5 = 0 THEN 'secret' ELSE 'public' END,
+           c_acctbal FROM customer
+    UNION ALL SELECT 4000000000000 + s_suppkey, 'supplier', s_name,
+           CASE WHEN s_suppkey % 5 = 0 THEN 'secret' ELSE 'public' END,
+           s_acctbal FROM supplier
+    UNION ALL SELECT 5000000000000 + p_partkey, 'part', p_name, 'public',
+           p_retailprice FROM part
+    UNION ALL SELECT 6000000000000 + o_orderkey, 'order', o_orderstatus,
+           'public', o_totalprice FROM orders
+    UNION ALL SELECT 7000000000000 + user_id, 'user',
+           'user_' || CAST(user_id AS VARCHAR), 'public', CAST(NULL AS DOUBLE)
+           FROM (SELECT DISTINCT user_id FROM events) u
+    UNION ALL SELECT 8000000000000 + event_id, 'event', event_type, 'public',
+           value FROM events"""
+
+  private val Ebase: String = s"""
+    SELECT 3000000000000 + c_custkey AS src, 2000000000000 + c_nationkey AS dst,
+           'in_nation' AS label, CAST(NULL AS DOUBLE) AS weight FROM customer
+    UNION ALL SELECT 4000000000000 + s_suppkey, 2000000000000 + s_nationkey,
+           'in_nation', CAST(NULL AS DOUBLE) FROM supplier
+    UNION ALL SELECT 2000000000000 + n_nationkey, 1000000000000 + n_regionkey,
+           'in_region', CAST(NULL AS DOUBLE) FROM nation
+    UNION ALL SELECT 6000000000000 + o_orderkey, 3000000000000 + o_custkey,
+           'by', CAST(NULL AS DOUBLE) FROM orders
+    UNION ALL SELECT 6000000000000 + l_orderkey, 5000000000000 + l_partkey,
+           'contains', ${num.DSUM("l_quantity")} FROM lineitem GROUP BY 1, 2
+    UNION ALL SELECT DISTINCT 5000000000000 + l_partkey,
+           4000000000000 + l_suppkey, 'supplied_by', CAST(NULL AS DOUBLE)
+           FROM lineitem
+    UNION ALL SELECT 3000000000000 + c_custkey, 4000000000000 + s_suppkey,
+           'colocated', CAST(NULL AS DOUBLE) FROM customer JOIN supplier
+           ON c_nationkey = s_nationkey AND c_custkey % 10 = s_suppkey % 10
+    UNION ALL SELECT 7000000000000 + user_id, 8000000000000 + event_id, 'did',
+           value FROM events"""
+
+  val E: String = s"""SELECT src, dst, label, weight,
+    CASE WHEN (src + dst) % 7 = 0 THEN 'secret' ELSE 'public' END AS vis
+    FROM ($Ebase) eb"""
+
+  /** Wrap a query body with the graph CTEs (+ optional extra CTEs). */
+  def withGraph(body: String, extra: String = "", recursive: Boolean = false): String = {
+    val kw = if (recursive) "WITH RECURSIVE" else "WITH"
+    val ex = if (extra.isEmpty) "" else s", $extra"
+    s"$kw vertices AS MATERIALIZED ($V), edges AS MATERIALIZED ($E)$ex $body"
+  }
+
+  /** Unrolled undirected min-label propagation: l0..l<iters>. Converges to
+    * connected components when iters ≥ eccentricity of each component's
+    * min-id vertex (≤ ~9 for this fixture at any SF; 16 leaves margin). */
+  def ccChain(iters: Int): String = {
+    val und = "und AS MATERIALIZED (SELECT src AS a, dst AS b FROM edges UNION SELECT dst, src FROM edges)"
+    val l0 = "l0 AS MATERIALIZED (SELECT id, id AS lbl FROM vertices)"
+    val steps = (1 to iters).map { i =>
+      s"""l$i AS MATERIALIZED (SELECT l.id, LEAST(l.lbl, COALESCE(MIN(p.lbl), l.lbl)) AS lbl
+         FROM l${i - 1} l LEFT JOIN und u ON u.a = l.id
+         LEFT JOIN l${i - 1} p ON p.id = u.b GROUP BY l.id, l.lbl)"""
+    }
+    (Seq(und, l0) ++ steps).mkString(", ")
+  }
+
+  /** Unrolled PageRank p0..p<iters> mirroring PropertyGraph.pageRank
+    * bit-for-bit: same double ops per row, same exact decimal sum (num.DSUM)
+    * per destination. */
+  def prChain(iters: Int): String = {
+    val pre = Seq(
+      "odeg AS MATERIALIZED (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY 1)",
+      "nv AS MATERIALIZED (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM vertices)",
+      "p0 AS MATERIALIZED (SELECT id, CAST(1.0 AS DOUBLE) / (SELECT n FROM nv) AS pr FROM vertices)")
+    val steps = (1 to iters).map { i =>
+      s"""p$i AS MATERIALIZED (SELECT v.id, CAST(0.15 AS DOUBLE) / (SELECT n FROM nv)
+           + CAST(0.85 AS DOUBLE) * COALESCE(c.s, CAST(0 AS DOUBLE)) AS pr
+         FROM vertices v LEFT JOIN (
+           SELECT e.dst, ${num.DSUM("p.pr / CAST(o.outdeg AS DOUBLE)")} AS s
+           FROM edges e JOIN p${i - 1} p ON p.id = e.src
+           JOIN odeg o ON o.src = e.src GROUP BY e.dst) c ON c.dst = v.id)"""
+    }
+    (pre ++ steps).mkString(", ")
+  }
+}

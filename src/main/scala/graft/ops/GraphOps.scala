@@ -1,0 +1,202 @@
+package graft.ops
+
+import graft.{Op, OpModule}
+import graft.graph.{GraphFixture, GraphSql}
+import org.apache.spark.sql.functions._
+
+/** Graph operator keys (SURVEY.md §2.10) over the derived property graph.
+  * Traversals are DF join pipelines; iterative analytics are GraphX/Pregel
+  * (BASELINE.json's stated approach) with unrolled-CTE DuckDB oracles where
+  * the arithmetic is order-independent (int min/hop counts, double max,
+  * exact decimal sums), and rows-only checks where tie-breaking is
+  * implementation-defined (label propagation). */
+object GraphOps extends OpModule {
+  import GraphSql.withGraph
+
+  def ops: Seq[Op] = Seq(
+
+    // Construction summary: counts per label over both element kinds —
+    // exercises the full build (all 8 vertex sources, all 8 edge rules).
+    Op("graph_build",
+      (s, dir) => {
+        val g = GraphFixture(s, dir)
+        g.vertices.groupBy("label").agg(count(lit(1)).as("n"))
+          .withColumn("kind", lit("vertex"))
+          .unionByName(g.edges.groupBy("label").agg(count(lit(1)).as("n"))
+            .withColumn("kind", lit("edge")))
+          .select("kind", "label", "n")
+          .orderBy("kind", "label")
+      },
+      Some(withGraph("""SELECT 'vertex' AS kind, label, COUNT(*) AS n
+        FROM vertices GROUP BY 2
+        UNION ALL SELECT 'edge', label, COUNT(*) FROM edges GROUP BY 2
+        ORDER BY kind, label"""))),
+
+    Op("graph_degree",
+      (s, dir) => GraphFixture(s, dir).degrees.orderBy("id"),
+      Some(withGraph("""SELECT v.id, v.label,
+          COALESCE(o.n, CAST(0 AS BIGINT)) AS out_deg,
+          COALESCE(i.n, CAST(0 AS BIGINT)) AS in_deg,
+          COALESCE(o.n, CAST(0 AS BIGINT)) + COALESCE(i.n, CAST(0 AS BIGINT)) AS deg
+        FROM vertices v
+        LEFT JOIN (SELECT src, COUNT(*) AS n FROM edges GROUP BY 1) o ON o.src = v.id
+        LEFT JOIN (SELECT dst, COUNT(*) AS n FROM edges GROUP BY 1) i ON i.dst = v.id
+        ORDER BY v.id"""))),
+
+    // Blueprints out('contains').has(weight > 30): property-filtered 1-hop.
+    Op("graph_out",
+      (s, dir) => GraphFixture(s, dir).out("contains")
+        .filter(col("weight") > 30)
+        .select(col("src"), col("dst"), col("dst_name").as("part_name"), col("weight"))
+        .orderBy("src", "dst"),
+      Some(withGraph("""SELECT e.src, e.dst, v.name AS part_name, e.weight
+        FROM edges e JOIN vertices v ON v.id = e.dst
+        WHERE e.label = 'contains' AND e.weight > 30
+        ORDER BY e.src, e.dst"""))),
+
+    // in('in_nation') grouped: members per nation.
+    Op("graph_in",
+      (s, dir) => GraphFixture(s, dir).in("in_nation")
+        .groupBy(col("dst").as("id"), col("dst_name").as("nation"))
+        .agg(count(lit(1)).as("n_in"))
+        .orderBy("id"),
+      Some(withGraph("""SELECT e.dst AS id, v.name AS nation, COUNT(*) AS n_in
+        FROM edges e JOIN vertices v ON v.id = e.dst
+        WHERE e.label = 'in_nation'
+        GROUP BY 1, 2 ORDER BY 1"""))),
+
+    // 2-hop motif: customer -in_nation-> nation -in_region-> region.
+    Op("graph_hop2",
+      (s, dir) => {
+        val g = GraphFixture(s, dir)
+        val e1 = g.edges.filter(col("label") === "in_nation")
+          .select(col("src").as("cid"), col("dst").as("nid"))
+        val e2 = g.edges.filter(col("label") === "in_region")
+          .select(col("src").as("nid"), col("dst").as("rid"))
+        val v = g.vertices
+        e1.join(e2, "nid")
+          .join(v.filter(col("label") === "customer")
+            .select(col("id").as("cid"), col("name").as("customer")), "cid")
+          .join(v.select(col("id").as("nid"), col("name").as("nation")), "nid")
+          .join(v.select(col("id").as("rid"), col("name").as("region")), "rid")
+          .select("customer", "nation", "region")
+          .orderBy("customer", "nation", "region")
+      },
+      Some(withGraph("""SELECT c.name AS customer, n.name AS nation, r.name AS region
+        FROM edges e1
+        JOIN edges e2 ON e2.src = e1.dst AND e2.label = 'in_region'
+        JOIN vertices c ON c.id = e1.src AND c.label = 'customer'
+        JOIN vertices n ON n.id = e1.dst
+        JOIN vertices r ON r.id = e2.dst
+        WHERE e1.label = 'in_nation'
+        ORDER BY 1, 2, 3"""))),
+
+    // Variable-length reachability ≤3 hops from order #1 (BFS min-hops).
+    Op("graph_var_hop",
+      (s, dir) => {
+        val g = GraphFixture(s, dir)
+        g.varHop(g.vertices.filter(col("id") === 6000000000001L), 3)
+          .orderBy("id")
+      },
+      Some(withGraph(
+        """SELECT r.id, MIN(r.d) AS hops FROM reach r GROUP BY 1 ORDER BY 1""",
+        extra = """reach(id, d) AS (
+          SELECT CAST(6000000000001 AS BIGINT), 0
+          UNION
+          SELECT e.dst, r.d + 1 FROM reach r
+          JOIN edges e ON e.src = r.id WHERE r.d < 3)""",
+        recursive = true))),
+
+    // Induced subgraph: public people/places only, edge list.
+    Op("graph_subgraph",
+      (s, dir) => GraphFixture(s, dir)
+        .subgraph(col("vis") === "public" &&
+          col("label").isin("customer", "supplier", "nation", "region"))
+        .edges.select("src", "dst", "label")
+        .orderBy("src", "dst", "label"),
+      Some(withGraph("""SELECT e.src, e.dst, e.label FROM edges e
+        JOIN sub s1 ON s1.id = e.src JOIN sub s2 ON s2.id = e.dst
+        ORDER BY 1, 2, 3""",
+        extra = """sub AS (SELECT id FROM vertices WHERE vis = 'public'
+          AND label IN ('customer', 'supplier', 'nation', 'region'))"""))),
+
+    // Visibility-filtered view: per-label visible vertex + out-edge counts.
+    Op("graph_visibility",
+      (s, dir) => {
+        val g = GraphFixture(s, dir).visible
+        val od = g.edges.groupBy(col("src").as("id")).agg(count(lit(1)).as("n"))
+        g.vertices.join(od, Seq("id"), "left")
+          .groupBy("label")
+          .agg(count(lit(1)).as("n_vertices"),
+            sum(coalesce(col("n"), lit(0L))).as("out_edges"))
+          .orderBy("label")
+      },
+      Some(withGraph("""SELECT v.label, COUNT(*) AS n_vertices,
+          CAST(SUM(COALESCE(o.n, 0)) AS BIGINT) AS out_edges
+        FROM vv v LEFT JOIN od o ON o.src = v.id
+        GROUP BY 1 ORDER BY 1""",
+        extra = """vv AS (SELECT * FROM vertices WHERE vis = 'public'),
+          ve AS (SELECT e.* FROM edges e
+            JOIN vv a ON a.id = e.src JOIN vv b ON b.id = e.dst
+            WHERE e.vis = 'public'),
+          od AS (SELECT src, COUNT(*) AS n FROM ve GROUP BY 1)"""))),
+
+    Op("graph_cc",
+      (s, dir) => GraphFixture(s, dir).connectedComponents.orderBy("id"),
+      Some(withGraph(
+        "SELECT id, lbl AS component FROM l16 ORDER BY id",
+        extra = GraphSql.ccChain(16)))),
+
+    // Pregel max-value flood = max vertex val per component.
+    Op("graph_pregel",
+      (s, dir) => GraphFixture(s, dir).maxFlood.orderBy("id"),
+      Some(withGraph(
+        """SELECT l.id, cm.m AS maxval FROM l16 l
+          JOIN cm ON cm.lbl = l.lbl ORDER BY l.id""",
+        extra = GraphSql.ccChain(16) + """,
+          cm AS (SELECT l.lbl, MAX(COALESCE(v.val, 0)) AS m
+            FROM l16 l JOIN vertices v ON v.id = l.id GROUP BY 1)"""))),
+
+    // Min hops to the nearest region following out-edges (GraphX
+    // ShortestPaths with region landmarks).
+    Op("graph_sssp",
+      (s, dir) => {
+        val g = GraphFixture(s, dir)
+        val landmarks = g.vertices.filter(col("label") === "region")
+          .select("id").collect().map(_.getLong(0)).toSeq // 5 rows: metadata
+        g.minHopsTo(landmarks).orderBy("id")
+      },
+      Some(withGraph(
+        "SELECT id, MIN(d) AS dist FROM reach GROUP BY 1 ORDER BY 1",
+        extra = """reach(id, d) AS (
+          SELECT id, 0 FROM vertices WHERE label = 'region'
+          UNION
+          SELECT e.src, r.d + 1 FROM reach r
+          JOIN edges e ON e.dst = r.id WHERE r.d < 8)""",
+        recursive = true))),
+
+    Op("graph_pagerank",
+      (s, dir) => GraphFixture(s, dir).pageRank(5).orderBy("id"),
+      Some(withGraph(
+        "SELECT id, pr FROM p5 ORDER BY id",
+        extra = GraphSql.prChain(5)))),
+
+    Op("graph_triangles",
+      (s, dir) => GraphFixture(s, dir).triangleCounts.orderBy("id"),
+      Some(withGraph("""SELECT id, COUNT(*) AS n_tri FROM corners
+        GROUP BY 1 ORDER BY 1""",
+        extra = """und AS (SELECT DISTINCT LEAST(src, dst) AS a,
+            GREATEST(src, dst) AS b FROM edges WHERE src <> dst),
+          tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+            FROM und e1 JOIN und e2 ON e2.a = e1.b
+            JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b),
+          corners AS (SELECT x AS id FROM tri
+            UNION ALL SELECT y FROM tri UNION ALL SELECT z FROM tri)"""))),
+
+    // Tie-breaking is implementation-defined → no oracle (rows-only check);
+    // convergence properties are covered by ScalaTest instead.
+    Op("graph_labelprop",
+      (s, dir) => GraphFixture(s, dir).labelPropagation(5).orderBy("id"),
+      None)
+  )
+}
