@@ -10,7 +10,10 @@ object SparkEntry {
     ops.RelationalOps,
     ops.AggWindowOps,
     ops.ScalarFnOps,
-    ops.GraphOps)
+    ops.GraphOps,
+    ops.DedupOps,
+    ops.SimOps,
+    ops.TextOps)
 
   lazy val allOps: Seq[Op] = {
     val all = modules.flatMap(_.ops)

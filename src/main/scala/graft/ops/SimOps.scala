@@ -1,0 +1,86 @@
+package graft.ops
+
+import graft.{Op, OpModule, Tables}
+import graft.functions.GraftFunctions
+import textsql._
+
+/** Similarity search over the embeddings table (SURVEY.md §2.11).
+  *
+  *  - sim_topk: brute-force cosine top-k — the exact baseline. Queries
+  *    broadcast against the corpus; ranking via window. At 100 TB the corpus
+  *    side stays partition-parallel; only the (small) query set replicates.
+  *  - sim_knn_join: the scale path — sign-bit LSH (8 bits → 256 buckets)
+  *    turns the kNN join into an equi-join on the bucket key; recall is
+  *    traded for never materializing all pairs. Norms are precomputed once
+  *    per vector (shuffle-free scalar column), not per pair.
+  *
+  * All cosines go through the native vec_dot expression
+  * ([[graft.functions.FloatDotProduct]]) — bit-identical to the DuckDB
+  * list_reduce fold, ~100× faster than interpreted HOF lambdas. */
+object SimOps extends OpModule {
+
+  def ops: Seq[Op] = Seq(
+
+    Op("sim_topk",
+      (s, dir) => {
+        GraftFunctions.register(s)
+        Tables(s, dir, "embeddings").createOrReplaceTempView("embeddings")
+        s.sql(s"""
+          WITH n AS (SELECT vec_id, embedding,
+            sqrt(vec_dot(embedding, embedding)) AS nrm FROM embeddings),
+          q AS (SELECT vec_id AS qa, embedding AS eq, nrm AS nq FROM n
+            WHERE vec_id % 100 = 0),
+          scored AS (SELECT q.qa, n.vec_id AS vb,
+            vec_dot(q.eq, n.embedding) / (q.nq * n.nrm) AS cos
+            FROM q JOIN n ON n.vec_id <> q.qa),
+          ranked AS (SELECT qa, vb, cos,
+            ROW_NUMBER() OVER (PARTITION BY qa ORDER BY cos DESC, vb) AS rnk
+            FROM scored)
+          SELECT qa, vb, rnk, cos FROM ranked WHERE rnk <= 5 ORDER BY qa, rnk""")
+      },
+      Some(s"""
+        WITH n AS MATERIALIZED (SELECT vec_id, embedding,
+          sqrt(${duckDot("embedding", "embedding")}) AS nrm FROM embeddings),
+        q AS (SELECT vec_id AS qa, embedding AS eq, nrm AS nq FROM n
+          WHERE vec_id % 100 = 0),
+        scored AS (SELECT q.qa, n.vec_id AS vb,
+          ${duckDot("q.eq", "n.embedding")} / (q.nq * n.nrm) AS cos
+          FROM q JOIN n ON n.vec_id <> q.qa),
+        ranked AS (SELECT qa, vb, cos,
+          ROW_NUMBER() OVER (PARTITION BY qa ORDER BY cos DESC, vb) AS rnk
+          FROM scored)
+        SELECT qa, vb, rnk, cos FROM ranked WHERE rnk <= 5 ORDER BY qa, rnk""")),
+
+    Op("sim_knn_join",
+      (s, dir) => {
+        GraftFunctions.register(s)
+        Tables(s, dir, "embeddings").createOrReplaceTempView("embeddings")
+        s.sql(s"""
+          WITH n AS (SELECT vec_id, embedding,
+            ${sparkSignBucket("embedding", 8)} AS bkt,
+            sqrt(vec_dot(embedding, embedding)) AS nrm FROM embeddings),
+          l AS (SELECT vec_id AS va, embedding AS ea, bkt, nrm AS na FROM n
+            WHERE vec_id % 10 = 0),
+          scored AS (SELECT l.va, n.vec_id AS vb,
+            vec_dot(l.ea, n.embedding) / (l.na * n.nrm) AS cos
+            FROM l JOIN n ON n.bkt = l.bkt AND n.vec_id <> l.va),
+          ranked AS (SELECT va, vb, cos,
+            ROW_NUMBER() OVER (PARTITION BY va ORDER BY cos DESC, vb) AS rnk
+            FROM scored)
+          SELECT va, vb, rnk, cos FROM ranked WHERE rnk <= 3 ORDER BY va, rnk""")
+      },
+      Some(s"""
+        WITH n AS MATERIALIZED (SELECT vec_id, embedding,
+          ${duckSignBucket("embedding", 8)} AS bkt,
+          sqrt(${duckDot("embedding", "embedding")}) AS nrm FROM embeddings),
+        l AS (SELECT vec_id AS va, embedding AS ea, bkt, nrm AS na FROM n
+          WHERE vec_id % 10 = 0),
+        scored AS (SELECT l.va, n.vec_id AS vb,
+          ${duckDot("l.ea", "n.embedding")} / (l.na * n.nrm) AS cos
+          FROM l JOIN n ON n.bkt = l.bkt AND n.vec_id <> l.va),
+        ranked AS (SELECT va, vb, cos,
+          ROW_NUMBER() OVER (PARTITION BY va ORDER BY cos DESC, vb) AS rnk
+          FROM scored)
+        SELECT va, vb, rnk, cos FROM ranked WHERE rnk <= 3 ORDER BY va, rnk"""))
+  )
+}

@@ -1,0 +1,181 @@
+package graft.ops
+
+import graft.{Op, OpModule, Tables, num}
+import textsql._
+
+/** Text-analysis family over the documents corpus (SURVEY.md §2.11):
+  * corpus stats, language-ID (stopword voting — the corpus is synthetic
+  * single-vocabulary text, so the heuristic's mechanics are what's tested,
+  * not linguistic accuracy), quality scoring, tf-idf term ranking (log-free
+  * n/df weighting so both engines rank on bit-identical doubles),
+  * rolling-hash fingerprinting, and multimodal binary-column plumbing.
+  * Everything is per-row expression work + one aggregation — fully
+  * partition-parallel, no driver loops. */
+object TextOps extends OpModule {
+
+  private val langSets: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "und", "das"),
+    "en" -> Seq("the", "a", "of", "to"),
+    "es" -> Seq("el", "los", "y", "una"),
+    "fr" -> Seq("le", "la", "et", "les"))
+
+  def ops: Seq[Op] = Seq(
+
+    Op("text_stats",
+      (s, dir) => {
+        Tables(s, dir, "documents").createOrReplaceTempView("documents")
+        s.sql(s"""
+          WITH base AS (SELECT lang, source, doc_id, n_chars,
+            size(${sparkToks("text")}) AS n_toks FROM documents),
+          tok AS (SELECT lang, source, explode(${sparkToks("text")}) AS tok FROM documents),
+          agg1 AS (SELECT lang, source, COUNT(*) AS n_docs,
+            SUM(n_toks) AS n_tokens, ${"CAST(SUM(CAST(n_chars AS DECIMAL(38,10))) AS DOUBLE)"} / COUNT(n_chars) AS avg_chars
+            FROM base GROUP BY lang, source),
+          agg2 AS (SELECT lang, source, COUNT(DISTINCT tok) AS n_distinct_toks
+            FROM tok GROUP BY lang, source)
+          SELECT a.lang, a.source, n_docs, n_tokens, n_distinct_toks, avg_chars
+          FROM agg1 a JOIN agg2 b ON a.lang = b.lang AND a.source = b.source
+          ORDER BY a.lang, a.source""")
+      },
+      Some(s"""
+        WITH base AS (SELECT lang, source, doc_id, n_chars,
+          len(${duckToks("text")}) AS n_toks FROM documents),
+        tok AS (SELECT lang, source, unnest(${duckToks("text")}) AS tok FROM documents),
+        agg1 AS (SELECT lang, source, COUNT(*) AS n_docs,
+          CAST(SUM(n_toks) AS BIGINT) AS n_tokens, ${num.DAVG("n_chars")} AS avg_chars
+          FROM base GROUP BY lang, source),
+        agg2 AS (SELECT lang, source, COUNT(DISTINCT tok) AS n_distinct_toks
+          FROM tok GROUP BY lang, source)
+        SELECT a.lang, a.source, n_docs, n_tokens, n_distinct_toks, avg_chars
+        FROM agg1 a JOIN agg2 b ON a.lang = b.lang AND a.source = b.source
+        ORDER BY a.lang, a.source""")),
+
+    Op("text_langid",
+      (s, dir) => {
+        Tables(s, dir, "documents").createOrReplaceTempView("documents")
+        val hits = langSets.map { case (l, ws) =>
+          s"SUM(CASE WHEN tok IN (${ws.map(w => s"'$w'").mkString(", ")}) THEN 1 ELSE 0 END) AS h_$l"
+        }.mkString(", ")
+        val pred = langSets.map { case (l, _) =>
+          val geAll = langSets.map(o => s"h_$l >= h_${o._1}").mkString(" AND ")
+          s"WHEN $geAll AND h_$l > 0 THEN '$l'"
+        }.mkString(" ")
+        val q = s"""
+          WITH tok AS (SELECT doc_id, TOKSRC AS tok FROM documents),
+          hits AS (SELECT doc_id, $hits FROM tok GROUP BY doc_id)
+          SELECT doc_id, CASE $pred ELSE 'unknown' END AS pred_lang,
+            h_de, h_en, h_es, h_fr
+          FROM hits ORDER BY doc_id"""
+        s.sql(q.replace("TOKSRC", s"explode(${sparkToks("text")})"))
+      },
+      Some {
+        val hits = langSets.map { case (l, ws) =>
+          s"CAST(SUM(CASE WHEN tok IN (${ws.map(w => s"'$w'").mkString(", ")}) THEN 1 ELSE 0 END) AS BIGINT) AS h_$l"
+        }.mkString(", ")
+        val pred = langSets.map { case (l, _) =>
+          val geAll = langSets.map(o => s"h_$l >= h_${o._1}").mkString(" AND ")
+          s"WHEN $geAll AND h_$l > 0 THEN '$l'"
+        }.mkString(" ")
+        s"""
+          WITH tok AS (SELECT doc_id, unnest(${duckToks("text")}) AS tok FROM documents),
+          hits AS (SELECT doc_id, $hits FROM tok GROUP BY doc_id)
+          SELECT doc_id, CASE $pred ELSE 'unknown' END AS pred_lang,
+            h_de, h_en, h_es, h_fr
+          FROM hits ORDER BY doc_id"""
+      }),
+
+    // Quality signals: type-token ratio, mean token length, length credit.
+    Op("text_quality",
+      (s, dir) => {
+        Tables(s, dir, "documents").createOrReplaceTempView("documents")
+        s.sql(s"""
+          WITH t AS (SELECT doc_id, n_chars, ${sparkToks("text")} AS toks FROM documents),
+          m AS (SELECT doc_id, n_chars, size(toks) AS n_toks,
+            size(array_distinct(toks)) AS n_distinct FROM t)
+          SELECT doc_id, n_toks,
+            CAST(n_distinct AS DOUBLE) / CAST(n_toks AS DOUBLE) AS ttr,
+            CAST(n_chars - (n_toks - 1) AS DOUBLE) / CAST(n_toks AS DOUBLE) AS mean_tok_len,
+            0.5 * (CAST(n_distinct AS DOUBLE) / CAST(n_toks AS DOUBLE))
+              + 0.5 * least(CAST(1 AS DOUBLE), CAST(n_toks AS DOUBLE) / CAST(200 AS DOUBLE)) AS quality
+          FROM m ORDER BY doc_id""")
+      },
+      Some(s"""
+        WITH t AS (SELECT doc_id, n_chars, ${duckToks("text")} AS toks FROM documents),
+        m AS (SELECT doc_id, n_chars, len(toks) AS n_toks,
+          len(list_distinct(toks)) AS n_distinct FROM t)
+        SELECT doc_id, CAST(n_toks AS INTEGER) AS n_toks,
+          CAST(n_distinct AS DOUBLE) / CAST(n_toks AS DOUBLE) AS ttr,
+          CAST(n_chars - (n_toks - 1) AS DOUBLE) / CAST(n_toks AS DOUBLE) AS mean_tok_len,
+          0.5 * (CAST(n_distinct AS DOUBLE) / CAST(n_toks AS DOUBLE))
+            + 0.5 * least(CAST(1 AS DOUBLE), CAST(n_toks AS DOUBLE) / CAST(200 AS DOUBLE)) AS quality
+        FROM m ORDER BY doc_id""")),
+
+    // tf-idf term ranking per source; idf kept as the exact rational n/df
+    // (no ln()) so scores are bit-identical across engines.
+    Op("text_tfidf",
+      (s, dir) => {
+        Tables(s, dir, "documents").createOrReplaceTempView("documents")
+        s.sql(s"""
+          WITH tok AS (SELECT doc_id, source, explode(${sparkToks("text")}) AS tok FROM documents),
+          tf AS (SELECT source, tok, COUNT(*) AS tf FROM tok GROUP BY source, tok),
+          df AS (SELECT tok, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY tok),
+          nd AS (SELECT COUNT(*) AS n FROM documents),
+          scored AS (SELECT source, t.tok, tf, df,
+            CAST(tf AS DOUBLE) * (CAST((SELECT n FROM nd) AS DOUBLE) / CAST(df AS DOUBLE)) AS score
+            FROM tf t JOIN df d ON t.tok = d.tok),
+          ranked AS (SELECT source, tok, tf, df,
+            ROW_NUMBER() OVER (PARTITION BY source ORDER BY score DESC, tok) AS rnk
+            FROM scored)
+          SELECT source, tok, tf, df, rnk FROM ranked WHERE rnk <= 5
+          ORDER BY source, rnk""")
+      },
+      Some(s"""
+        WITH tok AS (SELECT doc_id, source, unnest(${duckToks("text")}) AS tok FROM documents),
+        tf AS (SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS tf FROM tok GROUP BY source, tok),
+        df AS (SELECT tok, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df FROM tok GROUP BY tok),
+        nd AS (SELECT COUNT(*) AS n FROM documents),
+        scored AS (SELECT source, t.tok, tf, df,
+          CAST(tf AS DOUBLE) * (CAST((SELECT n FROM nd) AS DOUBLE) / CAST(df AS DOUBLE)) AS score
+          FROM tf t JOIN df d ON t.tok = d.tok),
+        ranked AS (SELECT source, tok, tf, df,
+          ROW_NUMBER() OVER (PARTITION BY source ORDER BY score DESC, tok) AS rnk
+          FROM scored)
+        SELECT source, tok, tf, df, rnk FROM ranked WHERE rnk <= 5
+        ORDER BY source, rnk""")),
+
+    // Polynomial rolling-hash document fingerprint (ordered char fold).
+    Op("text_fingerprint",
+      (s, dir) => {
+        Tables(s, dir, "documents").createOrReplaceTempView("documents")
+        s.sql(s"""SELECT doc_id, ${sparkRollHash("text")} AS fp
+          FROM documents ORDER BY doc_id""")
+      },
+      Some(s"""SELECT doc_id, ${duckRollHash("text")} AS fp
+        FROM documents ORDER BY doc_id""")),
+
+    // Multimodal plumbing: opaque binary payload + typed metadata struct.
+    // (Decode/feature-extract stubs live in graft.multimodal — binary libs
+    // aren't in this container; here we verify the schema/bytes plumbing.)
+    Op("multimodal_cols",
+      (s, dir) => {
+        Tables(s, dir, "documents").createOrReplaceTempView("documents")
+        s.sql("""
+          WITH m AS (SELECT doc_id,
+            named_struct('lang', lang, 'source', source) AS meta,
+            encode(text, 'utf-8') AS payload, text FROM documents)
+          SELECT doc_id, meta.lang AS lang, meta.source AS source,
+            octet_length(payload) AS n_bytes,
+            md5(payload) AS checksum,
+            lower(hex(encode(substring(text, 1, 8), 'utf-8'))) AS head_hex
+          FROM m ORDER BY doc_id""")
+      },
+      Some("""
+        WITH m AS (SELECT doc_id, lang, source, encode(text) AS payload, text
+          FROM documents)
+        SELECT doc_id, lang, source,
+          CAST(octet_length(payload) AS INTEGER) AS n_bytes,
+          md5(text) AS checksum,
+          lower(hex(encode(substr(text, 1, 8)))) AS head_hex
+        FROM m ORDER BY doc_id"""))
+  )
+}
