@@ -13,7 +13,9 @@ object SparkEntry {
     ops.GraphOps,
     ops.DedupOps,
     ops.SimOps,
-    ops.TextOps)
+    ops.TextOps,
+    ops.CustomExprOps,
+    streaming.StreamOps)
 
   lazy val allOps: Seq[Op] = {
     val all = modules.flatMap(_.ops)

@@ -1,0 +1,171 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.expressions.{Expression, Generator, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Codegen'd stable string hash (SURVEY.md §2.9 `udf_expr_hash`): polynomial
+  * rolling hash over the UTF-8 bytes, h ← (h·131 + byte) mod 1e9+7.
+  *
+  * Chosen over a "real" 64-bit hash because the modulus keeps every
+  * intermediate in int64 — which makes the function expressible in ANSI SQL
+  * (see textsql.duckRollHash) and therefore oracle-checkable, while still
+  * being a usable dedup/shard key. doGenCode emits a primitive loop inside
+  * whole-stage codegen — no boxing, no virtual calls in the hot path. */
+case class StableHash64(child: Expression)
+    extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"stable_hash64 needs STRING, got $t")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    StableHash64.hash(input.asInstanceOf[UTF8String].getBytes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.StableHash64.hash($c.getBytes());")
+
+  override def prettyName: String = "stable_hash64"
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+object StableHash64 {
+  final val M = 1000000007L
+  /** ASCII inputs match the SQL char-fold; multi-byte UTF-8 folds per byte. */
+  def hash(bytes: Array[Byte]): Long = {
+    var h = 0L
+    var i = 0
+    while (i < bytes.length) {
+      h = (h * 131 + (bytes(i) & 0xff)) % M
+      i += 1
+    }
+    h
+  }
+}
+
+/** Exact-threshold distinct sketch (SURVEY.md §2.9 `udaf_sketch`): counts
+  * distinct int64 values exactly while ≤ maxExact, reports -1 once the set
+  * exceeds it (the "degrade to sketch" pattern with a deterministic,
+  * oracle-checkable contract: CASE WHEN COUNT(DISTINCT x) <= k ...).
+  *
+  * TypedImperativeAggregate: the buffer is a real mutable HashSet in the
+  * aggregation hash map, serialized to varint-free longs for shuffle.
+  * Partial aggregation (map-side combine) works normally, so the shuffle
+  * carries at most k+1 longs per group, not the raw rows. */
+case class ThresholdDistinct(
+    child: Expression,
+    maxExact: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[ThresholdDistinct.Buffer] {
+  import ThresholdDistinct.Buffer
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType = LongType
+
+  override def createAggregationBuffer(): Buffer = new Buffer()
+
+  private def saturate(b: Buffer): Unit = { b.saturated = true; b.set.clear() }
+
+  override def update(buf: Buffer, input: InternalRow): Buffer = {
+    if (!buf.saturated) {
+      val v = child.eval(input)
+      if (v != null) {
+        buf.set.add(v.asInstanceOf[Long])
+        if (buf.set.size > maxExact) saturate(buf)
+      }
+    }
+    buf
+  }
+
+  override def merge(b1: Buffer, b2: Buffer): Buffer = {
+    if (b2.saturated) saturate(b1)
+    else if (!b1.saturated) {
+      b1.set.addAll(b2.set)
+      if (b1.set.size > maxExact) saturate(b1)
+    }
+    b1
+  }
+
+  override def eval(buf: Buffer): Any =
+    if (buf.saturated) -1L else buf.set.size.toLong
+
+  override def serialize(buf: Buffer): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(5 + 8 * buf.set.size)
+    bb.put(if (buf.saturated) 1.toByte else 0.toByte)
+    bb.putInt(buf.set.size)
+    val it = buf.set.iterator()
+    while (it.hasNext) bb.putLong(it.next())
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Buffer = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val b = new Buffer()
+    b.saturated = bb.get() == 1
+    val n = bb.getInt
+    var i = 0
+    while (i < n) { b.set.add(bb.getLong); i += 1 }
+    b
+  }
+
+  override def withNewMutableAggBufferOffset(o: Int): ThresholdDistinct =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): ThresholdDistinct =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(cs: IndexedSeq[Expression]): Expression =
+    copy(child = cs.head)
+  override def prettyName: String = "threshold_distinct"
+}
+
+object ThresholdDistinct {
+  /** Exact set until saturation; cleared (empty) once saturated. */
+  final class Buffer {
+    var saturated: Boolean = false
+    val set: java.util.HashSet[Long] = new java.util.HashSet[Long]()
+  }
+}
+
+/** True Catalyst Generator (SURVEY.md §2.9 `udtf_tokenize`): one text row →
+  * (pos, token) rows. Unlike explode(split(...)), a Generator controls its
+  * own output schema and row construction — this is the UDTF extension
+  * point. Emits 1-based positions to match SQL WITH ORDINALITY. */
+case class TokenizeGenerator(child: Expression) extends Generator
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def children: Seq[Expression] = Seq(child)
+
+  override def elementSchema: StructType = StructType(Seq(
+    StructField("pos", IntegerType, nullable = false),
+    StructField("token", StringType, nullable = false)))
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"tokenize needs STRING, got $t")
+  }
+
+  override def eval(input: InternalRow): IterableOnce[InternalRow] = {
+    val v = child.eval(input)
+    if (v == null) Nil
+    else {
+      val toks = v.asInstanceOf[UTF8String].toString.split(" ", -1)
+      toks.iterator.zipWithIndex.map { case (t, i) =>
+        InternalRow(i + 1, UTF8String.fromString(t))
+      }
+    }
+  }
+
+  override def prettyName: String = "tokenize"
+  override protected def withNewChildrenInternal(cs: IndexedSeq[Expression]): Expression =
+    copy(child = cs.head)
+}

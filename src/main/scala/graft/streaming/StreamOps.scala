@@ -1,0 +1,115 @@
+package graft.streaming
+
+import graft.{Op, OpModule, Tables, num}
+import org.apache.spark.sql.functions._
+
+/** Streaming operator family over `events` (SURVEY.md §2.8).
+  *
+  * Structured Streaming's windowed operators are incremental versions of the
+  * SAME logical plans as their batch forms — so each key here registers the
+  * batch-window variant (DuckDB-oracle-able), and the true `readStream`
+  * micro-batch execution of the identical plan is exercised in
+  * StreamingSpec via the memory sink + processAllAvailable
+  * (spark_guide §Structured Streaming).
+  *
+  * Watermark/late-data semantics (drop state older than watermark) only
+  * exist under a streaming execution; they're covered by the spec, not the
+  * oracle.
+  *
+  * Scale notes: all keys group by (time bucket × low-cardinality key) —
+  * state per window is bounded; watermarks bound total state. The
+  * stateful-typed op sorts per user inside mapGroups: at 100 TB that's
+  * the standard sessionization shape (skew = one user's events, bounded). */
+object StreamOps extends OpModule {
+
+  def ops: Seq[Op] = Seq(
+
+    // Tumbling 5-minute windows per event_type.
+    Op("stream_tumbling",
+      (s, dir) => Tables(s, dir, "events")
+        .groupBy(window(col("ts"), "5 minutes").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"), num.dsum(col("value")).as("sum_value"))
+        .select(col("w.start").as("wstart"), col("event_type"), col("n"),
+          col("sum_value"))
+        .orderBy("wstart", "event_type"),
+      Some(s"""SELECT time_bucket(INTERVAL '5 minutes', ts) AS wstart,
+        event_type, COUNT(*) AS n, ${num.DSUM("value")} AS sum_value
+        FROM events GROUP BY 1, 2 ORDER BY 1, 2""")),
+
+    // Sliding 10-minute windows every 2 minutes.
+    Op("stream_sliding",
+      (s, dir) => Tables(s, dir, "events")
+        .groupBy(window(col("ts"), "10 minutes", "2 minutes").as("w"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("w.start").as("wstart"), col("n"))
+        .orderBy("wstart"),
+      Some("""SELECT wstart, COUNT(*) AS n FROM (
+        SELECT time_bucket(INTERVAL '2 minutes', ts)
+          - k * INTERVAL '2 minutes' AS wstart
+        FROM events, unnest(generate_series(0, 4)) AS g(k)) t
+        GROUP BY 1 ORDER BY 1""")),
+
+    // Gap-based session windows (30 min) per user.
+    Op("stream_session",
+      (s, dir) => Tables(s, dir, "events")
+        .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"), num.dsum(col("value")).as("sum_value"))
+        .select(col("user_id"), col("w.start").as("wstart"),
+          col("w.end").as("wend"), col("n_events"), col("sum_value"))
+        .orderBy("user_id", "wstart"),
+      Some(s"""WITH marked AS (SELECT user_id, ts, value,
+          CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+            > INTERVAL '30 minutes' OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+            THEN 1 ELSE 0 END AS new_session
+        FROM events),
+        sess AS (SELECT user_id, ts, value,
+          SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+            ROWS UNBOUNDED PRECEDING) AS sid
+        FROM marked)
+        SELECT user_id, MIN(ts) AS wstart,
+          MAX(ts) + INTERVAL '30 minutes' AS wend,
+          COUNT(*) AS n_events, ${num.DSUM("value")} AS sum_value
+        FROM sess GROUP BY user_id, sid ORDER BY user_id, wstart""")),
+
+    // Dedup: first event per (user, type, 5-min bucket) — the batch form of
+    // dropDuplicatesWithinWatermark keyed on a bucketed time.
+    Op("stream_dedup",
+      (s, dir) => Tables(s, dir, "events")
+        .groupBy(window(col("ts"), "5 minutes").as("w"), col("user_id"),
+          col("event_type"))
+        .agg(min(col("event_id")).as("first_event"), count(lit(1)).as("n_dups"))
+        .select(col("w.start").as("wstart"), col("user_id"), col("event_type"),
+          col("first_event"), col("n_dups"))
+        .orderBy("wstart", "user_id", "event_type"),
+      Some("""SELECT time_bucket(INTERVAL '5 minutes', ts) AS wstart, user_id,
+        event_type, MIN(event_id) AS first_event, COUNT(*) AS n_dups
+        FROM events GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""")),
+
+    // Typed stateful path: per-user running purchase count over the ordered
+    // timeline, via KeyValueGroupedDataset.mapGroups (the batch twin of
+    // flatMapGroupsWithState in Streams.statefulPurchaseCounts).
+    Op("stream_stateful",
+      (s, dir) => {
+        val spark = s
+        import spark.implicits._
+        Tables(spark, dir, "events")
+          .select(col("event_id"), col("user_id"), col("ts"), col("event_type"))
+          .as[(Long, Long, java.sql.Timestamp, String)]
+          .groupByKey(_._2)
+          .flatMapGroups { (uid, it) =>
+            var purchases = 0L
+            it.toSeq.sortBy(e => (e._3.getTime, e._1)).map { e =>
+              if (e._4 == "purchase") purchases += 1
+              (e._1, uid, purchases)
+            }
+          }
+          .toDF("event_id", "user_id", "purchases_so_far")
+          .orderBy("event_id")
+      },
+      Some("""SELECT event_id, user_id,
+        CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+          OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS purchases_so_far
+        FROM events ORDER BY event_id"""))
+  )
+}

@@ -1,0 +1,71 @@
+package graft
+
+import graft.functions.GraftFunctions
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class LlmOpsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = TestSpark.sf
+
+  test("vec_dot matches the interpreted HOF fold bit-for-bit") {
+    GraftFunctions.register(spark)
+    val e = Tables(spark, sf, "embeddings").limit(50)
+    val both = e.selectExpr(
+      "vec_dot(embedding, embedding) AS fast",
+      s"${ops.textsql.sparkDot("embedding", "embedding")} AS slow")
+    assert(both.filter(col("fast") =!= col("slow")).count() == 0)
+  }
+
+  test("minhash LSH finds the planted near-duplicate pairs") {
+    val pairs = SparkEntry.queries("dedup_minhash")(spark, sf).collect()
+    assert(pairs.nonEmpty) // fixture plants ~0.98-Jaccard pairs
+    pairs.foreach { r => assert(r.getDouble(r.fieldIndex("jaccard")) >= 0.5) }
+  }
+
+  test("minhash candidates approximate exact Jaccard (no false accepts)") {
+    // every reported pair must share ≥ half its shingles by construction —
+    // verified exactly by the op itself; here we check symmetry/ordering
+    val pairs = SparkEntry.queries("dedup_minhash")(spark, sf)
+    assert(pairs.filter(col("doc_a") >= col("doc_b")).count() == 0)
+  }
+
+  test("simhash: identical texts get identical fingerprints") {
+    val fp = SparkEntry.queries("dedup_simhash")(spark, sf)
+    assert(fp.count() == Tables(spark, sf, "documents").count())
+    // near-dup docs (from minhash) have close fingerprints (hamming ≤ 8)
+    val pairs = SparkEntry.queries("dedup_minhash")(spark, sf)
+      .select("doc_a", "doc_b")
+    val withFp = pairs
+      .join(fp.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("simhash", "fa"), "doc_a")
+      .join(fp.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("simhash", "fb"), "doc_b")
+      .withColumn("hamming", bit_count(col("fa").bitwiseXOR(col("fb"))))
+    assert(withFp.filter(col("hamming") > 8).count() == 0)
+  }
+
+  test("rolling-hash fingerprint is stable and collision-sparse") {
+    val fp = SparkEntry.queries("text_fingerprint")(spark, sf)
+    val n = fp.count()
+    val distinct = fp.select("fp").distinct().count()
+    assert(distinct >= n - 5) // only true dup texts may collide
+  }
+
+  test("sim_topk returns k ranked neighbors per query, self excluded") {
+    val topk = SparkEntry.queries("sim_topk")(spark, sf)
+    assert(topk.filter(col("qa") === col("vb")).count() == 0)
+    val perQuery = topk.groupBy("qa").count()
+    assert(perQuery.filter(col("count") =!= 5).count() == 0)
+    // ranks are dense 1..5 and cosine non-increasing within a query
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("qa").orderBy("rnk")
+    val bad = topk.withColumn("prev", lag("cos", 1).over(w))
+      .filter(col("prev").isNotNull && col("cos") > col("prev"))
+    assert(bad.count() == 0)
+  }
+
+  test("text_quality scores are in [0, 1] and ttr sane") {
+    val q = SparkEntry.queries("text_quality")(spark, sf)
+    assert(q.filter(col("quality") < 0 || col("quality") > 1).count() == 0)
+    assert(q.filter(col("ttr") <= 0 || col("ttr") > 1).count() == 0)
+  }
+}

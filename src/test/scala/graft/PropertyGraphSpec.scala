@@ -1,0 +1,91 @@
+package graft
+
+import graft.graph.GraphFixture
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class PropertyGraphSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private lazy val g = GraphFixture(spark, TestSpark.sf)
+
+  test("fixture vertex ids are unique and label-tagged") {
+    val v = g.vertices
+    assert(v.count() == v.select("id").distinct().count())
+    val badTag = v.filter(!(col("id") / lit(GraphFixture.B)).cast("int").between(1, 8))
+    assert(badTag.count() == 0)
+  }
+
+  test("edges reference existing vertices (referential integrity)") {
+    val ids = g.vertices.select("id")
+    val dangling = g.edges
+      .join(ids.withColumnRenamed("id", "src"), Seq("src"), "left_anti")
+      .unionAll(g.edges.join(ids.withColumnRenamed("id", "dst"), Seq("dst"), "left_anti"))
+    assert(dangling.count() == 0)
+  }
+
+  test("degrees: every customer has exactly one out in_nation edge") {
+    val custOut = g.edges.filter(col("label") === "in_nation" &&
+      col("src") >= 3 * GraphFixture.B && col("src") < 4 * GraphFixture.B)
+    val nCust = Tables(spark, TestSpark.sf, "customer").count()
+    assert(custOut.count() == nCust)
+    // degree sums equal edge count ×2
+    val degSum = g.degrees.agg(sum("deg")).head.getLong(0)
+    assert(degSum == 2 * g.edges.count())
+  }
+
+  test("varHop from order 1 reaches exactly the 3-hop closure") {
+    val reach = g.varHop(g.vertices.filter(col("id") === 6000000000001L), 3)
+    val byHop = reach.groupBy("hops").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(byHop(0) == 1)
+    assert(byHop(1) >= 2) // its customer + ≥1 contained part
+    assert(reach.count() >= 4)
+    // all hop-1 vertices are direct successors
+    val direct = g.edges.filter(col("src") === 6000000000001L).select("dst")
+    val h1 = reach.filter(col("hops") === 1).select(col("id").as("dst"))
+    assert(h1.join(direct, Seq("dst"), "left_anti").count() == 0)
+  }
+
+  test("connectedComponents labels are a fixpoint (no edge crosses components)") {
+    val cc = g.connectedComponents
+    val crossing = g.edges
+      .join(cc.withColumnRenamed("id", "src").withColumnRenamed("component", "ca"), "src")
+      .join(cc.withColumnRenamed("id", "dst").withColumnRenamed("component", "cb"), "dst")
+      .filter(col("ca") =!= col("cb"))
+    assert(crossing.count() == 0)
+    // each component's label is its min member id
+    val bad = cc.groupBy("component").agg(min("id").as("m"))
+      .filter(col("component") =!= col("m"))
+    assert(bad.count() == 0)
+  }
+
+  test("pageRank mass stays within (0, 1] and is positive everywhere") {
+    val pr = g.pageRank(5)
+    val total = pr.agg(sum("pr")).head.getDouble(0)
+    assert(total > 0 && total <= 1.0 + 1e-9) // dangling mass drains, never grows
+    assert(pr.filter(col("pr") <= 0).count() == 0)
+  }
+
+  test("triangle counts: corner credit sums to 3 per triangle") {
+    val t = g.triangleCounts
+    val total = t.agg(sum("n_tri")).head.getLong(0)
+    assert(total % 3 == 0)
+    assert(total > 0) // colocated customer-supplier-nation triangles exist
+  }
+
+  test("maxFlood: flooded value ≥ own val and constant per component") {
+    val mf = g.maxFlood
+    val cc = g.connectedComponents
+    val perComp = mf.join(cc, "id").groupBy("component")
+      .agg(countDistinct("maxval").as("k"))
+    assert(perComp.filter(col("k") =!= 1).count() == 0)
+  }
+
+  test("visibility view removes secret elements and their edges") {
+    val vis = g.visible
+    assert(vis.vertices.filter(col("vis") === "secret").count() == 0)
+    val nSecretV = g.vertices.filter(col("vis") === "secret").count()
+    assert(nSecretV > 0) // fixture actually has secrets
+    assert(vis.edges.count() < g.edges.count())
+  }
+}
