@@ -181,6 +181,33 @@ object TextOps extends OpModule {
           CAST(octet_length(payload) AS INTEGER) AS n_bytes,
           md5(text) AS checksum,
           lower(hex(encode(substr(text, 1, 8)))) AS head_hex
-        FROM m ORDER BY doc_id"""))
+        FROM m ORDER BY doc_id""")),
+
+    // Typed batched decode pipeline (graft.multimodal): Dataset[Asset] →
+    // mapPartitions-in-batches → Dataset[Features]. The stub decoder is pure
+    // byte arithmetic, so the WHOLE pipeline — including the "decode" — is
+    // oracle-checkable; a real codec slots into the same plumbing.
+    Op("multimodal_decode",
+      (s, dir) => {
+        import graft.multimodal.Multimodal
+        Multimodal.extractFeatures(Multimodal.assets(s, dir),
+            Multimodal.FakeDecoder)
+          .toDF().orderBy("asset_id")
+      },
+      Some("""
+        WITH b AS (SELECT doc_id AS asset_id,
+          (['image', 'audio', 'video'])[CAST(doc_id % 3 + 1 AS INTEGER)] AS kind,
+          octet_length(encode(text)) AS n,
+          list_reduce(list_prepend(CAST(0 AS BIGINT),
+            list_transform(generate_series(1, length(text)),
+              i -> CAST(ascii(substr(text, i, 1)) AS BIGINT))),
+            (a, c) -> a + c) AS bsum
+        FROM documents)
+        SELECT asset_id, kind,
+          CAST(16 + n % 64 AS INTEGER) AS width,
+          CAST(16 + bsum % 64 AS INTEGER) AS height,
+          CAST(CASE WHEN kind = 'video' THEN 1 + n % 30 ELSE 1 END AS INTEGER) AS n_frames,
+          CAST(bsum AS DOUBLE) / CAST(n AS DOUBLE) AS mean_intensity
+        FROM b ORDER BY asset_id"""))
   )
 }

@@ -1,0 +1,67 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-shape assertions (SURVEY.md §5 "golden explain"): the operators must
+  * not only return correct rows — their physical plans must keep the
+  * properties that make them scale (pushdown, pruning, broadcast, codegen).
+  * These tests fail if a refactor silently de-optimizes a plan. */
+class PlanQualitySpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private def plan(key: String): String =
+    SparkEntry.queries(key)(spark, TestSpark.sf)
+      .queryExecution.executedPlan.toString
+
+  /** AQE only shows WholeStageCodegen spans in the FINAL plan — execute
+    * first, then render. */
+  private def finalPlan(key: String): String = {
+    val df = SparkEntry.queries(key)(spark, TestSpark.sf)
+    df.collect()
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("scan_pruned pushes the shipdate filter into the parquet scan") {
+    val p = plan("scan_pruned")
+    assert(p.contains("PushedFilters: ["), p)
+    assert(p.contains("l_shipdate"), p)
+  }
+
+  test("scan_pruned reads only the projected columns") {
+    val p = plan("scan_pruned")
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("l_quantity"), readSchema)
+    assert(readSchema.contains("l_extendedprice"), readSchema)
+  }
+
+  test("join_broadcast actually broadcasts the dimension tables") {
+    val p = plan("join_broadcast")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"), p)
+  }
+
+  test("join_semi and join_anti plan as semi/anti hash joins, not cartesian") {
+    assert(plan("join_semi").contains("LeftSemi"), "semi")
+    assert(plan("join_anti").contains("LeftAnti"), "anti")
+    assert(!plan("join_semi").contains("CartesianProduct"))
+  }
+
+  test("join_theta_range keeps its customer-key equi anchor (no nested loop)") {
+    val p = plan("join_theta_range")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+  }
+
+  test("agg_group stays inside whole-stage codegen with partial aggregation") {
+    val p = finalPlan("agg_group")
+    assert(p.contains("*("), p) // '*(n)' prefixes = whole-stage codegen spans
+    assert(p.contains("partial_"), p) // map-side combine before the shuffle
+  }
+
+  test("sort_limit plans as TakeOrderedAndProject (no global sort of all rows)") {
+    assert(plan("sort_limit").contains("TakeOrderedAndProject"))
+  }
+
+  test("udf_expr_hash participates in whole-stage codegen (doGenCode works)") {
+    val p = finalPlan("udf_expr_hash")
+    assert(p.contains("*("), p)
+    assert(p.contains("stable_hash64"), p)
+  }
+}
