@@ -1,8 +1,13 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
-object Bench {
+
+/** Dev utility: time individual queries (bench loop minus the harness).
+  * Usage: runMain graft.Prof <sfDir> <key>[,key...] — prints seconds each,
+  * construction paid by the first graph key. */
+object Prof {
   def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val Array(sfDir, keys) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -14,16 +19,12 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    spark.sparkContext.setLogLevel("ERROR")
+    keys.split(",").foreach { k =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val n = SparkEntry.queries(k)(spark, sfDir).count()
+      println(f"PROF $k%-20s ${(System.nanoTime() - t0) / 1e9}%8.2f s  ($n rows)")
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

