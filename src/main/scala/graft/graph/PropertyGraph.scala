@@ -127,10 +127,13 @@ final case class PropertyGraph(vertices: DataFrame, edges: DataFrame) {
     * Built once per PropertyGraph instance (GraphX's internal routing-table
     * build is the expensive part; CC and Pregel reuse it). */
   lazy val toGraphX: Graph[Double, Long] = {
+    // Fewer, fatter partitions: Pregel pays per-partition scheduling every
+    // superstep; 8 × ~200k edges beats 32 × 50k at local scale (cluster
+    // deployments would size this to executors instead).
     val vrdd = vertices.select(col("id"), coalesce(col("val"), lit(0.0))).rdd
-      .map(r => (r.getLong(0), r.getDouble(1)))
+      .map(r => (r.getLong(0), r.getDouble(1))).coalesce(8)
     val erdd = edges.select("src", "dst").rdd
-      .map(r => Edge(r.getLong(0), r.getLong(1), 1L))
+      .map(r => Edge(r.getLong(0), r.getLong(1), 1L)).coalesce(8)
     Graph(vrdd, erdd, 0.0,
       edgeStorageLevel = StorageLevel.MEMORY_AND_DISK,
       vertexStorageLevel = StorageLevel.MEMORY_AND_DISK)
