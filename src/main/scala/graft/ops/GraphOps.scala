@@ -189,6 +189,54 @@ object GraphOps extends OpModule {
           corners AS (SELECT x AS id FROM tri
             UNION ALL SELECT y FROM tri UNION ALL SELECT z FROM tri)"""))),
 
+    // Batch CRUD (Blueprints mutation surface re-expressed as dataflow —
+    // BASELINE.json scopes OLTP mutation out; writes are new DF versions):
+    // UPDATE secret customers (+100 balance), DELETE every 7th supplier
+    // (edges cascade via semi-joins), INSERT one auditor vertex per region.
+    Op("graph_upsert",
+      (s, dir) => {
+        val g = GraphFixture(s, dir)
+        val auditors = graft.Tables(s, dir, "region").select(
+          (lit(9 * GraphFixture.B) + col("r_regionkey")).as("id"),
+          lit("auditor").as("label"),
+          concat(lit("audit_"), col("r_name")).as("name"),
+          lit("public").as("vis"), lit(0.5).as("val"))
+        val v2 = g.vertices
+          .withColumn("val",
+            when(col("label") === "customer" && col("vis") === "secret",
+              col("val") + 100.0).otherwise(col("val")))
+          .filter(!(col("label") === "supplier" && col("id") % 7 === 0))
+          .unionAll(auditors)
+        val g2 = graft.graph.PropertyGraph(v2, g.edges)
+          .subgraph(lit(true)) // cascade: drop edges touching deleted vertices
+        g2.vertices.groupBy("label")
+          .agg(count(lit(1)).as("n"),
+            graft.num.dsum(coalesce(col("val"), lit(0.0))).as("sum_val"))
+          .withColumn("kind", lit("vertex"))
+          .unionByName(g2.edges.groupBy("label")
+            .agg(count(lit(1)).as("n"), lit(0.0).as("sum_val"))
+            .withColumn("kind", lit("edge")))
+          .select("kind", "label", "n", "sum_val")
+          .orderBy("kind", "label")
+      },
+      Some(withGraph(
+        s"""SELECT 'vertex' AS kind, label, COUNT(*) AS n,
+          ${graft.num.DSUM("COALESCE(val, 0)")} AS sum_val
+        FROM v2 GROUP BY 2
+        UNION ALL
+        SELECT 'edge', e.label, COUNT(*), CAST(0 AS DOUBLE) FROM edges e
+        JOIN v2 a ON a.id = e.src JOIN v2 b ON b.id = e.dst GROUP BY 2
+        ORDER BY kind, label""",
+        extra = """v2 AS MATERIALIZED (
+          SELECT id, label, name, vis,
+            CASE WHEN label = 'customer' AND vis = 'secret'
+              THEN val + 100.0 ELSE val END AS val
+          FROM vertices
+          WHERE NOT (label = 'supplier' AND id % 7 = 0)
+          UNION ALL
+          SELECT 9000000000000 + r_regionkey, 'auditor',
+            'audit_' || r_name, 'public', CAST(0.5 AS DOUBLE) FROM region)"""))),
+
     // Deterministic DF label propagation (max-count / min-label tie-break)
     // — oracle-checkable, unlike GraphX's arbitrary-tie variant.
     Op("graph_labelprop",

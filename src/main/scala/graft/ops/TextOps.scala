@@ -148,6 +148,26 @@ object TextOps extends OpModule {
         SELECT source, tok, tf, df, rnk FROM ranked WHERE rnk <= 5
         ORDER BY source, rnk""")),
 
+    // Token counting two ways (whitespace + regex extraction — the BPE-ish
+    // pre-tokenizer shape: runs of letters / digits / other as separate
+    // tokens) with byte-per-token stats.
+    Op("text_tokens",
+      (s, dir) => {
+        Tables(s, dir, "documents").createOrReplaceTempView("documents")
+        s.sql(s"""
+          SELECT doc_id,
+            size(${sparkToks("text")}) AS n_ws_tokens,
+            size(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)) AS n_re_tokens,
+            CAST(n_chars AS DOUBLE) / CAST(size(${sparkToks("text")}) AS DOUBLE) AS bytes_per_token
+          FROM documents ORDER BY doc_id""")
+      },
+      Some(s"""
+        SELECT doc_id,
+          CAST(len(${duckToks("text")}) AS INTEGER) AS n_ws_tokens,
+          CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS INTEGER) AS n_re_tokens,
+          CAST(n_chars AS DOUBLE) / CAST(len(${duckToks("text")}) AS DOUBLE) AS bytes_per_token
+        FROM documents ORDER BY doc_id""")),
+
     // Polynomial rolling-hash document fingerprint (ordered char fold).
     Op("text_fingerprint",
       (s, dir) => {
