@@ -24,6 +24,27 @@ object StreamOps extends OpModule {
 
   def ops: Seq[Op] = Seq(
 
+    // True streaming source inside the harness (§2.1 source_stream_events):
+    // stage the events parquet as a file-source directory, run the
+    // micro-batch engine to completion on a memory sink, return the sink
+    // table. Oracle-checkable because the drained stream ≡ the batch query.
+    Op("source_stream_events",
+      (s, dir) => {
+        val stage = java.nio.file.Files.createTempDirectory("graft-src").toString
+        java.nio.file.Files.copy(
+          java.nio.file.Paths.get(s"$dir/events.parquet"),
+          java.nio.file.Paths.get(s"$stage/events.parquet"))
+        val name = "src_stream_events_sink"
+        val q = Streams.tumblingCounts(Streams.readEvents(s, stage))
+          .writeStream.format("memory").queryName(name)
+          .outputMode("complete").start()
+        q.processAllAvailable()
+        q.stop()
+        s.table(name).orderBy("wstart", "event_type")
+      },
+      Some("""SELECT time_bucket(INTERVAL '5 minutes', ts) AS wstart,
+        event_type, COUNT(*) AS n FROM events GROUP BY 1, 2 ORDER BY 1, 2""")),
+
     // Tumbling 5-minute windows per event_type.
     Op("stream_tumbling",
       (s, dir) => Tables(s, dir, "events")
