@@ -15,6 +15,7 @@ object SparkEntry {
     ops.SimOps,
     ops.TextOps,
     ops.CustomExprOps,
+    ops.StatsOps,
     streaming.StreamOps)
 
   lazy val allOps: Seq[Op] = {
