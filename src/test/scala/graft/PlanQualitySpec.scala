@@ -64,4 +64,20 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(p.contains("*("), p)
     assert(p.contains("stable_hash64"), p)
   }
+
+  test("bucketed fact-fact join runs with ZERO shuffle exchanges") {
+    import org.apache.spark.sql.functions.col
+    Tables(spark, TestSpark.sf, "orders").write.mode("overwrite")
+      .bucketBy(8, "o_orderkey").sortBy("o_orderkey").saveAsTable("orders_b")
+    Tables(spark, TestSpark.sf, "lineitem").write.mode("overwrite")
+      .bucketBy(8, "l_orderkey").sortBy("l_orderkey").saveAsTable("lineitem_b")
+    val j = spark.table("lineitem_b")
+      .join(spark.table("orders_b"), col("l_orderkey") === col("o_orderkey"))
+      .select("l_orderkey", "l_linenumber", "o_custkey")
+    j.collect()
+    val p = j.queryExecution.executedPlan.toString
+    // co-located bucketed layout ⇒ neither fact table shuffles — this is
+    // the 100 TB fact-fact join strategy (SURVEY.md §4 partitioning row)
+    assert(!p.contains("Exchange hashpartitioning"), p)
+  }
 }
