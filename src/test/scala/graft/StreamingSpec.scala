@@ -56,6 +56,31 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.count() == n)
   }
 
+  test("stream-stream interval join: purchase ⋈ prior click per user") {
+    val ev = Streams.readEvents(spark, srcDir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
+      .withWatermark("c_ts", "10 minutes")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("event_id").as("p_id"))
+      .withWatermark("p_ts", "10 minutes")
+    val joined = purchases.join(clicks,
+      expr("""p_user = c_user AND c_ts <= p_ts
+        AND c_ts >= p_ts - INTERVAL 30 MINUTES"""))
+    val got = runToMemory(joined, "t_ssjoin", mode = "append")
+    // batch twin over the same data
+    val bev = Tables(spark, TestSpark.sf, "events")
+    val want = bev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"), col("event_id").as("p_id"))
+      .join(bev.filter(col("event_type") === "click")
+        .select(col("user_id").as("c_user"), col("ts").as("c_ts")),
+        expr("""p_user = c_user AND c_ts <= p_ts
+          AND c_ts >= p_ts - INTERVAL 30 MINUTES"""))
+    assert(got.count() == want.count())
+    assert(got.count() > 0)
+  }
+
   test("flatMapGroupsWithState purchase counter matches batch twin") {
     val got = runToMemory(Streams.statefulPurchaseCounts(spark,
       Streams.readEvents(spark, srcDir)).toDF(), "t_stateful", mode = "append")
