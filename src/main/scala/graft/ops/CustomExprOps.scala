@@ -63,6 +63,28 @@ object CustomExprOps extends OpModule {
           unnest(${textsql.duckToks("text")}) AS token
         FROM documents WHERE doc_id % 50 = 0) t ORDER BY doc_id, pos""")),
 
+    // The custom-SparkPlan rung of the ladder: merge-scan as-of join
+    // (graft.plans.AsOfJoinExec) — same semantics and oracle as the
+    // window-rewrite join_asof, different physical algorithm (O(1)-state
+    // merge over co-partitioned sorted children vs shuffle + running-max).
+    Op("join_asof_exec",
+      (s, dir) => {
+        val ev = Tables(s, dir, "events")
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"), col("ts"))
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
+        graft.plans.AsOf.join(purchases, clicks,
+            "user_id", "c_user", "ts", "c_ts")
+          .select(col("event_id"), col("user_id"), col("ts"),
+            col("c_ts").as("last_click_ts"))
+          .orderBy("event_id")
+      },
+      Some("""SELECT p.event_id, p.user_id, p.ts,
+        (SELECT max(c.ts) FROM events c WHERE c.event_type = 'click'
+          AND c.user_id = p.user_id AND c.ts <= p.ts) AS last_click_ts
+        FROM events p WHERE p.event_type = 'purchase' ORDER BY p.event_id""")),
+
     // Secondary formats: region → csv → read, nation → json → read, join.
     // Lossless for these all-primitive schemas; oracle reads the original
     // parquet — the round-trip is what's being verified.

@@ -65,6 +65,13 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(p.contains("stable_hash64"), p)
   }
 
+  test("join_asof_exec plans through the injected custom strategy") {
+    val p = plan("join_asof_exec")
+    assert(p.contains("AsOfJoin"), p) // custom SparkPlan, not a rewrite
+    // children arrive sorted by (key, time) via EnsureRequirements
+    assert(p.contains("Sort ["), p)
+  }
+
   test("bucketed fact-fact join runs with ZERO shuffle exchanges") {
     import org.apache.spark.sql.functions.col
     Tables(spark, TestSpark.sf, "orders").write.mode("overwrite")
