@@ -122,6 +122,39 @@ final case class PropertyGraph(vertices: DataFrame, edges: DataFrame) {
     visited
   }
 
+  /** GraphFrames-style motif finding: compile a pattern string into the
+    * equivalent join pipeline. Pattern syntax: `(a)-[:label]->(b)` terms
+    * separated by `;` — vertex variables join on reuse, the optional edge
+    * label filters that hop, and every variable's vertex attributes come
+    * back as `<var>_id/_label/_name/_val` columns. This is the traversal
+    * DSL of the Blueprints family re-expressed declaratively: Catalyst
+    * plans the joins (broadcast/SMJ/AQE) instead of element iteration. */
+  def find(motif: String): DataFrame = {
+    val Pat = """\((\w+)\)-\[(?::(\w+))?\]->\((\w+)\)""".r
+    val pats = motif.split(";").map(_.trim).filter(_.nonEmpty).map {
+      case Pat(s, l, d) => (s, Option(l), d)
+      case other => throw new IllegalArgumentException(s"bad motif term: $other")
+    }
+    var bound = Set.empty[String]
+    var df: DataFrame = null
+    pats.zipWithIndex.foreach { case ((s, l, d), i) =>
+      val e = l.foldLeft(edges)((e, lbl) => e.filter(col("label") === lbl))
+        .select(col("src").as(s"${s}_id"), col("dst").as(s"${d}_id"),
+          col("weight").as(s"e${i}_weight"))
+      df = if (df == null) e
+      else {
+        val shared = Seq(s, d).filter(bound).map(v => s"${v}_id")
+        if (shared.isEmpty) df.crossJoin(e) else df.join(e, shared)
+      }
+      bound ++= Seq(s, d)
+    }
+    bound.toSeq.sorted.foldLeft(df) { (d, v) =>
+      d.join(vertices.select(col("id").as(s"${v}_id"),
+        col("label").as(s"${v}_label"), col("name").as(s"${v}_name"),
+        col("val").as(s"${v}_val")), s"${v}_id")
+    }
+  }
+
   /** GraphX view: vertex attr = val (nulls → 0.0), unit edge attr.
     * MEMORY_AND_DISK so 100 TB-scale graphs spill instead of OOM.
     * Built once per PropertyGraph instance (GraphX's internal routing-table

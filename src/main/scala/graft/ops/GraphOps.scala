@@ -189,6 +189,26 @@ object GraphOps extends OpModule {
           corners AS (SELECT x AS id FROM tri
             UNION ALL SELECT y FROM tri UNION ALL SELECT z FROM tri)"""))),
 
+    // Motif DSL: the colocated-triangle pattern with a has()-style property
+    // filter — `find` compiles the pattern to joins (see PropertyGraph.find).
+    Op("graph_motif",
+      (s, dir) => GraphFixture(s, dir)
+        .find("(c)-[:in_nation]->(n); (s)-[:in_nation]->(n); (c)-[:colocated]->(s)")
+        .filter(col("c_val") > 5000)
+        .select("c_id", "s_id", "n_id", "c_name", "s_name", "n_name")
+        .orderBy("c_id", "s_id"),
+      Some(withGraph("""SELECT e1.src AS c_id, e3.dst AS s_id, e1.dst AS n_id,
+          c.name AS c_name, sv.name AS s_name, n.name AS n_name
+        FROM edges e1
+        JOIN edges e2 ON e2.label = 'in_nation' AND e2.dst = e1.dst
+        JOIN edges e3 ON e3.label = 'colocated' AND e3.src = e1.src
+          AND e3.dst = e2.src
+        JOIN vertices c ON c.id = e1.src
+        JOIN vertices sv ON sv.id = e3.dst
+        JOIN vertices n ON n.id = e1.dst
+        WHERE e1.label = 'in_nation' AND c.val > 5000
+        ORDER BY c_id, s_id"""))),
+
     // Batch CRUD (Blueprints mutation surface re-expressed as dataflow —
     // BASELINE.json scopes OLTP mutation out; writes are new DF versions):
     // UPDATE secret customers (+100 balance), DELETE every 7th supplier
