@@ -270,8 +270,11 @@ final case class PropertyGraph(vertices: DataFrame, edges: DataFrame) {
     * per-vertex label-histogram map messages that make GraphX LP slow.
     * Isolated vertices keep their own label. */
   def labelPropagation(iters: Int): DataFrame = {
+    // (Persisting/coalescing und was measured slower: the cache build of the
+    // doubled edge list costs more than three cheap re-scans of the cached
+    // edges, and fewer partitions starve the message aggregation.)
     val und = edges.select(col("src").as("a"), col("dst").as("b"))
-      .unionAll(edges.select(col("dst").as("a"), col("src").as("b"))).persist()
+      .unionAll(edges.select(col("dst").as("a"), col("src").as("b")))
     var lbl = vertices.select(col("id"), col("id").as("lbl")).persist()
     for (_ <- 1 to iters) {
       val pick = und.join(lbl.select(col("id").as("b"), col("lbl").as("l")), "b")
