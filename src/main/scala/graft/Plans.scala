@@ -1,0 +1,40 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Dev utility: dump formatted physical plans for the showcase queries
+  * (regenerates PLANS.md). Usage: runMain graft.Plans <sfDir>. */
+object Plans {
+  val showcase: Seq[String] = Seq("scan_pruned", "join_broadcast",
+    "join_theta_range", "agg_group", "topk_per_group", "join_asof_exec",
+    "graph_hop2", "dedup_minhash", "sim_topk", "stream_tumbling")
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val out = new StringBuilder
+    def println(s: String = ""): Unit = { out.append(s).append('\n'); () }
+    val spark = GraftSession.builder("local[8]", 8)
+      .config("spark.sql.extensions", "") // ops self-register
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    println("# PLANS — formatted physical plans of showcase queries")
+    println()
+    println("Regenerate: `sbt \"runMain graft.Plans\"` (writes PLANS.md).")
+    println("What to look for: `PushedFilters`/`ReadSchema` on scans, " +
+      "`BroadcastHashJoin` on dims, partial aggregation before exchanges, " +
+      "`TakeOrderedAndProject` for top-k, the custom `AsOfJoin` node, and " +
+      "WholeStageCodegen `*(n)` spans.")
+    showcase.foreach { k =>
+      println(s"\n## $k\n")
+      println("```")
+      val df = SparkEntry.queries(k)(spark, sfDir)
+      df.collect() // drive AQE to the final plan
+      println(df.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode).take(12000))
+      println("```")
+    }
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("PLANS.md"), out.toString)
+    spark.stop()
+  }
+}
