@@ -189,6 +189,21 @@ object GraphOps extends OpModule {
           corners AS (SELECT x AS id FROM tri
             UNION ALL SELECT y FROM tri UNION ALL SELECT z FROM tri)"""))),
 
+    // Schema-flexible property access (SURVEY.md §1: dynamic props live in a
+    // MAP<STRING,STRING> column): bundle attributes into a map, query via
+    // element_at — the Blueprints property() accessor shape.
+    Op("graph_props_map",
+      (s, dir) => GraphFixture(s, dir).vertices
+        .withColumn("props", map(
+          lit("label"), col("label"), lit("name"), col("name"),
+          lit("vis"), col("vis")))
+        .filter(element_at(col("props"), "vis") === "secret")
+        .select(col("id"), element_at(col("props"), "label").as("plabel"),
+          element_at(col("props"), "name").as("pname"))
+        .orderBy("id"),
+      Some(withGraph("""SELECT id, label AS plabel, name AS pname
+        FROM vertices WHERE vis = 'secret' ORDER BY id"""))),
+
     // Motif DSL: the colocated-triangle pattern with a has()-style property
     // filter — `find` compiles the pattern to joins (see PropertyGraph.find).
     Op("graph_motif",

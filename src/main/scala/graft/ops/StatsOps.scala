@@ -67,6 +67,30 @@ object StatsOps extends OpModule {
             / (sqrt((sxx - sx * sx / n) / n) * sqrt((syy - sy * sy / n) / n)) AS corr
         FROM m ORDER BY l_returnflag""")),
 
+    // Distribution window functions: rank ratios are exact rationals
+    // ((rank-1)/(n-1), rank/n) — IEEE division of integers, identical in
+    // both engines.
+    Op("win_distribution",
+      (s, dir) => {
+        Tables(s, dir, "orders").createOrReplaceTempView("orders")
+        s.sql("""SELECT o_orderkey, o_custkey,
+          PERCENT_RANK() OVER w AS pr,
+          CUME_DIST() OVER w AS cd,
+          NTILE(4) OVER w AS quartile
+          FROM orders
+          WINDOW w AS (PARTITION BY o_orderstatus
+            ORDER BY o_totalprice, o_orderkey)
+          ORDER BY o_orderkey""")
+      },
+      Some("""SELECT o_orderkey, o_custkey,
+        PERCENT_RANK() OVER w AS pr,
+        CUME_DIST() OVER w AS cd,
+        NTILE(4) OVER w AS quartile
+        FROM orders
+        WINDOW w AS (PARTITION BY o_orderstatus
+          ORDER BY o_totalprice, o_orderkey)
+        ORDER BY o_orderkey""")),
+
     // Pivot: order counts + exact price sums per priority, statuses as
     // columns. Spark's relational pivot ≡ conditional aggregation.
     Op("agg_pivot",
