@@ -81,6 +81,18 @@ class PropertyGraphSpec extends AnyFunSuite {
     assert(perComp.filter(col("k") =!= 1).count() == 0)
   }
 
+  test("motif find compiles patterns to joins with bound variables") {
+    val m = g.find("(c)-[:in_nation]->(n); (n)-[:in_region]->(r)")
+    assert(m.columns.contains("c_id") && m.columns.contains("r_name"))
+    // every row's c is a customer or supplier, r is a region
+    assert(m.filter(!org.apache.spark.sql.functions.col("r_label")
+      .equalTo("region")).count() == 0)
+    val nCustSupp = m.filter(org.apache.spark.sql.functions.col("c_label")
+      .isin("customer", "supplier")).count()
+    assert(nCustSupp == m.count())
+    assert(m.count() > 0)
+  }
+
   test("visibility view removes secret elements and their edges") {
     val vis = g.visible
     assert(vis.vertices.filter(col("vis") === "secret").count() == 0)
