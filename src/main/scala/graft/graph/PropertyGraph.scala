@@ -192,6 +192,37 @@ final case class PropertyGraph(vertices: DataFrame, edges: DataFrame) {
       edges.select(col("dst").as("src"), col("src").as("dst")), maxHops)
       .select(col("id"), col("hops").as("dist"))
 
+  /** Weighted single-source shortest paths via Pregel (edge weight =
+    * `weight`, nulls → 1.0). Deterministic despite double arithmetic: each
+    * candidate distance is a fixed-order sum along one path, and min over
+    * candidates is order-independent — so the converged result is exact and
+    * oracle-checkable. Unreached vertices are omitted. */
+  def weightedSssp(sourcePred: org.apache.spark.sql.Column): DataFrame = {
+    val sp = spark; import sp.implicits._
+    val srcIds = vertices.filter(sourcePred).select("id").rdd
+      .map(_.getLong(0)).collect().toSet // metadata-scale source set
+    val vrdd = vertices.select("id").rdd.map(r => {
+      val id = r.getLong(0)
+      (id, if (srcIds.contains(id)) 0.0 else Double.PositiveInfinity)
+    }).coalesce(8)
+    val erdd = edges.select(col("src"), col("dst"),
+      coalesce(col("weight"), lit(1.0))).rdd
+      .map(r => Edge(r.getLong(0), r.getLong(1), r.getDouble(2))).coalesce(8)
+    val g = Graph(vrdd, erdd, Double.PositiveInfinity,
+      edgeStorageLevel = StorageLevel.MEMORY_AND_DISK,
+      vertexStorageLevel = StorageLevel.MEMORY_AND_DISK)
+    val res = Pregel(g, Double.PositiveInfinity,
+      activeDirection = EdgeDirection.Out)(
+      (_, attr, msg) => math.min(attr, msg),
+      t =>
+        if (t.srcAttr != Double.PositiveInfinity &&
+          t.srcAttr + t.attr < t.dstAttr)
+          Iterator((t.dstId, t.srcAttr + t.attr))
+        else Iterator.empty,
+      math.min)
+    res.vertices.filter(_._2 != Double.PositiveInfinity).toDF("id", "dist")
+  }
+
   /** Pregel max-value flood: every vertex converges to the max vertex `val`
     * in its (undirected) component. Max is order-independent ⇒ exact. */
   def maxFlood: DataFrame = {

@@ -171,6 +171,21 @@ object GraphOps extends OpModule {
           JOIN edges e ON e.dst = r.id WHERE r.d < 8)""",
         recursive = true))),
 
+    // Weighted SSSP from order #1 (Pregel; 'contains' weights = exact
+    // Σ quantity, other edges weight 1). Path sums are fixed-order doubles,
+    // min is order-independent ⇒ bit-exact vs the bounded-recursion oracle.
+    Op("graph_wsssp",
+      (s, dir) => GraphFixture(s, dir)
+        .weightedSssp(col("id") === 6000000000001L).orderBy("id"),
+      Some(withGraph(
+        "SELECT id, MIN(d) AS dist FROM reach GROUP BY 1 ORDER BY 1",
+        extra = """reach(id, d, h) AS (
+          SELECT CAST(6000000000001 AS BIGINT), CAST(0 AS DOUBLE), 0
+          UNION
+          SELECT e.dst, r.d + COALESCE(e.weight, CAST(1 AS DOUBLE)), r.h + 1
+          FROM reach r JOIN edges e ON e.src = r.id WHERE r.h < 6)""",
+        recursive = true))),
+
     Op("graph_pagerank",
       (s, dir) => GraphFixture(s, dir).pageRank(5).orderBy("id"),
       Some(withGraph(
