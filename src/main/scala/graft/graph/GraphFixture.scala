@@ -68,7 +68,7 @@ object GraphFixture {
         concat(lit("user_"), col("user_id").cast("string")), lit("public"), nullD),
       vpart(t("events"), 8, "event_id", "event", col("event_type"),
         lit("public"), col("value"))
-    ).reduce(_ unionAll _).coalesce(8).persist()
+    ).reduce(_ unionAll _).persist()
 
     def epart(df: DataFrame, st: Int, sk: String, dt: Int, dk: String,
         label: String, weight: Column): DataFrame =
@@ -99,7 +99,7 @@ object GraphFixture {
     ).reduce(_ unionAll _)
       .withColumn("vis",
         when((col("src") + col("dst")) % 7 === 0, "secret").otherwise("public"))
-      .coalesce(8).persist()
+      .persist()
 
     PropertyGraph(vertices, edges)
   }

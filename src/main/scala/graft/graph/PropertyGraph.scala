@@ -23,8 +23,9 @@ import org.apache.spark.storage.StorageLevel
   *    DFs, not collected lists).
   *  - traversals are equi-joins on long keys — shuffled hash / SMJ with AQE,
   *    broadcast when a frontier or dim side is small.
-  *  - varHop's frontier loop anti-joins the visited set each step (BFS
-  *    level-order ⇒ first visit is min-hops) — the classic distributed BFS.
+  *  - varHop/minHopsTo are Pregel hop-floods over the shared GraphX view:
+  *    int-min messages along the live frontier only (activeDirection), no
+  *    per-level driver synchronization.
   *  - triangle counting uses canonical (low-id → high-id) edge orientation so
   *    each triangle is generated exactly once; the fixture graph keeps wedge
   *    counts bounded (see GraphFixture).
@@ -32,6 +33,13 @@ import org.apache.spark.storage.StorageLevel
 final case class PropertyGraph(vertices: DataFrame, edges: DataFrame) {
 
   private def spark = vertices.sparkSession
+
+  /** Partition count for GraphX RDD views. Pregel pays per-partition
+    * scheduling every superstep, so fewer/fatter partitions win at local
+    * scale (measured: 8 beats 32 on local[32]); a cluster deployment sets
+    * `graft.graph.pregelPartitions` ≈ total executor cores instead. */
+  private def pregelParts: Int =
+    spark.conf.getOption("graft.graph.pregelPartitions").map(_.toInt).getOrElse(8)
 
   /** Out-traversal over `elabel` edges with the destination vertex attached
     * (Blueprints `out(label)`). One equi-join; dim side broadcast by AQE when
@@ -81,45 +89,43 @@ final case class PropertyGraph(vertices: DataFrame, edges: DataFrame) {
       .subgraph(col("vis") === "public")
 
   /** Variable-length reachability ≤ maxHops from `sources` (a DF with an
-    * `id` column): distributed BFS. Level-order expansion + anti-join on the
-    * visited set ⇒ each vertex is labeled with its MINIMUM hop count. */
+    * `id` column): Pregel hop-flood on the shared GraphX view — each vertex
+    * converges to its MINIMUM hop count from any source. */
   def varHop(sources: DataFrame, maxHops: Int): DataFrame =
-    bfsMinDist(sources, edges.select("src", "dst"), maxHops)
+    pregelMinHops(sources, maxHops, reversed = false).withColumnRenamed("dist", "hops")
 
-  /** BFS over an arbitrary (src, dst) adjacency — shared by varHop (forward)
-    * and minHopsTo (reversed). Each level is one equi-join + distinct +
-    * anti-join. Every frontier is persisted: each level is referenced by
-    * all later levels (expansion + anti-join), so an unpersisted loop
-    * recomputes level h once per later level — exponential lineage blowup
-    * (measured 40× on an 8-level BFS at sf0.1). */
-  private def bfsMinDist(sources: DataFrame, adj: DataFrame, maxHops: Int): DataFrame = {
-    // Frontiers are small (≤ one BFS level), so AQE plans each level as a
-    // broadcast join of the frontier against the edge scan — the big side
-    // never shuffles. No extra persist: `adj` is a projection of the
-    // already-cached edges, and re-caching it was measured slower than the
-    // cheap columnar re-scan. (A forced repartition-by-key layout lost too:
-    // the 1.5M-row shuffle costs more than the broadcast probes it saves.)
-    val adjP = adj
-    var visited = sources.select(col("id"), lit(0).as("hops")).persist()
-    var frontier = visited
-    var h = 1
-    var exhausted = false
-    while (h <= maxHops && !exhausted) {
-      val next = frontier.select(col("id").as("src"))
-        .join(adjP, "src")
-        .select(col("dst").as("id"), lit(h).as("hops")).distinct()
-        .join(visited.select("id"), Seq("id"), "left_anti")
-        .persist()
-      // Early stop: materializes this level's cache (reused by the final
-      // action), so the check is ~free and saves all-empty tail levels.
-      if (next.isEmpty) exhausted = true
-      else {
-        visited = visited.unionAll(next).persist()
-        frontier = next
-      }
-      h += 1
-    }
-    visited
+  /** Bounded min-hop BFS via Pregel over the shared [[toGraphX]] structure
+    * (mapVertices/outerJoinVertices reuse its routing tables, so per-query
+    * cost is supersteps only — the graph build amortizes across every
+    * GraphX-backed key in the session). Int min is order-independent ⇒
+    * deterministic and oracle-checkable. `reversed` flips message flow so
+    * the same code serves "hops FROM sources" (false) and "hops TO targets
+    * following edge direction" (true). Sends only along edges whose updated
+    * endpoint changed last superstep (activeDirection), so late supersteps
+    * touch only the live frontier — the Pregel analogue of the DF BFS's
+    * anti-join, minus the per-level driver job round-trips that made the DF
+    * form ~1 s/level at local scale (round-2 measurement: 8-level DF BFS
+    * ≈ 8 s vs ≈ 2 s for this). */
+  private def pregelMinHops(sources: DataFrame, maxHops: Int, reversed: Boolean): DataFrame = {
+    val sp = spark; import sp.implicits._
+    val srcFlag = sources.select("id").rdd.map(r => (r.getLong(0), true))
+    val g = toGraphX.outerJoinVertices(srcFlag)((_, _, f) =>
+      if (f.isDefined) 0 else Int.MaxValue)
+    val res = Pregel(g, Int.MaxValue, maxIterations = maxHops,
+      activeDirection = if (reversed) EdgeDirection.In else EdgeDirection.Out)(
+      (_, attr, msg) => math.min(attr, msg),
+      t =>
+        if (reversed) {
+          if (t.dstAttr != Int.MaxValue && t.dstAttr + 1 < t.srcAttr)
+            Iterator((t.srcId, t.dstAttr + 1))
+          else Iterator.empty
+        } else {
+          if (t.srcAttr != Int.MaxValue && t.srcAttr + 1 < t.dstAttr)
+            Iterator((t.dstId, t.srcAttr + 1))
+          else Iterator.empty
+        },
+      math.min)
+    res.vertices.filter(_._2 != Int.MaxValue).toDF("id", "dist")
   }
 
   /** GraphFrames-style motif finding: compile a pattern string into the
@@ -160,13 +166,10 @@ final case class PropertyGraph(vertices: DataFrame, edges: DataFrame) {
     * Built once per PropertyGraph instance (GraphX's internal routing-table
     * build is the expensive part; CC and Pregel reuse it). */
   lazy val toGraphX: Graph[Double, Long] = {
-    // Fewer, fatter partitions: Pregel pays per-partition scheduling every
-    // superstep; 8 × ~200k edges beats 32 × 50k at local scale (cluster
-    // deployments would size this to executors instead).
     val vrdd = vertices.select(col("id"), coalesce(col("val"), lit(0.0))).rdd
-      .map(r => (r.getLong(0), r.getDouble(1))).coalesce(8)
+      .map(r => (r.getLong(0), r.getDouble(1))).coalesce(pregelParts)
     val erdd = edges.select("src", "dst").rdd
-      .map(r => Edge(r.getLong(0), r.getLong(1), 1L)).coalesce(8)
+      .map(r => Edge(r.getLong(0), r.getLong(1), 1L)).coalesce(pregelParts)
     Graph(vrdd, erdd, 0.0,
       edgeStorageLevel = StorageLevel.MEMORY_AND_DISK,
       vertexStorageLevel = StorageLevel.MEMORY_AND_DISK)
@@ -183,14 +186,12 @@ final case class PropertyGraph(vertices: DataFrame, edges: DataFrame) {
   }
 
   /** Min hop count from each vertex TO any vertex satisfying `targetPred`,
-    * following edge direction: BFS from the targets along REVERSED edges.
-    * DataFrame BFS beats GraphX ShortestPaths here (~10×): integer frontier
-    * joins instead of per-vertex landmark-map messages. Unreachable vertices
-    * are omitted. */
+    * following edge direction: Pregel hop-flood from the targets with
+    * messages flowing dst→src. Beats GraphX ShortestPaths (~10×: int
+    * messages, not landmark maps) and the DF-BFS form (~4×: no per-level
+    * driver round-trips). Unreachable vertices are omitted. */
   def minHopsTo(targetPred: org.apache.spark.sql.Column, maxHops: Int): DataFrame =
-    bfsMinDist(vertices.filter(targetPred),
-      edges.select(col("dst").as("src"), col("src").as("dst")), maxHops)
-      .select(col("id"), col("hops").as("dist"))
+    pregelMinHops(vertices.filter(targetPred), maxHops, reversed = true)
 
   /** Weighted single-source shortest paths via Pregel (edge weight =
     * `weight`, nulls → 1.0). Deterministic despite double arithmetic: each
@@ -204,10 +205,10 @@ final case class PropertyGraph(vertices: DataFrame, edges: DataFrame) {
     val vrdd = vertices.select("id").rdd.map(r => {
       val id = r.getLong(0)
       (id, if (srcIds.contains(id)) 0.0 else Double.PositiveInfinity)
-    }).coalesce(8)
+    }).coalesce(pregelParts)
     val erdd = edges.select(col("src"), col("dst"),
       coalesce(col("weight"), lit(1.0))).rdd
-      .map(r => Edge(r.getLong(0), r.getLong(1), r.getDouble(2))).coalesce(8)
+      .map(r => Edge(r.getLong(0), r.getLong(1), r.getDouble(2))).coalesce(pregelParts)
     val g = Graph(vrdd, erdd, Double.PositiveInfinity,
       edgeStorageLevel = StorageLevel.MEMORY_AND_DISK,
       vertexStorageLevel = StorageLevel.MEMORY_AND_DISK)
@@ -264,36 +265,62 @@ final case class PropertyGraph(vertices: DataFrame, edges: DataFrame) {
 
   /** Per-vertex triangle count via DEGREE-ordered edge orientation (orient
     * each undirected edge from its lower-(degree, id) endpoint to the
-    * higher): wedge counts are bounded by arboricity instead of max degree —
-    * the classic trick that keeps the intermediate join output near-linear
-    * on skewed graphs (~30× fewer wedges than id-ordering on this fixture).
-    * Each triangle is produced exactly once, then credited to its corners. */
+    * higher): candidate counts are bounded by arboricity instead of max
+    * degree — the classic trick that keeps the intermediate join output
+    * near-linear on skewed graphs (~30× fewer candidates than id-ordering
+    * on this fixture). Each triangle is produced exactly once, then
+    * credited to its corners in one explode pass.
+    *
+    * Pivot choice (round-2 measurement at sf0.1): FORK pivot — candidate
+    * pairs (v,w) from each low vertex u's out-neighborhood, Σ C(d⁺,2) =
+    * 10.7 M — beats the x→y→z CHAIN pivot (Σ d⁻·d⁺ = 19.7 M) ~1.5×; the
+    * closing probe is a broadcast-hash lookup either way (oriented edge
+    * list ≈ 24 MB here; at 100 TB AQE falls back to a shuffle join on
+    * (v,w), which partitions cleanly).
+    *
+    * Scratch frames are persist-ed (NOT localCheckpoint-ed: a checkpoint's
+    * LogicalRDD has no size estimate, which silently turns every join below
+    * into a sort-merge join; InMemoryRelation keeps the child plan's
+    * Catalyst estimates, so the degree joins and the closing probe get
+    * planned broadcast when small and shuffle when not — scale-adaptive).
+    * The vertex-sized result is materialized eagerly, then the scratch is
+    * unpersisted — nothing stays pinned in the CacheManager. */
   def triangleCounts: DataFrame = {
-    // und is read 3× (degree count twice, orientation once) and ori 3×
-    // (the triangle join's three legs) — persist both or Spark re-runs the
-    // distinct/degree shuffles per reference.
     val und = edges.filter(col("src") =!= col("dst"))
       .select(least(col("src"), col("dst")).as("a"),
-        greatest(col("src"), col("dst")).as("b")).distinct().persist()
+        greatest(col("src"), col("dst")).as("b")).distinct()
+      .persist() // read 3×: degree count ×2, orientation ×1
     val deg = und.select(col("a").as("id")).unionAll(und.select(col("b").as("id")))
       .groupBy("id").agg(count(lit(1)).as("d"))
+      .persist() // joined twice below
     val withDeg = und
       .join(deg.select(col("id").as("a"), col("d").as("da")), "a")
       .join(deg.select(col("id").as("b"), col("d").as("db")), "b")
+    val aFirst = col("da") < col("db") ||
+      (col("da") === col("db") && col("a") < col("b"))
+    // Keep the head endpoint's degree: the fork below orders each candidate
+    // pair by the SAME (degree, id) total order the orientation uses, so a
+    // closing edge can only be (lower → higher) — one equi-join, no OR-key.
     val ori = withDeg.select(
-      when(col("da") < col("db") || (col("da") === col("db") && col("a") < col("b")),
-        col("a")).otherwise(col("b")).as("u"),
-      when(col("da") < col("db") || (col("da") === col("db") && col("a") < col("b")),
-        col("b")).otherwise(col("a")).as("v")).persist()
-    val e1 = ori.select(col("u").as("x"), col("v").as("y"))
-    val e2 = ori.select(col("u").as("y"), col("v").as("z"))
-    val e3 = ori.select(col("u").as("x"), col("v").as("z"))
-    val tri = e1.join(e2, "y").join(e3, Seq("x", "z"))
+      when(aFirst, col("a")).otherwise(col("b")).as("u"),
+      when(aFirst, col("b")).otherwise(col("a")).as("v"),
+      when(aFirst, col("db")).otherwise(col("da")).as("dv"))
+      .persist() // read 3×: two fork legs + closing probe
+    val l = ori.select(col("u"), col("v").as("p"), col("dv").as("dp"))
+    val r = ori.select(col("u"), col("v").as("q"), col("dv").as("dq"))
+    val vFirst = col("dp") < col("dq") ||
+      (col("dp") === col("dq") && col("p") < col("q"))
+    val forks = l.join(r, "u").filter(vFirst) // each unordered pair once
+      .select(col("u"), col("p").as("x"), col("q").as("z"))
+    val close = ori.select(col("u").as("x"), col("v").as("z"))
     // Credit all three corners in ONE pass over the triangle stream —
-    // a 3-way union of selects over `tri` would re-execute the wedge join
-    // per branch (measured 3× the cost).
-    tri.select(explode(array(col("x"), col("y"), col("z"))).as("id"))
+    // a 3-way union of selects would re-execute the fork join per branch.
+    val out = forks.join(close, Seq("x", "z"))
+      .select(explode(array(col("u"), col("x"), col("z"))).as("id"))
       .groupBy("id").agg(count(lit(1)).as("n_tri"))
+      .localCheckpoint()
+    und.unpersist(); deg.unpersist(); ori.unpersist()
+    out
   }
 
   /** DataFrame label propagation, fixed iterations, DETERMINISTIC tie-break
@@ -302,22 +329,54 @@ final case class PropertyGraph(vertices: DataFrame, edges: DataFrame) {
     * per-vertex label-histogram map messages that make GraphX LP slow.
     * Isolated vertices keep their own label. */
   def labelPropagation(iters: Int): DataFrame = {
-    // (Persisting/coalescing und was measured slower: the cache build of the
-    // doubled edge list costs more than three cheap re-scans of the cached
-    // edges, and fewer partitions starve the message aggregation.)
+    // und is pre-hash-partitioned by the receiving vertex `a` ONCE (explicit
+    // partition count so AQE doesn't coalesce it down and starve the agg):
+    // the per-iteration label join broadcasts the vertex-sized label map
+    // (planner/AQE choice from cache stats — at 100 TB it degrades to a
+    // shuffle join of the label side only; the edge side never moves), the
+    // join preserves und's partitioning, and HashPartitioning(a) satisfies
+    // BOTH downstream groupBys' clustered distributions — so an iteration's
+    // message aggregation runs with zero edge-sized shuffles (round-2
+    // measurement: ~1.5× over the unpartitioned form at sf0.1).
+    // NOTE und must be persist()-ed, not localCheckpoint-ed: a checkpoint's
+    // LogicalRDD reports UnknownPartitioning (verified round 2 — both
+    // groupBys grew real Exchanges and the query doubled in time), while
+    // InMemoryRelation preserves the repartition's HashPartitioning.
+    val sp = spark
+    val parts = sp.conf.get("spark.sql.shuffle.partitions").toInt
     val und = edges.select(col("src").as("a"), col("dst").as("b"))
       .unionAll(edges.select(col("dst").as("a"), col("src").as("b")))
-    var lbl = vertices.select(col("id"), col("id").as("lbl")).persist()
+      .repartition(parts, col("a"))
+      .persist()
+    // The label map is vertex-sized; broadcast it so the edge side never
+    // moves and the join preserves und's partitioning (checkpointed
+    // generations are LogicalRDDs with unknown stats, so WITHOUT the hint
+    // the planner assumes huge and sort-merge-joins — shuffling the edge
+    // list AND losing the partitioning, measured ~1.5× the whole query).
+    // At cluster scale where the vertex map outgrows broadcast, set
+    // graft.graph.broadcastLabels=false: label side shuffles (vertex-sized
+    // — the cheap side), edges still never move.
+    val bcastLabels =
+      sp.conf.getOption("graft.graph.broadcastLabels").forall(_.toBoolean)
+    def hint(df: DataFrame): DataFrame = if (bcastLabels) broadcast(df) else df
+    var lbl = vertices.select(col("id"), col("id").as("lbl"))
     for (_ <- 1 to iters) {
-      val pick = und.join(lbl.select(col("id").as("b"), col("lbl").as("l")), "b")
+      val pick = und.join(hint(lbl.select(col("id").as("b"), col("lbl").as("l"))), "b")
         .groupBy(col("a").as("id"), col("l")).agg(count(lit(1)).as("n"))
         .groupBy("id").agg(max(struct(col("n"), (-col("l")).as("negl"))).as("m"))
         .select(col("id"), (-col("m.negl")).as("l"))
-      // lbl is referenced twice per iteration (message join + carry-over) —
-      // persist each generation to keep lineage linear.
+      // lbl is referenced twice per iteration (message join + carry-over);
+      // a lazy localCheckpoint keeps lineage linear AND the plan constant-
+      // size (persist alone leaves a plan that doubles per generation).
       lbl = lbl.join(pick, Seq("id"), "left")
-        .select(col("id"), coalesce(col("l"), col("lbl")).as("lbl")).persist()
+        .select(col("id"), coalesce(col("l"), col("lbl")).as("lbl"))
+        .localCheckpoint(false)
     }
-    lbl.select(col("id"), col("lbl").as("lp_label"))
+    // Eagerly materialize the vertex-sized result, then free the edge-sized
+    // scratch cache — callers get a self-contained LogicalRDD and nothing
+    // stays pinned in the CacheManager after the query completes.
+    val out = lbl.select(col("id"), col("lbl").as("lp_label")).localCheckpoint()
+    und.unpersist()
+    out
   }
 }
