@@ -36,6 +36,29 @@ object Tables {
     } else spark.read.parquet(s"$dir/$name.parquet")
 }
 
+/** Process-scoped scratch space for operators that stage data on local disk
+  * (format round-trips, file-source streaming). One root per JVM, fixed
+  * subdirectory per use — re-runs overwrite instead of accumulating temp
+  * dirs (harness processes used to leak one copy per invocation) — and a
+  * shutdown hook removes the whole tree. */
+object Staging {
+  private lazy val root: java.nio.file.Path = {
+    val p = java.nio.file.Files.createTempDirectory("graft-staging")
+    Runtime.getRuntime.addShutdownHook(new Thread(() => deleteTree(p.toFile)))
+    p
+  }
+  private def deleteTree(f: java.io.File): Unit = {
+    Option(f.listFiles).foreach(_.foreach(deleteTree))
+    f.delete(); ()
+  }
+  /** A stable staging subdirectory (created on first use). */
+  def dir(name: String): String = {
+    val d = root.resolve(name)
+    java.nio.file.Files.createDirectories(d)
+    d.toString
+  }
+}
+
 /** Cross-engine numeric determinism helpers.
   *
   * IEEE double addition is not associative, so SUM(double) depends on

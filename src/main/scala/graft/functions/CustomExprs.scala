@@ -73,6 +73,14 @@ case class ThresholdDistinct(
   override def nullable: Boolean = false
   override def dataType: DataType = LongType
 
+  // Misuse fails at analysis ("needs BIGINT"), not mid-job with an opaque
+  // ClassCastException from the asInstanceOf[Long] in update().
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case LongType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"threshold_distinct needs a BIGINT column, got $t")
+  }
+
   override def createAggregationBuffer(): Buffer = new Buffer()
 
   private def saturate(b: Buffer): Unit = { b.saturated = true; b.set.clear() }

@@ -30,15 +30,30 @@ case class FloatDotProduct(left: Expression, right: Expression)
       s"vec_dot needs two array<float> args, got ${left.dataType} / ${right.dataType}")
   }
 
-  override def nullSafeEval(a: Any, b: Any): Any =
-    FloatDotProduct.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  // Ragged inputs yield NULL — same as the SQL ordered folds (Spark
+  // zip_with / DuckDB list_zip pad with NULL, nulling the sum), so the
+  // bit-identical-to-SQL contract holds on every input, not just
+  // equal-length ones.
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    if (x.numElements() != y.numElements()) null
+    else FloatDotProduct.dot(x, y)
+  }
 
   /** Static-call codegen: the kernel stays a single JVM method invocation
     * inside the whole-stage-generated code — no interpreted-eval dispatch,
     * no InternalRow boxing per row (the CodegenFallback path pays both). */
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) =>
-      s"${ev.value} = graft.functions.FloatDotProduct.dot($a, $b);")
+      s"""
+       if ($a.numElements() != $b.numElements()) {
+         ${ev.isNull} = true;
+       } else {
+         ${ev.value} = graft.functions.FloatDotProduct.dot($a, $b);
+       }""")
 
   override def prettyName: String = "vec_dot"
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
@@ -47,9 +62,10 @@ case class FloatDotProduct(left: Expression, right: Expression)
 
 object FloatDotProduct {
   /** Left-to-right double accumulation — the shared kernel for both eval
-    * paths; bit-identical to the SQL ordered folds. */
+    * paths; bit-identical to the SQL ordered folds. Callers guarantee equal
+    * lengths (ragged pairs are nulled out before reaching here). */
   def dot(x: ArrayData, y: ArrayData): Double = {
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
     var acc = 0.0
     var i = 0
     while (i < n) {

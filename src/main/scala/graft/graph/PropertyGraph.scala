@@ -128,6 +128,26 @@ final case class PropertyGraph(vertices: DataFrame, edges: DataFrame) {
     res.vertices.filter(_._2 != Int.MaxValue).toDF("id", "dist")
   }
 
+  /** Path enumeration ≤ maxHops from `sources` (Blueprints' path() step):
+    * every distinct edge walk, each row carrying the full vertex id array.
+    * Level h is one equi-join + array_append — all codegen'd builtins, no
+    * shuffle beyond the joins. Unlike varHop (which keeps only min hops),
+    * every walk is emitted, so output is exponential in depth — callers
+    * bound maxHops small (the Gremlin contract for repeat().emit().path()).
+    * No per-level caching: at the intended depths (≤4) recomputing the
+    * short lineage is cheaper than materializing each frontier. */
+  def paths(sources: DataFrame, maxHops: Int): DataFrame = {
+    val adj = edges.select("src", "dst")
+    var frontier = sources.select(col("id"), array(col("id")).as("path"))
+    val acc = scala.collection.mutable.ArrayBuffer(frontier)
+    for (_ <- 1 to maxHops) {
+      frontier = frontier.join(adj, frontier("id") === adj("src"))
+        .select(col("dst").as("id"), array_append(col("path"), col("dst")).as("path"))
+      acc += frontier
+    }
+    acc.reduce(_ unionAll _)
+  }
+
   /** GraphFrames-style motif finding: compile a pattern string into the
     * equivalent join pipeline. Pattern syntax: `(a)-[:label]->(b)` terms
     * separated by `;` — vertex variables join on reuse, the optional edge

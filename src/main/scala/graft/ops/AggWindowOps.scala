@@ -75,14 +75,26 @@ object AggWindowOps extends OpModule {
         COUNT(DISTINCT l_suppkey) AS n_supps, COUNT(*) AS n_rows
         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
 
-    // HLL sketches differ across engines — no SQL oracle (rows-only check);
-    // accuracy is property-tested against exact counts in ScalaTest.
+    // HLL sketch VALUES differ across engines, so the hash-checked contract
+    // is (group, exact, within-bound?): Spark computes both the sketch
+    // estimate and the exact count and emits whether the relative error is
+    // inside the documented rsd bound (default 0.05, checked at 3× for
+    // slack — HLL's rsd is a standard deviation, not a hard cap); DuckDB
+    // computes the exact count and asserts TRUE. A broken sketch (estimate
+    // drifting from the bound) now fails the hash compare instead of
+    // passing a rows-only check.
     Op("agg_approx_distinct",
       (s, dir) => Tables(s, dir, "lineitem")
         .groupBy("l_returnflag")
-        .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"))
+        .agg(approx_count_distinct(col("l_partkey")).as("approx"),
+          countDistinct(col("l_partkey")).as("exact_parts"))
+        .select(col("l_returnflag"), col("exact_parts"),
+          (abs(col("approx") - col("exact_parts")) <=
+            col("exact_parts") * 0.15).as("approx_ok"))
         .orderBy("l_returnflag"),
-      None),
+      Some("""SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS exact_parts,
+        TRUE AS approx_ok
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
 
     Op("agg_rollup",
       (s, dir) => Tables(s, dir, "lineitem")

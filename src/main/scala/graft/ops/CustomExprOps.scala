@@ -1,6 +1,6 @@
 package graft.ops
 
-import graft.{Op, OpModule, Tables}
+import graft.{Op, OpModule, Tables, num}
 import graft.functions.GraftFunctions
 import org.apache.spark.sql.functions._
 
@@ -90,7 +90,7 @@ object CustomExprOps extends OpModule {
     // parquet — the round-trip is what's being verified.
     Op("source_csv_json",
       (s, dir) => {
-        val tmp = java.nio.file.Files.createTempDirectory("graft-fmt").toString
+        val tmp = graft.Staging.dir("fmt")
         Tables(s, dir, "region").write.mode("overwrite")
           .option("header", "true").csv(s"$tmp/region_csv")
         Tables(s, dir, "nation").write.mode("overwrite").json(s"$tmp/nation_json")
@@ -104,6 +104,28 @@ object CustomExprOps extends OpModule {
           .orderBy("n_nationkey")
       },
       Some("""SELECT n_nationkey, n_name, r_name FROM nation
-        JOIN region ON n_regionkey = r_regionkey ORDER BY n_nationkey"""))
+        JOIN region ON n_regionkey = r_regionkey ORDER BY n_nationkey""")),
+
+    // Partitioned parquet SINK — the scale-relevant write path: data laid
+    // out by a partition column so downstream readers get partition pruning
+    // for free. Writes orders partitioned by status, reads back ONE
+    // partition (the scan lists only that directory — pruning happens at
+    // file listing, before any row is read), aggregates it. The oracle
+    // reads the original table, so layout + round-trip fidelity are both
+    // checked.
+    Op("sink_partitioned",
+      (s, dir) => {
+        val tmp = graft.Staging.dir("sink")
+        Tables(s, dir, "orders").write.mode("overwrite")
+          .partitionBy("o_orderstatus").parquet(s"$tmp/orders_by_status")
+        s.read.parquet(s"$tmp/orders_by_status")
+          .filter(col("o_orderstatus") === "F")
+          .groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("n"), num.dsum(col("o_totalprice")).as("total"))
+          .orderBy("o_orderstatus")
+      },
+      Some(s"""SELECT o_orderstatus, COUNT(*) AS n,
+        ${num.DSUM("o_totalprice")} AS total
+        FROM orders WHERE o_orderstatus = 'F' GROUP BY 1 ORDER BY 1"""))
   )
 }

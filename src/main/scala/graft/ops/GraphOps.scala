@@ -107,6 +107,27 @@ object GraphOps extends OpModule {
           JOIN edges e ON e.src = r.id WHERE r.d < 3)""",
         recursive = true))),
 
+    // Path enumeration ≤3 hops from order #1 (Blueprints path() step):
+    // every walk with its full vertex sequence, serialized '->' for the
+    // cross-engine compare (ARRAY columns have no portable hash form).
+    Op("graph_paths",
+      (s, dir) => {
+        val g = GraphFixture(s, dir)
+        g.paths(g.vertices.filter(col("id") === 6000000000001L), 3)
+          .select(col("id"), concat_ws("->",
+            transform(col("path"), x => x.cast("string"))).as("path"))
+          .orderBy("id", "path")
+      },
+      Some(withGraph(
+        "SELECT id, array_to_string(path, '->') AS path FROM p ORDER BY 1, 2",
+        extra = """p(id, path) AS (
+          SELECT CAST(6000000000001 AS BIGINT) AS id,
+            [CAST(6000000000001 AS BIGINT)] AS path
+          UNION ALL
+          SELECT e.dst, list_append(pp.path, e.dst) FROM p pp
+          JOIN edges e ON e.src = pp.id WHERE len(pp.path) <= 3)""",
+        recursive = true))),
+
     // Induced subgraph: public people/places only, edge list.
     Op("graph_subgraph",
       (s, dir) => GraphFixture(s, dir)
@@ -218,6 +239,42 @@ object GraphOps extends OpModule {
         .orderBy("id"),
       Some(withGraph("""SELECT id, label AS plabel, name AS pname
         FROM vertices WHERE vis = 'secret' ORDER BY id"""))),
+
+    // PER-PROPERTY visibility (EzBake's cell-visibility model: labels guard
+    // individual properties, not just whole elements). Properties live in a
+    // MAP column with a parallel per-entry visibility MAP; the viewer's
+    // clearance is applied with map_filter — a codegen'd per-row expression,
+    // no join/shuffle — then exploded to rows for the hash compare (MAP
+    // columns themselves have no cross-engine ordering). Fixture rule:
+    // 'name' is secret on id%3=0, 'vis' on id%2=0, 'label' always public.
+    Op("graph_prop_visibility",
+      (s, dir) => {
+        val v = GraphFixture(s, dir).vertices
+          .filter(col("label").isin("customer", "supplier"))
+        val withProps = v
+          .withColumn("props", map(
+            lit("label"), col("label"), lit("name"), col("name"),
+            lit("vis"), col("vis")))
+          .withColumn("pvis", map(
+            lit("label"), lit("public"),
+            lit("name"), when(col("id") % 3 === 0, "secret").otherwise("public"),
+            lit("vis"), when(col("id") % 2 === 0, "secret").otherwise("public")))
+        withProps
+          .withColumn("vprops", map_filter(col("props"),
+            (k, _) => element_at(col("pvis"), k) === "public"))
+          .select(col("id"), explode(col("vprops")).as(Seq("k", "v")))
+          .orderBy("id", "k")
+      },
+      Some(withGraph("""SELECT id, k, v FROM (
+          SELECT id, 'label' AS k, label AS v FROM vertices
+            WHERE label IN ('customer', 'supplier')
+          UNION ALL
+          SELECT id, 'name', name FROM vertices
+            WHERE label IN ('customer', 'supplier') AND id % 3 <> 0
+          UNION ALL
+          SELECT id, 'vis', vis FROM vertices
+            WHERE label IN ('customer', 'supplier') AND id % 2 <> 0
+        ) p ORDER BY id, k"""))),
 
     // Motif DSL: the colocated-triangle pattern with a has()-style property
     // filter — `find` compiles the pattern to joins (see PropertyGraph.find).

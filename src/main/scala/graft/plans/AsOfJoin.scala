@@ -29,10 +29,28 @@ case class AsOfJoinPlan(
     left: LogicalPlan, right: LogicalPlan,
     leftKey: Expression, rightKey: Expression,
     leftTime: Expression, rightTime: Expression) extends BinaryNode {
+  // Fail at construction (≈ analysis time), not mid-job with a
+  // ClassCastException: the merge-scan evaluates keys/times as raw longs.
+  AsOfJoinPlan.checkType("key", leftKey, AsOfJoinPlan.keyTypes)
+  AsOfJoinPlan.checkType("key", rightKey, AsOfJoinPlan.keyTypes)
+  AsOfJoinPlan.checkType("time", leftTime, AsOfJoinPlan.timeTypes)
+  AsOfJoinPlan.checkType("time", rightTime, AsOfJoinPlan.timeTypes)
+
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
   override protected def withNewChildrenInternal(l: LogicalPlan, r: LogicalPlan): LogicalPlan =
     copy(left = l, right = r)
+}
+
+object AsOfJoinPlan {
+  import org.apache.spark.sql.types._
+  private[plans] val keyTypes: Set[DataType] = Set(LongType)
+  private[plans] val timeTypes: Set[DataType] =
+    Set(LongType, TimestampType, TimestampNTZType) // all micros-longs internally
+  private def checkType(what: String, e: Expression, ok: Set[DataType]): Unit =
+    require(ok.contains(e.dataType),
+      s"as-of join $what must be ${ok.mkString(" or ")} (long-backed); " +
+        s"got ${e.dataType} from $e")
 }
 
 /** Public API: `AsOf.join(purchases, clicks, "user_id", "c_user", "ts",
@@ -110,28 +128,42 @@ case class AsOfJoinExec(
         private var lastMatch: InternalRow = null
         private var lastMatchKey: Long = 0L
 
-        /** Consume right rows ≤ (key, time); remember the latest same-key. */
+        /** Consume right rows ≤ (key, time); remember the latest same-key.
+          * Null-keyed/timed right rows are discarded — a null never equals
+          * any key (SQL join semantics), and because Spark sorts nulls
+          * FIRST they all arrive before real keys, so skipping them keeps
+          * the sorted-merge invariant intact. */
         private def advance(k: Long, t: Long): Unit = {
           var done = false
           while (!done && (pendingRight != null || ri.hasNext)) {
             if (pendingRight == null) pendingRight = ri.next()
-            val rk = rkB.eval(pendingRight).asInstanceOf[Long]
-            val rt = rtB.eval(pendingRight).asInstanceOf[Long]
-            if (rk < k || (rk == k && rt <= t)) {
-              if (rk == k) { lastMatch = pendingRight.copy(); lastMatchKey = rk }
-              pendingRight = null
-            } else done = true
+            val rkv = rkB.eval(pendingRight)
+            val rtv = rtB.eval(pendingRight)
+            if (rkv == null || rtv == null) pendingRight = null
+            else {
+              val rk = rkv.asInstanceOf[Long]
+              val rt = rtv.asInstanceOf[Long]
+              if (rk < k || (rk == k && rt <= t)) {
+                if (rk == k) { lastMatch = pendingRight.copy(); lastMatchKey = rk }
+                pendingRight = null
+              } else done = true
+            }
           }
         }
 
         override def hasNext: Boolean = li.hasNext
         override def next(): InternalRow = {
           val l = li.next()
-          val k = lkB.eval(l).asInstanceOf[Long]
-          val t = ltB.eval(l).asInstanceOf[Long]
-          advance(k, t)
-          val r = if (lastMatch != null && lastMatchKey == k) lastMatch else nullRight
-          toUnsafe(joined(l, r))
+          val kv = lkB.eval(l)
+          val tv = ltB.eval(l)
+          if (kv == null || tv == null) toUnsafe(joined(l, nullRight))
+          else {
+            val k = kv.asInstanceOf[Long]
+            val t = tv.asInstanceOf[Long]
+            advance(k, t)
+            val r = if (lastMatch != null && lastMatchKey == k) lastMatch else nullRight
+            toUnsafe(joined(l, r))
+          }
         }
       }
     }

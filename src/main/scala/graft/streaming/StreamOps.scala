@@ -18,8 +18,9 @@ import org.apache.spark.sql.functions._
   *
   * Scale notes: all keys group by (time bucket × low-cardinality key) —
   * state per window is bounded; watermarks bound total state. The
-  * stateful-typed op sorts per user inside mapGroups: at 100 TB that's
-  * the standard sessionization shape (skew = one user's events, bounded). */
+  * stateful-typed op uses a secondary sort (repartition by user +
+  * sortWithinPartitions + constant-memory partition scan) so a hot user
+  * spills in the external sort instead of buffering on a task heap. */
 object StreamOps extends OpModule {
 
   def ops: Seq[Op] = Seq(
@@ -30,10 +31,11 @@ object StreamOps extends OpModule {
     // table. Oracle-checkable because the drained stream ≡ the batch query.
     Op("source_stream_events",
       (s, dir) => {
-        val stage = java.nio.file.Files.createTempDirectory("graft-src").toString
-        java.nio.file.Files.copy(
-          java.nio.file.Paths.get(s"$dir/events.parquet"),
-          java.nio.file.Paths.get(s"$stage/events.parquet"))
+        val stage = graft.Staging.dir(s"events-src-${dir.hashCode.toHexString}")
+        val dst = java.nio.file.Paths.get(s"$stage/events.parquet")
+        if (!java.nio.file.Files.exists(dst))
+          java.nio.file.Files.copy(
+            java.nio.file.Paths.get(s"$dir/events.parquet"), dst)
         val name = "src_stream_events_sink"
         val q = Streams.tumblingCounts(Streams.readEvents(s, stage))
           .writeStream.format("memory").queryName(name)
@@ -106,22 +108,58 @@ object StreamOps extends OpModule {
         event_type, MIN(event_id) AS first_event, COUNT(*) AS n_dups
         FROM events GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""")),
 
+    // Stream-stream join, batch twin (the true interval-join execution —
+    // purchase ⋈ clicks within the prior 30 min per user, watermarked both
+    // sides — runs in StreamingSpec): per purchase, how many prior clicks.
+    // At scale both forms shuffle once on user_id and the time bound caps
+    // join state (streaming: watermark evicts; batch: range predicate
+    // prunes inside the sort-merge join).
+    Op("stream_stream_join",
+      (s, dir) => {
+        val ev = Tables(s, dir, "events")
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id").as("p_id"), col("user_id"), col("ts").as("p_ts"))
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("user_id"), col("ts").as("c_ts"))
+        purchases.join(clicks,
+            Seq("user_id"))
+          .filter(col("c_ts") <= col("p_ts") &&
+            col("c_ts") >= col("p_ts") - expr("INTERVAL 30 MINUTES"))
+          .groupBy("p_id", "user_id")
+          .agg(count(lit(1)).as("n_prior_clicks"))
+          .orderBy("p_id")
+      },
+      Some("""SELECT p.event_id AS p_id, p.user_id,
+        COUNT(*) AS n_prior_clicks
+        FROM events p JOIN events c ON c.user_id = p.user_id
+          AND c.event_type = 'click'
+          AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL '30 minutes'
+        WHERE p.event_type = 'purchase'
+        GROUP BY 1, 2 ORDER BY 1""")),
+
     // Typed stateful path: per-user running purchase count over the ordered
-    // timeline, via KeyValueGroupedDataset.mapGroups (the batch twin of
-    // flatMapGroupsWithState in Streams.statefulPurchaseCounts).
+    // timeline. Secondary sort — repartition by user, sort WITHIN partitions
+    // by (user, ts, id), then a constant-memory scan per partition. Unlike a
+    // groupByKey + in-memory sort, one hot user never buffers on the heap:
+    // the sort is Spark's spillable external sort, and the scan holds two
+    // longs of state. (The incremental flatMapGroupsWithState twin lives in
+    // Streams.statefulPurchaseCounts + StreamingSpec.)
     Op("stream_stateful",
       (s, dir) => {
         val spark = s
         import spark.implicits._
         Tables(spark, dir, "events")
           .select(col("event_id"), col("user_id"), col("ts"), col("event_type"))
+          .repartition(col("user_id"))
+          .sortWithinPartitions(col("user_id"), col("ts"), col("event_id"))
           .as[(Long, Long, java.sql.Timestamp, String)]
-          .groupByKey(_._2)
-          .flatMapGroups { (uid, it) =>
+          .mapPartitions { it =>
+            var cur = Long.MinValue
             var purchases = 0L
-            it.toSeq.sortBy(e => (e._3.getTime, e._1)).map { e =>
-              if (e._4 == "purchase") purchases += 1
-              (e._1, uid, purchases)
+            it.map { case (eid, uid, _, typ) =>
+              if (uid != cur) { cur = uid; purchases = 0L }
+              if (typ == "purchase") purchases += 1
+              (eid, uid, purchases)
             }
           }
           .toDF("event_id", "user_id", "purchases_so_far")

@@ -81,6 +81,32 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.count() > 0)
   }
 
+  test("streaming file sink: parquet sink + checkpoint, read-back == batch") {
+    val outDir = java.nio.file.Files.createTempDirectory("graft-fsink").toString
+    val q = Streams.dedupEvents(Streams.readEvents(spark, srcDir))
+      .writeStream.format("parquet")
+      .option("path", s"$outDir/data")
+      .option("checkpointLocation", s"$outDir/chk")
+      .outputMode("append")
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    val back = spark.read.parquet(s"$outDir/data")
+    val n = Tables(spark, TestSpark.sf, "events")
+      .select("event_id").distinct().count()
+    assert(back.count() == n)
+    // exactly-once: restart over the same source adds nothing new
+    val q2 = Streams.dedupEvents(Streams.readEvents(spark, srcDir))
+      .writeStream.format("parquet")
+      .option("path", s"$outDir/data")
+      .option("checkpointLocation", s"$outDir/chk")
+      .outputMode("append")
+      .start()
+    q2.processAllAvailable()
+    q2.stop()
+    assert(spark.read.parquet(s"$outDir/data").count() == n)
+  }
+
   test("flatMapGroupsWithState purchase counter matches batch twin") {
     val got = runToMemory(Streams.statefulPurchaseCounts(spark,
       Streams.readEvents(spark, srcDir)).toDF(), "t_stateful", mode = "append")
