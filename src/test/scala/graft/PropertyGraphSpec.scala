@@ -100,4 +100,26 @@ class PropertyGraphSpec extends AnyFunSuite {
     assert(nSecretV > 0) // fixture actually has secrets
     assert(vis.edges.count() < g.edges.count())
   }
+
+  test("iterative analytics do not accumulate pinned caches across runs") {
+    // Round-1 regression: triangle/labelprop scratch persists were never
+    // unpersisted, so every invocation grew the CacheManager. Now scratch
+    // is freed inside the builder (results are self-contained checkpoints),
+    // so repeated runs must not grow the persisted-RDD census beyond one
+    // run's transient footprint.
+    def run(): Unit = {
+      g.triangleCounts.count()
+      g.labelPropagation(2).count()
+      ()
+    }
+    run() // baseline: fixture caches + one run's transient checkpoint RDDs
+    val after1 = spark.sparkContext.getPersistentRDDs.size
+    run(); run()
+    val after3 = spark.sparkContext.getPersistentRDDs.size
+    // Transient checkpoint RDDs from *live* results may linger until GC;
+    // allow one run's worth of slack, but three runs must not stack three
+    // runs of scratch (the round-1 failure mode grew ~5 entries per run).
+    assert(after3 <= after1 + 4,
+      s"persisted RDDs grew from $after1 to $after3 across repeated runs")
+  }
 }
