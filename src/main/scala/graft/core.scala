@@ -20,12 +20,36 @@ final case class Op(
 
 trait OpModule { def ops: Seq[Op] }
 
-/** Loaders for the driver-generated parquet fixtures (TESTDATA.md). */
+/** Loaders for the driver-generated parquet fixtures (TESTDATA.md).
+  * Memoized per (session, dir, table): `spark.read.parquet` pays driver-side
+  * file listing + footer schema inference on EVERY call, and the operator
+  * registry calls these loaders hundreds of times per harness run — reusing
+  * the (immutable) DataFrame eliminates that fixed cost suite-wide. Entries
+  * drop when their SparkContext stops. */
 object Tables {
   val names: Seq[String] = Seq("region", "nation", "customer", "supplier",
     "part", "orders", "lineitem", "events", "documents", "embeddings")
 
+  private val memo = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String, String), DataFrame]
+  private val hooked = java.util.Collections.newSetFromMap(
+    new java.util.concurrent.ConcurrentHashMap[org.apache.spark.SparkContext, java.lang.Boolean]())
+
   def apply(spark: SparkSession, dir: String, name: String): DataFrame =
+    memo.getOrElseUpdate((spark, dir, name), {
+      val sc = spark.sparkContext
+      if (hooked.add(sc))
+        sc.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+          override def onApplicationEnd(
+              e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit = {
+            memo.filterInPlace { case ((sess, _, _), _) => sess.sparkContext ne sc }
+            hooked.remove(sc); ()
+          }
+        })
+      load(spark, dir, name)
+    })
+
+  private def load(spark: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") {
       // events.ts is parquet TIMESTAMP(NANOS), which Spark's reader rejects;
       // read it as raw long nanos and truncate to micros — exactly what

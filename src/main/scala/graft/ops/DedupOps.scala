@@ -30,6 +30,69 @@ object DedupOps extends OpModule {
          SELECT doc_id, n_chars, ${duckToks("text")} AS toks FROM documents
          WHERE len(${duckToks("text")}) >= 3) t) x"""
 
+  /** WITH-clause prefix ending in `pairs(da, db, n_common, jaccard)` — the
+    * MinHash→LSH-band→exact-verify near-dup pairs, emitted in either SQL
+    * dialect; shared by dedup_minhash (reports the pairs) and dedup_cluster
+    * (connects them into components). */
+  private def minhashCtes(spark: Boolean): String = {
+    val mat = if (spark) "" else "MATERIALIZED "
+    val str = if (spark) "STRING" else "VARCHAR"
+    val shingle = if (spark) sparkShingleSql else duckShingleSql
+    val hash = if (spark) sparkHash("s") else duckHash("s")
+    val minCols = A.zipWithIndex
+      .map { case (a, i) => s"MIN(($a * h + ${i + 1}) % $P) AS m$i" }
+      .mkString(", ")
+    s"""sh AS ${mat}(SELECT doc_id, s FROM ($shingle) q),
+      hs AS (SELECT doc_id, $hash AS h FROM sh),
+      sig AS ${mat}(SELECT doc_id, $minCols FROM hs GROUP BY doc_id),
+      bands AS ${mat}(SELECT doc_id,
+        concat_ws('_', CAST(m0 AS $str), CAST(m1 AS $str), CAST(m2 AS $str), CAST(m3 AS $str)) AS b0,
+        concat_ws('_', CAST(m4 AS $str), CAST(m5 AS $str), CAST(m6 AS $str), CAST(m7 AS $str)) AS b1
+        FROM sig),
+      cand AS (
+        SELECT a.doc_id AS da, b.doc_id AS db FROM bands a JOIN bands b
+          ON a.b0 = b.b0 AND a.doc_id < b.doc_id
+        UNION
+        SELECT a.doc_id, b.doc_id FROM bands a JOIN bands b
+          ON a.b1 = b.b1 AND a.doc_id < b.doc_id),
+      sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+      inter AS (SELECT c.da, c.db, COUNT(*) AS i FROM cand c
+        JOIN sh sa ON sa.doc_id = c.da
+        JOIN sh sb ON sb.doc_id = c.db AND sb.s = sa.s
+        GROUP BY c.da, c.db),
+      pairs AS (SELECT da, db, i AS n_common,
+        CAST(i AS DOUBLE) / CAST(na.n + nb.n - i AS DOUBLE) AS jaccard
+        FROM inter JOIN sizes na ON na.doc_id = da
+        JOIN sizes nb ON nb.doc_id = db
+        WHERE CAST(i AS DOUBLE) / CAST(na.n + nb.n - i AS DOUBLE) >= 0.5)"""
+  }
+
+  /** DuckDB oracle chain: `rounds` hook+jump rounds of min-label
+    * propagation over the symmetric pair graph — hook adopts the minimum
+    * label in the closed neighborhood, jump then follows the label pointer
+    * one level (l(x) ← min(l(x), l(l(x)))), so effective reach grows
+    * geometrically, not linearly. Each step MUST be MATERIALIZED — steps
+    * reference their predecessor twice, and an inlining planner would
+    * duplicate the whole upstream MinHash pipeline 2^rounds times. (That is
+    * exactly why the SPARK side of dedup_cluster is a DataFrame loop with
+    * checkpointed generations, not this SQL: Spark inlines multi-referenced
+    * CTEs.) Identical algebra in both engines ⇒ hash-comparable independent
+    * of convergence; a fixpoint assertion lives in LlmOpsSpec. */
+  private def clusterChain(rounds: Int): String = {
+    val und =
+      "cund AS MATERIALIZED (SELECT da AS a, db AS b FROM pairs UNION ALL SELECT db, da FROM pairs)"
+    val l0 = "cl0 AS MATERIALIZED (SELECT DISTINCT a AS id, a AS lbl FROM cund)"
+    val steps = (1 to rounds).flatMap { i =>
+      Seq(
+        s"""ch$i AS MATERIALIZED (SELECT l.id, LEAST(l.lbl, COALESCE(MIN(p.lbl), l.lbl)) AS lbl
+           FROM cl${i - 1} l LEFT JOIN cund u ON u.a = l.id
+           LEFT JOIN cl${i - 1} p ON p.id = u.b GROUP BY l.id, l.lbl)""",
+        s"""cl$i AS MATERIALIZED (SELECT h.id, LEAST(h.lbl, COALESCE(h2.lbl, h.lbl)) AS lbl
+           FROM ch$i h LEFT JOIN ch$i h2 ON h2.id = h.lbl)""")
+    }
+    (Seq(und, l0) ++ steps).mkString(", ")
+  }
+
   def ops: Seq[Op] = Seq(
 
     // Exact dedup: md5 fingerprint, keep min doc_id per distinct text.
@@ -45,67 +108,68 @@ object DedupOps extends OpModule {
     // MinHash + LSH near-dup pairs, exact-Jaccard verified ≥ 0.5.
     Op("dedup_minhash",
       (s, dir) => {
-        val spark = s
-        Tables(spark, dir, "documents").createOrReplaceTempView("documents")
-        val minCols = A.zipWithIndex
-          .map { case (a, i) => s"MIN(($a * h + ${i + 1}) % $P) AS m$i" }
-          .mkString(", ")
-        spark.sql(s"""
-          WITH sh AS (SELECT doc_id, s FROM ($sparkShingleSql) q),
-          hs AS (SELECT doc_id, ${sparkHash("s")} AS h FROM sh),
-          sig AS (SELECT doc_id, $minCols FROM hs GROUP BY doc_id),
-          bands AS (SELECT doc_id,
-            concat_ws('_', CAST(m0 AS STRING), CAST(m1 AS STRING), CAST(m2 AS STRING), CAST(m3 AS STRING)) AS b0,
-            concat_ws('_', CAST(m4 AS STRING), CAST(m5 AS STRING), CAST(m6 AS STRING), CAST(m7 AS STRING)) AS b1
-            FROM sig),
-          cand AS (
-            SELECT a.doc_id AS da, b.doc_id AS db FROM bands a JOIN bands b
-              ON a.b0 = b.b0 AND a.doc_id < b.doc_id
-            UNION
-            SELECT a.doc_id, b.doc_id FROM bands a JOIN bands b
-              ON a.b1 = b.b1 AND a.doc_id < b.doc_id),
-          sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
-          inter AS (SELECT c.da, c.db, COUNT(*) AS i FROM cand c
-            JOIN sh sa ON sa.doc_id = c.da
-            JOIN sh sb ON sb.doc_id = c.db AND sb.s = sa.s
-            GROUP BY c.da, c.db)
-          SELECT da AS doc_a, db AS doc_b, i AS n_common,
-            CAST(i AS DOUBLE) / CAST(na.n + nb.n - i AS DOUBLE) AS jaccard
-          FROM inter JOIN sizes na ON na.doc_id = da
-          JOIN sizes nb ON nb.doc_id = db
-          WHERE CAST(i AS DOUBLE) / CAST(na.n + nb.n - i AS DOUBLE) >= 0.5
+        Tables(s, dir, "documents").createOrReplaceTempView("documents")
+        s.sql(s"""WITH ${minhashCtes(spark = true)}
+          SELECT da AS doc_a, db AS doc_b, n_common, jaccard FROM pairs
           ORDER BY doc_a, doc_b""")
       },
-      Some {
-        val minCols = A.zipWithIndex
-          .map { case (a, i) => s"MIN(($a * h + ${i + 1}) % $P) AS m$i" }
-          .mkString(", ")
-        s"""
-          WITH sh AS MATERIALIZED (SELECT doc_id, s FROM ($duckShingleSql) q),
-          hs AS (SELECT doc_id, ${duckHash("s")} AS h FROM sh),
-          sig AS MATERIALIZED (SELECT doc_id, $minCols FROM hs GROUP BY doc_id),
-          bands AS MATERIALIZED (SELECT doc_id,
-            concat_ws('_', CAST(m0 AS VARCHAR), CAST(m1 AS VARCHAR), CAST(m2 AS VARCHAR), CAST(m3 AS VARCHAR)) AS b0,
-            concat_ws('_', CAST(m4 AS VARCHAR), CAST(m5 AS VARCHAR), CAST(m6 AS VARCHAR), CAST(m7 AS VARCHAR)) AS b1
-            FROM sig),
-          cand AS (
-            SELECT a.doc_id AS da, b.doc_id AS db FROM bands a JOIN bands b
-              ON a.b0 = b.b0 AND a.doc_id < b.doc_id
-            UNION
-            SELECT a.doc_id, b.doc_id FROM bands a JOIN bands b
-              ON a.b1 = b.b1 AND a.doc_id < b.doc_id),
-          sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
-          inter AS (SELECT c.da, c.db, COUNT(*) AS i FROM cand c
-            JOIN sh sa ON sa.doc_id = c.da
-            JOIN sh sb ON sb.doc_id = c.db AND sb.s = sa.s
-            GROUP BY c.da, c.db)
-          SELECT da AS doc_a, db AS doc_b, i AS n_common,
-            CAST(i AS DOUBLE) / CAST(na.n + nb.n - i AS DOUBLE) AS jaccard
-          FROM inter JOIN sizes na ON na.doc_id = da
-          JOIN sizes nb ON nb.doc_id = db
-          WHERE CAST(i AS DOUBLE) / CAST(na.n + nb.n - i AS DOUBLE) >= 0.5
-          ORDER BY doc_a, doc_b"""
-      }),
+      Some(s"""WITH ${minhashCtes(spark = false)}
+        SELECT da AS doc_a, db AS doc_b, n_common, jaccard FROM pairs
+        ORDER BY doc_a, doc_b""")),
+
+    // Near-dup CLUSTERING — the full training-data dedup pipeline: LSH
+    // pairs → connected components (unrolled min-label propagation) →
+    // canonical representative (min doc_id) per cluster. This is the "keep
+    // one per duplicate cluster" step a 100 TB corpus pipeline actually
+    // ships: pair volume is sparse (LSH-bounded), so the component step
+    // joins tables orders of magnitude smaller than the corpus.
+    Op("dedup_cluster",
+      (s, dir) => {
+        Tables(s, dir, "documents").createOrReplaceTempView("documents")
+        // Pairs once (eager checkpoint: tiny, and the 8-iteration loop below
+        // would otherwise re-plan the whole MinHash pipeline per reference).
+        // The pair set is orders of magnitude smaller than the corpus (LSH
+        // bounds it), so the label loop runs single-partition: every
+        // iteration is then a chain of one-task stages instead of 32-task
+        // shuffles (measured 3× on the whole key). On a corpus where pairs
+        // themselves are huge, drop the coalesce — the same loop runs
+        // partitioned.
+        val pairs = s.sql(
+          s"WITH ${minhashCtes(spark = true)} SELECT da, db FROM pairs")
+          .localCheckpoint()
+        val und = pairs.select(col("da").as("a"), col("db").as("b"))
+          .unionAll(pairs.select(col("db").as("a"), col("da").as("b")))
+          .coalesce(1)
+          .localCheckpoint()
+        // Hook + jump rounds (mirrors clusterChain exactly); one lazy
+        // checkpoint per ROUND keeps the plan constant-size while paying the
+        // per-materialization floor half as often as per-step checkpoints.
+        var lbl = und.select(col("a").as("id")).distinct()
+          .select(col("id"), col("id").as("lbl"))
+        for (_ <- 1 to 4) {
+          val nl = und.join(lbl.select(col("id").as("b"), col("lbl").as("l")), "b")
+            .groupBy(col("a").as("id")).agg(min("l").as("nl"))
+          val hooked = lbl.join(nl, Seq("id"), "left")
+            .select(col("id"),
+              least(col("lbl"), coalesce(col("nl"), col("lbl"))).as("lbl"))
+          lbl = hooked.join(
+              hooked.select(col("id").as("lbl"), col("lbl").as("ll")),
+              Seq("lbl"), "left")
+            .select(col("id"),
+              least(col("lbl"), coalesce(col("ll"), col("lbl"))).as("lbl"))
+            .localCheckpoint(false)
+        }
+        val sizes = lbl.groupBy("lbl").agg(count(lit(1)).as("n"))
+        lbl.join(sizes, "lbl")
+          .select(col("lbl").as("cluster_rep"), col("id").as("doc_id"),
+            col("n").as("cluster_size"))
+          .orderBy("cluster_rep", "doc_id")
+      },
+      Some(s"""WITH ${minhashCtes(spark = false)}, ${clusterChain(4)}
+        SELECT c.lbl AS cluster_rep, c.id AS doc_id, s.n AS cluster_size
+        FROM cl4 c JOIN (SELECT lbl, COUNT(*) AS n FROM cl4 GROUP BY lbl) s
+          ON s.lbl = c.lbl
+        ORDER BY cluster_rep, doc_id""")),
 
     // 32-bit SimHash fingerprint over tokens (with multiplicity).
     Op("dedup_simhash",

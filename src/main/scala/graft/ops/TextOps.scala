@@ -112,6 +112,66 @@ object TextOps extends OpModule {
 
     // tf-idf term ranking per source; idf kept as the exact rational n/df
     // (no ln()) so scores are bit-identical across engines.
+    // The composed FILTER pipeline a pretraining corpus actually runs:
+    // length gate + repetition gate (type-token ratio) + language gate,
+    // evaluated in one pass, emitting keep/drop + the FIRST failing rule
+    // (ordered reasons make drops auditable). Pure per-row expression work
+    // over one tokenization — at 100 TB this is a single map stage.
+    Op("text_filter",
+      (s, dir) => {
+        Tables(s, dir, "documents").createOrReplaceTempView("documents")
+        val hits = langSets.map { case (l, ws) =>
+          s"SUM(CASE WHEN tok IN (${ws.map(w => s"'$w'").mkString(", ")}) THEN 1 ELSE 0 END) AS h_$l"
+        }.mkString(", ")
+        val pred = langSets.map { case (l, _) =>
+          val geAll = langSets.map(o => s"h_$l >= h_${o._1}").mkString(" AND ")
+          s"WHEN $geAll AND h_$l > 0 THEN '$l'"
+        }.mkString(" ")
+        s.sql(s"""
+          WITH m AS (SELECT doc_id, size(${sparkToks("text")}) AS n_toks,
+            size(array_distinct(${sparkToks("text")})) AS n_distinct FROM documents),
+          tok AS (SELECT doc_id, explode(${sparkToks("text")}) AS tok FROM documents),
+          hits AS (SELECT doc_id, $hits FROM tok GROUP BY doc_id),
+          lang AS (SELECT doc_id, CASE $pred ELSE 'unknown' END AS pred_lang FROM hits),
+          j AS (SELECT m.doc_id, m.n_toks,
+            CAST(m.n_distinct AS DOUBLE) / CAST(m.n_toks AS DOUBLE) AS ttr,
+            l.pred_lang
+            FROM m JOIN lang l ON l.doc_id = m.doc_id)
+          SELECT doc_id, pred_lang, n_toks, ttr,
+            CASE WHEN n_toks < 10 THEN 'too_short'
+                 WHEN n_toks > 5000 THEN 'too_long'
+                 WHEN ttr < 0.3 THEN 'repetitive'
+                 WHEN pred_lang = 'unknown' THEN 'no_language'
+                 ELSE 'keep' END AS verdict
+          FROM j ORDER BY doc_id""")
+      },
+      Some {
+        val hits = langSets.map { case (l, ws) =>
+          s"CAST(SUM(CASE WHEN tok IN (${ws.map(w => s"'$w'").mkString(", ")}) THEN 1 ELSE 0 END) AS BIGINT) AS h_$l"
+        }.mkString(", ")
+        val pred = langSets.map { case (l, _) =>
+          val geAll = langSets.map(o => s"h_$l >= h_${o._1}").mkString(" AND ")
+          s"WHEN $geAll AND h_$l > 0 THEN '$l'"
+        }.mkString(" ")
+        s"""
+          WITH m AS (SELECT doc_id, CAST(len(${duckToks("text")}) AS INTEGER) AS n_toks,
+            len(list_distinct(${duckToks("text")})) AS n_distinct FROM documents),
+          tok AS (SELECT doc_id, unnest(${duckToks("text")}) AS tok FROM documents),
+          hits AS (SELECT doc_id, $hits FROM tok GROUP BY doc_id),
+          lang AS (SELECT doc_id, CASE $pred ELSE 'unknown' END AS pred_lang FROM hits),
+          j AS (SELECT m.doc_id, m.n_toks,
+            CAST(m.n_distinct AS DOUBLE) / CAST(m.n_toks AS DOUBLE) AS ttr,
+            l.pred_lang
+            FROM m JOIN lang l ON l.doc_id = m.doc_id)
+          SELECT doc_id, pred_lang, n_toks, ttr,
+            CASE WHEN n_toks < 10 THEN 'too_short'
+                 WHEN n_toks > 5000 THEN 'too_long'
+                 WHEN ttr < 0.3 THEN 'repetitive'
+                 WHEN pred_lang = 'unknown' THEN 'no_language'
+                 ELSE 'keep' END AS verdict
+          FROM j ORDER BY doc_id"""
+      }),
+
     Op("text_tfidf",
       (s, dir) => {
         Tables(s, dir, "documents").createOrReplaceTempView("documents")

@@ -68,4 +68,34 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(q.filter(col("quality") < 0 || col("quality") > 1).count() == 0)
     assert(q.filter(col("ttr") <= 0 || col("ttr") > 1).count() == 0)
   }
+
+  test("dedup_cluster is a fixpoint consistent with the pair graph") {
+    val cl = SparkEntry.queries("dedup_cluster")(spark, sf)
+      .select(col("doc_id"), col("cluster_rep"))
+    val pairs = SparkEntry.queries("dedup_minhash")(spark, sf)
+    // every near-dup pair landed in the same cluster (8 unrolled iterations
+    // actually converged on this graph)
+    val bad = pairs
+      .join(cl.withColumnRenamed("doc_id", "doc_a")
+        .withColumnRenamed("cluster_rep", "ra"), "doc_a")
+      .join(cl.withColumnRenamed("doc_id", "doc_b")
+        .withColumnRenamed("cluster_rep", "rb"), "doc_b")
+      .filter(col("ra") =!= col("rb"))
+    assert(bad.count() == 0)
+    // the representative is the minimum member of its own cluster
+    val notMin = cl.groupBy("cluster_rep").agg(min("doc_id").as("mn"))
+      .filter(col("mn") =!= col("cluster_rep"))
+    assert(notMin.count() == 0)
+    assert(cl.count() > 0)
+  }
+
+  test("text_filter verdicts partition the corpus with auditable reasons") {
+    val f = SparkEntry.queries("text_filter")(spark, sf)
+    val verdicts = f.select("verdict").distinct().collect().map(_.getString(0)).toSet
+    assert(verdicts.subsetOf(Set("keep", "too_short", "too_long",
+      "repetitive", "no_language")))
+    assert(f.filter(col("verdict") === "keep").count() > 0)
+    // every doc got exactly one verdict
+    assert(f.count() == f.select("doc_id").distinct().count())
+  }
 }
