@@ -103,7 +103,10 @@ object GraftFunctions {
       }),
     (FunctionIdentifier("tokenize"),
       new ExpressionInfo(classOf[TokenizeGenerator].getName, "tokenize"),
-      (c: Seq[Expression]) => TokenizeGenerator(c(0))))
+      (c: Seq[Expression]) => TokenizeGenerator(c(0))),
+    (FunctionIdentifier("vis_check"),
+      new ExpressionInfo(classOf[VisibilityCheck].getName, "vis_check"),
+      (c: Seq[Expression]) => VisibilityCheck(c(0), c(1))))
 
   private val done = java.util.Collections.newSetFromMap(
     new java.util.concurrent.ConcurrentHashMap[SparkSession, java.lang.Boolean]())

@@ -49,6 +49,17 @@ final case class PropertyGraph(vertices: DataFrame, edges: DataFrame) {
       .join(vertices.select(col("id").as("dst"), col("label").as("dst_label"),
         col("name").as("dst_name"), col("val").as("dst_val")), "dst")
 
+  /** Undirected traversal (Blueprints `both(label)`): each edge contributes
+    * a neighbor in BOTH directions; the neighbor vertex is attached. Two
+    * cached-scan projections + one equi-join — no state, fully parallel. */
+  def both(elabel: String): DataFrame = {
+    val e = edges.filter(col("label") === elabel)
+    e.select(col("src").as("id"), col("dst").as("nbr"))
+      .unionAll(e.select(col("dst").as("id"), col("src").as("nbr")))
+      .join(vertices.select(col("id").as("nbr"), col("label").as("nbr_label"),
+        col("name").as("nbr_name")), "nbr")
+  }
+
   /** In-traversal: edges arriving at each vertex, vertex attached. */
   def in(elabel: String): DataFrame =
     edges.filter(col("label") === elabel)

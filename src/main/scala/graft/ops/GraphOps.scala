@@ -1,6 +1,7 @@
 package graft.ops
 
 import graft.{Op, OpModule}
+import graft.functions.GraftFunctions
 import graft.graph.{GraphFixture, GraphSql}
 import org.apache.spark.sql.functions._
 
@@ -64,6 +65,21 @@ object GraphOps extends OpModule {
         FROM edges e JOIN vertices v ON v.id = e.dst
         WHERE e.label = 'in_nation'
         GROUP BY 1, 2 ORDER BY 1"""))),
+
+    // Undirected traversal both('colocated'): per-vertex undirected
+    // neighborhood summary (Blueprints both() — customers and suppliers
+    // each see the other side of the colocated edge).
+    Op("graph_both",
+      (s, dir) => GraphFixture(s, dir).both("colocated")
+        .groupBy("id")
+        .agg(count(lit(1)).as("n_nbrs"), min(col("nbr")).as("min_nbr"))
+        .orderBy("id"),
+      Some(withGraph("""SELECT id, COUNT(*) AS n_nbrs, MIN(nbr) AS min_nbr
+        FROM (
+          SELECT src AS id, dst AS nbr FROM edges WHERE label = 'colocated'
+          UNION ALL
+          SELECT dst, src FROM edges WHERE label = 'colocated'
+        ) b GROUP BY id ORDER BY id"""))),
 
     // 2-hop motif: customer -in_nation-> nation -in_region-> region.
     Op("graph_hop2",
@@ -275,6 +291,35 @@ object GraphOps extends OpModule {
           SELECT id, 'vis', vis FROM vertices
             WHERE label IN ('customer', 'supplier') AND id % 2 <> 0
         ) p ORDER BY id, k"""))),
+
+    // Boolean visibility EXPRESSIONS (the Accumulo-lineage cell-security
+    // model: labels compose with & | and parens, evaluated against a
+    // viewer's authorization set). The Spark side runs the real
+    // recursive-descent evaluator (functions.VisibilityCheck, codegen'd);
+    // the oracle hand-evaluates the four fixture expression shapes as
+    // constants — so the parser is checked against ground truth on every
+    // row. Viewer holds {public, internal}.
+    Op("graph_vis_expr",
+      (s, dir) => {
+        GraftFunctions.register(s)
+        GraphFixture(s, dir).vertices
+          .filter(col("label").isin("customer", "supplier"))
+          .withColumn("vis_expr", element_at(
+            array(lit("public"), lit("public&internal"), lit("pii|admin"),
+              lit("(pii&admin)|public")),
+            (col("id") % 4 + 1).cast("int")))
+          .withColumn("visible",
+            expr("vis_check(vis_expr, 'public,internal')"))
+          .select("id", "vis_expr", "visible")
+          .orderBy("id")
+      },
+      Some(withGraph("""SELECT id,
+          CASE CAST(id % 4 AS INTEGER)
+            WHEN 0 THEN 'public' WHEN 1 THEN 'public&internal'
+            WHEN 2 THEN 'pii|admin' ELSE '(pii&admin)|public' END AS vis_expr,
+          CAST(id % 4 AS INTEGER) <> 2 AS visible
+        FROM vertices WHERE label IN ('customer', 'supplier')
+        ORDER BY id"""))),
 
     // Motif DSL: the colocated-triangle pattern with a has()-style property
     // filter — `find` compiles the pattern to joins (see PropertyGraph.find).
