@@ -30,6 +30,25 @@ object StatsOps extends OpModule {
         MIN(l_extendedprice) AS pmin, MAX(l_extendedprice) AS pmax
         FROM lineitem GROUP BY 1 ORDER BY 1""")),
 
+    // Approximate quantile with a HARD correctness contract (same pattern
+    // as agg_approx_distinct): approx_percentile at accuracy 100 guarantees
+    // rank error ≤ 1/100, so the returned element must lie between the
+    // exact 0.45 and 0.55 quantiles (4.5× margin). A drifting sketch fails
+    // the hash compare; the oracle computes the exact bounds implicitly by
+    // asserting TRUE.
+    Op("agg_approx_quantile",
+      (s, dir) => Tables(s, dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(expr("approx_percentile(o_totalprice, 0.5, 100)").as("approx"),
+          expr("percentile(o_totalprice, 0.45)").as("lo"),
+          expr("percentile(o_totalprice, 0.55)").as("hi"),
+          count(lit(1)).as("n"))
+        .select(col("o_orderstatus"), col("n"),
+          (col("approx") >= col("lo") && col("approx") <= col("hi")).as("approx_ok"))
+        .orderBy("o_orderstatus"),
+      Some("""SELECT o_orderstatus, COUNT(*) AS n, TRUE AS approx_ok
+        FROM orders GROUP BY 1 ORDER BY 1""")),
+
     // Exact covariance/correlation: decimal-exact Σx, Σy, Σxy, Σx², Σy²,
     // then the closed-form moments in a FIXED double-op order — identical in
     // both engines, independent of partitioning (a streaming covar would

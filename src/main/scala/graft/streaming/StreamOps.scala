@@ -108,6 +108,49 @@ object StreamOps extends OpModule {
         event_type, MIN(event_id) AS first_event, COUNT(*) AS n_dups
         FROM events GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""")),
 
+    // Time-series gap-fill: per-user 5-minute grid from first to last
+    // active bucket (sequence + explode — distributed, no driver
+    // enumeration), empty buckets filled with n=0, cumulative value carried
+    // forward by the running window sum. The resample/gap-fill shape every
+    // time-series consumer needs before training on regular intervals.
+    // Scale: grid generation is per-user-bounded; the window partitions by
+    // user — same state bound as sessionization.
+    Op("ts_gapfill",
+      (s, dir) => {
+        val ev = Tables(s, dir, "events").filter(col("user_id") % 50 === 0)
+        val b = ev.groupBy(col("user_id"), window(col("ts"), "5 minutes").as("w"))
+          .agg(count(lit(1)).as("n_events"), num.dsum(col("value")).as("sum_value"))
+          .select(col("user_id"), col("w.start").as("bstart"),
+            col("n_events"), col("sum_value"))
+        val spans = b.groupBy("user_id")
+          .agg(min("bstart").as("mn"), max("bstart").as("mx"))
+        val grid = spans.select(col("user_id"),
+          explode(expr("sequence(mn, mx, interval 5 minutes)")).as("bstart"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id").orderBy("bstart")
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+        grid.join(b, Seq("user_id", "bstart"), "left")
+          .select(col("user_id"), col("bstart"),
+            coalesce(col("n_events"), lit(0L)).as("n_events"),
+            sum(col("sum_value").cast("decimal(38,10)")).over(w)
+              .cast("double").as("cum_value"))
+          .orderBy("user_id", "bstart")
+      },
+      Some(s"""WITH b AS (SELECT user_id,
+          time_bucket(INTERVAL '5 minutes', ts) AS bstart,
+          COUNT(*) AS n_events, ${num.DSUM("value")} AS sum_value
+        FROM events WHERE user_id % 50 = 0 GROUP BY 1, 2),
+        spans AS (SELECT user_id, MIN(bstart) AS mn, MAX(bstart) AS mx
+          FROM b GROUP BY 1),
+        grid AS (SELECT user_id,
+          unnest(generate_series(mn, mx, INTERVAL '5 minutes')) AS bstart
+          FROM spans)
+        SELECT g.user_id, g.bstart, COALESCE(b.n_events, 0) AS n_events,
+          ${num.DSUM_OVER("b.sum_value",
+            "OVER (PARTITION BY g.user_id ORDER BY g.bstart ROWS UNBOUNDED PRECEDING)")} AS cum_value
+        FROM grid g LEFT JOIN b ON b.user_id = g.user_id AND b.bstart = g.bstart
+        ORDER BY 1, 2""")),
+
     // Stream-stream join, batch twin (the true interval-join execution —
     // purchase ⋈ clicks within the prior 30 min per user, watermarked both
     // sides — runs in StreamingSpec): per purchase, how many prior clicks.

@@ -87,4 +87,39 @@ class PlanQualitySpec extends AnyFunSuite {
     // the 100 TB fact-fact join strategy (SURVEY.md §4 partitioning row)
     assert(!p.contains("Exchange hashpartitioning"), p)
   }
+
+  test("sink_partitioned read-back prunes to the selected partition") {
+    import org.apache.spark.sql.functions.col
+    val tmp = graft.Staging.dir("plansink")
+    Tables(spark, TestSpark.sf, "orders").write.mode("overwrite")
+      .partitionBy("o_orderstatus").parquet(s"$tmp/orders_by_status")
+    val df = spark.read.parquet(s"$tmp/orders_by_status")
+      .filter(col("o_orderstatus") === "F")
+    val p = df.queryExecution.executedPlan.toString
+    // the status predicate must land in PartitionFilters (directory-level
+    // pruning at file listing), not as a post-scan Filter over all rows
+    assert(p.contains("PartitionFilters: [") &&
+      p.replaceAll("\\s", "").contains("PartitionFilters:[isnotnull(o_orderstatus"), p)
+  }
+
+  test("vis_check participates in whole-stage codegen") {
+    graft.functions.GraftFunctions.register(spark)
+    // over a real scan — a literal-only frame constant-folds to a
+    // LocalTableScan before codegen ever runs
+    val df = Tables(spark, TestSpark.sf, "region").selectExpr(
+      "vis_check(CASE WHEN r_regionkey % 2 = 0 THEN 'public' ELSE 'pii&admin' END, 'public') AS ok")
+    assert(df.filter("ok").count() >= 2)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // '*(n)' is the whole-stage-codegen span marker in compact rendering
+    assert(p.contains("*(1)") || p.contains("WholeStageCodegen"), p)
+    assert(!p.contains("CodegenFallback"), p)
+  }
+
+  test("stream_stream_join: time-bound interval join keeps its user_id equi anchor") {
+    val p = finalPlan("stream_stream_join")
+    // equi join on user_id with the interval as a post-join condition —
+    // NOT a nested-loop/cartesian over the time predicate
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+  }
 }
