@@ -7,7 +7,9 @@ import org.apache.spark.sql.SparkSession
 object Plans {
   val showcase: Seq[String] = Seq("scan_pruned", "join_broadcast",
     "join_theta_range", "agg_group", "topk_per_group", "join_asof_exec",
-    "graph_hop2", "dedup_minhash", "sim_topk", "stream_tumbling")
+    "graph_hop2", "dedup_minhash", "sim_topk", "stream_tumbling",
+    "graph_prop_visibility", "stream_stream_join", "ts_gapfill",
+    "sink_partitioned")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
