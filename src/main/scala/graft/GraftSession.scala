@@ -11,7 +11,12 @@ import org.apache.spark.sql.SparkSession
   *
   * On a cluster, pass the master/deploy config as usual and keep the rest;
   * shuffle partitions and the broadcast threshold are the knobs to re-size
-  * (see SCALE.md). */
+  * (see SCALE.md). Graph-engine knobs (both optional):
+  * `graft.graph.pregelPartitions` (GraphX view partition count — default 8
+  * locally, set ~2-3× executor cores on a cluster) and
+  * `graft.graph.broadcastLabels` (default true; set false when the vertex
+  * label map outgrows broadcast — label propagation then shuffles the
+  * label side instead). */
 object GraftSession {
   def builder(master: String = "local[*]",
       shufflePartitions: Int = Runtime.getRuntime.availableProcessors()): SparkSession.Builder =

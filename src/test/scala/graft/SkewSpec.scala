@@ -31,4 +31,33 @@ class SkewSpec extends AnyFunSuite {
     assert(direct.exceptAll(salted).count() == 0)
     assert(salted.exceptAll(direct).count() == 0)
   }
+
+  test("salted skew join ≡ plain join (fact side salted, dim side replicated)") {
+    val S = 8
+    // Skewed fact: hot synthetic key on most rows; small dim keyed the same.
+    val fact = Tables(spark, TestSpark.sf, "lineitem")
+      .withColumn("k", when(col("l_orderkey") % 10 < 9, lit(0L))
+        .otherwise(col("l_orderkey") % 97 + 1))
+      .select("k", "l_extendedprice")
+    val dim = fact.select("k").distinct()
+      .withColumn("dimval", col("k") * 1000)
+
+    val plain = fact.join(dim, "k")
+      .groupBy("k").agg(num.dsum(col("l_extendedprice")).as("s"),
+        count(lit(1)).as("n"), max("dimval").as("d"))
+
+    // Salt the fact side deterministically; replicate the dim side S× so
+    // every (k, salt) pair finds its dim row — the standard skew-join
+    // rewrite when one key dominates a shuffle partition.
+    val saltedFact = fact.withColumn("salt",
+      pmod(hash(col("l_extendedprice")), lit(S)))
+    val repDim = dim.withColumn("salt",
+      explode(sequence(lit(0), lit(S - 1))))
+    val salted = saltedFact.join(repDim, Seq("k", "salt"))
+      .groupBy("k").agg(num.dsum(col("l_extendedprice")).as("s"),
+        count(lit(1)).as("n"), max("dimval").as("d"))
+
+    assert(plain.exceptAll(salted).count() == 0)
+    assert(salted.exceptAll(plain).count() == 0)
+  }
 }
