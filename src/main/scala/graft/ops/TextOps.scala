@@ -288,6 +288,28 @@ object TextOps extends OpModule {
           CAST(16 + bsum % 64 AS INTEGER) AS height,
           CAST(CASE WHEN kind = 'video' THEN 1 + n % 30 ELSE 1 END AS INTEGER) AS n_frames,
           CAST(bsum AS DOUBLE) / CAST(n AS DOUBLE) AS mean_intensity
-        FROM b ORDER BY asset_id"""))
+        FROM b ORDER BY asset_id""")),
+
+    // Frame sampling over the video assets: decode (stubbed codec, real
+    // typed-Dataset plumbing) → every-5th-frame index per video — the
+    // one-to-many flatMap stage of real frame extraction, exercised
+    // end-to-end through the batched pipeline. The oracle recomputes the
+    // deterministic fake-decoder frame count from the payload bytes.
+    Op("multimodal_framesample",
+      (s, dir) => {
+        import graft.multimodal.Multimodal
+        val feats = Multimodal.extractFeatures(Multimodal.assets(s, dir),
+          Multimodal.FakeDecoder)
+        Multimodal.sampleFrames(feats.filter("kind = 'video'"), 5)
+          .orderBy("asset_id", "frame_idx")
+      },
+      Some("""
+        WITH b AS (SELECT doc_id AS asset_id,
+          octet_length(encode(text)) AS n
+        FROM documents WHERE doc_id % 3 = 2),
+        f AS (SELECT asset_id, 1 + n % 30 AS nf FROM b)
+        SELECT asset_id, CAST(fi AS INTEGER) AS frame_idx FROM (
+          SELECT asset_id, unnest(generate_series(0, nf - 1, 5)) AS fi FROM f) t
+        ORDER BY 1, 2"""))
   )
 }
