@@ -50,6 +50,41 @@ class VisibilitySpec extends AnyFunSuite {
     intercept[IllegalArgumentException](chk("&a", "a"))
   }
 
+  test("parser agrees with direct AST evaluation on 500 random expressions") {
+    val rnd = new scala.util.Random(42) // fixed seed — deterministic replay
+    val labels = Vector("a", "b", "c", "d", "e")
+    sealed trait N
+    case class L(s: String) extends N
+    case class And(l: N, r: N) extends N
+    case class Or(l: N, r: N) extends N
+    def gen(depth: Int): N =
+      if (depth == 0 || rnd.nextInt(3) == 0) L(labels(rnd.nextInt(labels.size)))
+      else if (rnd.nextBoolean()) And(gen(depth - 1), gen(depth - 1))
+      else Or(gen(depth - 1), gen(depth - 1))
+    // precedence-correct rendering: an Or child under And needs parens
+    def renderAndChild(n: N): String = n match {
+      case Or(_, _) => s"(${render(n)})"
+      case other => render(other)
+    }
+    def render(n: N): String = n match {
+      case L(s) => s
+      case And(l, r) => s"${renderAndChild(l)}&${renderAndChild(r)}"
+      case Or(l, r) => s"${render(l)}|${render(r)}"
+    }
+    def eval(n: N, held: Set[String]): Boolean = n match {
+      case L(s) => held(s)
+      case And(l, r) => eval(l, held) && eval(r, held)
+      case Or(l, r) => eval(l, held) || eval(r, held)
+    }
+    (1 to 500).foreach { _ =>
+      val ast = gen(4)
+      val held = labels.filter(_ => rnd.nextBoolean()).toSet
+      val s = render(ast)
+      assert(chk(s, held.mkString(",")) == eval(ast, held),
+        s"expression '$s' with auths $held")
+    }
+  }
+
   test("SQL surface: vis_check inside whole-stage codegen") {
     val spark = TestSpark.spark
     graft.functions.GraftFunctions.register(spark)
