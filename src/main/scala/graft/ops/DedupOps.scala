@@ -30,19 +30,29 @@ object DedupOps extends OpModule {
          SELECT doc_id, n_chars, ${duckToks("text")} AS toks FROM documents
          WHERE len(${duckToks("text")}) >= 3) t) x"""
 
+  /** Shingles stay INLINE on the Spark side (re-derived per reference):
+    * a materialized shingle view was measured 4× SLOWER for dedup_minhash —
+    * the cached relation's accurate ~50 MB size pushes the shingle joins
+    * off the broadcast path that Catalyst's optimistic inline estimates
+    * allow, and the SMJ sorts cost far more than the repeated explode. */
+  private def shingleFrom(s: org.apache.spark.sql.SparkSession, dir: String): String = {
+    Tables(s, dir, "documents").createOrReplaceTempView("documents")
+    s"($sparkShingleSql) q"
+  }
+
   /** WITH-clause prefix ending in `pairs(da, db, n_common, jaccard)` — the
     * MinHash→LSH-band→exact-verify near-dup pairs, emitted in either SQL
     * dialect; shared by dedup_minhash (reports the pairs) and dedup_cluster
-    * (connects them into components). */
-  private def minhashCtes(spark: Boolean): String = {
+    * (connects them into components). `shFrom` is the shingle source: the
+    * materialized view (Spark) or the inline subquery (DuckDB). */
+  private def minhashCtes(spark: Boolean, shFrom: String): String = {
     val mat = if (spark) "" else "MATERIALIZED "
     val str = if (spark) "STRING" else "VARCHAR"
-    val shingle = if (spark) sparkShingleSql else duckShingleSql
     val hash = if (spark) sparkHash("s") else duckHash("s")
     val minCols = A.zipWithIndex
       .map { case (a, i) => s"MIN(($a * h + ${i + 1}) % $P) AS m$i" }
       .mkString(", ")
-    s"""sh AS ${mat}(SELECT doc_id, s FROM ($shingle) q),
+    s"""sh AS ${mat}(SELECT doc_id, s FROM $shFrom),
       hs AS (SELECT doc_id, $hash AS h FROM sh),
       sig AS ${mat}(SELECT doc_id, $minCols FROM hs GROUP BY doc_id),
       bands AS ${mat}(SELECT doc_id,
@@ -108,12 +118,11 @@ object DedupOps extends OpModule {
     // MinHash + LSH near-dup pairs, exact-Jaccard verified ≥ 0.5.
     Op("dedup_minhash",
       (s, dir) => {
-        Tables(s, dir, "documents").createOrReplaceTempView("documents")
-        s.sql(s"""WITH ${minhashCtes(spark = true)}
+        s.sql(s"""WITH ${minhashCtes(spark = true, shingleFrom(s, dir))}
           SELECT da AS doc_a, db AS doc_b, n_common, jaccard FROM pairs
           ORDER BY doc_a, doc_b""")
       },
-      Some(s"""WITH ${minhashCtes(spark = false)}
+      Some(s"""WITH ${minhashCtes(spark = false, s"($duckShingleSql) q")}
         SELECT da AS doc_a, db AS doc_b, n_common, jaccard FROM pairs
         ORDER BY doc_a, doc_b""")),
 
@@ -125,8 +134,7 @@ object DedupOps extends OpModule {
     // joins tables orders of magnitude smaller than the corpus.
     Op("dedup_cluster",
       (s, dir) => {
-        Tables(s, dir, "documents").createOrReplaceTempView("documents")
-        // Pairs once (eager checkpoint: tiny, and the 8-iteration loop below
+        // Pairs once (eager checkpoint: tiny, and the iteration loop below
         // would otherwise re-plan the whole MinHash pipeline per reference).
         // The pair set is orders of magnitude smaller than the corpus (LSH
         // bounds it), so the label loop runs single-partition: every
@@ -135,7 +143,7 @@ object DedupOps extends OpModule {
         // themselves are huge, drop the coalesce — the same loop runs
         // partitioned.
         val pairs = s.sql(
-          s"WITH ${minhashCtes(spark = true)} SELECT da, db FROM pairs")
+          s"WITH ${minhashCtes(spark = true, shingleFrom(s, dir))} SELECT da, db FROM pairs")
           .localCheckpoint()
         val und = pairs.select(col("da").as("a"), col("db").as("b"))
           .unionAll(pairs.select(col("db").as("a"), col("da").as("b")))
@@ -165,7 +173,7 @@ object DedupOps extends OpModule {
             col("n").as("cluster_size"))
           .orderBy("cluster_rep", "doc_id")
       },
-      Some(s"""WITH ${minhashCtes(spark = false)}, ${clusterChain(4)}
+      Some(s"""WITH ${minhashCtes(spark = false, s"($duckShingleSql) q")}, ${clusterChain(4)}
         SELECT c.lbl AS cluster_rep, c.id AS doc_id, s.n AS cluster_size
         FROM cl4 c JOIN (SELECT lbl, COUNT(*) AS n FROM cl4 GROUP BY lbl) s
           ON s.lbl = c.lbl
@@ -204,9 +212,8 @@ object DedupOps extends OpModule {
     // Exact shingle-Jaccard pairs, blocked by length bucket (same or +1).
     Op("dedup_ngram",
       (s, dir) => {
-        Tables(s, dir, "documents").createOrReplaceTempView("documents")
         s.sql(s"""
-          WITH sh AS (SELECT doc_id, n_chars div 20 AS bkt, s FROM ($sparkShingleSql) q),
+          WITH sh AS (SELECT doc_id, n_chars div 20 AS bkt, s FROM ${shingleFrom(s, dir)}),
           sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
           inter AS (SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS i
             FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
@@ -236,12 +243,10 @@ object DedupOps extends OpModule {
     // Embedding-cosine near-dup: sign-bit LSH bucket + label blocking.
     Op("dedup_embed",
       (s, dir) => {
-        GraftFunctions.register(s)
-        Tables(s, dir, "embeddings").createOrReplaceTempView("embeddings")
         s.sql(s"""
           WITH n AS (SELECT vec_id, label,
-            ${sparkSignBucket("embedding", 6)} AS bkt, embedding,
-            sqrt(vec_dot(embedding, embedding)) AS nrm FROM embeddings)
+            ${sparkSignBucket("embedding", 6)} AS bkt, embedding, nrm
+            FROM ${SimOps.normView(s, dir)})
           SELECT va, vb, cos FROM (
             SELECT a.vec_id AS va, b.vec_id AS vb,
               vec_dot(a.embedding, b.embedding) / (a.nrm * b.nrm) AS cos

@@ -19,15 +19,31 @@ import textsql._
   * list_reduce fold, ~100× faster than interpreted HOF lambdas. */
 object SimOps extends OpModule {
 
+  /** Normalized embeddings (vector + its norm), materialized once per
+    * (session, dir) and shared by every similarity/embedding-dedup key —
+    * Spark would otherwise inline-recompute the norms per CTE reference. */
+  private[ops] def normView(s: org.apache.spark.sql.SparkSession, dir: String): String = {
+    GraftFunctions.register(s)
+    Tables(s, dir, "embeddings").createOrReplaceTempView("embeddings")
+    graft.Views.materialize(s, dir, "embnorm",
+      """SELECT vec_id, label, embedding,
+         sqrt(vec_dot(embedding, embedding)) AS nrm FROM embeddings""")
+  }
+
+  /** Per-dimension unnested embeddings (IVF training/assignment input). */
+  private[ops] def unnView(s: org.apache.spark.sql.SparkSession, dir: String): String = {
+    Tables(s, dir, "embeddings").createOrReplaceTempView("embeddings")
+    graft.Views.materialize(s, dir, "embunn",
+      """SELECT vec_id, label, dim, v FROM embeddings
+         LATERAL VIEW posexplode(embedding) t AS dim, v""")
+  }
+
   def ops: Seq[Op] = Seq(
 
     Op("sim_topk",
       (s, dir) => {
-        GraftFunctions.register(s)
-        Tables(s, dir, "embeddings").createOrReplaceTempView("embeddings")
         s.sql(s"""
-          WITH n AS (SELECT vec_id, embedding,
-            sqrt(vec_dot(embedding, embedding)) AS nrm FROM embeddings),
+          WITH n AS (SELECT vec_id, embedding, nrm FROM ${normView(s, dir)}),
           q AS (SELECT vec_id AS qa, embedding AS eq, nrm AS nq FROM n
             WHERE vec_id % 100 = 0),
           scored AS (SELECT q.qa, n.vec_id AS vb,
@@ -53,12 +69,10 @@ object SimOps extends OpModule {
 
     Op("sim_knn_join",
       (s, dir) => {
-        GraftFunctions.register(s)
-        Tables(s, dir, "embeddings").createOrReplaceTempView("embeddings")
         s.sql(s"""
           WITH n AS (SELECT vec_id, embedding,
-            ${sparkSignBucket("embedding", 8)} AS bkt,
-            sqrt(vec_dot(embedding, embedding)) AS nrm FROM embeddings),
+            ${sparkSignBucket("embedding", 8)} AS bkt, nrm
+            FROM ${normView(s, dir)}),
           l AS (SELECT vec_id AS va, embedding AS ea, bkt, nrm AS na FROM n
             WHERE vec_id % 10 = 0),
           scored AS (SELECT l.va, n.vec_id AS vb,
@@ -91,13 +105,9 @@ object SimOps extends OpModule {
     // the centroid table stays broadcast-size while cells shard naturally.
     Op("sim_ivf",
       (s, dir) => {
-        GraftFunctions.register(s)
-        Tables(s, dir, "embeddings").createOrReplaceTempView("embeddings")
         s.sql(s"""
-          WITH n AS (SELECT vec_id, label, embedding,
-            sqrt(vec_dot(embedding, embedding)) AS nrm FROM embeddings),
-          unn AS (SELECT vec_id, label, dim, v FROM embeddings
-            LATERAL VIEW posexplode(embedding) t AS dim, v),
+          WITH n AS (SELECT vec_id, label, embedding, nrm FROM ${normView(s, dir)}),
+          unn AS (SELECT vec_id, label, dim, v FROM ${unnView(s, dir)}),
           cent AS (SELECT label, dim,
             CAST(SUM(CAST(v AS DECIMAL(38,10))) AS DOUBLE) / COUNT(v) AS c
             FROM unn GROUP BY label, dim),
