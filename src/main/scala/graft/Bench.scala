@@ -31,7 +31,11 @@ object Bench {
       g.vertices.count(); g.edges.count()
       g.toGraphX.edges.count()
       SparkEntry.queries("sim_topk")(spark, sfDir).count() // embeddings views
-    } catch { case _: Throwable => () } // warmup must never kill the bench
+    } catch { // a broken warmup must not kill the bench, but say so loudly —
+      // silently skipping re-charges one-time ingest to the first graph key
+      case scala.util.control.NonFatal(e) =>
+        System.err.println(s"WARM-UP FAILED (timings include ingest): $e")
+    }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

@@ -20,34 +20,46 @@ final case class Op(
 
 trait OpModule { def ops: Seq[Op] }
 
-/** Loaders for the driver-generated parquet fixtures (TESTDATA.md).
-  * Memoized per (session, dir, table): `spark.read.parquet` pays driver-side
-  * file listing + footer schema inference on EVERY call, and the operator
-  * registry calls these loaders hundreds of times per harness run — reusing
-  * the (immutable) DataFrame eliminates that fixed cost suite-wide. Entries
-  * drop when their SparkContext stops. */
-object Tables {
-  val names: Seq[String] = Seq("region", "nation", "customer", "supplier",
-    "part", "orders", "lineitem", "events", "documents", "embeddings")
-
-  private val memo = scala.collection.concurrent.TrieMap
-    .empty[(SparkSession, String, String), DataFrame]
+/** A memo whose entries live exactly as long as their SparkContext: one
+  * listener per context drops every entry for that context at application
+  * end, so long-lived processes that cycle sessions don't pin dead sessions
+  * or their cached state. One implementation shared by [[Tables]] /
+  * [[Views]] / [[graph.GraphFixture]] (they all need the same lifecycle
+  * dance). */
+final class SessionMemo[K, V] {
+  private val memo =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, K), V]
   private val hooked = java.util.Collections.newSetFromMap(
     new java.util.concurrent.ConcurrentHashMap[org.apache.spark.SparkContext, java.lang.Boolean]())
 
-  def apply(spark: SparkSession, dir: String, name: String): DataFrame =
-    memo.getOrElseUpdate((spark, dir, name), {
-      val sc = spark.sparkContext
+  def getOrElseUpdate(s: SparkSession, k: K)(build: => V): V =
+    memo.getOrElseUpdate((s, k), {
+      val sc = s.sparkContext
       if (hooked.add(sc))
         sc.addSparkListener(new org.apache.spark.scheduler.SparkListener {
           override def onApplicationEnd(
               e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit = {
-            memo.filterInPlace { case ((sess, _, _), _) => sess.sparkContext ne sc }
+            memo.filterInPlace { case ((sess, _), _) => sess.sparkContext ne sc }
             hooked.remove(sc); ()
           }
         })
-      load(spark, dir, name)
+      build
     })
+}
+
+/** Loaders for the driver-generated parquet fixtures (TESTDATA.md).
+  * Memoized per (session, dir, table): `spark.read.parquet` pays driver-side
+  * file listing + footer schema inference on EVERY call, and the operator
+  * registry calls these loaders hundreds of times per harness run — reusing
+  * the (immutable) DataFrame eliminates that fixed cost suite-wide. */
+object Tables {
+  val names: Seq[String] = Seq("region", "nation", "customer", "supplier",
+    "part", "orders", "lineitem", "events", "documents", "embeddings")
+
+  private val memo = new SessionMemo[(String, String), DataFrame]
+
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame =
+    memo.getOrElseUpdate(spark, (dir, name))(load(spark, dir, name))
 
   private def load(spark: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") {
@@ -72,27 +84,15 @@ object Tables {
   * re-derived per query.) These caches are intentional session-scoped state,
   * like GraphFixture's; entries drop when their SparkContext stops. */
 object Views {
-  private val memo =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String, String), String]
-  private val hooked = java.util.Collections.newSetFromMap(
-    new java.util.concurrent.ConcurrentHashMap[org.apache.spark.SparkContext, java.lang.Boolean]())
+  private val memo = new SessionMemo[(String, String), String]
 
   /** Materialize `sql` once; returns the view name to reference. */
   def materialize(s: SparkSession, dir: String, name: String, sql: => String): String =
-    memo.getOrElseUpdate((s, dir, name), {
-      val sc = s.sparkContext
-      if (hooked.add(sc))
-        sc.addSparkListener(new org.apache.spark.scheduler.SparkListener {
-          override def onApplicationEnd(
-              e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit = {
-            memo.filterInPlace { case ((sess, _, _), _) => sess.sparkContext ne sc }
-            hooked.remove(sc); ()
-          }
-        })
+    memo.getOrElseUpdate(s, (dir, name)) {
       val vn = s"graft_${name}_${Integer.toHexString(dir.hashCode)}"
       s.sql(sql).persist().createOrReplaceTempView(vn)
       vn
-    })
+    }
 }
 
 /** Process-scoped scratch space for operators that stage data on local disk
@@ -110,12 +110,22 @@ object Staging {
     Option(f.listFiles).foreach(_.foreach(deleteTree))
     f.delete(); ()
   }
-  /** A stable staging subdirectory (created on first use). */
+  /** A stable staging subdirectory (created on first use). For relations
+    * staged once and then only READ (e.g. the streaming events copy). */
   def dir(name: String): String = {
     val d = root.resolve(name)
     java.nio.file.Files.createDirectories(d)
     d.toString
   }
+
+  private val seq = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** A fresh per-invocation subdirectory — write-then-read operators need
+    * write isolation (concurrent invocations of the same op must not
+    * overwrite each other mid-read; scalatest suites share this JVM).
+    * Within-process accumulation is bounded by invocation count and the
+    * whole tree dies with the JVM. */
+  def fresh(name: String): String = dir(s"$name-${seq.incrementAndGet()}")
 }
 
 /** Cross-engine numeric determinism helpers.

@@ -36,22 +36,13 @@ object GraphFixture {
 
   // Graph construction is shared by ~14 operator keys; memoize + persist per
   // (session, dir) so Verify/Bench build it once (the reference family's
-  // analog: the graph is stored, not re-derived per query). Entries are
-  // dropped when their SparkContext stops (listener below) so a long-lived
-  // process that cycles sessions doesn't pin dead sessions + cached plans.
-  private val memo =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), PropertyGraph]
+  // analog: the graph is stored, not re-derived per query). SessionMemo
+  // drops entries when the SparkContext stops, so long-lived processes that
+  // cycle sessions don't pin dead sessions + cached plans.
+  private val memo = new graft.SessionMemo[String, PropertyGraph]
 
   def apply(s: SparkSession, dir: String): PropertyGraph =
-    memo.getOrElseUpdate((s, dir), {
-      val sc = s.sparkContext
-      sc.addSparkListener(new org.apache.spark.scheduler.SparkListener {
-        override def onApplicationEnd(
-            e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit =
-          memo.filterInPlace { case ((sess, _), _) => sess.sparkContext ne sc }
-      })
-      build(s, dir)
-    })
+    memo.getOrElseUpdate(s, dir)(build(s, dir))
 
   private def build(s: SparkSession, dir: String): PropertyGraph = {
     def t(n: String) = Tables(s, dir, n)

@@ -119,6 +119,8 @@ final case class PropertyGraph(vertices: DataFrame, edges: DataFrame) {
     * ≈ 8 s vs ≈ 2 s for this). */
   private def pregelMinHops(sources: DataFrame, maxHops: Int, reversed: Boolean): DataFrame = {
     val sp = spark; import sp.implicits._
+    val srcZero = sources.select(col("id"), lit(0).as("dist"))
+    if (maxHops <= 0) return srcZero // Pregel needs maxIterations > 0
     val srcFlag = sources.select("id").rdd.map(r => (r.getLong(0), true))
     val g = toGraphX.outerJoinVertices(srcFlag)((_, _, f) =>
       if (f.isDefined) 0 else Int.MaxValue)
@@ -136,7 +138,12 @@ final case class PropertyGraph(vertices: DataFrame, edges: DataFrame) {
           else Iterator.empty
         },
       math.min)
-    res.vertices.filter(_._2 != Int.MaxValue).toDF("id", "dist")
+    val reached = res.vertices.filter(_._2 != Int.MaxValue).toDF("id", "dist")
+    // Source ids absent from the vertex set never enter the GraphX view but
+    // are hops-0 members of the result by definition (the DF-BFS form this
+    // replaced seeded them directly) — re-attach them.
+    reached.unionAll(
+      srcZero.join(reached.select("id"), Seq("id"), "left_anti"))
   }
 
   /** Path enumeration ≤ maxHops from `sources` (Blueprints' path() step):

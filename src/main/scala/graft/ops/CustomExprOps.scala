@@ -90,7 +90,7 @@ object CustomExprOps extends OpModule {
     // parquet — the round-trip is what's being verified.
     Op("source_csv_json",
       (s, dir) => {
-        val tmp = graft.Staging.dir("fmt")
+        val tmp = graft.Staging.fresh("fmt")
         Tables(s, dir, "region").write.mode("overwrite")
           .option("header", "true").csv(s"$tmp/region_csv")
         Tables(s, dir, "nation").write.mode("overwrite").json(s"$tmp/nation_json")
@@ -115,7 +115,7 @@ object CustomExprOps extends OpModule {
     // checked.
     Op("sink_partitioned",
       (s, dir) => {
-        val tmp = graft.Staging.dir("sink")
+        val tmp = graft.Staging.fresh("sink")
         Tables(s, dir, "orders").write.mode("overwrite")
           .partitionBy("o_orderstatus").parquet(s"$tmp/orders_by_status")
         s.read.parquet(s"$tmp/orders_by_status")

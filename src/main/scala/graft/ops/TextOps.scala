@@ -127,16 +127,17 @@ object TextOps extends OpModule {
           val geAll = langSets.map(o => s"h_$l >= h_${o._1}").mkString(" AND ")
           s"WHEN $geAll AND h_$l > 0 THEN '$l'"
         }.mkString(" ")
+        // ONE tokenization, one aggregation: token count, distinct count,
+        // and the language votes all come out of the same exploded GROUP BY
+        // (explode preserves multiplicity, so COUNT(*) == size(toks) and
+        // COUNT(DISTINCT tok) == size(array_distinct(toks))).
         s.sql(s"""
-          WITH m AS (SELECT doc_id, size(${sparkToks("text")}) AS n_toks,
-            size(array_distinct(${sparkToks("text")})) AS n_distinct FROM documents),
-          tok AS (SELECT doc_id, explode(${sparkToks("text")}) AS tok FROM documents),
-          hits AS (SELECT doc_id, $hits FROM tok GROUP BY doc_id),
-          lang AS (SELECT doc_id, CASE $pred ELSE 'unknown' END AS pred_lang FROM hits),
-          j AS (SELECT m.doc_id, m.n_toks,
-            CAST(m.n_distinct AS DOUBLE) / CAST(m.n_toks AS DOUBLE) AS ttr,
-            l.pred_lang
-            FROM m JOIN lang l ON l.doc_id = m.doc_id)
+          WITH tok AS (SELECT doc_id, explode(${sparkToks("text")}) AS tok FROM documents),
+          hits AS (SELECT doc_id, COUNT(*) AS n_toks,
+            COUNT(DISTINCT tok) AS n_distinct, $hits FROM tok GROUP BY doc_id),
+          j AS (SELECT doc_id, n_toks,
+            CAST(n_distinct AS DOUBLE) / CAST(n_toks AS DOUBLE) AS ttr,
+            CASE $pred ELSE 'unknown' END AS pred_lang FROM hits)
           SELECT doc_id, pred_lang, n_toks, ttr,
             CASE WHEN n_toks < 10 THEN 'too_short'
                  WHEN n_toks > 5000 THEN 'too_long'
@@ -154,15 +155,12 @@ object TextOps extends OpModule {
           s"WHEN $geAll AND h_$l > 0 THEN '$l'"
         }.mkString(" ")
         s"""
-          WITH m AS (SELECT doc_id, CAST(len(${duckToks("text")}) AS INTEGER) AS n_toks,
-            len(list_distinct(${duckToks("text")})) AS n_distinct FROM documents),
-          tok AS (SELECT doc_id, unnest(${duckToks("text")}) AS tok FROM documents),
-          hits AS (SELECT doc_id, $hits FROM tok GROUP BY doc_id),
-          lang AS (SELECT doc_id, CASE $pred ELSE 'unknown' END AS pred_lang FROM hits),
-          j AS (SELECT m.doc_id, m.n_toks,
-            CAST(m.n_distinct AS DOUBLE) / CAST(m.n_toks AS DOUBLE) AS ttr,
-            l.pred_lang
-            FROM m JOIN lang l ON l.doc_id = m.doc_id)
+          WITH tok AS (SELECT doc_id, unnest(${duckToks("text")}) AS tok FROM documents),
+          hits AS (SELECT doc_id, COUNT(*) AS n_toks,
+            COUNT(DISTINCT tok) AS n_distinct, $hits FROM tok GROUP BY doc_id),
+          j AS (SELECT doc_id, n_toks,
+            CAST(n_distinct AS DOUBLE) / CAST(n_toks AS DOUBLE) AS ttr,
+            CASE $pred ELSE 'unknown' END AS pred_lang FROM hits)
           SELECT doc_id, pred_lang, n_toks, ttr,
             CASE WHEN n_toks < 10 THEN 'too_short'
                  WHEN n_toks > 5000 THEN 'too_long'

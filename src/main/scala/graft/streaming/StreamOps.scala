@@ -34,8 +34,11 @@ object StreamOps extends OpModule {
         val stage = graft.Staging.dir(s"events-src-${dir.hashCode.toHexString}")
         val dst = java.nio.file.Paths.get(s"$stage/events.parquet")
         if (!java.nio.file.Files.exists(dst))
-          java.nio.file.Files.copy(
+          try java.nio.file.Files.copy(
             java.nio.file.Paths.get(s"$dir/events.parquet"), dst)
+          catch { // concurrent invocation staged it first — identical bytes
+            case _: java.nio.file.FileAlreadyExistsException => ()
+          }
         val name = "src_stream_events_sink"
         val q = Streams.tumblingCounts(Streams.readEvents(s, stage))
           .writeStream.format("memory").queryName(name)

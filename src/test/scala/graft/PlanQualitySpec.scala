@@ -90,7 +90,7 @@ class PlanQualitySpec extends AnyFunSuite {
 
   test("sink_partitioned read-back prunes to the selected partition") {
     import org.apache.spark.sql.functions.col
-    val tmp = graft.Staging.dir("plansink")
+    val tmp = graft.Staging.fresh("plansink")
     Tables(spark, TestSpark.sf, "orders").write.mode("overwrite")
       .partitionBy("o_orderstatus").parquet(s"$tmp/orders_by_status")
     val df = spark.read.parquet(s"$tmp/orders_by_status")

@@ -101,6 +101,19 @@ class PropertyGraphSpec extends AnyFunSuite {
     assert(vis.edges.count() < g.edges.count())
   }
 
+  test("varHop: maxHops=0 returns sources at 0; off-graph sources kept") {
+    val inGraph = g.vertices.filter(col("id") === 6000000000001L).select("id")
+    val zero = g.varHop(inGraph, 0).collect()
+    assert(zero.map(r => (r.getLong(0), r.getInt(1))).toSeq ==
+      Seq((6000000000001L, 0)))
+    // a source id that exists nowhere in the graph is still a hops-0 member
+    val ghost = spark.range(1)
+      .select(org.apache.spark.sql.functions.lit(999999999999999L).as("id"))
+    val hops = g.varHop(ghost, 2).collect()
+    assert(hops.map(r => (r.getLong(0), r.getInt(1))).toSeq ==
+      Seq((999999999999999L, 0)))
+  }
+
   test("iterative analytics do not accumulate pinned caches across runs") {
     // Round-1 regression: triangle/labelprop scratch persists were never
     // unpersisted, so every invocation grew the CacheManager. Now scratch
