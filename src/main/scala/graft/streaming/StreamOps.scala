@@ -111,6 +111,45 @@ object StreamOps extends OpModule {
         event_type, MIN(event_id) AS first_event, COUNT(*) AS n_dups
         FROM events GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""")),
 
+    // CONTINUOUS GRAPH INGEST: the streaming path a live property graph is
+    // actually fed by — events arrive as a stream and append 'did' edges
+    // (user→event, same id-tagging as GraphFixture) through the
+    // exactly-once parquet file sink; the drained edge table must equal the
+    // batch-built edge set. At scale this is the standing micro-batch
+    // ingest job; checkpointing makes restarts idempotent (asserted in
+    // StreamingSpec's file-sink test).
+    Op("stream_graph_ingest",
+      (s, dir) => {
+        val stage = graft.Staging.dir(s"events-src-${dir.hashCode.toHexString}")
+        val src = java.nio.file.Paths.get(s"$dir/events.parquet")
+        val dst = java.nio.file.Paths.get(s"$stage/events.parquet")
+        if (!java.nio.file.Files.exists(dst))
+          try java.nio.file.Files.copy(src, dst)
+          catch { case _: java.nio.file.FileAlreadyExistsException => () }
+        val out = graft.Staging.fresh("graph-ingest")
+        val B = graft.graph.GraphFixture.B
+        val q = Streams.readEvents(s, stage)
+          .select((lit(7 * B) + col("user_id")).as("src"),
+            (lit(8 * B) + col("event_id")).as("dst"),
+            lit("did").as("label"), col("value").as("weight"))
+          .writeStream.format("parquet")
+          .option("path", s"$out/edges")
+          .option("checkpointLocation", s"$out/chk")
+          .outputMode("append").start()
+        q.processAllAvailable()
+        q.stop()
+        s.read.parquet(s"$out/edges")
+          .groupBy("label")
+          .agg(count(lit(1)).as("n_edges"),
+            countDistinct(col("src")).as("n_users"),
+            num.dsum(col("weight")).as("sum_weight"))
+          .orderBy("label")
+      },
+      Some(s"""SELECT 'did' AS label, COUNT(*) AS n_edges,
+        COUNT(DISTINCT 7000000000000 + user_id) AS n_users,
+        ${num.DSUM("value")} AS sum_weight
+        FROM events GROUP BY 1 ORDER BY 1""")),
+
     // Time-series gap-fill: per-user 5-minute grid from first to last
     // active bucket (sequence + explode — distributed, no driver
     // enumeration), empty buckets filled with n=0, cumulative value carried
