@@ -114,6 +114,26 @@ class PropertyGraphSpec extends AnyFunSuite {
       Seq((999999999999999L, 0)))
   }
 
+  test("graph ops on an empty graph return empty results, not crashes") {
+    import org.apache.spark.sql.types._
+    val vSchema = StructType(Seq(StructField("id", LongType),
+      StructField("label", StringType), StructField("name", StringType),
+      StructField("vis", StringType), StructField("val", DoubleType)))
+    val eSchema = StructType(Seq(StructField("src", LongType),
+      StructField("dst", LongType), StructField("label", StringType),
+      StructField("weight", DoubleType), StructField("vis", StringType)))
+    val empty = graft.graph.PropertyGraph(
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], vSchema),
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], eSchema))
+    assert(empty.degrees.count() == 0)
+    assert(empty.triangleCounts.count() == 0)
+    assert(empty.labelPropagation(2).count() == 0)
+    assert(empty.connectedComponents.count() == 0)
+    assert(empty.varHop(empty.vertices.select("id"), 3).count() == 0)
+    assert(empty.paths(empty.vertices.select("id"), 2).count() == 0)
+    assert(empty.find("(a)-[:x]->(b)").count() == 0)
+  }
+
   test("iterative analytics do not accumulate pinned caches across runs") {
     // Round-1 regression: triangle/labelprop scratch persists were never
     // unpersisted, so every invocation grew the CacheManager. Now scratch
