@@ -389,6 +389,43 @@ object GraphOps extends OpModule {
           SELECT 9000000000000 + r_regionkey, 'auditor',
             'audit_' || r_name, 'public', CAST(0.5 AS DOUBLE) FROM region)"""))),
 
+    // Bulk export (the GraphML/GraphSON-writer surface of the Blueprints
+    // family, re-expressed as partitioned columnar sinks): the whole graph
+    // written label-partitioned — downstream consumers read single labels
+    // with directory-level pruning — then read back and summarized with
+    // exact sums, so the oracle certifies round-trip fidelity of every
+    // element and weight.
+    Op("graph_export",
+      (s, dir) => {
+        val g = GraphFixture(s, dir)
+        val out = graft.Staging.fresh("graph-export")
+        g.vertices.write.mode("overwrite").partitionBy("label")
+          .parquet(s"$out/vertices")
+        g.edges.write.mode("overwrite").partitionBy("label")
+          .parquet(s"$out/edges")
+        val v = s.read.parquet(s"$out/vertices")
+        val e = s.read.parquet(s"$out/edges")
+        v.groupBy("label")
+          .agg(count(lit(1)).as("n"),
+            graft.num.dsum(coalesce(col("val"), lit(0.0))).as("sum_val"))
+          .withColumn("kind", lit("vertex"))
+          .unionByName(e.groupBy("label")
+            .agg(count(lit(1)).as("n"),
+              graft.num.dsum(coalesce(col("weight"), lit(0.0))).as("sum_val"))
+            .withColumn("kind", lit("edge")))
+          .select("kind", "label", "n", "sum_val")
+          .orderBy("kind", "label")
+      },
+      Some(withGraph(
+        s"""SELECT 'vertex' AS kind, label, COUNT(*) AS n,
+          ${graft.num.DSUM("COALESCE(val, 0)")} AS sum_val
+        FROM vertices GROUP BY 2
+        UNION ALL
+        SELECT 'edge', label, COUNT(*),
+          ${graft.num.DSUM("COALESCE(weight, 0)")}
+        FROM edges GROUP BY 2
+        ORDER BY kind, label"""))),
+
     // Deterministic DF label propagation (max-count / min-label tie-break)
     // — oracle-checkable, unlike GraphX's arbitrary-tie variant.
     Op("graph_labelprop",
