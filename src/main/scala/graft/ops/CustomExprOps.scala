@@ -7,10 +7,12 @@ import org.apache.spark.sql.functions._
 /** The custom-Catalyst operator keys (SURVEY.md §2.9) plus secondary source
   * formats (§2.1): each key drives one extension surface end-to-end through
   * the oracle —
-  *   udf_expr_hash   → codegen'd UnaryExpression (StableHash64)
-  *   udaf_sketch     → TypedImperativeAggregate (ThresholdDistinct)
-  *   udtf_tokenize   → Generator (TokenizeGenerator)
-  *   source_csv_json → csv + json sinks/sources round-trip */
+  *   udf_expr_hash    → codegen'd UnaryExpression (StableHash64)
+  *   udaf_sketch      → TypedImperativeAggregate (ThresholdDistinct)
+  *   udtf_tokenize    → Generator (TokenizeGenerator)
+  *   join_asof_exec   → custom SparkPlan (AsOfJoinExec ladder)
+  *   source_csv_json  → csv + json sinks/sources round-trip
+  *   sink_partitioned → partitionBy parquet write + pruned read-back */
 object CustomExprOps extends OpModule {
 
   def ops: Seq[Op] = Seq(
