@@ -246,6 +246,49 @@ object AggWindowOps extends OpModule {
         ${DSUM_OVER("o_totalprice", """OVER (PARTITION BY o_custkey
           ORDER BY o_orderdate
           RANGE BETWEEN INTERVAL 518400 SECOND PRECEDING AND CURRENT ROW)""")} AS moving_spend
-        FROM orders ORDER BY o_custkey, o_orderdate, o_orderkey"""))
+        FROM orders ORDER BY o_custkey, o_orderdate, o_orderkey""")),
+
+    // Navigation window functions over full frames: each customer's first /
+    // latest / second order value. The window ORDER BY includes the unique
+    // o_orderkey tiebreaker so every navigation target is deterministic.
+    Op("win_first_last",
+      (s, dir) => {
+        val w = Window.partitionBy("o_custkey")
+          .orderBy(col("o_orderdate"), col("o_orderkey"))
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        Tables(s, dir, "orders")
+          .withColumn("first_spend", first(col("o_totalprice")).over(w))
+          .withColumn("last_spend", last(col("o_totalprice")).over(w))
+          .withColumn("second_order", nth_value(col("o_orderkey"), 2).over(w))
+          .select("o_custkey", "o_orderkey", "first_spend", "last_spend",
+            "second_order")
+          .orderBy("o_custkey", "o_orderkey")
+      },
+      Some("""SELECT o_custkey, o_orderkey,
+        FIRST_VALUE(o_totalprice) OVER w AS first_spend,
+        LAST_VALUE(o_totalprice) OVER w AS last_spend,
+        NTH_VALUE(o_orderkey, 2) OVER w AS second_order
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+          ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        ORDER BY o_custkey, o_orderkey""")),
+
+    // Equi-width histogram via width_bucket — the one-pass binning every
+    // profiling pipeline runs. DuckDB has no width_bucket, so the oracle
+    // spells out the identical arithmetic: bucket width (hi-lo)/n =
+    // 600000/24 = 25000.0 is exact in binary, making the division + floor
+    // bit-identical across engines.
+    Op("agg_histogram",
+      (s, dir) => Tables(s, dir, "orders")
+        .groupBy(width_bucket(col("o_totalprice"), lit(0.0), lit(600000.0),
+          lit(24L)).as("bucket"))
+        .agg(count(lit(1)).as("n"),
+          dsum(col("o_totalprice")).as("bucket_total"))
+        .orderBy("bucket"),
+      Some(s"""SELECT CAST(CASE WHEN o_totalprice < 0.0 THEN 0
+          WHEN o_totalprice >= 600000.0 THEN 25
+          ELSE FLOOR((o_totalprice - 0.0) / 25000.0) + 1 END AS BIGINT) AS bucket,
+        COUNT(*) AS n, ${DSUM("o_totalprice")} AS bucket_total
+        FROM orders GROUP BY 1 ORDER BY 1"""))
   )
 }
