@@ -107,6 +107,21 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$outDir/data").count() == n)
   }
 
+  test("ts_gapfill grid is complete: consecutive 5-min buckets, no holes") {
+    val f = SparkEntry.queries("ts_gapfill")(spark, TestSpark.sf)
+    // within each user, every step between consecutive grid rows is exactly
+    // 300 s — i.e. the resample grid has no gaps and no duplicates
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("bstart")
+    val steps = f.withColumn("prev", lag(col("bstart"), 1).over(w))
+      .filter(col("prev").isNotNull)
+      .select((col("bstart").cast("long") - col("prev").cast("long")).as("d"))
+    assert(steps.filter(col("d") =!= 300L).count() == 0)
+    // filled rows exist (the fixture has inactive buckets) and counts agree
+    assert(f.filter(col("n_events") === 0).count() > 0)
+    assert(f.filter(col("n_events") > 0).count() > 0)
+  }
+
   test("flatMapGroupsWithState purchase counter matches batch twin") {
     val got = runToMemory(Streams.statefulPurchaseCounts(spark,
       Streams.readEvents(spark, srcDir)).toDF(), "t_stateful", mode = "append")
