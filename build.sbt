@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked `run` output normally goes through sbt's logger, which prefixes
+// every line with `[info] ` — that broke the driver's JSON-line parse of
+// Bench's metric output two rounds in a row (BENCH_r01/r02 `parsed: null`).
+// StdoutOutput passes the child's stdout through verbatim, so Bench's
+// `{"metric":...}` lines reach the driver as clean full-line JSON.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
@@ -26,5 +32,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 24g default (was 8g): the harness box has 128 GiB and local[32] runs 32
+  // concurrent tasks against ~20 persisted relations — at 8g the storage
+  // fraction squeezes execution memory and GC time inflates every query
+  // 2-4× under load (observed in the round-2 driver bench run).
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
 )
