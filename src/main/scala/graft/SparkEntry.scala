@@ -16,6 +16,7 @@ object SparkEntry {
     ops.TextOps,
     ops.CustomExprOps,
     ops.StatsOps,
+    ops.PipelineOps,
     streaming.StreamOps)
 
   lazy val allOps: Seq[Op] = {

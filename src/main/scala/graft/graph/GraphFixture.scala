@@ -196,6 +196,22 @@ object GraphSql {
     (Seq(und, lp0) ++ steps).mkString(", ")
   }
 
+  /** Unrolled k-core peel kc1..kc<rounds> mirroring PropertyGraph.kCore:
+    * each round keeps vertices whose degree over surviving edges is ≥ k. */
+  def kcChain(k: Int, rounds: Int): String = {
+    val und = """und AS MATERIALIZED (SELECT DISTINCT LEAST(src, dst) AS a,
+      GREATEST(src, dst) AS b FROM edges WHERE src <> dst)"""
+    val kc0 = "kc0 AS (SELECT a AS id FROM und UNION SELECT b FROM und)"
+    val steps = (1 to rounds).map { i =>
+      s"""e$i AS (SELECT u.a, u.b FROM und u
+           JOIN kc${i - 1} x ON x.id = u.a JOIN kc${i - 1} y ON y.id = u.b),
+         kc$i AS MATERIALIZED (SELECT id, COUNT(*) AS deg FROM (
+           SELECT a AS id FROM e$i UNION ALL SELECT b FROM e$i) t
+           GROUP BY 1 HAVING COUNT(*) >= $k)"""
+    }
+    (Seq(und, kc0) ++ steps).mkString(", ")
+  }
+
   /** Unrolled PageRank p0..p<iters> mirroring PropertyGraph.pageRank
     * bit-for-bit: same double ops per row, same exact decimal sum (num.DSUM)
     * per destination. */

@@ -361,6 +361,37 @@ final case class PropertyGraph(vertices: DataFrame, edges: DataFrame) {
     out
   }
 
+  /** Bounded k-core peeling (fixed `rounds` so the result is deterministic
+    * and oracle-checkable even if not yet converged — the oracle runs the
+    * SAME rounds): repeatedly drop vertices with undirected degree < k,
+    * returning the survivors with their final-round degree. Each round is
+    * two semi-joins (edge set restricted to live endpoints) + one count —
+    * the edge set shrinks monotonically, so at 100 TB the expensive first
+    * rounds are plain shuffles on the edge list and later rounds ride on
+    * broadcast-size survivor sets. */
+  def kCore(k: Int, rounds: Int): DataFrame = {
+    val und = edges.filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b")).distinct()
+      .persist()
+    var live = und.select(col("a").as("id")).unionAll(und.select(col("b").as("id")))
+      .distinct().withColumn("deg", lit(Long.MaxValue))
+    for (_ <- 1 to rounds) {
+      val keep = live.select("id")
+      val e = und
+        .join(keep.withColumnRenamed("id", "a"), Seq("a"), "left_semi")
+        .join(keep.select(col("id").as("b")), Seq("b"), "left_semi")
+      live = e.select(col("a").as("id")).unionAll(e.select(col("b").as("id")))
+        .groupBy("id").agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k)
+        // Two references next round (semi-join × 2); keep the plan flat.
+        .localCheckpoint(false)
+    }
+    val out = live.localCheckpoint()
+    und.unpersist()
+    out
+  }
+
   /** DataFrame label propagation, fixed iterations, DETERMINISTIC tie-break
     * (max neighbor-label count, then min label) — unlike GraphX's
     * implementation-defined ties, this is oracle-checkable and avoids the

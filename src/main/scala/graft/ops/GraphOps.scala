@@ -426,6 +426,39 @@ object GraphOps extends OpModule {
         FROM edges GROUP BY 2
         ORDER BY kind, label"""))),
 
+    // Bounded 2-core peel, 4 rounds (fixed rounds = deterministic partial
+    // peel; the oracle runs the identical rounds, so convergence is not
+    // assumed — see PropertyGraph.kCore).
+    Op("graph_kcore",
+      (s, dir) => GraphFixture(s, dir).kCore(2, 4).orderBy("id"),
+      Some(withGraph(
+        "SELECT id, deg FROM kc4 ORDER BY id",
+        extra = GraphSql.kcChain(2, 4)))),
+
+    // Bipartite projection: customers sharing a colocated supplier →
+    // co-occurrence pair counts, summarized as a histogram (pair list is
+    // quadratic per supplier; the projection is generated per-supplier —
+    // an equi-join, never all-pairs — and immediately aggregated).
+    Op("graph_bipartite",
+      (s, dir) => {
+        val co = GraphFixture(s, dir).edges
+          .filter(col("label") === "colocated")
+          .select(col("src").as("c"), col("dst").as("sup"))
+        val a = co.select(col("c").as("c1"), col("sup"))
+        val b = co.select(col("c").as("c2"), col("sup"))
+        a.join(b, "sup").filter(col("c1") < col("c2"))
+          .groupBy("c1", "c2").agg(count(lit(1)).as("shared"))
+          .groupBy("shared").agg(count(lit(1)).as("n_pairs"))
+          .orderBy("shared")
+      },
+      Some(withGraph("""SELECT shared, COUNT(*) AS n_pairs FROM (
+          SELECT a.src AS c1, b.src AS c2, COUNT(*) AS shared
+          FROM edges a JOIN edges b
+            ON b.dst = a.dst AND b.label = 'colocated' AND a.src < b.src
+          WHERE a.label = 'colocated'
+          GROUP BY 1, 2) p
+        GROUP BY 1 ORDER BY 1"""))),
+
     // Deterministic DF label propagation (max-count / min-label tie-break)
     // — oracle-checkable, unlike GraphX's arbitrary-tie variant.
     Op("graph_labelprop",

@@ -1,0 +1,314 @@
+package graft.ops
+
+import graft.{Op, OpModule, Staging, Tables, num}
+import org.apache.spark.sql.functions._
+import textsql._
+
+/** Round-3 additions to the training-data-pipeline surface (SURVEY.md §2.11
+  * family) plus small relational completions: deterministic dataset
+  * splitting, context-window packing, PII redaction, argmin/argmax
+  * aggregates, batch sessionization, time-series interpolation, csv/json
+  * sink round-trips, and a threshold similarity join.
+  *
+  * House determinism rules apply throughout (graft.num scaladoc): md5-based
+  * hashes, decimal-exact cross-row sums, per-row IEEE arithmetic written in
+  * identical operation order in both engines.
+  */
+object PipelineOps extends OpModule {
+
+  private def view(s: org.apache.spark.sql.SparkSession, dir: String, n: String): Unit =
+    Tables(s, dir, n).createOrReplaceTempView(n)
+
+  def ops: Seq[Op] = Seq(
+
+    // Deterministic train/val/test split — the reproducible-split primitive
+    // every training pipeline needs: bucket = md5(doc_id) mod 10 (8/1/1).
+    // Hash-based (not random) so the split is stable across engines, runs,
+    // and partitionings; per-row map work, embarrassingly parallel at 100 TB.
+    Op("split_train_test",
+      (s, dir) => {
+        view(s, dir, "documents")
+        s.sql(s"""
+          WITH h AS (SELECT doc_id, n_chars,
+            (${sparkHash("CAST(doc_id AS STRING)")}) % 10 AS b
+            FROM documents)
+          SELECT CASE WHEN b < 8 THEN 'train' WHEN b = 8 THEN 'val'
+              ELSE 'test' END AS split,
+            COUNT(*) AS n_docs, SUM(n_chars) AS sum_chars
+          FROM h GROUP BY 1 ORDER BY 1""")
+      },
+      Some(s"""
+        WITH h AS (SELECT doc_id, n_chars,
+          (${duckHash("CAST(doc_id AS VARCHAR)")}) % 10 AS b
+          FROM documents)
+        SELECT CASE WHEN b < 8 THEN 'train' WHEN b = 8 THEN 'val'
+            ELSE 'test' END AS split,
+          COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+        FROM h GROUP BY 1 ORDER BY 1""")),
+
+    // Context-window packing: concatenate docs in a stable order into
+    // ~512-token training windows (doc boundaries respected, windows may
+    // overflow by one doc — the standard greedy sequential packer). pack_id
+    // = running-token-count-before div budget: one window pass, no
+    // driver loop; at 100 TB the ORDER BY becomes a range-partitioned sort,
+    // and packing stays a single prefix-sum over it.
+    Op("text_pack",
+      (s, dir) => {
+        view(s, dir, "documents")
+        s.sql("""
+          WITH t AS (SELECT doc_id, size(split(text, ' ')) AS toks
+            FROM documents),
+          c AS (SELECT doc_id, toks,
+            COALESCE(SUM(toks) OVER (ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+            FROM t)
+          SELECT cb div 512 AS pack_id, COUNT(*) AS n_docs,
+            SUM(toks) AS sum_toks, MIN(doc_id) AS first_doc
+          FROM c GROUP BY 1 ORDER BY 1""")
+      },
+      Some("""
+        WITH t AS (SELECT doc_id, len(string_split(text, ' ')) AS toks
+          FROM documents),
+        c AS (SELECT doc_id, toks,
+          COALESCE(SUM(toks) OVER (ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+          FROM t)
+        SELECT CAST(cb // 512 AS BIGINT) AS pack_id, COUNT(*) AS n_docs,
+          CAST(SUM(toks) AS BIGINT) AS sum_toks, MIN(doc_id) AS first_doc
+        FROM c GROUP BY 1 ORDER BY 1""")),
+
+    // PII redaction — the scrubbing pass before training data leaves the
+    // pipeline. The fixture corpus is synthetic words, so a contact string
+    // (email + phone) is appended per doc and the redactor must strip it
+    // from the combined text; n_pii counts pre-redaction matches. Pure
+    // per-row regex (codegen'd), no shuffle. Patterns stay in the
+    // character-class subset Java regex and RE2 treat identically.
+    Op("text_pii_redact",
+      (s, dir) => {
+        view(s, dir, "documents")
+        s.sql("""
+          WITH raw AS (SELECT doc_id,
+            concat(text, ' contact u', CAST(doc_id AS STRING),
+              '@mail.example tel 555-', CAST(doc_id * 7 AS STRING)) AS full_text
+            FROM documents)
+          SELECT doc_id,
+            regexp_count(full_text,
+              '[a-z0-9._]+@[a-z0-9.]+|555-[0-9]+') AS n_pii,
+            regexp_replace(regexp_replace(full_text,
+              '[a-z0-9._]+@[a-z0-9.]+', '<EMAIL>'),
+              '555-[0-9]+', '<TEL>') AS redacted
+          FROM raw ORDER BY doc_id""")
+      },
+      Some("""
+        WITH raw AS (SELECT doc_id,
+          text || ' contact u' || CAST(doc_id AS VARCHAR)
+            || '@mail.example tel 555-' || CAST(doc_id * 7 AS VARCHAR) AS full_text
+          FROM documents)
+        SELECT doc_id,
+          CAST(len(regexp_extract_all(full_text,
+            '[a-z0-9._]+@[a-z0-9.]+|555-[0-9]+')) AS INTEGER) AS n_pii,
+          regexp_replace(regexp_replace(full_text,
+            '[a-z0-9._]+@[a-z0-9.]+', '<EMAIL>', 'g'),
+            '555-[0-9]+', '<TEL>', 'g') AS redacted
+        FROM raw ORDER BY doc_id""")),
+
+    // argmin/argmax aggregates (SQL MAX_BY/MIN_BY ≡ DuckDB arg_max/arg_min).
+    // The ordering value is o_orderkey — unique by construction, so the
+    // picked row is deterministic with no tie-break dance: per status, the
+    // price of the newest and oldest order. One map-side-combinable agg.
+    Op("agg_minmax_by",
+      (s, dir) => {
+        view(s, dir, "orders")
+        s.sql("""SELECT o_orderstatus,
+          max_by(o_totalprice, o_orderkey) AS newest_price,
+          min_by(o_totalprice, o_orderkey) AS oldest_price,
+          MAX(o_totalprice) AS max_price, COUNT(*) AS n
+          FROM orders GROUP BY 1 ORDER BY 1""")
+      },
+      Some("""SELECT o_orderstatus,
+        arg_max(o_totalprice, o_orderkey) AS newest_price,
+        arg_min(o_totalprice, o_orderkey) AS oldest_price,
+        MAX(o_totalprice) AS max_price, COUNT(*) AS n
+        FROM orders GROUP BY 1 ORDER BY 1""")),
+
+    // Batch sessionization: gap > 30 min starts a new session — the batch
+    // twin of stream_session (session_window), built from primitives (lag →
+    // boundary flag → running sum) so the semantics are oracle-checkable.
+    // One shuffle on user_id; window state is per-user-bounded. Output is
+    // epoch-micros longs (cross-engine timestamp text differs at ns
+    // precision; the micros longs are the exact values both engines hold).
+    Op("win_sessionize",
+      (s, dir) => {
+        view(s, dir, "events")
+        s.sql("""
+          WITH e AS (SELECT user_id, event_id, unix_micros(ts) AS tm
+            FROM events WHERE user_id % 20 = 0),
+          l AS (SELECT user_id, event_id, tm,
+            LAG(tm) OVER (PARTITION BY user_id ORDER BY tm, event_id) AS ptm
+            FROM e),
+          b AS (SELECT user_id, event_id, tm,
+            CASE WHEN ptm IS NULL OR tm - ptm > 1800000000 THEN 1 ELSE 0 END AS ns
+            FROM l),
+          s AS (SELECT user_id, event_id, tm,
+            SUM(ns) OVER (PARTITION BY user_id ORDER BY tm, event_id
+              ROWS UNBOUNDED PRECEDING) AS sess
+            FROM b)
+          SELECT user_id, CAST(sess AS BIGINT) AS sess,
+            COUNT(*) AS n_events, MIN(tm) AS t0, MAX(tm) AS t1
+          FROM s GROUP BY 1, 2 ORDER BY 1, 2""")
+      },
+      Some("""
+        WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tm
+          FROM events WHERE user_id % 20 = 0),
+        l AS (SELECT user_id, event_id, tm,
+          LAG(tm) OVER (PARTITION BY user_id ORDER BY tm, event_id) AS ptm
+          FROM e),
+        b AS (SELECT user_id, event_id, tm,
+          CASE WHEN ptm IS NULL OR tm - ptm > 1800000000 THEN 1 ELSE 0 END AS ns
+          FROM l),
+        s AS (SELECT user_id, event_id, tm,
+          SUM(ns) OVER (PARTITION BY user_id ORDER BY tm, event_id
+            ROWS UNBOUNDED PRECEDING) AS sess
+          FROM b)
+        SELECT user_id, CAST(sess AS BIGINT) AS sess,
+          COUNT(*) AS n_events, MIN(tm) AS t0, MAX(tm) AS t1
+        FROM s GROUP BY 1, 2 ORDER BY 1, 2""")),
+
+    // Linear interpolation over the gap-filled 5-minute grid (ts_gapfill's
+    // sibling: gapfill carries counts forward, this reconstructs the value
+    // series a model trains on). prev/next observed value+time come from
+    // IGNORE NULLS window scans — two passes over the per-user grid, no
+    // self-join; interpolation is per-row IEEE arithmetic in identical op
+    // order in both engines. Grid edges are observed buckets by
+    // construction, so prev/next never fall off the series.
+    Op("ts_interpolate",
+      (s, dir) => {
+        view(s, dir, "events")
+        s.sql(s"""
+          WITH b AS (SELECT user_id, window(ts, '5 minutes').start AS bstart,
+            CAST(SUM(CAST(value AS DECIMAL(38,10))) AS DOUBLE) AS v
+            FROM events WHERE user_id % 50 = 0 GROUP BY 1, 2),
+          spans AS (SELECT user_id, MIN(bstart) AS mn, MAX(bstart) AS mx
+            FROM b GROUP BY 1),
+          grid AS (SELECT user_id,
+            explode(sequence(mn, mx, interval 5 minutes)) AS bstart FROM spans),
+          g AS (SELECT gr.user_id, gr.bstart, b.v,
+            unix_micros(gr.bstart) AS em
+            FROM grid gr LEFT JOIN b
+              ON b.user_id = gr.user_id AND b.bstart = gr.bstart),
+          w AS (SELECT user_id, bstart, v, em,
+            LAST_VALUE(v) IGNORE NULLS OVER wp AS pv,
+            LAST_VALUE(CASE WHEN v IS NOT NULL THEN em END) IGNORE NULLS
+              OVER wp AS pe,
+            FIRST_VALUE(v) IGNORE NULLS OVER wf AS nv,
+            FIRST_VALUE(CASE WHEN v IS NOT NULL THEN em END) IGNORE NULLS
+              OVER wf AS ne
+            FROM g
+            WINDOW wp AS (PARTITION BY user_id ORDER BY bstart
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+            wf AS (PARTITION BY user_id ORDER BY bstart
+              ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+          SELECT user_id, bstart,
+            CASE WHEN v IS NOT NULL THEN 1 ELSE 0 END AS observed,
+            CASE WHEN v IS NOT NULL THEN v
+              WHEN pv IS NULL THEN nv
+              WHEN nv IS NULL THEN pv
+              ELSE pv + (nv - pv)
+                * (CAST(em - pe AS DOUBLE) / CAST(ne - pe AS DOUBLE)) END AS filled
+          FROM w ORDER BY user_id, bstart""")
+      },
+      Some(s"""
+        WITH b AS (SELECT user_id,
+          time_bucket(INTERVAL '5 minutes', ts) AS bstart,
+          ${num.DSUM("value")} AS v
+          FROM events WHERE user_id % 50 = 0 GROUP BY 1, 2),
+        spans AS (SELECT user_id, MIN(bstart) AS mn, MAX(bstart) AS mx
+          FROM b GROUP BY 1),
+        grid AS (SELECT user_id,
+          unnest(generate_series(mn, mx, INTERVAL '5 minutes')) AS bstart
+          FROM spans),
+        g AS (SELECT gr.user_id, gr.bstart, b.v,
+          epoch_us(gr.bstart) AS em
+          FROM grid gr LEFT JOIN b
+            ON b.user_id = gr.user_id AND b.bstart = gr.bstart),
+        w AS (SELECT user_id, bstart, v, em,
+          LAST_VALUE(v IGNORE NULLS) OVER wp AS pv,
+          LAST_VALUE(CASE WHEN v IS NOT NULL THEN em END IGNORE NULLS)
+            OVER wp AS pe,
+          FIRST_VALUE(v IGNORE NULLS) OVER wf AS nv,
+          FIRST_VALUE(CASE WHEN v IS NOT NULL THEN em END IGNORE NULLS)
+            OVER wf AS ne
+          FROM g
+          WINDOW wp AS (PARTITION BY user_id ORDER BY bstart
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+          wf AS (PARTITION BY user_id ORDER BY bstart
+            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+        SELECT user_id, bstart,
+          CASE WHEN v IS NOT NULL THEN 1 ELSE 0 END AS observed,
+          CASE WHEN v IS NOT NULL THEN v
+            WHEN pv IS NULL THEN nv
+            WHEN nv IS NULL THEN pv
+            ELSE pv + (nv - pv)
+              * (CAST(em - pe AS DOUBLE) / CAST(ne - pe AS DOUBLE)) END AS filled
+        FROM w ORDER BY user_id, bstart""")),
+
+    // csv / json WRITE sinks (reads were covered by source_csv_json; this
+    // closes the writer half of the format surface): the same aggregate is
+    // written to both formats, read back with explicit schemas, and the
+    // union oracle certifies round-trip fidelity. Long counts only — float
+    // text round-trips are format-version territory, parquet owns those.
+    Op("sink_csv_json",
+      (s, dir) => {
+        val agg = Tables(s, dir, "nation")
+          .join(broadcast(Tables(s, dir, "region")),
+            col("n_regionkey") === col("r_regionkey"))
+          .groupBy("r_name").agg(count(lit(1)).as("n_nations"))
+        val out = Staging.fresh("sink-csv-json")
+        agg.write.mode("overwrite").option("header", "true").csv(s"$out/csv")
+        agg.write.mode("overwrite").json(s"$out/json")
+        val schema = "r_name STRING, n_nations BIGINT"
+        val c = s.read.schema(schema).option("header", "true").csv(s"$out/csv")
+          .withColumn("fmt", lit("csv"))
+        val j = s.read.schema(schema).json(s"$out/json")
+          .withColumn("fmt", lit("json"))
+        c.unionByName(j).select("fmt", "r_name", "n_nations")
+          .orderBy("fmt", "r_name")
+      },
+      Some("""
+        WITH agg AS (SELECT r_name, COUNT(*) AS n_nations
+          FROM nation JOIN region ON n_regionkey = r_regionkey GROUP BY 1)
+        SELECT fmt, r_name, n_nations
+        FROM (SELECT 'csv' AS fmt, * FROM agg
+          UNION ALL SELECT 'json', * FROM agg) u
+        ORDER BY fmt, r_name""")),
+
+    // Threshold (range) similarity join: ALL pairs with cosine ≥ τ inside
+    // the same 8-bit sign-LSH bucket — the ε-neighborhood companion to
+    // sim_knn_join's top-k. Bucketing keeps the candidate set equi-join-
+    // shaped (never all pairs); τ = 0.35 is calibrated to the fixture's
+    // random-vector cosine distribution (in-bucket p99 ≈ 0.36). Exact
+    // bucketed semantics — the oracle reproduces bucket + threshold, so
+    // recall loss from LSH is part of the contract, not hidden.
+    Op("sim_range_join",
+      (s, dir) => {
+        s.sql(s"""
+          WITH n AS (SELECT vec_id, embedding,
+            ${sparkSignBucket("embedding", 8)} AS bkt, nrm
+            FROM ${SimOps.normView(s, dir)}),
+          scored AS (SELECT a.vec_id AS va, b.vec_id AS vb,
+            vec_dot(a.embedding, b.embedding) / (a.nrm * b.nrm) AS cos
+            FROM n a JOIN n b ON b.bkt = a.bkt AND a.vec_id < b.vec_id)
+          SELECT va, vb, cos FROM scored WHERE cos >= 0.35
+          ORDER BY va, vb""")
+      },
+      Some(s"""
+        WITH n AS MATERIALIZED (SELECT vec_id, embedding,
+          ${duckSignBucket("embedding", 8)} AS bkt,
+          sqrt(${duckDot("embedding", "embedding")}) AS nrm FROM embeddings),
+        scored AS (SELECT a.vec_id AS va, b.vec_id AS vb,
+          ${duckDot("a.embedding", "b.embedding")} / (a.nrm * b.nrm) AS cos
+          FROM n a JOIN n b ON b.bkt = a.bkt AND a.vec_id < b.vec_id)
+        SELECT va, vb, cos FROM scored WHERE cos >= 0.35
+        ORDER BY va, vb"""))
+  )
+}

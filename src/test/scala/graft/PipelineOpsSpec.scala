@@ -1,0 +1,136 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Semantic invariants for the round-3 pipeline/relational/graph additions
+  * (cross-engine value equality is the Verify/DuckDB gate's job; these
+  * assert the properties the values must satisfy). */
+class PipelineOpsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = TestSpark.sf
+
+  test("split_train_test partitions the corpus exactly") {
+    val s = SparkEntry.queries("split_train_test")(spark, sf)
+    val rows = s.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rows.keySet.subsetOf(Set("train", "val", "test")))
+    assert(rows.values.sum == Tables(spark, sf, "documents").count())
+    // 8/1/1 hash split: train strictly dominates
+    assert(rows("train") > rows.getOrElse("val", 0L))
+    assert(rows("train") > rows.getOrElse("test", 0L))
+  }
+
+  test("text_pack conserves docs and tokens, pack ids contiguous") {
+    val p = SparkEntry.queries("text_pack")(spark, sf)
+      .orderBy("pack_id").collect()
+    val docs = Tables(spark, sf, "documents")
+    assert(p.map(_.getLong(1)).sum == docs.count())
+    val totalToks = docs
+      .select(sum(size(split(col("text"), " "))).cast("long")).head.getLong(0)
+    assert(p.map(_.getLong(2)).sum == totalToks)
+    assert(p.map(_.getLong(0)).toSeq == (0L until p.length).toSeq)
+    // every pack but the last reached the 512 budget (greedy overflow pack)
+    p.dropRight(1).foreach(r => assert(r.getLong(2) >= 512 - 99)) // max doc 99 toks
+  }
+
+  test("text_pii_redact strips every address and phone") {
+    val r = SparkEntry.queries("text_pii_redact")(spark, sf)
+    assert(r.filter(col("redacted").contains("@") ||
+      col("redacted").rlike("555-[0-9]")).count() == 0)
+    assert(r.filter(col("n_pii") < 2).count() == 0) // email + tel per doc
+    assert(r.filter(!col("redacted").contains("<EMAIL>") ||
+      !col("redacted").contains("<TEL>")).count() == 0)
+  }
+
+  test("agg_minmax_by picks the rows the window form picks") {
+    val m = SparkEntry.queries("agg_minmax_by")(spark, sf)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("o_orderstatus").orderBy(col("o_orderkey").desc)
+    val expect = Tables(spark, sf, "orders")
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("o_orderstatus"), col("o_totalprice").as("newest_price"))
+    assert(m.select("o_orderstatus", "newest_price")
+      .except(expect).count() == 0)
+  }
+
+  test("win_sessionize: sessions are dense per user and gap-consistent") {
+    val s = SparkEntry.queries("win_sessionize")(spark, sf)
+    // session ids are 1..k per user
+    val dense = s.groupBy("user_id")
+      .agg(min("sess").as("mn"), max("sess").as("mx"), count(lit(1)).as("k"))
+    assert(dense.filter(col("mn") =!= 1 || col("mx") =!= col("k")).count() == 0)
+    // consecutive sessions of one user are separated by > 30 min
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("sess")
+    val adj = s.withColumn("prev_t1", lag("t1", 1).over(w))
+      .filter(col("prev_t1").isNotNull)
+    assert(adj.filter(col("t0") - col("prev_t1") <= 1800000000L).count() == 0)
+    // event conservation
+    val total = Tables(spark, sf, "events")
+      .filter(col("user_id") % 20 === 0).count()
+    assert(s.agg(sum("n_events")).head.getLong(0) == total)
+  }
+
+  test("ts_interpolate fills every grid slot within neighbor bounds") {
+    val t = SparkEntry.queries("ts_interpolate")(spark, sf)
+    assert(t.filter(col("filled").isNull).count() == 0)
+    // interpolated (unobserved) values lie between adjacent observed values
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("bstart")
+    val withNbr = t
+      .withColumn("pv", last(when(col("observed") === 1, col("filled")), ignoreNulls = true)
+        .over(w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .withColumn("nv", first(when(col("observed") === 1, col("filled")), ignoreNulls = true)
+        .over(w.rowsBetween(0, org.apache.spark.sql.expressions.Window.unboundedFollowing)))
+    val bad = withNbr.filter(col("observed") === 0 &&
+      (col("filled") < least(col("pv"), col("nv")) ||
+        col("filled") > greatest(col("pv"), col("nv"))))
+    assert(bad.count() == 0)
+  }
+
+  test("sink_csv_json: both formats round-trip identically") {
+    val r = SparkEntry.queries("sink_csv_json")(spark, sf)
+    val csv = r.filter(col("fmt") === "csv").drop("fmt")
+    val json = r.filter(col("fmt") === "json").drop("fmt")
+    assert(csv.count() > 0)
+    assert(csv.except(json).count() == 0 && json.except(csv).count() == 0)
+  }
+
+  test("sim_range_join: ordered pairs above threshold only") {
+    val r = SparkEntry.queries("sim_range_join")(spark, sf)
+    assert(r.filter(col("va") >= col("vb")).count() == 0)
+    assert(r.filter(col("cos") < 0.35).count() == 0)
+  }
+
+  test("graph_kcore survivors all keep degree >= 2 within the core") {
+    val core = SparkEntry.queries("graph_kcore")(spark, sf)
+    assert(core.filter(col("deg") < 2).count() == 0)
+    // recompute degree over the surviving induced subgraph: must equal deg
+    val g = graph.GraphFixture(spark, sf)
+    val und = g.edges.filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b")).distinct()
+    val ids = core.select(col("id"))
+    val e = und.join(ids.withColumnRenamed("id", "a"), Seq("a"), "left_semi")
+      .join(ids.withColumnRenamed("id", "b"), Seq("b"), "left_semi")
+    val deg = e.select(col("a").as("id")).unionAll(e.select(col("b").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("deg2"))
+    val joined = core.join(deg, Seq("id"), "left")
+    assert(joined.filter(col("deg2").isNull || col("deg2") =!= col("deg"))
+      .count() == 0)
+  }
+
+  test("graph_bipartite histogram accounts for every co-located pair") {
+    val h = SparkEntry.queries("graph_bipartite")(spark, sf).collect()
+    assert(h.nonEmpty)
+    assert(h.forall(_.getLong(0) >= 1))
+    // total pair-multiplicity equals the direct 2-path count
+    val co = graph.GraphFixture(spark, sf).edges
+      .filter(col("label") === "colocated")
+      .select(col("src").as("c"), col("dst").as("sup"))
+    val paths = co.select(col("c").as("c1"), col("sup"))
+      .join(co.select(col("c").as("c2"), col("sup")), "sup")
+      .filter(col("c1") < col("c2")).count()
+    assert(h.map(r => r.getLong(0) * r.getLong(1)).sum == paths)
+  }
+}
