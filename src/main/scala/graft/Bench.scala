@@ -36,6 +36,7 @@ object Bench {
       // order pays routing-table build + Pregel JIT (driver round-2 run:
       // graph_pregel 37.6 s vs 2.5 s steady-state).
       g.varHop(g.vertices.limit(1), 1).count()
+      g.undirectedEdges.count() // shared by triangles / k-core
       SparkEntry.queries("sim_topk")(spark, sfDir).count() // embeddings views
     } catch { // a broken warmup must not kill the bench, but say so loudly —
       // silently skipping re-charges one-time ingest to the first graph key

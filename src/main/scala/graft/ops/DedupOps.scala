@@ -40,6 +40,16 @@ object DedupOps extends OpModule {
     s"($sparkShingleSql) q"
   }
 
+  /** The verified near-dup PAIR SET, materialized once per (session, dir)
+    * and shared by dedup_minhash and dedup_cluster — the full MinHash
+    * pipeline ran twice otherwise (~2.5 s each at sf0.1). Unlike the
+    * shingle view (see above), this is the tiny END product (hundreds of
+    * rows), so caching it cannot perturb upstream join planning. */
+  private def pairsView(s: org.apache.spark.sql.SparkSession, dir: String): String =
+    graft.Views.materialize(s, dir, "mhpairs",
+      s"""WITH ${minhashCtes(spark = true, shingleFrom(s, dir))}
+        SELECT da, db, n_common, jaccard FROM pairs""")
+
   /** WITH-clause prefix ending in `pairs(da, db, n_common, jaccard)` — the
     * MinHash→LSH-band→exact-verify near-dup pairs, emitted in either SQL
     * dialect; shared by dedup_minhash (reports the pairs) and dedup_cluster
@@ -118,9 +128,8 @@ object DedupOps extends OpModule {
     // MinHash + LSH near-dup pairs, exact-Jaccard verified ≥ 0.5.
     Op("dedup_minhash",
       (s, dir) => {
-        s.sql(s"""WITH ${minhashCtes(spark = true, shingleFrom(s, dir))}
-          SELECT da AS doc_a, db AS doc_b, n_common, jaccard FROM pairs
-          ORDER BY doc_a, doc_b""")
+        s.sql(s"""SELECT da AS doc_a, db AS doc_b, n_common, jaccard
+          FROM ${pairsView(s, dir)} ORDER BY doc_a, doc_b""")
       },
       Some(s"""WITH ${minhashCtes(spark = false, s"($duckShingleSql) q")}
         SELECT da AS doc_a, db AS doc_b, n_common, jaccard FROM pairs
@@ -142,8 +151,7 @@ object DedupOps extends OpModule {
         // pairs themselves are huge, drop the coalesce — the same loop runs
         // partitioned. (The bigger round-2 win was halving materialization
         // rounds via hook+jump: 12.7 s → ~4 s on the whole key.)
-        val pairs = s.sql(
-          s"WITH ${minhashCtes(spark = true, shingleFrom(s, dir))} SELECT da, db FROM pairs")
+        val pairs = s.sql(s"SELECT da, db FROM ${pairsView(s, dir)}")
           .localCheckpoint()
         val und = pairs.select(col("da").as("a"), col("db").as("b"))
           .unionAll(pairs.select(col("db").as("a"), col("da").as("b")))

@@ -426,14 +426,15 @@ object GraphOps extends OpModule {
         FROM edges GROUP BY 2
         ORDER BY kind, label"""))),
 
-    // Bounded 2-core peel, 4 rounds (fixed rounds = deterministic partial
+    // Bounded 2-core peel, 3 rounds (fixed rounds = deterministic partial
     // peel; the oracle runs the identical rounds, so convergence is not
-    // assumed — see PropertyGraph.kCore).
+    // assumed — though this fixture converges at round 2 at every SF, so
+    // round 3 also certifies the fixpoint. See PropertyGraph.kCore).
     Op("graph_kcore",
-      (s, dir) => GraphFixture(s, dir).kCore(2, 4).orderBy("id"),
+      (s, dir) => GraphFixture(s, dir).kCore(2, 3).orderBy("id"),
       Some(withGraph(
-        "SELECT id, deg FROM kc4 ORDER BY id",
-        extra = GraphSql.kcChain(2, 4)))),
+        "SELECT id, deg FROM kc3 ORDER BY id",
+        extra = GraphSql.kcChain(2, 3)))),
 
     // Bipartite projection: customers sharing a colocated supplier →
     // co-occurrence pair counts, summarized as a histogram (pair list is
