@@ -122,4 +122,41 @@ class PlanQualitySpec extends AnyFunSuite {
     // NOT a nested-loop/cartesian over the time predicate
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
   }
+
+  test("sim_range_join generates candidates via a bucket equi-join, not all pairs") {
+    val p = plan("sim_range_join")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+  }
+
+  test("split_train_test aggregates with map-side combine (pure scan + agg)") {
+    val p = finalPlan("split_train_test")
+    assert(p.contains("partial_"), p)
+    assert(!p.contains("Join"), p) // no join anywhere — per-row hash + agg
+  }
+
+  test("graph_bipartite projects per-supplier (equi-join) and pre-aggregates") {
+    val p = finalPlan("graph_bipartite")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+    assert(p.contains("partial_"), p) // histogram agg map-side combines
+  }
+
+  test("graph_kcore semi-joins stay on the broadcast path") {
+    // the survivor set is vertex-sized and explicitly hinted — the edge set
+    // must never re-shuffle during peeling (see PropertyGraph.kCore)
+    val df = graph.GraphFixture(spark, TestSpark.sf).kCore(2, 2)
+    val p = df.queryExecution.analyzed.toString
+    // result is a checkpointed LogicalRDD — peeling already ran; assert the
+    // per-round shape on a fresh single round instead
+    import org.apache.spark.sql.functions._
+    val g = graph.GraphFixture(spark, TestSpark.sf)
+    val und = g.undirectedEdges
+    val keep = df.select("id")
+    val e = und
+      .join(broadcast(keep.withColumnRenamed("id", "a")), Seq("a"), "left_semi")
+      .join(broadcast(keep.select(col("id").as("b"))), Seq("b"), "left_semi")
+    e.collect()
+    val ep = e.queryExecution.executedPlan.toString
+    assert(ep.contains("BroadcastHashJoin") && ep.contains("LeftSemi"), ep)
+    assert(p.nonEmpty)
+  }
 }
