@@ -18,6 +18,8 @@ object Prof {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      // bucketed-table artifacts (join_bucketed) land in scratch, not ./spark-warehouse
+      .config("spark.sql.warehouse.dir", Staging.dir("warehouse"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     keys.split(",").foreach { k =>

@@ -16,6 +16,8 @@ object Verify {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      // bucketed-table artifacts (join_bucketed) land in scratch, not ./spark-warehouse
+      .config("spark.sql.warehouse.dir", Staging.dir("warehouse"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

@@ -22,6 +22,24 @@ import org.apache.spark.sql.functions._
   */
 object RelationalOps extends OpModule {
 
+  /** lineitem/orders saved as bucketed+sorted tables on the order key —
+    * the ingest-time layout that lets fact-fact joins run shuffle-free.
+    * Memoized per (session, dir): the write happens once per session (the
+    * stored-table analog of GraphFixture's cached graph); table names are
+    * dir-scoped so SFs don't collide in a shared JVM. 16 buckets suits the
+    * bench SFs; a cluster sizes buckets to ~executor-count × small factor. */
+  private val bucketMemo = new graft.SessionMemo[String, (String, String)]
+  private def bucketedFacts(s: SparkSession, dir: String): (String, String) =
+    bucketMemo.getOrElseUpdate(s, dir) {
+      val tag = Integer.toHexString(dir.hashCode)
+      val lt = s"lineitem_bkt_$tag"; val ot = s"orders_bkt_$tag"
+      Tables(s, dir, "lineitem").write.mode("overwrite")
+        .bucketBy(16, "l_orderkey").sortBy("l_orderkey").saveAsTable(lt)
+      Tables(s, dir, "orders").write.mode("overwrite")
+        .bucketBy(16, "o_orderkey").sortBy("o_orderkey").saveAsTable(ot)
+      (lt, ot)
+    }
+
   def ops: Seq[Op] = Seq(
 
     Op("scan_parquet",
@@ -158,6 +176,27 @@ object RelationalOps extends OpModule {
       Some("""SELECT r_name, o_orderstatus FROM region
         CROSS JOIN (SELECT DISTINCT o_orderstatus FROM orders) s
         ORDER BY r_name, o_orderstatus""")),
+
+    // Co-located bucketed fact-fact join — THE 100 TB join strategy: both
+    // fact tables live bucketed+sorted on the join key (ingest-time layout,
+    // built once per session like the stored graph — see bucketedFacts),
+    // so the join itself runs with ZERO shuffle exchanges on either side
+    // (asserted in PlanQualitySpec). The measured cost here is the join +
+    // aggregate over the bucketed layout, not the one-time bucketing.
+    Op("join_bucketed",
+      (s, dir) => {
+        val (lt, ot) = bucketedFacts(s, dir)
+        s.table(lt)
+          .join(s.table(ot), col("l_orderkey") === col("o_orderkey"))
+          .groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("n_lines"),
+            graft.num.dsum(col("l_extendedprice")).as("sum_price"))
+          .orderBy("o_orderstatus")
+      },
+      Some(s"""SELECT o_orderstatus, COUNT(*) AS n_lines,
+        ${graft.num.DSUM("l_extendedprice")} AS sum_price
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY 1 ORDER BY 1""")),
 
     // Equi-anchored range join: for each order, how many orders by the same
     // customer land in the following 30 days (inclusive of itself). The

@@ -149,6 +149,25 @@ object ScalarFnOps extends OpModule {
           WHEN '3-MEDIUM' THEN 3 ELSE 9 END AS prio_rank,
         COALESCE(NULLIF(o_orderstatus, 'O'), 'OPEN') AS status_label,
         CASE WHEN o_totalprice > 150000.0 THEN 'big' ELSE 'small' END AS bucket
+        FROM orders ORDER BY o_orderkey""")),
+
+    // Bitwise surface (partition routing, bitmask flags, hash mixing —
+    // the bit-level toolkit LSH/fingerprint operators build on): and / or /
+    // xor / shifts / popcount, all codegen'd per-row primitives.
+    Op("fn_bitwise",
+      (s, dir) => Tables(s, dir, "orders")
+        .select(col("o_orderkey"),
+          (col("o_orderkey").bitwiseAND(255)).as("band"),
+          (col("o_orderkey").bitwiseOR(15)).as("ored"),
+          (col("o_orderkey").bitwiseXOR(12345)).as("xored"),
+          shiftleft(col("o_orderkey"), 2).as("shl"),
+          shiftright(col("o_orderkey"), 3).as("shr"),
+          bit_count(col("o_orderkey")).as("nbits"))
+        .orderBy("o_orderkey"),
+      Some("""SELECT o_orderkey, o_orderkey & 255 AS band,
+        o_orderkey | 15 AS ored, xor(o_orderkey, 12345) AS xored,
+        o_orderkey << 2 AS shl, o_orderkey >> 3 AS shr,
+        bit_count(o_orderkey) AS nbits
         FROM orders ORDER BY o_orderkey"""))
   )
 }

@@ -123,6 +123,18 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
   }
 
+  test("join_bucketed: the registered key joins with no fact-table shuffle") {
+    val df = SparkEntry.queries("join_bucketed")(spark, TestSpark.sf)
+    df.collect()
+    // AQE's toString renders the final plan AND the initial plan; count
+    // exchanges in the final section only.
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    // the only hash exchange allowed is the (tiny) aggregation's — the
+    // fact-fact join itself must ride the bucketed layout shuffle-free
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(hashExchanges <= 1, p)
+  }
+
   test("sim_range_join generates candidates via a bucket equi-join, not all pairs") {
     val p = plan("sim_range_join")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
