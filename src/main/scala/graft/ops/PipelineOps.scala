@@ -48,34 +48,37 @@ object PipelineOps extends OpModule {
 
     // Context-window packing: concatenate docs in a stable order into
     // ~512-token training windows (doc boundaries respected, windows may
-    // overflow by one doc — the standard greedy sequential packer). pack_id
-    // = running-token-count-before div budget: one window pass, no
-    // driver loop; at 100 TB the ORDER BY becomes a range-partitioned sort,
-    // and packing stays a single prefix-sum over it.
+    // overflow by one doc — the standard greedy sequential packer). The
+    // running sum is PARTITIONED BY SOURCE — a global ORDER BY window would
+    // execute as one task at any scale; per-shard packing (here: the
+    // corpus's source streams, at 100 TB: file shards) is what pipelines
+    // actually ship, and each shard's prefix-sum is an independent
+    // partition-parallel window. pack_id = (source, running-token-count-
+    // before div budget).
     Op("text_pack",
       (s, dir) => {
         view(s, dir, "documents")
         s.sql("""
-          WITH t AS (SELECT doc_id, size(split(text, ' ')) AS toks
+          WITH t AS (SELECT source, doc_id, size(split(text, ' ')) AS toks
             FROM documents),
-          c AS (SELECT doc_id, toks,
-            COALESCE(SUM(toks) OVER (ORDER BY doc_id
+          c AS (SELECT source, doc_id, toks,
+            COALESCE(SUM(toks) OVER (PARTITION BY source ORDER BY doc_id
               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
             FROM t)
-          SELECT cb div 512 AS pack_id, COUNT(*) AS n_docs,
+          SELECT source, cb div 512 AS pack_id, COUNT(*) AS n_docs,
             SUM(toks) AS sum_toks, MIN(doc_id) AS first_doc
-          FROM c GROUP BY 1 ORDER BY 1""")
+          FROM c GROUP BY 1, 2 ORDER BY 1, 2""")
       },
       Some("""
-        WITH t AS (SELECT doc_id, len(string_split(text, ' ')) AS toks
+        WITH t AS (SELECT source, doc_id, len(string_split(text, ' ')) AS toks
           FROM documents),
-        c AS (SELECT doc_id, toks,
-          COALESCE(SUM(toks) OVER (ORDER BY doc_id
+        c AS (SELECT source, doc_id, toks,
+          COALESCE(SUM(toks) OVER (PARTITION BY source ORDER BY doc_id
             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
           FROM t)
-        SELECT CAST(cb // 512 AS BIGINT) AS pack_id, COUNT(*) AS n_docs,
+        SELECT source, CAST(cb // 512 AS BIGINT) AS pack_id, COUNT(*) AS n_docs,
           CAST(SUM(toks) AS BIGINT) AS sum_toks, MIN(doc_id) AS first_doc
-        FROM c GROUP BY 1 ORDER BY 1""")),
+        FROM c GROUP BY 1, 2 ORDER BY 1, 2""")),
 
     // PII redaction — the scrubbing pass before training data leaves the
     // pipeline. The fixture corpus is synthetic words, so a contact string

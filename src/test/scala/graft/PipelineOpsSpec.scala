@@ -20,17 +20,22 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(rows("train") > rows.getOrElse("test", 0L))
   }
 
-  test("text_pack conserves docs and tokens, pack ids contiguous") {
-    val p = SparkEntry.queries("text_pack")(spark, sf)
-      .orderBy("pack_id").collect()
+  test("text_pack conserves docs and tokens, pack ids contiguous per source") {
+    val rows = SparkEntry.queries("text_pack")(spark, sf)
+      .orderBy("source", "pack_id").collect()
     val docs = Tables(spark, sf, "documents")
-    assert(p.map(_.getLong(1)).sum == docs.count())
+    assert(rows.map(_.getLong(2)).sum == docs.count())
     val totalToks = docs
       .select(sum(size(split(col("text"), " "))).cast("long")).head.getLong(0)
-    assert(p.map(_.getLong(2)).sum == totalToks)
-    assert(p.map(_.getLong(0)).toSeq == (0L until p.length).toSeq)
-    // every pack but the last reached the 512 budget (greedy overflow pack)
-    p.dropRight(1).foreach(r => assert(r.getLong(2) >= 512 - 99)) // max doc 99 toks
+    assert(rows.map(_.getLong(3)).sum == totalToks)
+    rows.groupBy(_.getString(0)).foreach { case (_, p) =>
+      // pack ids dense 0..k within each source shard
+      assert(p.map(_.getLong(1)).toSeq.sorted == (0L until p.length).toSeq)
+      // every pack but the shard's last reached the 512 budget (greedy
+      // overflow pack; max doc is 99 tokens)
+      p.sortBy(_.getLong(1)).dropRight(1)
+        .foreach(r => assert(r.getLong(3) >= 512 - 99))
+    }
   }
 
   test("text_pii_redact strips every address and phone") {
