@@ -426,6 +426,29 @@ object GraphOps extends OpModule {
         FROM edges GROUP BY 2
         ORDER BY kind, label"""))),
 
+    // Neighborhood aggregation — GraphX's aggregateMessages primitive
+    // re-expressed declaratively: per vertex, count + exact sum + max of
+    // OUT-neighbor values. One equi-join (vertex attrs onto edge dst) and
+    // one map-side-combined groupBy on src — the building block every
+    // custom vertex-centric analytic reduces to.
+    Op("graph_nbr_agg",
+      (s, dir) => {
+        val g = GraphFixture(s, dir)
+        g.edges.select("src", "dst")
+          .join(g.vertices.select(col("id").as("dst"),
+            coalesce(col("val"), lit(0.0)).as("v")), "dst")
+          .groupBy(col("src").as("id"))
+          .agg(count(lit(1)).as("n_out"),
+            graft.num.dsum(col("v")).as("sum_val"),
+            max(col("v")).as("max_val"))
+          .orderBy("id")
+      },
+      Some(withGraph(s"""SELECT e.src AS id, COUNT(*) AS n_out,
+          ${graft.num.DSUM("COALESCE(v.val, 0)")} AS sum_val,
+          MAX(COALESCE(v.val, 0)) AS max_val
+        FROM edges e JOIN vertices v ON v.id = e.dst
+        GROUP BY 1 ORDER BY 1"""))),
+
     // Bounded 2-core peel, 3 rounds (fixed rounds = deterministic partial
     // peel; the oracle runs the identical rounds, so convergence is not
     // assumed — though this fixture converges at round 2 at every SF, so
