@@ -255,6 +255,26 @@ object PipelineOps extends OpModule {
               * (CAST(em - pe AS DOUBLE) / CAST(ne - pe AS DOUBLE)) END AS filled
         FROM w ORDER BY user_id, bstart""")),
 
+    // Ordered string aggregation (SQL LISTAGG / string_agg): per source,
+    // the sorted distinct language list as CSV. Sorting inside the
+    // aggregate makes set-valued string concat deterministic under any
+    // partitioning — the same rule agg_collect applies to arrays.
+    Op("agg_string_concat",
+      (s, dir) => {
+        view(s, dir, "documents")
+        s.sql("""SELECT source,
+          array_join(array_sort(collect_set(lang)), ',') AS langs,
+          COUNT(DISTINCT lang) AS n_langs, COUNT(*) AS n_docs
+          FROM documents GROUP BY 1 ORDER BY 1""")
+      },
+      Some("""
+        WITH d AS (SELECT DISTINCT source, lang FROM documents),
+        a AS (SELECT source, string_agg(lang, ',' ORDER BY lang) AS langs,
+          COUNT(*) AS n_langs FROM d GROUP BY 1),
+        c AS (SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY 1)
+        SELECT a.source, a.langs, a.n_langs, c.n_docs
+        FROM a JOIN c USING (source) ORDER BY source""")),
+
     // csv / json WRITE sinks (reads were covered by source_csv_json; this
     // closes the writer half of the format surface): the same aggregate is
     // written to both formats, read back with explicit schemas, and the
