@@ -6,9 +6,11 @@ import org.apache.spark.sql.SparkSession
   * (regenerates PLANS.md). Usage: runMain graft.Plans <sfDir>. */
 object Plans {
   val showcase: Seq[String] = Seq("scan_pruned", "join_broadcast",
-    "join_theta_range", "agg_group", "topk_per_group", "join_asof_exec",
-    "graph_hop2", "dedup_minhash", "sim_topk", "stream_tumbling",
+    "join_theta_range", "join_bucketed", "agg_group", "topk_per_group",
+    "join_asof_exec", "graph_hop2", "graph_nbr_agg", "dedup_minhash",
+    "sim_topk", "sim_range_join", "stream_tumbling",
     "graph_prop_visibility", "stream_stream_join", "ts_gapfill",
+    "ts_interpolate", "win_sessionize", "text_pack", "split_train_test",
     "sink_partitioned")
 
   def main(args: Array[String]): Unit = {
@@ -17,6 +19,8 @@ object Plans {
     def println(s: String = ""): Unit = { out.append(s).append('\n'); () }
     val spark = GraftSession.builder("local[8]", 8)
       .config("spark.sql.extensions", "") // ops self-register
+      // bucketed-table artifacts (join_bucketed) land in scratch, not ./spark-warehouse
+      .config("spark.sql.warehouse.dir", Staging.dir("warehouse"))
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     println("# PLANS — formatted physical plans of showcase queries")

@@ -205,12 +205,26 @@ final case class PropertyGraph(vertices: DataFrame, edges: DataFrame) {
     * stored per-graph artifact (built on first use, reused by every key in
     * the session) — the reference family stores its graph, queries don't
     * re-derive it. ~2 longs/edge in memory; at 100 TB this is a stored
-    * table bucketed by `a` instead of an in-memory cache. */
+    * table bucketed by `a` instead of an in-memory cache.
+    *
+    * LIFECYCLE: the cache lives as long as this PropertyGraph instance is
+    * used. Long-lived sessions that construct throwaway instances (e.g.
+    * `g.visible.triangleCounts` per query, instead of the memoized
+    * GraphFixture graph) should call [[uncache]] when done with one. */
   lazy val undirectedEdges: DataFrame = edges
     .filter(col("src") =!= col("dst"))
     .select(least(col("src"), col("dst")).as("a"),
       greatest(col("src"), col("dst")).as("b")).distinct()
     .persist()
+
+  /** Release this instance's cached artifacts ([[undirectedEdges]] now;
+    * the GraphX view's RDD caches are dropped by GC once unreferenced).
+    * Safe whether or not the artifact was ever computed — unpersisting a
+    * registered-but-unmaterialized cache is a cheap catalog removal. */
+  def uncache(): Unit = {
+    undirectedEdges.unpersist()
+    ()
+  }
 
   /** GraphX view: vertex attr = val (nulls → 0.0), unit edge attr.
     * MEMORY_AND_DISK so 100 TB-scale graphs spill instead of OOM.
@@ -394,17 +408,23 @@ final case class PropertyGraph(vertices: DataFrame, edges: DataFrame) {
       .groupBy("id").agg(count(lit(1)).as("deg"))
       .filter(col("deg") >= k)
       .localCheckpoint()
-    for (_ <- 2 to rounds) {
-      val keep = live.select("id")
-      val e = und
-        .join(broadcast(keep.withColumnRenamed("id", "a")), Seq("a"), "left_semi")
-        .join(broadcast(keep.select(col("id").as("b"))), Seq("b"), "left_semi")
-      live = e.select(col("a").as("id")).unionAll(e.select(col("b").as("id")))
-        .groupBy("id").agg(count(lit(1)).as("deg"))
-        .filter(col("deg") >= k)
-        .localCheckpoint()
-    }
+    for (_ <- 2 to rounds)
+      live = kCoreRound(live, k).localCheckpoint()
     live
+  }
+
+  /** One peel round: restrict the undirected edges to `live` survivors
+    * (broadcast semi-joins — see [[kCore]]) and recount degrees. Exposed
+    * package-private so PlanQualitySpec can assert the REAL round's join
+    * shape, not a reconstruction. */
+  private[graft] def kCoreRound(live: DataFrame, k: Int): DataFrame = {
+    val keep = live.select("id")
+    val e = undirectedEdges
+      .join(broadcast(keep.withColumnRenamed("id", "a")), Seq("a"), "left_semi")
+      .join(broadcast(keep.select(col("id").as("b"))), Seq("b"), "left_semi")
+    e.select(col("a").as("id")).unionAll(e.select(col("b").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("deg"))
+      .filter(col("deg") >= k)
   }
 
   /** DataFrame label propagation, fixed iterations, DETERMINISTIC tie-break

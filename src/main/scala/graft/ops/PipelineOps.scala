@@ -46,15 +46,17 @@ object PipelineOps extends OpModule {
           COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
         FROM h GROUP BY 1 ORDER BY 1""")),
 
-    // Context-window packing: concatenate docs in a stable order into
-    // ~512-token training windows (doc boundaries respected, windows may
-    // overflow by one doc — the standard greedy sequential packer). The
-    // running sum is PARTITIONED BY SOURCE — a global ORDER BY window would
-    // execute as one task at any scale; per-shard packing (here: the
+    // Context-window packing by OFFSET BINNING: concatenate each shard's
+    // docs in a stable order and cut the token stream at fixed 512-token
+    // marks; a doc belongs to the bin containing its start offset (doc
+    // boundaries respected, so a doc straddling a mark overflows its bin
+    // and the NEXT bin starts correspondingly short — unlike a greedy
+    // packer, which would reset the budget per pack; offset binning is the
+    // windowless-shuffle variant: one prefix sum, no sequential state).
+    // The running sum is PARTITIONED BY SOURCE — a global ORDER BY window
+    // would execute as one task at any scale; per-shard packing (here: the
     // corpus's source streams, at 100 TB: file shards) is what pipelines
-    // actually ship, and each shard's prefix-sum is an independent
-    // partition-parallel window. pack_id = (source, running-token-count-
-    // before div budget).
+    // ship anyway. pack_id = (source, start-offset div budget).
     Op("text_pack",
       (s, dir) => {
         view(s, dir, "documents")
@@ -270,7 +272,7 @@ object PipelineOps extends OpModule {
       Some("""
         WITH d AS (SELECT DISTINCT source, lang FROM documents),
         a AS (SELECT source, string_agg(lang, ',' ORDER BY lang) AS langs,
-          COUNT(*) AS n_langs FROM d GROUP BY 1),
+          COUNT(lang) AS n_langs FROM d GROUP BY 1),
         c AS (SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY 1)
         SELECT a.source, a.langs, a.n_langs, c.n_docs
         FROM a JOIN c USING (source) ORDER BY source""")),

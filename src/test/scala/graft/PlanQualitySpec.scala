@@ -153,22 +153,16 @@ class PlanQualitySpec extends AnyFunSuite {
   }
 
   test("graph_kcore semi-joins stay on the broadcast path") {
-    // the survivor set is vertex-sized and explicitly hinted — the edge set
-    // must never re-shuffle during peeling (see PropertyGraph.kCore)
-    val df = graph.GraphFixture(spark, TestSpark.sf).kCore(2, 2)
-    val p = df.queryExecution.analyzed.toString
-    // result is a checkpointed LogicalRDD — peeling already ran; assert the
-    // per-round shape on a fresh single round instead
-    import org.apache.spark.sql.functions._
+    // the survivor set is vertex-sized and explicitly hinted — the edge
+    // set must never re-shuffle during peeling. Assert on the REAL round
+    // function kCore's loop uses (kCoreRound), fed a checkpointed survivor
+    // set exactly as in the loop.
     val g = graph.GraphFixture(spark, TestSpark.sf)
-    val und = g.undirectedEdges
-    val keep = df.select("id")
-    val e = und
-      .join(broadcast(keep.withColumnRenamed("id", "a")), Seq("a"), "left_semi")
-      .join(broadcast(keep.select(col("id").as("b"))), Seq("b"), "left_semi")
-    e.collect()
-    val ep = e.queryExecution.executedPlan.toString
-    assert(ep.contains("BroadcastHashJoin") && ep.contains("LeftSemi"), ep)
-    assert(p.nonEmpty)
+    val round = g.kCoreRound(g.kCore(2, 1), 2)
+    round.collect()
+    val p = round.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"), p)
+    assert(!p.contains("SortMergeJoin"), p)
   }
 }
