@@ -217,12 +217,46 @@ final case class PropertyGraph(vertices: DataFrame, edges: DataFrame) {
       greatest(col("src"), col("dst")).as("b")).distinct()
     .persist()
 
-  /** Release this instance's cached artifacts ([[undirectedEdges]] now;
-    * the GraphX view's RDD caches are dropped by GC once unreferenced).
-    * Safe whether or not the artifact was ever computed — unpersisting a
-    * registered-but-unmaterialized cache is a cheap catalog removal. */
+  /** Degree-ordered oriented adjacency — the stored INDEX for triangle /
+    * wedge workloads: each undirected edge oriented from its lower-(degree,
+    * id) endpoint `u` to the higher `v`, carrying v's degree `dv` (the
+    * orientation key for downstream candidate ordering). Out-degrees under
+    * this orientation are bounded by graph arboricity — the property that
+    * keeps wedge enumeration near-linear on skewed graphs. Derived once per
+    * graph (two degree joins over [[undirectedEdges]]), stored like the
+    * other session artifacts; at 100 TB this is a materialized table
+    * bucketed by `u`. */
+  lazy val orientedEdges: DataFrame = {
+    val und = undirectedEdges
+    val deg = und.select(col("a").as("id")).unionAll(und.select(col("b").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("d"))
+      .persist() // joined twice just below; freed after the build
+    val withDeg = und
+      .join(deg.select(col("id").as("a"), col("d").as("da")), "a")
+      .join(deg.select(col("id").as("b"), col("d").as("db")), "b")
+    val aFirst = col("da") < col("db") ||
+      (col("da") === col("db") && col("a") < col("b"))
+    val ori = withDeg.select(
+      when(aFirst, col("a")).otherwise(col("b")).as("u"),
+      when(aFirst, col("b")).otherwise(col("a")).as("v"),
+      when(aFirst, col("db")).otherwise(col("da")).as("dv"))
+      .persist()
+    ori.count() // materialize before freeing the degree scratch
+    deg.unpersist()
+    oriBuilt = true
+    ori
+  }
+  @volatile private var oriBuilt = false
+
+  /** Release this instance's cached artifacts ([[undirectedEdges]] and
+    * [[orientedEdges]]; the GraphX view's RDD caches are dropped by GC once
+    * unreferenced). Safe whether or not an artifact was ever computed —
+    * unpersisting the registered-but-unmaterialized undirected view is a
+    * cheap catalog removal, and the oriented index (whose build is eager)
+    * is only touched if it was actually built. */
   def uncache(): Unit = {
     undirectedEdges.unpersist()
+    if (oriBuilt) { orientedEdges.unpersist(); () }
     ()
   }
 
@@ -351,23 +385,10 @@ final case class PropertyGraph(vertices: DataFrame, edges: DataFrame) {
     * The vertex-sized result is materialized eagerly, then the scratch is
     * unpersisted — nothing stays pinned in the CacheManager. */
   def triangleCounts: DataFrame = {
-    val und = undirectedEdges // shared stored artifact (read 2× here)
-    val deg = und.select(col("a").as("id")).unionAll(und.select(col("b").as("id")))
-      .groupBy("id").agg(count(lit(1)).as("d"))
-      .persist() // joined twice below
-    val withDeg = und
-      .join(deg.select(col("id").as("a"), col("d").as("da")), "a")
-      .join(deg.select(col("id").as("b"), col("d").as("db")), "b")
-    val aFirst = col("da") < col("db") ||
-      (col("da") === col("db") && col("a") < col("b"))
-    // Keep the head endpoint's degree: the fork below orders each candidate
-    // pair by the SAME (degree, id) total order the orientation uses, so a
-    // closing edge can only be (lower → higher) — one equi-join, no OR-key.
-    val ori = withDeg.select(
-      when(aFirst, col("a")).otherwise(col("b")).as("u"),
-      when(aFirst, col("b")).otherwise(col("a")).as("v"),
-      when(aFirst, col("db")).otherwise(col("da")).as("dv"))
-      .persist() // read 3×: two fork legs + closing probe
+    // The fork orders each candidate pair by the SAME (degree, id) total
+    // order the stored orientation uses, so a closing edge can only be
+    // (lower → higher) — one equi-join against the index, no OR-key.
+    val ori = orientedEdges // stored index (read 3×: two fork legs + probe)
     val l = ori.select(col("u"), col("v").as("p"), col("dv").as("dp"))
     val r = ori.select(col("u"), col("v").as("q"), col("dv").as("dq"))
     val vFirst = col("dp") < col("dq") ||
@@ -377,12 +398,10 @@ final case class PropertyGraph(vertices: DataFrame, edges: DataFrame) {
     val close = ori.select(col("u").as("x"), col("v").as("z"))
     // Credit all three corners in ONE pass over the triangle stream —
     // a 3-way union of selects would re-execute the fork join per branch.
-    val out = forks.join(close, Seq("x", "z"))
+    forks.join(close, Seq("x", "z"))
       .select(explode(array(col("u"), col("x"), col("z"))).as("id"))
       .groupBy("id").agg(count(lit(1)).as("n_tri"))
       .localCheckpoint()
-    deg.unpersist(); ori.unpersist() // und is the shared stored artifact
-    out
   }
 
   /** Bounded k-core peeling (fixed `rounds` so the result is deterministic
