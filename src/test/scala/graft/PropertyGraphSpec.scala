@@ -134,6 +134,20 @@ class PropertyGraphSpec extends AnyFunSuite {
     assert(empty.find("(a)-[:x]->(b)").count() == 0)
   }
 
+  test("throwaway graph instances release artifact caches via uncache()") {
+    // Library pattern: a per-query derived graph (here the visibility view)
+    // builds its own undirected/oriented artifacts; uncache() must return
+    // the CacheManager census to (near) where it started — only the live
+    // result's transient checkpoint RDD may remain.
+    val before = spark.sparkContext.getPersistentRDDs.size
+    val sub = g.visible
+    assert(sub.triangleCounts.count() >= 0)
+    sub.uncache()
+    val after = spark.sparkContext.getPersistentRDDs.size
+    assert(after <= before + 2,
+      s"uncache left caches pinned: $before -> $after")
+  }
+
   test("iterative analytics do not accumulate pinned caches across runs") {
     // Round-1 regression: triangle/labelprop scratch persists were never
     // unpersisted, so every invocation grew the CacheManager. Now scratch
