@@ -17,6 +17,9 @@ run / fork := true
 // StdoutOutput passes the child's stdout through verbatim, so Bench's
 // `{"metric":...}` lines reach the driver as clean full-line JSON.
 run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+// ...and suppress sbt's trailing "[success] Total time" line so a
+// strictly-last-line capture also lands on Bench's final metric JSON.
+showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -67,11 +67,15 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    // Per-query detail first (may be long), then a SHORT final line the
-    // driver's tail-capture can always parse (round-1 lesson: one ~5 KB
-    // line got truncated mid-number and the headline metric was lost).
+    // Stop Spark BEFORE printing so none of its shutdown chatter lands
+    // after the metric lines; per-query detail first (may be long), then a
+    // SHORT final line the driver's tail-capture can always parse (round-1
+    // lesson: one ~5 KB line got truncated mid-number; round-2 lesson: the
+    // sbt logger's '[info] ' prefix broke full-line JSON parses — see
+    // build.sbt outputStrategy/showSuccess).
+    spark.stop()
     println(s"""{"metric":"queries","queries":$qs,"sf":"$sfDir"}""")
     println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir"}""")
-    spark.stop()
+    System.out.flush()
   }
 }
