@@ -179,6 +179,44 @@ object PipelineOps extends OpModule {
           COUNT(*) AS n_events, MIN(tm) AS t0, MAX(tm) AS t1
         FROM s GROUP BY 1, 2 ORDER BY 1, 2""")),
 
+    // Funnel / sequence-pattern detection (the MATCH_RECOGNIZE surface of
+    // event analytics, composed from primitives): view → click → purchase
+    // per user, consecutive within the funnel-event stream, each step ≤ 30
+    // min after the previous. Two lags over one user-partitioned window —
+    // one shuffle on user_id, per-user-bounded state, deterministic via
+    // (ts, event_id) ordering. Output: per-user completed-funnel count and
+    // first completion time (epoch micros).
+    Op("win_funnel",
+      (s, dir) => {
+        view(s, dir, "events")
+        s.sql("""
+          WITH e AS (SELECT user_id, event_id, event_type,
+            unix_micros(ts) AS tm FROM events
+            WHERE event_type IN ('view', 'click', 'purchase')),
+          l AS (SELECT user_id, event_type, tm,
+            LAG(event_type, 1) OVER w AS t1, LAG(tm, 1) OVER w AS m1,
+            LAG(event_type, 2) OVER w AS t2, LAG(tm, 2) OVER w AS m2
+            FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tm, event_id)),
+          f AS (SELECT user_id, tm FROM l
+            WHERE event_type = 'purchase' AND t1 = 'click' AND t2 = 'view'
+              AND tm - m1 <= 1800000000 AND m1 - m2 <= 1800000000)
+          SELECT user_id, COUNT(*) AS n_funnels, MIN(tm) AS first_done
+          FROM f GROUP BY 1 ORDER BY 1""")
+      },
+      Some("""
+        WITH e AS (SELECT user_id, event_id, event_type,
+          epoch_us(ts) AS tm FROM events
+          WHERE event_type IN ('view', 'click', 'purchase')),
+        l AS (SELECT user_id, event_type, tm,
+          LAG(event_type, 1) OVER w AS t1, LAG(tm, 1) OVER w AS m1,
+          LAG(event_type, 2) OVER w AS t2, LAG(tm, 2) OVER w AS m2
+          FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tm, event_id)),
+        f AS (SELECT user_id, tm FROM l
+          WHERE event_type = 'purchase' AND t1 = 'click' AND t2 = 'view'
+            AND tm - m1 <= 1800000000 AND m1 - m2 <= 1800000000)
+        SELECT user_id, COUNT(*) AS n_funnels, MIN(tm) AS first_done
+        FROM f GROUP BY 1 ORDER BY 1""")),
+
     // Linear interpolation over the gap-filled 5-minute grid (ts_gapfill's
     // sibling: gapfill carries counts forward, this reconstructs the value
     // series a model trains on). prev/next observed value+time come from

@@ -76,6 +76,22 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(s.agg(sum("n_events")).head.getLong(0) == total)
   }
 
+  test("win_funnel only reports users owning the full event triple") {
+    val f = SparkEntry.queries("win_funnel")(spark, sf)
+    assert(f.filter(col("n_funnels") < 1).count() == 0)
+    val ev = Tables(spark, sf, "events")
+    val owners = ev.filter(col("event_type").isin("view", "click", "purchase"))
+      .groupBy("user_id")
+      .agg(countDistinct("event_type").as("kinds"))
+      .filter(col("kinds") === 3)
+      .select("user_id")
+    // every funnel user has all three step types somewhere in their stream
+    assert(f.join(owners, Seq("user_id"), "left_anti").count() == 0)
+    // and the total can never exceed the purchase count
+    val purchases = ev.filter(col("event_type") === "purchase").count()
+    assert(f.agg(sum("n_funnels")).head.getLong(0) <= purchases)
+  }
+
   test("ts_interpolate fills every grid slot within neighbor bounds") {
     val t = SparkEntry.queries("ts_interpolate")(spark, sf)
     assert(t.filter(col("filled").isNull).count() == 0)
