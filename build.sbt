@@ -35,9 +35,12 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  // 24g default (was 8g): the harness box has 128 GiB and local[32] runs 32
-  // concurrent tasks against ~20 persisted relations — at 8g the storage
-  // fraction squeezes execution memory and GC time inflates every query
-  // 2-4× under load (observed in the round-2 driver bench run).
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+  // 48g default (was 8g → 24g): the harness box has 128 GiB and local[32]
+  // runs 32 concurrent tasks against ~20 persisted relations — at 8g the
+  // storage fraction squeezes execution memory and GC time inflates every
+  // query 2-4× under load (observed in the round-2 driver bench run), and
+  // at 24g the 117-query suite still ran close enough to the cap that the
+  // round-4 driver run hit GC stalls that blew two steady-state-2s keys to
+  // 28-53s. Headroom is the cheapest variance insurance on this box.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
 )
