@@ -11,7 +11,8 @@ object Plans {
     "sim_topk", "sim_range_join", "stream_tumbling",
     "graph_prop_visibility", "stream_stream_join", "ts_gapfill",
     "ts_interpolate", "win_sessionize", "text_pack", "split_train_test",
-    "sink_partitioned")
+    "sink_partitioned", "unpivot_melt", "profile_columns", "ts_ohlc",
+    "graph_jaccard")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

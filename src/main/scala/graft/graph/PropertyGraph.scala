@@ -248,6 +248,26 @@ final case class PropertyGraph(vertices: DataFrame, edges: DataFrame) {
   }
   @volatile private var oriBuilt = false
 
+  /** Undirected MULTI-edge adjacency hash-clustered on the receiving vertex
+    * `a` — the stored message-passing index: HashPartitioning(a) satisfies
+    * every downstream per-vertex aggregation's clustered distribution, so
+    * iterative vertex-centric analytics ([[labelPropagation]]) run their
+    * per-iteration joins and groupBys with ZERO edge-sized shuffles.
+    * Differs from [[undirectedEdges]] (simple, canonical (low,high), for
+    * triangles/k-core) in keeping both orientations and multiplicity —
+    * LP's neighbor-label counts weight parallel edges. Stored per graph
+    * like the other ingest artifacts; at 100 TB this is the edge table
+    * bucketed by `a`. */
+  lazy val undByA: DataFrame = {
+    val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    undBuilt = true
+    edges.select(col("src").as("a"), col("dst").as("b"))
+      .unionAll(edges.select(col("dst").as("a"), col("src").as("b")))
+      .repartition(parts, col("a"))
+      .persist()
+  }
+  @volatile private var undBuilt = false
+
   /** Release this instance's cached artifacts ([[undirectedEdges]] and
     * [[orientedEdges]]; the GraphX view's RDD caches are dropped by GC once
     * unreferenced). Safe whether or not an artifact was ever computed —
@@ -257,6 +277,8 @@ final case class PropertyGraph(vertices: DataFrame, edges: DataFrame) {
   def uncache(): Unit = {
     undirectedEdges.unpersist()
     if (oriBuilt) { orientedEdges.unpersist(); () }
+    if (undBuilt) { undByA.unpersist(); () }
+    if (ccBuilt) { connectedComponents.unpersist(); () }
     ()
   }
 
@@ -283,9 +305,11 @@ final case class PropertyGraph(vertices: DataFrame, edges: DataFrame) {
     * reuse it instead of re-running a second full-graph fixed point. */
   lazy val connectedComponents: DataFrame = {
     val sp = spark; import sp.implicits._
+    ccBuilt = true
     toGraphX.connectedComponents().vertices.toDF("id", "component")
       .persist(StorageLevel.MEMORY_AND_DISK)
   }
+  @volatile private var ccBuilt = false
 
   /** Min hop count from each vertex TO any vertex satisfying `targetPred`,
     * following edge direction: Pregel hop-flood from the targets with
@@ -455,25 +479,22 @@ final case class PropertyGraph(vertices: DataFrame, edges: DataFrame) {
     * per-vertex label-histogram map messages that make GraphX LP slow.
     * Isolated vertices keep their own label. */
   def labelPropagation(iters: Int): DataFrame = {
-    // und is pre-hash-partitioned by the receiving vertex `a` ONCE (explicit
-    // partition count so AQE doesn't coalesce it down and starve the agg):
-    // the per-iteration label join broadcasts the vertex-sized label map
-    // (planner/AQE choice from cache stats — at 100 TB it degrades to a
-    // shuffle join of the label side only; the edge side never moves), the
-    // join preserves und's partitioning, and HashPartitioning(a) satisfies
-    // BOTH downstream groupBys' clustered distributions — so an iteration's
-    // message aggregation runs with zero edge-sized shuffles (round-2
-    // measurement: ~1.5× over the unpartitioned form at sf0.1).
+    // und is the stored [[undByA]] index — pre-hash-partitioned by the
+    // receiving vertex `a` (explicit partition count so AQE doesn't
+    // coalesce it down and starve the agg): the per-iteration label join
+    // broadcasts the vertex-sized label map (planner/AQE choice from cache
+    // stats — at 100 TB it degrades to a shuffle join of the label side
+    // only; the edge side never moves), the join preserves und's
+    // partitioning, and HashPartitioning(a) satisfies BOTH downstream
+    // groupBys' clustered distributions — so an iteration's message
+    // aggregation runs with zero edge-sized shuffles (round-2 measurement:
+    // ~1.5× over the unpartitioned form at sf0.1).
     // NOTE und must be persist()-ed, not localCheckpoint-ed: a checkpoint's
     // LogicalRDD reports UnknownPartitioning (verified round 2 — both
     // groupBys grew real Exchanges and the query doubled in time), while
     // InMemoryRelation preserves the repartition's HashPartitioning.
     val sp = spark
-    val parts = sp.conf.get("spark.sql.shuffle.partitions").toInt
-    val und = edges.select(col("src").as("a"), col("dst").as("b"))
-      .unionAll(edges.select(col("dst").as("a"), col("src").as("b")))
-      .repartition(parts, col("a"))
-      .persist()
+    val und = undByA
     // The label map is vertex-sized; broadcast it so the edge side never
     // moves and the join preserves und's partitioning (checkpointed
     // generations are LogicalRDDs with unknown stats, so WITHOUT the hint
@@ -498,11 +519,9 @@ final case class PropertyGraph(vertices: DataFrame, edges: DataFrame) {
         .select(col("id"), coalesce(col("l"), col("lbl")).as("lbl"))
         .localCheckpoint(false)
     }
-    // Eagerly materialize the vertex-sized result, then free the edge-sized
-    // scratch cache — callers get a self-contained LogicalRDD and nothing
-    // stays pinned in the CacheManager after the query completes.
-    val out = lbl.select(col("id"), col("lbl").as("lp_label")).localCheckpoint()
-    und.unpersist()
-    out
+    // Eagerly materialize the vertex-sized result — callers get a
+    // self-contained LogicalRDD. und is the stored [[undByA]] index (fixture
+    // lifecycle, released by [[uncache]]), not per-call scratch.
+    lbl.select(col("id"), col("lbl").as("lp_label")).localCheckpoint()
   }
 }

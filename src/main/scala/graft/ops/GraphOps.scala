@@ -495,6 +495,45 @@ object GraphOps extends OpModule {
       (s, dir) => GraphFixture(s, dir).labelPropagation(3).orderBy("id"),
       Some(withGraph(
         "SELECT id, lbl AS lp_label FROM lp3 ORDER BY id",
-        extra = GraphSql.lpChain(3))))
+        extra = GraphSql.lpChain(3)))),
+
+    // Neighborhood Jaccard (link prediction): supplier pairs scored by
+    // overlap of their in-neighbor part sets. Candidates come from one
+    // self-equi-join on the shared part — pairs with zero overlap are never
+    // generated, so the work is Σ_part (suppliers-per-part choose 2), not
+    // all supplier pairs; at 100 TB a hot part is the skew risk and the
+    // standard cap (drop hub parts above a degree bound) slots in front.
+    // common/deg arithmetic is integer; the score is one per-row IEEE
+    // division.
+    Op("graph_jaccard",
+      (s, dir) => {
+        val sup = GraphFixture(s, dir).edges
+          .filter(col("label") === "supplied_by")
+          .select(col("src").as("part"), col("dst").as("sup"))
+        val deg = sup.groupBy("sup").agg(count(lit(1)).as("deg"))
+        val common = sup.select(col("part"), col("sup").as("s1"))
+          .join(sup.select(col("part"), col("sup").as("s2")), "part")
+          .filter(col("s1") < col("s2"))
+          .groupBy("s1", "s2").agg(count(lit(1)).as("common"))
+        common
+          .join(deg.select(col("sup").as("s1"), col("deg").as("d1")), "s1")
+          .join(deg.select(col("sup").as("s2"), col("deg").as("d2")), "s2")
+          .select(col("s1"), col("s2"), col("common"),
+            (col("common").cast("double") /
+              (col("d1") + col("d2") - col("common"))).as("jaccard"))
+          .filter(col("jaccard") >= 0.2)
+          .orderBy("s1", "s2")
+      },
+      Some(withGraph("""SELECT s1, s2, common,
+          CAST(common AS DOUBLE) / (x.d + y.d - common) AS jaccard
+        FROM (SELECT a.dst AS s1, b.dst AS s2, COUNT(*) AS common
+          FROM sb a JOIN sb b ON b.src = a.src AND a.dst < b.dst
+          GROUP BY 1, 2) c
+        JOIN dg x ON x.sup = c.s1 JOIN dg y ON y.sup = c.s2
+        WHERE CAST(common AS DOUBLE) / (x.d + y.d - common) >= 0.2
+        ORDER BY s1, s2""",
+        extra = """sb AS MATERIALIZED (SELECT src, dst FROM edges
+            WHERE label = 'supplied_by'),
+          dg AS (SELECT dst AS sup, COUNT(*) AS d FROM sb GROUP BY 1)""")))
   )
 }

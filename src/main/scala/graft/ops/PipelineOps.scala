@@ -181,39 +181,48 @@ object PipelineOps extends OpModule {
 
     // Funnel / sequence-pattern detection (the MATCH_RECOGNIZE surface of
     // event analytics, composed from primitives): view → click → purchase
-    // per user, consecutive within the funnel-event stream, each step ≤ 30
-    // min after the previous. Two lags over one user-partitioned window —
-    // one shuffle on user_id, per-user-bounded state, deterministic via
-    // (ts, event_id) ordering. Output: per-user completed-funnel count and
-    // first completion time (epoch micros).
+    // per user in stream order — intervening events allowed (the standard
+    // funnel contract), each step ≤ 7 days after the previous (this
+    // fixture's per-user event cadence is ~10 h; a 30-min bound matched
+    // zero rows at every SF, which round 5 demoted from "contract" to
+    // "vacuous"). Step memory = two conditional running-max scans over one
+    // user-partitioned window — one shuffle on user_id, per-user-bounded
+    // state, deterministic via (ts, event_id) ordering. Output: per-user
+    // completed-funnel count and first completion time (epoch micros).
     Op("win_funnel",
       (s, dir) => {
         view(s, dir, "events")
-        s.sql("""
+        s.sql(s"""
           WITH e AS (SELECT user_id, event_id, event_type,
             unix_micros(ts) AS tm FROM events
             WHERE event_type IN ('view', 'click', 'purchase')),
           l AS (SELECT user_id, event_type, tm,
-            LAG(event_type, 1) OVER w AS t1, LAG(tm, 1) OVER w AS m1,
-            LAG(event_type, 2) OVER w AS t2, LAG(tm, 2) OVER w AS m2
-            FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tm, event_id)),
+            MAX(CASE WHEN event_type = 'click' THEN tm END) OVER w AS last_click,
+            MAX(CASE WHEN event_type = 'view' THEN tm END) OVER w AS last_view
+            FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tm, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
           f AS (SELECT user_id, tm FROM l
-            WHERE event_type = 'purchase' AND t1 = 'click' AND t2 = 'view'
-              AND tm - m1 <= 1800000000 AND m1 - m2 <= 1800000000)
+            WHERE event_type = 'purchase' AND last_click IS NOT NULL
+              AND last_view IS NOT NULL AND last_view <= last_click
+              AND tm - last_click <= $FunnelStepMicros
+              AND last_click - last_view <= $FunnelStepMicros)
           SELECT user_id, COUNT(*) AS n_funnels, MIN(tm) AS first_done
           FROM f GROUP BY 1 ORDER BY 1""")
       },
-      Some("""
+      Some(s"""
         WITH e AS (SELECT user_id, event_id, event_type,
           epoch_us(ts) AS tm FROM events
           WHERE event_type IN ('view', 'click', 'purchase')),
         l AS (SELECT user_id, event_type, tm,
-          LAG(event_type, 1) OVER w AS t1, LAG(tm, 1) OVER w AS m1,
-          LAG(event_type, 2) OVER w AS t2, LAG(tm, 2) OVER w AS m2
-          FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tm, event_id)),
+          MAX(CASE WHEN event_type = 'click' THEN tm END) OVER w AS last_click,
+          MAX(CASE WHEN event_type = 'view' THEN tm END) OVER w AS last_view
+          FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tm, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
         f AS (SELECT user_id, tm FROM l
-          WHERE event_type = 'purchase' AND t1 = 'click' AND t2 = 'view'
-            AND tm - m1 <= 1800000000 AND m1 - m2 <= 1800000000)
+          WHERE event_type = 'purchase' AND last_click IS NOT NULL
+            AND last_view IS NOT NULL AND last_view <= last_click
+            AND tm - last_click <= $FunnelStepMicros
+            AND last_click - last_view <= $FunnelStepMicros)
         SELECT user_id, COUNT(*) AS n_funnels, MIN(tm) AS first_done
         FROM f GROUP BY 1 ORDER BY 1""")),
 
@@ -372,6 +381,55 @@ object PipelineOps extends OpModule {
           ${duckDot("a.embedding", "b.embedding")} / (a.nrm * b.nrm) AS cos
           FROM n a JOIN n b ON b.bkt = a.bkt AND a.vec_id < b.vec_id)
         SELECT va, vb, cos FROM scored WHERE cos >= 0.35
-        ORDER BY va, vb"""))
+        ORDER BY va, vb""")),
+
+    // OHLC resample — the finance/telemetry candle: per (series, day)
+    // open/high/low/close. Open/close are row_number picks over the
+    // (ts, event_id) total order — engines' arg_min/first() tie rules
+    // differ, an explicit unique ordering does not. One window pass + one
+    // aggregate, both clustered on the same keys (single shuffle).
+    Op("ts_ohlc",
+      (s, dir) => {
+        view(s, dir, "events")
+        s.sql(OhlcSql)
+      },
+      Some(OhlcSql)),
+
+    // ORC sink/source round-trip (the columnar-format surface beyond
+    // parquet): write the events aggregate to ORC, read it back, certify
+    // content against the parquet-derived oracle. DuckDB can't read ORC, so
+    // round-trip-then-summarize is the strongest cross-engine contract
+    // available — same pattern as graph_export.
+    Op("sink_orc",
+      (s, dir) => {
+        val agg = Tables(s, dir, "events")
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"), num.dsum(col("value")).as("sum_value"))
+        val out = Staging.fresh("sink-orc")
+        agg.write.mode("overwrite").orc(out)
+        s.read.orc(out).orderBy("event_type")
+      },
+      Some(s"""SELECT event_type, COUNT(*) AS n,
+        ${num.DSUM("value")} AS sum_value
+        FROM events GROUP BY 1 ORDER BY 1"""))
   )
+
+  /** win_funnel step bound: 7 days in epoch micros (see the op's scaladoc
+    * for why 30 min is vacuous on this fixture's cadence). */
+  private val FunnelStepMicros = 604800000000L
+
+  /** ts_ohlc is engine-portable SQL — one string serves both sides. */
+  private val OhlcSql = """
+    WITH r AS (SELECT event_type, CAST(ts AS DATE) AS day, value,
+      ROW_NUMBER() OVER (PARTITION BY event_type, CAST(ts AS DATE)
+        ORDER BY ts, event_id) AS rn_a,
+      ROW_NUMBER() OVER (PARTITION BY event_type, CAST(ts AS DATE)
+        ORDER BY ts DESC, event_id DESC) AS rn_d
+      FROM events)
+    SELECT event_type, day,
+      MAX(CASE WHEN rn_a = 1 THEN value END) AS open,
+      MAX(value) AS high, MIN(value) AS low,
+      MAX(CASE WHEN rn_d = 1 THEN value END) AS close,
+      COUNT(*) AS n
+    FROM r GROUP BY 1, 2 ORDER BY 1, 2"""
 }

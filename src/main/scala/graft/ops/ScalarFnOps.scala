@@ -168,6 +168,23 @@ object ScalarFnOps extends OpModule {
         o_orderkey | 15 AS ored, xor(o_orderkey, 12345) AS xored,
         o_orderkey << 2 AS shl, o_orderkey >> 3 AS shr,
         bit_count(o_orderkey) AS nbits
-        FROM orders ORDER BY o_orderkey"""))
+        FROM orders ORDER BY o_orderkey""")),
+
+    // Regex surface: extract / global replace / match predicate. Patterns
+    // stay in the POSIX-class subset where Java regex (Spark) and RE2
+    // (DuckDB) agree; DuckDB's regexp_replace needs the explicit 'g' flag
+    // to match Spark's replace-all semantics.
+    Op("fn_regex",
+      (s, dir) => Tables(s, dir, "part")
+        .select(col("p_partkey"),
+          regexp_extract(col("p_name"), "([a-z]+)$", 1).as("last_word"),
+          regexp_replace(col("p_type"), "[AEIOU]", "").as("consonants"),
+          col("p_brand").rlike("^Brand#[0-9]+$").as("brand_ok"))
+        .orderBy("p_partkey"),
+      Some("""SELECT p_partkey,
+        regexp_extract(p_name, '([a-z]+)$', 1) AS last_word,
+        regexp_replace(p_type, '[AEIOU]', '', 'g') AS consonants,
+        regexp_matches(p_brand, '^Brand#[0-9]+$') AS brand_ok
+        FROM part ORDER BY p_partkey"""))
   )
 }

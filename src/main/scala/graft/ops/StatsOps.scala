@@ -126,6 +126,140 @@ object StatsOps extends OpModule {
         ${num.DSUM("CASE WHEN o_orderstatus = 'O' THEN o_totalprice END")} AS O_total,
         COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS P_n,
         ${num.DSUM("CASE WHEN o_orderstatus = 'P' THEN o_totalprice END")} AS P_total
-        FROM orders GROUP BY 1 ORDER BY 1"""))
+        FROM orders GROUP BY 1 ORDER BY 1""")),
+
+    // Unpivot (melt): the inverse reshaping of agg_pivot — wide metric
+    // columns back to (key, metric, value) rows. Spark's native unpivot
+    // executes as a single Expand (one pass, no shuffle beyond the
+    // feeding aggregate); decimal-exact sums so the melted doubles are
+    // partition-order-independent.
+    Op("unpivot_melt",
+      (s, dir) => Tables(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(num.dsum(col("l_quantity")).as("qty"),
+          num.dsum(col("l_extendedprice")).as("price"),
+          num.dsum(col("l_discount")).as("disc"))
+        .unpivot(Array(col("l_returnflag")),
+          Array(col("qty"), col("price"), col("disc")), "metric", "value")
+        .orderBy("l_returnflag", "metric"),
+      Some(s"""WITH m AS (SELECT l_returnflag,
+          ${num.DSUM("l_quantity")} AS qty,
+          ${num.DSUM("l_extendedprice")} AS price,
+          ${num.DSUM("l_discount")} AS disc
+          FROM lineitem GROUP BY 1)
+        SELECT l_returnflag, metric, value
+        FROM m UNPIVOT (value FOR metric IN (qty, price, disc))
+        ORDER BY l_returnflag, metric""")),
+
+    // Deterministic mode per group: the most frequent value, ties broken by
+    // the larger value — engines' built-in mode() leaves ties
+    // implementation-defined, so both sides rank (count DESC, value DESC)
+    // explicitly. Two map-side-combined aggregations; the ranking window
+    // runs over group-count-sized data, not the base table.
+    Op("agg_mode",
+      (s, dir) => {
+        Tables(s, dir, "orders").createOrReplaceTempView("orders")
+        s.sql("""WITH c AS (SELECT o_orderpriority, o_orderstatus,
+            COUNT(*) AS n FROM orders GROUP BY 1, 2)
+          SELECT o_orderpriority, o_orderstatus AS mode_status, n
+          FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+              ORDER BY n DESC, o_orderstatus DESC) AS rn FROM c)
+          WHERE rn = 1 ORDER BY o_orderpriority""")
+      },
+      Some("""WITH c AS (SELECT o_orderpriority, o_orderstatus,
+          COUNT(*) AS n FROM orders GROUP BY 1, 2)
+        SELECT o_orderpriority, o_orderstatus AS mode_status, n
+        FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+            ORDER BY n DESC, o_orderstatus DESC) AS rn FROM c)
+        WHERE rn = 1 ORDER BY o_orderpriority""")),
+
+    // Boolean aggregates (every/any/conditional count) — predicate results
+    // are exact, so these are safely hash-comparable and fully
+    // map-side-combinable.
+    Op("agg_bool",
+      (s, dir) => {
+        Tables(s, dir, "events").createOrReplaceTempView("events")
+        s.sql("""SELECT event_type,
+          bool_and(value > 0) AS all_pos,
+          bool_or(value > 100) AS any_large,
+          count_if(value > 50) AS n_over50,
+          COUNT(*) AS n
+          FROM events GROUP BY 1 ORDER BY 1""")
+      },
+      Some("""SELECT event_type,
+        bool_and(value > 0) AS all_pos,
+        bool_or(value > 100) AS any_large,
+        CAST(count_if(value > 50) AS BIGINT) AS n_over50,
+        COUNT(*) AS n
+        FROM events GROUP BY 1 ORDER BY 1""")),
+
+    // Ratio-to-report: each order's share of its status group's total. The
+    // group total is a windowed DECIMAL-exact sum (partition-order-
+    // independent); the final division is one per-row IEEE op identical in
+    // both engines.
+    Op("win_ratio",
+      (s, dir) => {
+        Tables(s, dir, "orders").createOrReplaceTempView("orders")
+        s.sql("""SELECT o_orderkey, o_orderstatus,
+          o_totalprice / CAST(SUM(CAST(o_totalprice AS DECIMAL(38,10)))
+            OVER (PARTITION BY o_orderstatus) AS DOUBLE) AS share
+          FROM orders ORDER BY o_orderkey""")
+      },
+      Some(s"""SELECT o_orderkey, o_orderstatus,
+        o_totalprice / ${num.DSUM_OVER("o_totalprice",
+          "OVER (PARTITION BY o_orderstatus)")} AS share
+        FROM orders ORDER BY o_orderkey""")),
+
+    // Single-pass column profiler — the data-quality summary a pipeline
+    // runs before training: per column count / nulls / distincts / min /
+    // max. One aggregate over the table (Spark plans the multi-distinct
+    // with one Expand), then constant-width restructuring to one row per
+    // column; numeric and string extrema stay in typed columns (no
+    // double→string casts, whose formatting differs across engines).
+    Op("profile_columns",
+      (s, dir) => {
+        Tables(s, dir, "orders").createOrReplaceTempView("orders")
+        s.sql("""WITH m AS (SELECT
+            COUNT(*) AS n,
+            COUNT(o_custkey) AS nn_key, COUNT(DISTINCT o_custkey) AS nd_key,
+              MIN(o_custkey) AS min_key, MAX(o_custkey) AS max_key,
+            COUNT(o_totalprice) AS nn_price, COUNT(DISTINCT o_totalprice) AS nd_price,
+              MIN(o_totalprice) AS min_price, MAX(o_totalprice) AS max_price,
+            COUNT(o_orderstatus) AS nn_st, COUNT(DISTINCT o_orderstatus) AS nd_st,
+              MIN(o_orderstatus) AS min_st, MAX(o_orderstatus) AS max_st
+          FROM orders)
+          SELECT col, n, n_null, n_distinct, min_num, max_num, min_str, max_str
+          FROM (SELECT n,
+            STACK(3,
+              'o_custkey', n - nn_key, nd_key,
+                CAST(min_key AS DOUBLE), CAST(max_key AS DOUBLE),
+                CAST(NULL AS STRING), CAST(NULL AS STRING),
+              'o_totalprice', n - nn_price, nd_price, min_price, max_price,
+                CAST(NULL AS STRING), CAST(NULL AS STRING),
+              'o_orderstatus', n - nn_st, nd_st,
+                CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), min_st, max_st)
+            AS (col, n_null, n_distinct, min_num, max_num, min_str, max_str)
+            FROM m)
+          ORDER BY col""")
+      },
+      Some("""WITH m AS (SELECT
+          COUNT(*) AS n,
+          COUNT(o_custkey) AS nn_key, COUNT(DISTINCT o_custkey) AS nd_key,
+            MIN(o_custkey) AS min_key, MAX(o_custkey) AS max_key,
+          COUNT(o_totalprice) AS nn_price, COUNT(DISTINCT o_totalprice) AS nd_price,
+            MIN(o_totalprice) AS min_price, MAX(o_totalprice) AS max_price,
+          COUNT(o_orderstatus) AS nn_st, COUNT(DISTINCT o_orderstatus) AS nd_st,
+            MIN(o_orderstatus) AS min_st, MAX(o_orderstatus) AS max_st
+        FROM orders)
+        SELECT u.* FROM m, LATERAL (
+          SELECT 'o_custkey' AS col, n, n - nn_key AS n_null,
+            nd_key AS n_distinct, CAST(min_key AS DOUBLE) AS min_num,
+            CAST(max_key AS DOUBLE) AS max_num,
+            CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str
+          UNION ALL SELECT 'o_totalprice', n, n - nn_price, nd_price,
+            min_price, max_price, NULL, NULL
+          UNION ALL SELECT 'o_orderstatus', n, n - nn_st, nd_st,
+            NULL, NULL, min_st, max_st) u
+        ORDER BY col"""))
   )
 }

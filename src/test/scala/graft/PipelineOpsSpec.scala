@@ -78,6 +78,7 @@ class PipelineOpsSpec extends AnyFunSuite {
 
   test("win_funnel only reports users owning the full event triple") {
     val f = SparkEntry.queries("win_funnel")(spark, sf)
+    assert(f.count() > 0) // the bound is calibrated to the fixture cadence
     assert(f.filter(col("n_funnels") < 1).count() == 0)
     val ev = Tables(spark, sf, "events")
     val owners = ev.filter(col("event_type").isin("view", "click", "purchase"))
@@ -89,7 +90,9 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(f.join(owners, Seq("user_id"), "left_anti").count() == 0)
     // and the total can never exceed the purchase count
     val purchases = ev.filter(col("event_type") === "purchase").count()
-    assert(f.agg(sum("n_funnels")).head.getLong(0) <= purchases)
+    val total = Option(f.agg(sum("n_funnels")).head.get(0))
+      .fold(0L)(_.asInstanceOf[Long])
+    assert(total <= purchases)
   }
 
   test("ts_interpolate fills every grid slot within neighbor bounds") {

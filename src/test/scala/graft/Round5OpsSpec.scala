@@ -1,0 +1,108 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Semantic invariants for the round-5 additions (cross-engine value
+  * equality is the Verify/DuckDB gate's job; these assert the properties
+  * the values must satisfy). */
+class Round5OpsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = TestSpark.sf
+
+  test("unpivot_melt: 3 metrics per flag, values match the wide aggregate") {
+    val m = SparkEntry.queries("unpivot_melt")(spark, sf)
+    val perFlag = m.groupBy("l_returnflag").agg(count(lit(1)).as("k"))
+    assert(perFlag.filter(col("k") =!= 3).count() == 0)
+    val qtyA = m.filter(col("l_returnflag") === "A" && col("metric") === "qty")
+      .head.getDouble(2)
+    val direct = Tables(spark, sf, "lineitem").filter(col("l_returnflag") === "A")
+      .agg(num.dsum(col("l_quantity"))).head.getDouble(0)
+    assert(qtyA == direct)
+  }
+
+  test("agg_mode picks the max-count status (ties to larger value)") {
+    val m = SparkEntry.queries("agg_mode")(spark, sf).collect()
+    val counts = Tables(spark, sf, "orders")
+      .groupBy("o_orderpriority", "o_orderstatus").count().collect()
+      .groupBy(_.getString(0))
+    m.foreach { r =>
+      val best = counts(r.getString(0))
+        .map(c => (c.getLong(2), c.getString(1))).max // (n, status) lexicographic
+      assert((r.getLong(2), r.getString(1)) == best)
+    }
+  }
+
+  test("agg_bool counts are consistent with direct predicates") {
+    val b = SparkEntry.queries("agg_bool")(spark, sf).collect()
+    b.foreach { r =>
+      assert(r.getLong(3) <= r.getLong(4)) // n_over50 <= n
+      val mn = Tables(spark, sf, "events")
+        .filter(col("event_type") === r.getString(0))
+        .agg(min("value")).head.getDouble(0)
+      assert(r.getBoolean(1) == (mn > 0))
+    }
+  }
+
+  test("win_ratio: shares of each status group sum to 1") {
+    val shares = SparkEntry.queries("win_ratio")(spark, sf)
+      .groupBy("o_orderstatus").agg(sum("share").as("s")).collect()
+    shares.foreach(r => assert(math.abs(r.getDouble(1) - 1.0) < 1e-9))
+  }
+
+  test("profile_columns: one row per column, extrema ordered, nulls zero") {
+    val p = SparkEntry.queries("profile_columns")(spark, sf).collect()
+    assert(p.map(_.getString(0)).toSet ==
+      Set("o_custkey", "o_totalprice", "o_orderstatus"))
+    p.foreach { r =>
+      assert(r.getLong(2) == 0) // fixture has no nulls in these columns
+      assert(r.getLong(3) > 0 && r.getLong(3) <= r.getLong(1))
+      if (!r.isNullAt(4)) assert(r.getDouble(4) <= r.getDouble(5))
+      if (!r.isNullAt(6)) assert(r.getString(6) <= r.getString(7))
+    }
+  }
+
+  test("ts_ohlc: low <= open/close <= high, counts conserve events") {
+    val o = SparkEntry.queries("ts_ohlc")(spark, sf)
+    assert(o.filter(col("open") > col("high") || col("close") > col("high") ||
+      col("open") < col("low") || col("close") < col("low")).count() == 0)
+    assert(o.agg(sum("n")).head.getLong(0) ==
+      Tables(spark, sf, "events").count())
+  }
+
+  test("sink_orc round-trip equals the direct aggregate") {
+    val rt = SparkEntry.queries("sink_orc")(spark, sf)
+    val direct = Tables(spark, sf, "events").groupBy("event_type")
+      .agg(count(lit(1)).as("n"), num.dsum(col("value")).as("sum_value"))
+    assert(rt.except(direct).count() == 0 && direct.except(rt).count() == 0)
+  }
+
+  test("fn_regex: global replace leaves no vowels, brand pattern total") {
+    val r = SparkEntry.queries("fn_regex")(spark, sf)
+    assert(r.filter(col("consonants").rlike("[AEIOU]")).count() == 0)
+    assert(r.filter(!col("brand_ok")).count() == 0)
+  }
+
+  test("graph_jaccard: canonical pairs, score in (0,1], overlap bounded") {
+    val j = SparkEntry.queries("graph_jaccard")(spark, sf)
+    assert(j.filter(col("s1") >= col("s2")).count() == 0)
+    assert(j.filter(col("jaccard") <= 0 || col("jaccard") > 1).count() == 0)
+    val deg = graph.GraphFixture(spark, sf).edges
+      .filter(col("label") === "supplied_by")
+      .groupBy(col("dst").as("s1")).agg(count(lit(1)).as("d1"))
+    assert(j.join(deg, "s1").filter(col("common") > col("d1")).count() == 0)
+  }
+
+  test("graph_pregel (max-flood via stored CC): component-constant, >= own val") {
+    val g = graph.GraphFixture(spark, sf)
+    val mf = SparkEntry.queries("graph_pregel")(spark, sf)
+    // same component => same maxval, and maxval >= each member's val
+    val joined = mf.join(g.connectedComponents, "id")
+      .join(g.vertices.select(col("id"),
+        coalesce(col("val"), lit(0.0)).as("v")), "id")
+    assert(joined.filter(col("v") > col("maxval")).count() == 0)
+    val perComp = joined.groupBy("component")
+      .agg(countDistinct("maxval").as("k"))
+    assert(perComp.filter(col("k") =!= 1).count() == 0)
+  }
+}
