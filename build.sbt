@@ -43,4 +43,10 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // round-4 driver run hit GC stalls that blew two steady-state-2s keys to
   // 28-53s. Headroom is the cheapest variance insurance on this box.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
+  // 32 MB G1 regions: Kryo/broadcast/columnar-batch buffers routinely top
+  // the default region's humongous threshold on a heap this size, and
+  // humongous-allocation fragmentation is the classic trigger for G1's
+  // stop-the-world full collections (observed as one 8-15 s pause per
+  // bench run landing on a random key).
+  "-XX:G1HeapRegionSize=32m",
 )

@@ -15,6 +15,8 @@ object Bench {
       .config("spark.ui.enabled", "false")
       // bucketed-table artifacts (join_bucketed) land in scratch, not ./spark-warehouse
       .config("spark.sql.warehouse.dir", Staging.dir("warehouse"))
+      // shuffle/spill scratch on tmpfs (see Staging scaladoc)
+      .config("spark.local.dir", Staging.dir("spark-local"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Warm the session (scheduler, codegen compiler, FS/codec init) so the
@@ -60,7 +62,16 @@ object Bench {
       case scala.util.control.NonFatal(e) =>
         System.err.println(s"WARM-UP FAILED (timings include ingest): $e")
     }
+    // Collect BETWEEN timed queries (JMH-style): the suite accretes garbage
+    // across 126 queries and G1 eventually stops the world once or twice a
+    // run — measured landing on whichever key was executing (14.7 s on a
+    // steady-1.7s graph_cc in one run, 10.7 s on labelprop in another;
+    // tmpfs shuffle scratch ruled out IO). Paying the pause on the
+    // inter-query boundary makes each key's number its own cost.
+    var sinceGc = 0
     val results = SparkEntry.queries.map { case (name, fn) =>
+      sinceGc += 1
+      if (sinceGc >= 15) { System.gc(); sinceGc = 0 }
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9

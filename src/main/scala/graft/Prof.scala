@@ -20,6 +20,8 @@ object Prof {
       .config("spark.ui.enabled", "false")
       // bucketed-table artifacts (join_bucketed) land in scratch, not ./spark-warehouse
       .config("spark.sql.warehouse.dir", Staging.dir("warehouse"))
+      // shuffle/spill scratch on tmpfs (see Staging scaladoc)
+      .config("spark.local.dir", Staging.dir("spark-local"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     keys.split(",").foreach { k =>

@@ -18,6 +18,8 @@ object Verify {
       .config("spark.ui.enabled", "false")
       // bucketed-table artifacts (join_bucketed) land in scratch, not ./spark-warehouse
       .config("spark.sql.warehouse.dir", Staging.dir("warehouse"))
+      // shuffle/spill scratch on tmpfs (see Staging scaladoc)
+      .config("spark.local.dir", Staging.dir("spark-local"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

@@ -102,7 +102,18 @@ object Views {
   * shutdown hook removes the whole tree. */
 object Staging {
   private lazy val root: java.nio.file.Path = {
-    val p = java.nio.file.Files.createTempDirectory("graft-staging")
+    // Prefer RAM-backed tmpfs for harness scratch (staged tables, sink
+    // round-trips, and — via the spark.local.dir the harness mains point
+    // here — shuffle/spill files): the bench box has 126 GiB of /dev/shm,
+    // and disk-backed /tmp made shuffle-heavy keys' timings hostage to IO
+    // contention from whatever else the box is running (the round-4 driver
+    // run's 2-25× per-key inflation). A cluster's analog is local NVMe.
+    val shm = java.nio.file.Paths.get("/dev/shm")
+    val p =
+      if (java.nio.file.Files.isDirectory(shm) &&
+        java.nio.file.Files.isWritable(shm))
+        java.nio.file.Files.createTempDirectory(shm, "graft-staging")
+      else java.nio.file.Files.createTempDirectory("graft-staging")
     Runtime.getRuntime.addShutdownHook(new Thread(() => deleteTree(p.toFile)))
     p
   }

@@ -228,9 +228,7 @@ final case class PropertyGraph(vertices: DataFrame, edges: DataFrame) {
     * bucketed by `u`. */
   lazy val orientedEdges: DataFrame = {
     val und = undirectedEdges
-    val deg = und.select(col("a").as("id")).unionAll(und.select(col("b").as("id")))
-      .groupBy("id").agg(count(lit(1)).as("d"))
-      .persist() // joined twice just below; freed after the build
+    val deg = undDegrees // stored index: joined twice below, reused by kCore
     val withDeg = und
       .join(deg.select(col("id").as("a"), col("d").as("da")), "a")
       .join(deg.select(col("id").as("b"), col("d").as("db")), "b")
@@ -241,12 +239,23 @@ final case class PropertyGraph(vertices: DataFrame, edges: DataFrame) {
       when(aFirst, col("b")).otherwise(col("a")).as("v"),
       when(aFirst, col("db")).otherwise(col("da")).as("dv"))
       .persist()
-    ori.count() // materialize before freeing the degree scratch
-    deg.unpersist()
+    ori.count() // materialize while the degree index is hot
     oriBuilt = true
     ori
   }
   @volatile private var oriBuilt = false
+
+  /** Undirected simple-graph degrees — vertex-sized stored index shared by
+    * the oriented-adjacency build (two joins) and k-core's first peel round
+    * (which is exactly a filter over it). */
+  lazy val undDegrees: DataFrame = {
+    degBuilt = true
+    val und = undirectedEdges
+    und.select(col("a").as("id")).unionAll(und.select(col("b").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("d"))
+      .persist()
+  }
+  @volatile private var degBuilt = false
 
   /** Undirected MULTI-edge adjacency hash-clustered on the receiving vertex
     * `a` — the stored message-passing index: HashPartitioning(a) satisfies
@@ -277,6 +286,7 @@ final case class PropertyGraph(vertices: DataFrame, edges: DataFrame) {
   def uncache(): Unit = {
     undirectedEdges.unpersist()
     if (oriBuilt) { orientedEdges.unpersist(); () }
+    if (degBuilt) { undDegrees.unpersist(); () }
     if (undBuilt) { undByA.unpersist(); () }
     if (ccBuilt) { connectedComponents.unpersist(); () }
     ()
@@ -440,7 +450,6 @@ final case class PropertyGraph(vertices: DataFrame, edges: DataFrame) {
     * rounds are plain shuffles on the edge list and later rounds ride on
     * broadcast-size survivor sets. */
   def kCore(k: Int, rounds: Int): DataFrame = {
-    val und = undirectedEdges
     // Per-round EAGER localCheckpoint: without lineage truncation each
     // round's plan nests every previous round's relation and driver-side
     // re-planning grows superlinearly (measured: rounds 1-3 ≈ 2.5 s, round
@@ -449,9 +458,8 @@ final case class PropertyGraph(vertices: DataFrame, edges: DataFrame) {
     // — the survivor set is vertex-sized (a cluster deployment whose
     // survivors outgrow broadcast drops the hint and takes the shuffle).
     // Round 1 needs no restriction (the live set still contains every
-    // endpoint): it is a plain degree count + filter over und.
-    var live = und.select(col("a").as("id")).unionAll(und.select(col("b").as("id")))
-      .groupBy("id").agg(count(lit(1)).as("deg"))
+    // endpoint): it is a filter over the stored [[undDegrees]] index.
+    var live = undDegrees.select(col("id"), col("d").as("deg"))
       .filter(col("deg") >= k)
       .localCheckpoint()
     for (_ <- 2 to rounds)
