@@ -185,6 +185,29 @@ object ScalarFnOps extends OpModule {
         regexp_extract(p_name, '([a-z]+)$', 1) AS last_word,
         regexp_replace(p_type, '[AEIOU]', '', 'g') AS consonants,
         regexp_matches(p_brand, '^Brand#[0-9]+$') AS brand_ok
-        FROM part ORDER BY p_partkey"""))
+        FROM part ORDER BY p_partkey""")),
+
+    // URL decomposition — Spark's dedicated parse_url on one side, the
+    // equivalent anchored regexes on the DuckDB side (which has no URL
+    // parser). URLs are synthesized from document metadata, so every part
+    // is present and the two parsers provably agree on this grammar.
+    Op("fn_url",
+      (s, dir) => Tables(s, dir, "documents")
+        .select(col("doc_id"),
+          concat(lit("https://"), col("source"), lit(".example.com/doc/"),
+            col("doc_id").cast("string"), lit("?lang="), col("lang")).as("url"))
+        .select(col("doc_id"),
+          expr("parse_url(url, 'HOST')").as("host"),
+          expr("parse_url(url, 'PATH')").as("path"),
+          expr("parse_url(url, 'QUERY')").as("query"))
+        .orderBy("doc_id"),
+      Some("""WITH u AS (SELECT doc_id,
+          'https://' || source || '.example.com/doc/' || CAST(doc_id AS VARCHAR)
+            || '?lang=' || lang AS url FROM documents)
+        SELECT doc_id,
+          regexp_extract(url, '^[a-z]+://([^/?#]+)', 1) AS host,
+          regexp_extract(url, '^[a-z]+://[^/?#]+(/[^?#]*)', 1) AS path,
+          regexp_extract(url, '\?(.*)$', 1) AS query
+        FROM u ORDER BY doc_id"""))
   )
 }

@@ -260,6 +260,77 @@ object StatsOps extends OpModule {
             min_price, max_price, NULL, NULL
           UNION ALL SELECT 'o_orderstatus', n, n - nn_st, nd_st,
             NULL, NULL, min_st, max_st) u
-        ORDER BY col"""))
+        ORDER BY col""")),
+
+    // Rolling mean over a 7-row frame: the windowed sum goes through
+    // DECIMAL (frame content is deterministic given the unique o_orderkey
+    // ordering, and the decimal sum is order-independent within it); the
+    // closing division is one per-row IEEE op.
+    Op("win_moving_avg",
+      (s, dir) => {
+        Tables(s, dir, "orders").createOrReplaceTempView("orders")
+        s.sql("""SELECT o_orderkey, o_orderstatus,
+          CAST(SUM(CAST(o_totalprice AS DECIMAL(38,10))) OVER w AS DOUBLE)
+            / COUNT(*) OVER w AS mavg
+          FROM orders WINDOW w AS (PARTITION BY o_orderstatus
+            ORDER BY o_orderkey ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+          ORDER BY o_orderkey""")
+      },
+      Some(s"""SELECT o_orderkey, o_orderstatus,
+        ${num.DSUM_OVER("o_totalprice", "OVER w")} / COUNT(*) OVER w AS mavg
+        FROM orders WINDOW w AS (PARTITION BY o_orderstatus
+          ORDER BY o_orderkey ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+        ORDER BY o_orderkey""")),
+
+    // Exact skewness (third standardized moment), TWO-PASS over CENT-
+    // QUANTIZED deviations. Two measured failure modes shaped this form:
+    // (1) the one-pass raw-moment formula cancels ~12 significant digits
+    // on this data (Σx³ ≈ 1e21 vs the 1e9-scale central moment) — engines
+    // disagreed in the 11th digit; (2) even central moments diverge by a
+    // few ulps because double→DECIMAL rounding of full-precision fractions
+    // differs between Spark (exact-binary-expansion HALF_UP) and DuckDB.
+    // So deviations are quantized to integer cents with FLOOR (exact on
+    // identical doubles) and the squares/cubes are computed in EXACT
+    // INTEGER arithmetic — Spark DECIMAL(12,0) products (which widen),
+    // DuckDB HUGEINT (a third measured trap: cubing in double rounds each
+    // term to its 3e7-size ulp, and DuckDB's double→DECIMAL conversion of
+    // >2^63 values drops low digits — both engines were "deterministic"
+    // but summing different numbers). The statistic is the skewness of
+    // cent-rounded deviations (≈1e-9 relative from exact — asserted
+    // within 1e-6 of Spark's builtin in Round5OpsSpec); scale cancels in
+    // the ratio. σ³ is sq·sq·sq (no pow — library pow may differ in the
+    // last ulp). At 100 TB the broadcast-joined mean table is
+    // #groups-sized and each pass is one map-side-combined aggregate.
+    Op("agg_skew",
+      (s, dir) => {
+        Tables(s, dir, "orders").createOrReplaceTempView("orders")
+        s.sql("""WITH mu AS (SELECT o_orderstatus, COUNT(*) AS n,
+            CAST(SUM(CAST(o_totalprice AS DECIMAL(38,10))) AS DOUBLE)
+              / COUNT(*) AS mean
+            FROM orders GROUP BY 1),
+          d AS (SELECT o.o_orderstatus, mu.n,
+            CAST(FLOOR((o.o_totalprice - mu.mean) * 100 + 0.5) AS DECIMAL(12,0)) AS dvq
+            FROM orders o JOIN mu ON mu.o_orderstatus = o.o_orderstatus),
+          m AS (SELECT o_orderstatus, n,
+            CAST(SUM(dvq * dvq) AS DOUBLE) AS sd2,
+            CAST(SUM(dvq * dvq * dvq) AS DOUBLE) AS sd3
+            FROM d GROUP BY 1, 2)
+          SELECT o_orderstatus, n,
+            (sd3 / n) / (sqrt(sd2 / n) * sqrt(sd2 / n) * sqrt(sd2 / n)) AS skew
+          FROM m ORDER BY 1""")
+      },
+      Some(s"""WITH mu AS (SELECT o_orderstatus, COUNT(*) AS n,
+          ${num.DSUM("o_totalprice")} / COUNT(*) AS mean
+          FROM orders GROUP BY 1),
+        d AS (SELECT o.o_orderstatus, mu.n,
+          CAST(FLOOR((o.o_totalprice - mu.mean) * 100 + 0.5) AS HUGEINT) AS dvq
+          FROM orders o JOIN mu ON mu.o_orderstatus = o.o_orderstatus),
+        m AS (SELECT o_orderstatus, n,
+          CAST(CAST(SUM(dvq * dvq) AS VARCHAR) AS DOUBLE) AS sd2,
+          CAST(CAST(SUM(dvq * dvq * dvq) AS VARCHAR) AS DOUBLE) AS sd3
+          FROM d GROUP BY 1, 2)
+        SELECT o_orderstatus, n,
+          (sd3 / n) / (sqrt(sd2 / n) * sqrt(sd2 / n) * sqrt(sd2 / n)) AS skew
+        FROM m ORDER BY 1"""))
   )
 }

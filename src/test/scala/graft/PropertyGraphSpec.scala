@@ -159,13 +159,22 @@ class PropertyGraphSpec extends AnyFunSuite {
       g.labelPropagation(2).count()
       ()
     }
+    // Checkpoint RDDs of unreferenced results are dropped by the
+    // ContextCleaner only after GC notices them — census snapshots must
+    // force that or the test is hostage to GC timing (it flaked when new
+    // suites shifted allocation patterns). settle() makes "collectible"
+    // actually collected before counting.
+    def settle(): Int = {
+      System.gc(); Thread.sleep(500)
+      spark.sparkContext.getPersistentRDDs.size
+    }
     run() // baseline: fixture caches + one run's transient checkpoint RDDs
-    val after1 = spark.sparkContext.getPersistentRDDs.size
+    val after1 = settle()
     run(); run()
-    val after3 = spark.sparkContext.getPersistentRDDs.size
-    // Transient checkpoint RDDs from *live* results may linger until GC;
-    // allow one run's worth of slack, but three runs must not stack three
-    // runs of scratch (the round-1 failure mode grew ~5 entries per run).
+    val after3 = settle()
+    // Live results' checkpoint RDDs may remain; allow one run's worth of
+    // slack, but three runs must not stack three runs of scratch (the
+    // round-1 failure mode grew ~5 entries per run).
     assert(after3 <= after1 + 4,
       s"persisted RDDs grew from $after1 to $after3 across repeated runs")
   }

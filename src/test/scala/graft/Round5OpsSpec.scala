@@ -93,6 +93,36 @@ class Round5OpsSpec extends AnyFunSuite {
     assert(j.join(deg, "s1").filter(col("common") > col("d1")).count() == 0)
   }
 
+  test("fn_url parses host/path/query back out of the synthesized URL") {
+    val u = SparkEntry.queries("fn_url")(spark, sf)
+    assert(u.filter(!col("host").endsWith(".example.com") ||
+      !col("path").startsWith("/doc/") ||
+      !col("query").startsWith("lang=")).count() == 0)
+    assert(u.count() == Tables(spark, sf, "documents").count())
+  }
+
+  test("win_moving_avg stays within the frame's min/max envelope") {
+    val m = SparkEntry.queries("win_moving_avg")(spark, sf)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("o_orderstatus").orderBy("o_orderkey").rowsBetween(-6, 0)
+    val env = Tables(spark, sf, "orders")
+      .select(col("o_orderkey"), min("o_totalprice").over(w).as("lo"),
+        max("o_totalprice").over(w).as("hi"))
+    assert(m.join(env, "o_orderkey")
+      .filter(col("mavg") < col("lo") || col("mavg") > col("hi"))
+      .count() == 0)
+  }
+
+  test("agg_skew matches Spark's built-in skewness to float tolerance") {
+    val s1 = SparkEntry.queries("agg_skew")(spark, sf)
+      .select("o_orderstatus", "skew")
+    val ref = Tables(spark, sf, "orders").groupBy("o_orderstatus")
+      .agg(skewness("o_totalprice").as("ref"))
+    val bad = s1.join(ref, "o_orderstatus")
+      .filter(abs(col("skew") - col("ref")) > 1e-6)
+    assert(bad.count() == 0)
+  }
+
   test("graph_pregel (max-flood via stored CC): component-constant, >= own val") {
     val g = graph.GraphFixture(spark, sf)
     val mf = SparkEntry.queries("graph_pregel")(spark, sf)
