@@ -331,6 +331,91 @@ object StatsOps extends OpModule {
           FROM d GROUP BY 1, 2)
         SELECT o_orderstatus, n,
           (sd3 / n) / (sqrt(sd2 / n) * sqrt(sd2 / n) * sqrt(sd2 / n)) AS skew
-        FROM m ORDER BY 1"""))
+        FROM m ORDER BY 1""")),
+
+    // Excess kurtosis — agg_skew's machinery one moment higher (see that
+    // op's scaladoc for why cent-quantization + exact integer powers are
+    // required). dvq⁴ ≤ ~1.3e31 and its 150k-row sum ≤ ~2e36 stay inside
+    // both DECIMAL(38,0) (Spark caps product precision at 38 — values
+    // fit) and HUGEINT (1.7e38). kurt = m4/m2² − 3, per-group IEEE.
+    Op("agg_kurtosis",
+      (s, dir) => {
+        Tables(s, dir, "orders").createOrReplaceTempView("orders")
+        s.sql("""WITH mu AS (SELECT o_orderstatus, COUNT(*) AS n,
+            CAST(SUM(CAST(o_totalprice AS DECIMAL(38,10))) AS DOUBLE)
+              / COUNT(*) AS mean
+            FROM orders GROUP BY 1),
+          d AS (SELECT o.o_orderstatus, mu.n,
+            CAST(FLOOR((o.o_totalprice - mu.mean) * 100 + 0.5) AS DECIMAL(12,0)) AS dvq
+            FROM orders o JOIN mu ON mu.o_orderstatus = o.o_orderstatus),
+          m AS (SELECT o_orderstatus, n,
+            CAST(SUM(dvq * dvq) AS DOUBLE) AS sd2,
+            CAST(SUM(dvq * dvq * dvq * dvq) AS DOUBLE) AS sd4
+            FROM d GROUP BY 1, 2)
+          SELECT o_orderstatus, n,
+            (sd4 / n) / ((sd2 / n) * (sd2 / n)) - 3 AS kurt
+          FROM m ORDER BY 1""")
+      },
+      Some(s"""WITH mu AS (SELECT o_orderstatus, COUNT(*) AS n,
+          ${num.DSUM("o_totalprice")} / COUNT(*) AS mean
+          FROM orders GROUP BY 1),
+        d AS (SELECT o.o_orderstatus, mu.n,
+          CAST(FLOOR((o.o_totalprice - mu.mean) * 100 + 0.5) AS HUGEINT) AS dvq
+          FROM orders o JOIN mu ON mu.o_orderstatus = o.o_orderstatus),
+        m AS (SELECT o_orderstatus, n,
+          CAST(CAST(SUM(dvq * dvq) AS VARCHAR) AS DOUBLE) AS sd2,
+          CAST(CAST(SUM(dvq * dvq * dvq * dvq) AS VARCHAR) AS DOUBLE) AS sd4
+          FROM d GROUP BY 1, 2)
+        SELECT o_orderstatus, n,
+          (sd4 / n) / ((sd2 / n) * (sd2 / n)) - 3 AS kurt
+        FROM m ORDER BY 1""")),
+
+    // GROUPING() disambiguation over ROLLUP — what makes subtotal rows
+    // machine-readable (a NULL group key is otherwise ambiguous between
+    // "subtotal" and "the NULL value"). Same Expand-based plan as
+    // agg_rollup.
+    Op("agg_grouping_id",
+      (s, dir) => {
+        Tables(s, dir, "orders").createOrReplaceTempView("orders")
+        s.sql(GroupingSql)
+      },
+      Some(GroupingSql)),
+
+    // Gaps-and-islands (longest streak): consecutive same-type runs per
+    // user via the classic row_number difference, then per-user longest
+    // run + island count. Two window passes over the SAME (user) ordering
+    // — one shuffle; the island aggregation is map-side combinable.
+    Op("win_islands",
+      (s, dir) => {
+        Tables(s, dir, "events").createOrReplaceTempView("events")
+        s.sql(IslandsSql)
+      },
+      Some(IslandsSql))
   )
+
+  /** Engine-portable SQL shared by both sides of agg_grouping_id.
+    * Subtotal keys are COALESCEd ('(all)') — NULL group keys would sort
+    * first in Spark and last in DuckDB, breaking the ordered compare —
+    * and GROUPING() is cast to BIGINT (Spark returns TINYINT, DuckDB
+    * BIGINT). */
+  private val GroupingSql = """
+    SELECT COALESCE(o_orderstatus, '(all)') AS st,
+      COALESCE(o_orderpriority, '(all)') AS pr,
+      CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_st,
+      CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_pr,
+      COUNT(*) AS n
+    FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+    ORDER BY g_st, g_pr, st, pr"""
+
+  /** Engine-portable SQL shared by both sides of win_islands. */
+  private val IslandsSql = """
+    WITH r1 AS (SELECT user_id, event_type,
+      ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id) AS rn,
+      ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+        ORDER BY event_id) AS rnt
+      FROM events),
+    isl AS (SELECT user_id, event_type, rn - rnt AS grp, COUNT(*) AS len
+      FROM r1 GROUP BY 1, 2, 3)
+    SELECT user_id, MAX(len) AS max_streak, COUNT(*) AS n_islands
+    FROM isl GROUP BY 1 ORDER BY 1"""
 }

@@ -226,6 +226,36 @@ object TextOps extends OpModule {
           CAST(n_chars AS DOUBLE) / CAST(len(${duckToks("text")}) AS DOUBLE) AS bytes_per_token
         FROM documents ORDER BY doc_id""")),
 
+    // Per-language top-3 bigrams — the vocabulary/collocation-mining pass
+    // of a tokenizer-training pipeline: generate adjacent-pair n-grams per
+    // doc (one array transform, no shuffle), explode, count by (lang,
+    // bigram) with map-side combine, then a window top-k over the
+    // group-count-sized frame. Ties rank by bigram text — deterministic.
+    Op("text_ngram_top",
+      (s, dir) => {
+        Tables(s, dir, "documents").createOrReplaceTempView("documents")
+        s.sql(s"""
+          WITH t AS (SELECT lang, ${sparkToks("text")} AS toks FROM documents),
+          b AS (SELECT lang, explode(transform(sequence(1, size(toks) - 1),
+              i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))) AS bg
+            FROM t WHERE size(toks) >= 2),
+          c AS (SELECT lang, bg, COUNT(*) AS n FROM b GROUP BY 1, 2)
+          SELECT lang, bg, n
+          FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY lang
+              ORDER BY n DESC, bg) AS rn FROM c)
+          WHERE rn <= 3 ORDER BY lang, n DESC, bg""")
+      },
+      Some(s"""
+        WITH t AS (SELECT lang, ${duckToks("text")} AS toks FROM documents),
+        b AS (SELECT lang, unnest(list_transform(generate_series(1, len(toks) - 1),
+            i -> toks[i] || ' ' || toks[i + 1])) AS bg
+          FROM t WHERE len(toks) >= 2),
+        c AS (SELECT lang, bg, COUNT(*) AS n FROM b GROUP BY 1, 2)
+        SELECT lang, bg, n
+        FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY lang
+            ORDER BY n DESC, bg) AS rn FROM c)
+        WHERE rn <= 3 ORDER BY lang, n DESC, bg""")),
+
     // Polynomial rolling-hash document fingerprint (ordered char fold).
     Op("text_fingerprint",
       (s, dir) => {

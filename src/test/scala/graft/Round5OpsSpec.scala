@@ -123,6 +123,45 @@ class Round5OpsSpec extends AnyFunSuite {
     assert(bad.count() == 0)
   }
 
+  test("agg_kurtosis matches Spark's built-in kurtosis to float tolerance") {
+    val k = SparkEntry.queries("agg_kurtosis")(spark, sf)
+      .select("o_orderstatus", "kurt")
+    val ref = Tables(spark, sf, "orders").groupBy("o_orderstatus")
+      .agg(kurtosis("o_totalprice").as("ref"))
+    assert(k.join(ref, "o_orderstatus")
+      .filter(abs(col("kurt") - col("ref")) > 1e-6).count() == 0)
+  }
+
+  test("agg_grouping_id: grand total flagged (1,1) and equals row count") {
+    val g = SparkEntry.queries("agg_grouping_id")(spark, sf)
+    val total = g.filter(col("g_st") === 1 && col("g_pr") === 1)
+    assert(total.count() == 1)
+    assert(total.head.getLong(4) == Tables(spark, sf, "orders").count())
+    // detail rows sum to each subtotal level
+    val detail = g.filter(col("g_st") === 0 && col("g_pr") === 0)
+      .agg(sum("n")).head.getLong(0)
+    assert(detail == Tables(spark, sf, "orders").count())
+  }
+
+  test("win_islands: island lengths conserve events, streak <= events") {
+    val w = SparkEntry.queries("win_islands")(spark, sf)
+    val perUser = Tables(spark, sf, "events").groupBy("user_id")
+      .agg(count(lit(1)).as("n_ev"))
+    val j = w.join(perUser, "user_id")
+    assert(j.filter(col("max_streak") > col("n_ev") ||
+      col("n_islands") > col("n_ev") || col("max_streak") < 1).count() == 0)
+    assert(w.count() == perUser.count())
+  }
+
+  test("text_ngram_top: exactly <=3 rows per lang, counts descending") {
+    val t = SparkEntry.queries("text_ngram_top")(spark, sf).collect()
+    t.groupBy(_.getString(0)).foreach { case (_, rows) =>
+      assert(rows.length <= 3)
+      val ns = rows.map(_.getLong(2)).toSeq
+      assert(ns == ns.sorted.reverse)
+    }
+  }
+
   test("graph_pregel (max-flood via stored CC): component-constant, >= own val") {
     val g = graph.GraphFixture(spark, sf)
     val mf = SparkEntry.queries("graph_pregel")(spark, sf)
