@@ -165,4 +165,31 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"), p)
     assert(!p.contains("SortMergeJoin"), p)
   }
+
+  test("unpivot_melt executes as a single Expand, no extra shuffle") {
+    val p = finalPlan("unpivot_melt")
+    assert(p.contains("Expand"), p)
+    // shuffles: the feeding aggregate's exchange + the final orderBy only
+    assert("Exchange".r.findAllIn(p.split("== Initial Plan ==")(0)).size <= 3, p)
+  }
+
+  test("agg_grouping_id plans the rollup through one Expand with partial agg") {
+    val p = finalPlan("agg_grouping_id")
+    assert(p.contains("Expand"), p)
+    assert(p.contains("partial_count") || p.contains("HashAggregate"), p)
+  }
+
+  test("win_islands shares one user-hash shuffle across both window passes") {
+    val p = finalPlan("win_islands").split("== Initial Plan ==")(0)
+    // two Window operators, but hashpartitioning(user_id...) exchanges
+    // must not multiply per pass: scan→exchange(user)→windows→agg
+    val winCount = "Window".r.findAllIn(p).size
+    assert(winCount >= 2, p)
+    assert("hashpartitioning\\(user_id".r.findAllIn(p).size <= 2, p)
+  }
+
+  test("graph_jaccard candidates come from an equi-join on the shared part") {
+    val p = finalPlan("graph_jaccard")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
 }
