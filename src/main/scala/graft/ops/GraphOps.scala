@@ -534,6 +534,43 @@ object GraphOps extends OpModule {
         ORDER BY s1, s2""",
         extra = """sb AS MATERIALIZED (SELECT src, dst FROM edges
             WHERE label = 'supplied_by'),
-          dg AS (SELECT dst AS sup, COUNT(*) AS d FROM sb GROUP BY 1)""")))
+          dg AS (SELECT dst AS sup, COUNT(*) AS d FROM sb GROUP BY 1)"""))),
+
+    // Ego network — THE graph-db lookup: everything within 2 undirected
+    // hops of one entity (customer #1), as the induced edge list. Two
+    // frontier expansions (equi-joins against the stored undByA adjacency,
+    // broadcast-size frontiers) + two semi-joins to induce; at 100 TB the
+    // same shape holds because frontiers grow with neighborhood size, not
+    // graph size.
+    Op("graph_ego",
+      (s, dir) => {
+        val g = GraphFixture(s, dir)
+        val und = g.undByA
+        val l0 = g.vertices.filter(col("id") === 3000000000001L).select("id")
+        val l1 = und.join(l0.withColumnRenamed("id", "a"), "a")
+          .select(col("b").as("id"))
+        val keep = l0.unionAll(l1)
+          .unionAll(und.join(l1.withColumnRenamed("id", "a"), "a")
+            .select(col("b").as("id")))
+          .distinct()
+        g.edges
+          .join(keep.withColumnRenamed("id", "src"), Seq("src"), "left_semi")
+          .join(keep.withColumnRenamed("id", "dst"), Seq("dst"), "left_semi")
+          .select("src", "dst", "label")
+          .orderBy("src", "dst", "label")
+      },
+      Some(withGraph(
+        """SELECT e.src, e.dst, e.label FROM edges e
+          JOIN (SELECT DISTINCT id FROM reach) a ON a.id = e.src
+          JOIN (SELECT DISTINCT id FROM reach) b ON b.id = e.dst
+        ORDER BY e.src, e.dst, e.label""",
+        extra = """und AS MATERIALIZED (SELECT src AS a, dst AS b FROM edges
+            UNION ALL SELECT dst, src FROM edges),
+          reach(id, d) AS (
+            SELECT CAST(3000000000001 AS BIGINT), 0
+            UNION
+            SELECT u.b, r.d + 1 FROM reach r JOIN und u ON u.a = r.id
+            WHERE r.d < 2)""",
+        recursive = true)))
   )
 }

@@ -390,7 +390,17 @@ object StatsOps extends OpModule {
         Tables(s, dir, "events").createOrReplaceTempView("events")
         s.sql(IslandsSql)
       },
-      Some(IslandsSql))
+      Some(IslandsSql)),
+
+    // Per-user behavioral diversity (Gini impurity of the event-type mix)
+    // — see GiniSql for why Gini rather than entropy. Two stacked
+    // map-side-combined aggregations on the same user key: one shuffle.
+    Op("agg_gini",
+      (s, dir) => {
+        Tables(s, dir, "events").createOrReplaceTempView("events")
+        s.sql(GiniSql)
+      },
+      Some(GiniSql))
   )
 
   /** Engine-portable SQL shared by both sides of agg_grouping_id.
@@ -406,6 +416,20 @@ object StatsOps extends OpModule {
       COUNT(*) AS n
     FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
     ORDER BY g_st, g_pr, st, pr"""
+
+  /** Engine-portable SQL shared by both sides of agg_gini. Gini impurity
+    * 1 − Σpᵢ² per user over their event-type mix. Shannon entropy is the
+    * usual diversity score but needs log() — a transcendental the
+    * determinism contract bans (graft.num) — while Gini's numerators stay
+    * in EXACT integer arithmetic (Σnᵢ², n) until one final division. */
+  private val GiniSql = """
+    WITH c AS (SELECT user_id, event_type, COUNT(*) AS ni
+      FROM events GROUP BY 1, 2),
+    u AS (SELECT user_id, SUM(ni) AS n, SUM(ni * ni) AS s2
+      FROM c GROUP BY 1)
+    SELECT user_id, CAST(n AS BIGINT) AS n,
+      1 - CAST(s2 AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS gini
+    FROM u ORDER BY 1"""
 
   /** Engine-portable SQL shared by both sides of win_islands. */
   private val IslandsSql = """

@@ -162,6 +162,37 @@ class Round5OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("agg_gini: impurity in [0, 1), one row per active user") {
+    val g = SparkEntry.queries("agg_gini")(spark, sf)
+    assert(g.filter(col("gini") < 0 || col("gini") >= 1).count() == 0)
+    assert(g.count() ==
+      Tables(spark, sf, "events").select("user_id").distinct().count())
+    // single-type users (if any) must score exactly 0; multi-type > 0
+    val types = Tables(spark, sf, "events").groupBy("user_id")
+      .agg(countDistinct("event_type").as("k"))
+    val j = g.join(types, "user_id")
+    assert(j.filter(col("k") === 1 && col("gini") =!= 0.0).count() == 0)
+    assert(j.filter(col("k") > 1 && col("gini") === 0.0).count() == 0)
+  }
+
+  test("graph_ego: induced edges only touch the 2-hop neighborhood") {
+    val g = graph.GraphFixture(spark, sf)
+    val ego = SparkEntry.queries("graph_ego")(spark, sf)
+    assert(ego.count() > 0)
+    // every returned edge endpoint reaches customer #1 within 2 und hops
+    val l0 = Seq(3000000000001L)
+    val e2 = g.edges.select(col("src"), col("dst"))
+    val nbrs1 = e2.filter(col("src").isin(l0: _*)).select(col("dst").as("id"))
+      .unionAll(e2.filter(col("dst").isin(l0: _*)).select(col("src").as("id")))
+    val set1 = nbrs1.distinct().collect().map(_.getLong(0)).toSet + l0.head
+    val nbrs2 = e2.filter(col("src").isin(set1.toSeq: _*)).select(col("dst").as("id"))
+      .unionAll(e2.filter(col("dst").isin(set1.toSeq: _*)).select(col("src").as("id")))
+    val set2 = set1 ++ nbrs2.distinct().collect().map(_.getLong(0))
+    val bad = ego.collect().exists(r =>
+      !set2.contains(r.getLong(0)) || !set2.contains(r.getLong(1)))
+    assert(!bad)
+  }
+
   test("graph_pregel (max-flood via stored CC): component-constant, >= own val") {
     val g = graph.GraphFixture(spark, sf)
     val mf = SparkEntry.queries("graph_pregel")(spark, sf)
