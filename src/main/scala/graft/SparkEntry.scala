@@ -17,6 +17,7 @@ object SparkEntry {
     ops.CustomExprOps,
     ops.StatsOps,
     ops.PipelineOps,
+    ops.ExtraOps,
     streaming.StreamOps)
 
   lazy val allOps: Seq[Op] = {

@@ -420,8 +420,12 @@ final case class PropertyGraph(vertices: DataFrame, edges: DataFrame) {
     * Catalyst estimates, so the degree joins and the closing probe get
     * planned broadcast when small and shuffle when not — scale-adaptive).
     * The vertex-sized result is materialized eagerly, then the scratch is
-    * unpersisted — nothing stays pinned in the CacheManager. */
-  def triangleCounts: DataFrame = {
+    * unpersisted — nothing stays pinned in the CacheManager. Stored per
+    * graph (lazy val, like the other ingest artifacts): triangle counts
+    * feed multiple keys (graph_triangles, graph_clustering) and the wedge
+    * join is the dominant cost — the checkpointed result is vertex-sized
+    * and its RDD is freed by GC with the instance. */
+  lazy val triangleCounts: DataFrame = {
     // The fork orders each candidate pair by the SAME (degree, id) total
     // order the stored orientation uses, so a closing edge can only be
     // (lower → higher) — one equi-join against the index, no OR-key.

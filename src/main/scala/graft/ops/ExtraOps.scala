@@ -1,0 +1,328 @@
+package graft.ops
+
+import graft.{Op, OpModule, Staging, Tables, num}
+import graft.graph.GraphFixture
+import org.apache.spark.sql.functions._
+import textsql._
+
+/** Round-5 surface widening (SURVEY.md §2 families): bitwise aggregates,
+  * ntile bucketing, robust statistics (MAD), printf-style formatting,
+  * exact stratified sampling, a salted skew-join (the 100 TB skew
+  * mitigation as a graded, result-identical key), small-file compaction,
+  * and local clustering coefficients over the property graph.
+  *
+  * House determinism rules apply (graft.num / textsql scaladocs):
+  * integer/decimal-exact cross-row arithmetic, md5-derived hashes,
+  * per-row IEEE ops written in identical order in both engines.
+  */
+object ExtraOps extends OpModule {
+
+  private def view(s: org.apache.spark.sql.SparkSession, dir: String, n: String): Unit =
+    Tables(s, dir, n).createOrReplaceTempView(n)
+
+  def ops: Seq[Op] = Seq(
+
+    // Bitwise AND/OR/XOR aggregates — set-membership compaction (bitmap
+    // flags ANDed/ORed across rows). Integer-exact, fully map-side
+    // combinable (all three are associative+commutative), one shuffle of
+    // #groups rows.
+    Op("agg_bitwise",
+      (s, dir) => {
+        view(s, dir, "orders")
+        s.sql(BitwiseSql)
+      },
+      Some(BitwiseSql)),
+
+    // Equi-depth bucketing via NTILE over a UNIQUE total order (o_orderkey
+    // — ties would make bucket assignment engine-dependent), folded to a
+    // per-bucket profile: both engines implement the SQL-standard sizing
+    // (first n mod b buckets get one extra row). The window and the
+    // aggregate share the same partition key — one shuffle.
+    Op("win_ntile",
+      (s, dir) => {
+        view(s, dir, "orders")
+        s.sql(s"""WITH b AS (SELECT o_orderstatus, o_totalprice,
+            NTILE(10) OVER (PARTITION BY o_orderstatus ORDER BY o_orderkey) AS decile
+          FROM orders)
+          SELECT o_orderstatus, decile, COUNT(*) AS n,
+            CAST(SUM(CAST(o_totalprice AS DECIMAL(38,10))) AS DOUBLE) AS sum_price
+          FROM b GROUP BY 1, 2 ORDER BY 1, 2""")
+      },
+      Some(s"""WITH b AS (SELECT o_orderstatus, o_totalprice,
+          NTILE(10) OVER (PARTITION BY o_orderstatus ORDER BY o_orderkey) AS decile
+        FROM orders)
+        SELECT o_orderstatus, decile, COUNT(*) AS n,
+          ${num.DSUM("o_totalprice")} AS sum_price
+        FROM b GROUP BY 1, 2 ORDER BY 1, 2""")),
+
+    // Median absolute deviation — the robust dispersion statistic. Two
+    // exact-percentile passes with the #groups-sized median table joined
+    // back (broadcast at any scale); interpolation identity is already
+    // certified by agg_percentile, and abs/− are per-row IEEE.
+    Op("agg_mad",
+      (s, dir) => {
+        view(s, dir, "orders")
+        s.sql("""WITH med AS (SELECT o_orderstatus,
+            percentile(o_totalprice, 0.5) AS m FROM orders GROUP BY 1)
+          SELECT o.o_orderstatus,
+            percentile(abs(o.o_totalprice - med.m), 0.5) AS mad, COUNT(*) AS n
+          FROM orders o JOIN med ON med.o_orderstatus = o.o_orderstatus
+          GROUP BY 1 ORDER BY 1""")
+      },
+      Some("""WITH med AS (SELECT o_orderstatus,
+          quantile_cont(o_totalprice, 0.5) AS m FROM orders GROUP BY 1)
+        SELECT o.o_orderstatus,
+          quantile_cont(abs(o.o_totalprice - med.m), 0.5) AS mad, COUNT(*) AS n
+        FROM orders o JOIN med ON med.o_orderstatus = o.o_orderstatus
+        GROUP BY 1 ORDER BY 1""")),
+
+    // printf-style formatting (report/export rendering). Integer and
+    // string conversions only — Java's Formatter and C printf agree on
+    // %s/%0Nd/%x exactly; float rendering (%f rounding mode) differs
+    // between the two and is deliberately excluded.
+    Op("fn_printf",
+      (s, dir) => {
+        view(s, dir, "orders")
+        s.sql("""SELECT o_orderkey,
+          printf('%s-%07d', o_orderstatus, o_custkey) AS tag,
+          printf('%x', o_orderkey) AS hexkey
+          FROM orders ORDER BY o_orderkey""")
+      },
+      Some("""SELECT o_orderkey,
+        printf('%s-%07d', o_orderstatus, o_custkey) AS tag,
+        printf('%x', o_orderkey) AS hexkey
+        FROM orders ORDER BY o_orderkey""")),
+
+    // Exact-allocation stratified sampling: per stratum, rank rows by a
+    // deterministic md5 hash (a reproducible "random" order) and keep the
+    // top ceil(10%) — every stratum is represented at exactly its
+    // proportional size, unlike a Bernoulli hash-filter whose per-stratum
+    // rate only holds in expectation. One window over the stratum key;
+    // embarrassingly parallel across strata at 100 TB.
+    Op("sample_stratified",
+      (s, dir) => {
+        view(s, dir, "events")
+        s.sql(s"""WITH r AS (SELECT event_id, user_id, event_type, value,
+            ROW_NUMBER() OVER (PARTITION BY event_type
+              ORDER BY ${sparkHash("CAST(event_id AS STRING)")}, event_id) AS rn,
+            COUNT(*) OVER (PARTITION BY event_type) AS n
+          FROM events)
+          SELECT event_id, user_id, event_type, value
+          FROM r WHERE rn <= CEIL(n * 0.1) ORDER BY event_id""")
+      },
+      Some(s"""WITH r AS (SELECT event_id, user_id, event_type, value,
+          ROW_NUMBER() OVER (PARTITION BY event_type
+            ORDER BY ${duckHash("CAST(event_id AS VARCHAR)")}, event_id) AS rn,
+          COUNT(*) OVER (PARTITION BY event_type) AS n
+        FROM events)
+        SELECT event_id, user_id, event_type, value
+        FROM r WHERE rn <= CEIL(n * 0.1) ORDER BY event_id""")),
+
+    // Salted skew join — the standard hot-key mitigation, graded by
+    // RESULT EQUALITY with the plain join (the oracle is the unsalted
+    // SQL): the fact side appends a deterministic per-row salt, the dim
+    // side replicates each row across all SALT buckets, and the join key
+    // becomes (key, salt) — a hot orderkey's rows now spread over SALT
+    // reducers instead of one straggler. Replication cost is |dim|·SALT,
+    // paid only when AQE's skew split isn't enough (AQE can't split a
+    // single key). The closing aggregate is decimal-exact, so salting
+    // (which changes accumulation order) cannot perturb the result.
+    Op("join_salted",
+      (s, dir) => {
+        val salt = 16
+        val fact = Tables(s, dir, "lineitem")
+          .withColumn("salt",
+            pmod(xxhash64(col("l_orderkey"), col("l_linenumber"), col("l_partkey")),
+              lit(salt)).cast("int"))
+        val dim = Tables(s, dir, "orders")
+          .withColumn("salt", explode(sequence(lit(0), lit(salt - 1))))
+        fact.join(dim,
+            fact("l_orderkey") === dim("o_orderkey") && fact("salt") === dim("salt"))
+          .groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("n"), num.dsum(col("l_extendedprice")).as("revenue"))
+          .orderBy("o_orderstatus")
+      },
+      Some(s"""SELECT o_orderstatus, COUNT(*) AS n,
+        ${num.DSUM("l_extendedprice")} AS revenue
+        FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+        GROUP BY 1 ORDER BY 1""")),
+
+    // Small-file compaction — the maintenance job every long-lived 100 TB
+    // table needs (streaming ingest leaves thousands of KB-sized files;
+    // scan cost is per-file). Stage the table as 64 small files, compact
+    // to 4 (repartition, not coalesce: coalesce(4) would also collapse
+    // the READ parallelism of the upstream scan into 4 tasks and produces
+    // however many partitions the file-packer happened to build; the
+    // shuffle buys balanced, deterministic output sizes). The key is
+    // graded on the round-trip: the compacted copy must carry exactly the
+    // source's rows, and the observed file counts are part of the hashed
+    // result.
+    Op("sink_compact",
+      (s, dir) => {
+        val base = Staging.fresh("compact")
+        val small = s"$base/small"
+        val compact = s"$base/compact"
+        Tables(s, dir, "events").repartition(64).write.mode("overwrite").parquet(small)
+        s.read.parquet(small).repartition(4).write.mode("overwrite").parquet(compact)
+        def nFiles(p: String): Long =
+          Option(new java.io.File(p).listFiles).map(_.count(_.getName.endsWith(".parquet")).toLong).getOrElse(0L)
+        s.read.parquet(compact)
+          .agg(count(lit(1)).as("n_rows"), num.dsum(col("value")).as("sum_value"))
+          .withColumn("n_files_small", lit(nFiles(small)))
+          .withColumn("n_files_compact", lit(nFiles(compact)))
+      },
+      Some(s"""SELECT COUNT(*) AS n_rows, ${num.DSUM("value")} AS sum_value,
+        CAST(64 AS BIGINT) AS n_files_small, CAST(4 AS BIGINT) AS n_files_compact
+        FROM events""")),
+
+    // Local clustering coefficient: 2·tri(v) / (d(v)·(d(v)−1)) over the
+    // simple undirected graph — triangle corners come from the stored
+    // degree-ordered orientation index (see PropertyGraph.triangleCounts),
+    // degrees from the stored undirected-degree index; both joins are
+    // vertex-sized. Numerator and denominator are exact integers; the
+    // closing division is one per-row IEEE op.
+    Op("graph_clustering",
+      (s, dir) => {
+        val g = GraphFixture(s, dir)
+        val tri = g.triangleCounts
+        g.undDegrees.filter(col("d") >= 2)
+          .join(tri, Seq("id"), "left")
+          .select(col("id"), col("d"),
+            coalesce(col("n_tri"), lit(0L)).as("n_tri"),
+            (coalesce(col("n_tri"), lit(0L)).cast("double") * 2 /
+              (col("d") * (col("d") - 1))).as("coeff"))
+          .orderBy("id")
+      },
+      Some(graft.graph.GraphSql.withGraph(
+        """SELECT deg.id, deg.d, COALESCE(tc.n_tri, 0) AS n_tri,
+          CAST(COALESCE(tc.n_tri, 0) AS DOUBLE) * 2 / (deg.d * (deg.d - 1)) AS coeff
+        FROM deg LEFT JOIN tc USING (id) WHERE deg.d >= 2 ORDER BY deg.id""",
+        extra = """und AS (SELECT DISTINCT LEAST(src, dst) AS a,
+            GREATEST(src, dst) AS b FROM edges WHERE src <> dst),
+          tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+            FROM und e1 JOIN und e2 ON e2.a = e1.b
+            JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b),
+          corners AS (SELECT x AS id FROM tri
+            UNION ALL SELECT y FROM tri UNION ALL SELECT z FROM tri),
+          tc AS (SELECT id, COUNT(*) AS n_tri FROM corners GROUP BY 1),
+          deg AS (SELECT id, COUNT(*) AS d FROM (SELECT a AS id FROM und
+            UNION ALL SELECT b FROM und) u GROUP BY 1)""")))
+  ) ++ batch2
+
+  /** Engine-portable SQL shared by both sides of agg_bitwise. */
+  private val BitwiseSql = """
+    SELECT o_orderstatus,
+      bit_and(o_custkey) AS band, bit_or(o_custkey) AS bor,
+      bit_xor(o_custkey) AS bxor, COUNT(*) AS n
+    FROM orders GROUP BY 1 ORDER BY 1"""
+
+  /** 32-bit Morton (Z-order) interleave of two 16-bit values `x`/`y`,
+    * written with only integer divide/modulo/multiply/add so the SAME
+    * formula evaluates exactly in both engines — `div` is Spark's integer
+    * division operator, `//` DuckDB's. */
+  private def morton(div: String): String =
+    (0 until 16).flatMap(i => Seq(
+      s"((x $div ${1L << i}) % 2) * ${1L << (2 * i)}",
+      s"((y $div ${1L << i}) % 2) * ${1L << (2 * i + 1)}")).mkString(" + ")
+
+  private def zorderSql(div: String) = s"""
+    WITH k AS (SELECT o_orderkey, o_custkey,
+      o_custkey % 65536 AS x, o_orderkey % 65536 AS y FROM orders)
+    SELECT o_orderkey, o_custkey, ${morton(div)} AS zval
+    FROM k ORDER BY zval, o_orderkey LIMIT 1000"""
+
+  /** Closed-form degree assortativity from exact integer edge sums; shared
+    * verbatim by the Spark selectExpr and the DuckDB oracle so the IEEE
+    * operation order is identical. */
+  private val AssortativityFormula = """
+    (CAST(sjk AS DOUBLE)/m - (CAST(ssum AS DOUBLE)/(2*m))*(CAST(ssum AS DOUBLE)/(2*m)))
+    / (CAST(ssq AS DOUBLE)/(2*m) - (CAST(ssum AS DOUBLE)/(2*m))*(CAST(ssum AS DOUBLE)/(2*m)))"""
+
+  /** Engine-portable SQL shared by both sides of win_nth. */
+  private val NthSql = """
+    SELECT o_orderkey, o_orderstatus,
+      NTH_VALUE(o_orderkey, 3) OVER (PARTITION BY o_orderstatus
+        ORDER BY o_orderkey
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS third_seen
+    FROM orders ORDER BY o_orderkey"""
+
+  private def batch2: Seq[Op] = Seq(
+
+    // Z-order (Morton) clustering key — the multi-dimensional data-layout
+    // primitive: sorting/range-partitioning on the interleaved key keeps
+    // rows close in BOTH dimensions, so parquet min/max zone maps prune
+    // scans filtered on either column (a single-column sort order can only
+    // serve one dimension). The key is pure integer per-row arithmetic
+    // (codegen'd, embarrassingly parallel); at 100 TB the layout job is
+    // repartitionByRange(zval) + sortWithinPartitions before the write.
+    // Graded on the interleave itself: top-1000 rows by Morton code.
+    Op("sort_zorder",
+      (s, dir) => {
+        view(s, dir, "orders")
+        s.sql(zorderSql("div"))
+      },
+      Some(zorderSql("//"))),
+
+    // Edit distance (classic Wagner–Fischer DP — integer-exact in every
+    // engine). The fuzzy-matching scalar the dedup family builds on;
+    // per-row cost is |a|·|b|, so pipelines cap operand length (as here)
+    // and pre-bucket candidates (dedup_* keys) rather than compare all
+    // pairs.
+    Op("fn_levenshtein",
+      (s, dir) => {
+        view(s, dir, "customer")
+        s.sql(LevSql)
+      },
+      Some(LevSql)),
+
+    // Degree assortativity (Newman's r): do high-degree vertices attach to
+    // high-degree vertices? Pearson correlation of endpoint degrees over
+    // undirected edges — Σjk, Σ(j+k), Σ(j²+k²) stay in exact integer
+    // arithmetic (degree products fit long comfortably; a 100 TB deploy
+    // widens to DECIMAL(38,0)), then one closed-form evaluation in a fixed
+    // IEEE order shared textually with the oracle. Two vertex-sized joins
+    // against the stored degree index + one map-side-combined global sum.
+    Op("graph_assortativity",
+      (s, dir) => {
+        val g = GraphFixture(s, dir)
+        val deg = g.undDegrees
+        g.undirectedEdges
+          .join(deg.select(col("id").as("a"), col("d").as("da")), "a")
+          .join(deg.select(col("id").as("b"), col("d").as("db")), "b")
+          .agg(count(lit(1)).as("m"),
+            sum(col("da") * col("db")).as("sjk"),
+            sum(col("da") + col("db")).as("ssum"),
+            sum(col("da") * col("da") + col("db") * col("db")).as("ssq"))
+          .selectExpr("m", s"$AssortativityFormula AS r")
+      },
+      Some(graft.graph.GraphSql.withGraph(
+        s"""SELECT m, $AssortativityFormula AS r FROM s""",
+        extra = """und AS (SELECT DISTINCT LEAST(src, dst) AS a,
+            GREATEST(src, dst) AS b FROM edges WHERE src <> dst),
+          deg AS (SELECT id, COUNT(*) AS d FROM (SELECT a AS id FROM und
+            UNION ALL SELECT b FROM und) u GROUP BY 1),
+          s AS (SELECT COUNT(*) AS m,
+            CAST(SUM(da.d * db.d) AS BIGINT) AS sjk,
+            CAST(SUM(da.d + db.d) AS BIGINT) AS ssum,
+            CAST(SUM(da.d * da.d + db.d * db.d) AS BIGINT) AS ssq
+            FROM und JOIN deg da ON da.id = und.a
+            JOIN deg db ON db.id = und.b)"""))),
+
+    // NTH_VALUE over a running frame — "the 3rd order seen so far" per
+    // status; NULL until three rows have arrived. The unique o_orderkey
+    // ordering makes the frame content deterministic.
+    Op("win_nth",
+      (s, dir) => {
+        view(s, dir, "orders")
+        s.sql(NthSql)
+      },
+      Some(NthSql))
+  )
+
+  /** Engine-portable SQL shared by both sides of fn_levenshtein. */
+  private val LevSql = """
+    SELECT c_custkey,
+      levenshtein(c_mktsegment, 'BUILDING') AS d_seg,
+      levenshtein(substr(c_name, 1, 12), 'Customer#000') AS d_name
+    FROM customer ORDER BY c_custkey"""
+}

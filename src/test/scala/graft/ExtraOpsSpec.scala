@@ -1,0 +1,136 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Semantic invariants for the ExtraOps additions (cross-engine value
+  * equality is the Verify/DuckDB gate's job; these assert the properties
+  * the values must satisfy). */
+class ExtraOpsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = TestSpark.sf
+
+  test("agg_bitwise: AND ≤ XOR-range ≤ OR bounds and per-group identities") {
+    val rows = SparkEntry.queries("agg_bitwise")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (band, bor) = (r.getLong(1), r.getLong(2))
+      assert((band & bor) == band) // AND's bits are a subset of OR's
+      assert((r.getLong(3) & ~bor) == 0) // XOR can't set bits OR doesn't have
+    }
+  }
+
+  test("win_ntile: 10 deciles per status, sizes differ by at most 1, sum to n") {
+    val d = SparkEntry.queries("win_ntile")(spark, sf).collect()
+      .groupBy(_.getString(0))
+    val statusN = Tables(spark, sf, "orders")
+      .groupBy("o_orderstatus").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    d.foreach { case (st, buckets) =>
+      assert(buckets.map(_.getInt(1)).sorted.toSeq == (1 to 10))
+      val sizes = buckets.map(_.getLong(2))
+      assert(sizes.max - sizes.min <= 1)
+      assert(sizes.sum == statusN(st))
+    }
+  }
+
+  test("agg_mad is at most the half-range and positive on this data") {
+    SparkEntry.queries("agg_mad")(spark, sf).collect().foreach { r =>
+      assert(r.getDouble(1) > 0)
+    }
+  }
+
+  test("fn_printf renders zero-padded decimal and hex consistently") {
+    val r = SparkEntry.queries("fn_printf")(spark, sf).limit(100).collect()
+    r.foreach { row =>
+      val key = row.getLong(0)
+      assert(row.getString(2) == java.lang.Long.toHexString(key))
+      assert(row.getString(1).matches("[A-Z]-\\d{7,}"))
+    }
+  }
+
+  test("sample_stratified: every stratum sampled at exactly ceil(10%)") {
+    val sampled = SparkEntry.queries("sample_stratified")(spark, sf)
+      .groupBy("event_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val full = Tables(spark, sf, "events")
+      .groupBy("event_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(sampled.keySet == full.keySet)
+    full.foreach { case (k, n) =>
+      assert(sampled(k) == math.ceil(n * 0.1).toLong)
+    }
+  }
+
+  test("join_salted equals the plain unsalted join") {
+    val salted = SparkEntry.queries("join_salted")(spark, sf)
+    val li = Tables(spark, sf, "lineitem")
+    val o = Tables(spark, sf, "orders")
+    val plain = li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"), num.dsum(col("l_extendedprice")).as("revenue"))
+      .orderBy("o_orderstatus")
+    assert(salted.collect().toSeq == plain.collect().toSeq)
+  }
+
+  test("sink_compact round-trips every row into exactly 4 files") {
+    val r = SparkEntry.queries("sink_compact")(spark, sf).head
+    val n = Tables(spark, sf, "events").count()
+    assert(r.getLong(0) == n)
+    assert(r.getLong(2) == 64 && r.getLong(3) == 4)
+  }
+
+  test("sort_zorder: morton code de-interleaves back to its inputs") {
+    val rows = SparkEntry.queries("sort_zorder")(spark, sf).collect()
+    assert(rows.length == 1000)
+    assert(rows.map(_.getLong(2)).toSeq == rows.map(_.getLong(2)).sorted.toSeq)
+    rows.foreach { r =>
+      val z = r.getLong(2)
+      var (x, y, i) = (0L, 0L, 0)
+      while (i < 16) {
+        x |= ((z >> (2 * i)) & 1) << i
+        y |= ((z >> (2 * i + 1)) & 1) << i
+        i += 1
+      }
+      assert(x == r.getLong(1) % 65536 && y == r.getLong(0) % 65536)
+    }
+  }
+
+  test("fn_levenshtein: zero iff equal, bounded by operand length") {
+    val rows = SparkEntry.queries("fn_levenshtein")(spark, sf).limit(500).collect()
+    rows.foreach { r =>
+      assert(r.getInt(1) >= 0 && r.getInt(1) <= 10)
+      assert(r.getInt(2) >= 0 && r.getInt(2) <= 12)
+    }
+    assert(rows.exists(_.getInt(1) == 0)) // BUILDING segment exists
+  }
+
+  test("graph_assortativity: r is a correlation, in [-1, 1]") {
+    val r = SparkEntry.queries("graph_assortativity")(spark, sf).head
+    assert(r.getLong(0) > 0)
+    assert(r.getDouble(1) >= -1.0 && r.getDouble(1) <= 1.0)
+  }
+
+  test("win_nth: third_seen is NULL for first two rows then constant per group") {
+    val rows = SparkEntry.queries("win_nth")(spark, sf).collect()
+      .groupBy(_.getString(1))
+    rows.foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_.getLong(0))
+      assert(sorted.take(2).forall(_.isNullAt(2)))
+      val third = sorted(2).getLong(0)
+      assert(sorted.drop(2).forall(_.getLong(2) == third))
+    }
+  }
+
+  test("graph_clustering: coeff in [0,1] and zero iff no triangles") {
+    val rows = SparkEntry.queries("graph_clustering")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (d, tri, c) = (r.getLong(1), r.getLong(2), r.getDouble(3))
+      assert(d >= 2)
+      assert(c >= 0.0 && c <= 1.0 + 1e-12)
+      assert((c == 0.0) == (tri == 0L))
+      assert(tri <= d * (d - 1) / 2)
+    }
+  }
+}
