@@ -207,7 +207,7 @@ object ExtraOps extends OpModule {
           tc AS (SELECT id, COUNT(*) AS n_tri FROM corners GROUP BY 1),
           deg AS (SELECT id, COUNT(*) AS d FROM (SELECT a AS id FROM und
             UNION ALL SELECT b FROM und) u GROUP BY 1)""")))
-  ) ++ batch2
+  ) ++ batch2 ++ batch3
 
   /** Engine-portable SQL shared by both sides of agg_bitwise. */
   private val BitwiseSql = """
@@ -325,4 +325,64 @@ object ExtraOps extends OpModule {
       levenshtein(c_mktsegment, 'BUILDING') AS d_seg,
       levenshtein(substr(c_name, 1, 12), 'Customer#000') AS d_name
     FROM customer ORDER BY c_custkey"""
+
+  /** Engine-portable SQL shared by both sides of join_correlated: a
+    * correlated EXISTS plus a correlated scalar COUNT subquery. */
+  private val CorrelatedSql = """
+    SELECT o_orderkey,
+      (SELECT COUNT(*) FROM lineitem WHERE l_orderkey = o_orderkey) AS n_items
+    FROM orders o WHERE EXISTS (SELECT 1 FROM lineitem l
+      WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 45)
+    ORDER BY o_orderkey"""
+
+  private def batch3: Seq[Op] = Seq(
+
+    // Correlated-subquery SURFACE: EXISTS (→ decorrelated to a left-semi
+    // hash join by Catalyst, never a per-row probe) and a correlated
+    // scalar COUNT (→ left outer join against a pre-aggregated count
+    // table). The subquery text is what users write; the plan is the same
+    // shuffle-safe join DAG join_semi/agg_group grade directly — asserted
+    // in ExtraOpsSpec (no BroadcastNestedLoop / per-row execution).
+    // Integer-only outputs, so no float determinism exposure.
+    Op("join_correlated",
+      (s, dir) => {
+        view(s, dir, "orders"); view(s, dir, "lineitem")
+        s.sql(CorrelatedSql)
+      },
+      Some(CorrelatedSql)),
+
+    // Weighted mean — SUM(w·x)/SUM(w) with both sums decimal-exact and
+    // order-independent; the closing division is one per-row IEEE op.
+    // Fully map-side combinable: one shuffle of #groups rows.
+    Op("agg_weighted_avg",
+      (s, dir) => {
+        view(s, dir, "lineitem")
+        s.sql("""SELECT l_returnflag,
+          CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(38,10))) AS DOUBLE)
+            / CAST(SUM(CAST(l_quantity AS DECIMAL(38,10))) AS DOUBLE) AS wavg_price,
+          COUNT(*) AS n
+          FROM lineitem GROUP BY 1 ORDER BY 1""")
+      },
+      Some(s"""SELECT l_returnflag,
+        ${num.DSUM("l_quantity * l_extendedprice")} / ${num.DSUM("l_quantity")} AS wavg_price,
+        COUNT(*) AS n
+        FROM lineitem GROUP BY 1 ORDER BY 1""")),
+
+    // Ordinal token explosion — posexplode (generator with position), the
+    // order-preserving flatten every tokenizer pipeline needs. Spark runs
+    // it as a codegen'd Generate (no shuffle before the sort); positions
+    // are 1-based to match SQL ordinality convention.
+    Op("fn_posexplode",
+      (s, dir) => {
+        val p = Tables(s, dir, "part")
+        p.select(col("p_partkey"),
+            posexplode(split(col("p_name"), " ")).as(Seq("pos0", "tok")))
+          .select(col("p_partkey"), col("tok"), (col("pos0") + 1).as("pos"))
+          .orderBy("p_partkey", "pos")
+      },
+      Some("""SELECT p_partkey, tok, pos FROM (
+          SELECT p_partkey, unnest(string_split(p_name, ' ')) AS tok,
+            generate_subscripts(string_split(p_name, ' '), 1) AS pos FROM part) u
+        ORDER BY p_partkey, pos"""))
+  )
 }

@@ -122,6 +122,40 @@ class ExtraOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("join_correlated decorrelates to hash joins (no nested-loop probe)") {
+    val df = SparkEntry.queries("join_correlated")(spark, sf)
+    val physical = df.queryExecution.executedPlan.toString
+    assert(!physical.contains("BroadcastNestedLoopJoin"))
+    // EXISTS → semi join; result rows are a subset of orders with ≥1 item
+    val rows = df.collect()
+    assert(rows.nonEmpty && rows.forall(_.getLong(1) >= 1))
+    val direct = Tables(spark, sf, "lineitem")
+      .filter(col("l_quantity") > 45).select("l_orderkey").distinct().count()
+    assert(rows.length == direct.toInt)
+  }
+
+  test("agg_weighted_avg lies between group min and max price") {
+    val li = Tables(spark, sf, "lineitem")
+    val bounds = li.groupBy("l_returnflag")
+      .agg(min("l_extendedprice").as("lo"), max("l_extendedprice").as("hi"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    SparkEntry.queries("agg_weighted_avg")(spark, sf).collect().foreach { r =>
+      val (lo, hi) = bounds(r.getString(0))
+      assert(r.getDouble(1) >= lo && r.getDouble(1) <= hi)
+    }
+  }
+
+  test("fn_posexplode: tokens rebuild p_name in position order") {
+    val toks = SparkEntry.queries("fn_posexplode")(spark, sf).collect()
+      .groupBy(_.getLong(0))
+    val names = Tables(spark, sf, "part").select("p_partkey", "p_name")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    names.foreach { case (k, name) =>
+      val rebuilt = toks(k).sortBy(_.getInt(2)).map(_.getString(1)).mkString(" ")
+      assert(rebuilt == name)
+    }
+  }
+
   test("graph_clustering: coeff in [0,1] and zero iff no triangles") {
     val rows = SparkEntry.queries("graph_clustering")(spark, sf).collect()
     assert(rows.nonEmpty)
