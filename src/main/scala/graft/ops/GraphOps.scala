@@ -126,12 +126,32 @@ object GraphOps extends OpModule {
     // Path enumeration ≤3 hops from order #1 (Blueprints path() step):
     // every walk with its full vertex sequence, serialized '->' for the
     // cross-engine compare (ARRAY columns have no portable hash form).
+    // Like graph_ego, this is a POINT traversal — walks from one vertex,
+    // bounded by neighborhood size, not graph size — so it runs the
+    // graph-DB latency path: per-hop InSet-filtered scans of the edge
+    // cache collect the (multiplicity-preserving) frontier adjacency,
+    // and the walk enumeration happens driver-side on the tiny result
+    // (179 walks at sf0.01; the DF-join formulation paid 3 AQE join
+    // cascades over the full edge cache — 8-17 s at sf0.1, vs ~1 s).
+    // PropertyGraph.paths stays the distributed API for large frontiers.
     Op("graph_paths",
       (s, dir) => {
         val g = GraphFixture(s, dir)
-        g.paths(g.vertices.filter(col("id") === 6000000000001L), 3)
-          .select(col("id"), concat_ws("->",
-            transform(col("path"), x => x.cast("string"))).as("path"))
+        val src = 6000000000001L
+        var paths = Seq(Seq(src))
+        val acc = scala.collection.mutable.ArrayBuffer(paths)
+        for (_ <- 1 to 3) {
+          val frontier = paths.map(_.last).distinct
+          val adj = g.edges.filter(col("src").isin(frontier: _*))
+            .select("src", "dst").collect()
+            .groupBy(_.getLong(0))
+            .map { case (k, v) => k -> v.toSeq.map(_.getLong(1)) }
+          paths = paths.flatMap(p => adj.getOrElse(p.last, Nil).map(d => p :+ d))
+          acc += paths
+        }
+        import s.implicits._
+        acc.toSeq.flatten.map(p => (p.last, p.mkString("->")))
+          .toDF("id", "path")
           .orderBy("id", "path")
       },
       Some(withGraph(
