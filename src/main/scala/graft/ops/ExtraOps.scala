@@ -207,7 +207,7 @@ object ExtraOps extends OpModule {
           tc AS (SELECT id, COUNT(*) AS n_tri FROM corners GROUP BY 1),
           deg AS (SELECT id, COUNT(*) AS d FROM (SELECT a AS id FROM und
             UNION ALL SELECT b FROM und) u GROUP BY 1)""")))
-  ) ++ batch2 ++ batch3
+  ) ++ batch2 ++ batch3 ++ batch4
 
   /** Engine-portable SQL shared by both sides of agg_bitwise. */
   private val BitwiseSql = """
@@ -384,5 +384,129 @@ object ExtraOps extends OpModule {
           SELECT p_partkey, unnest(string_split(p_name, ' ')) AS tok,
             generate_subscripts(string_split(p_name, ' '), 1) AS pos FROM part) u
         ORDER BY p_partkey, pos"""))
+  )
+
+  /** Row-content hash shared by agg_checksum's two sides: 60-bit md5 of a
+    * '|'-joined column rendering, summed exactly and folded mod 2^61−1 so
+    * the checksum stays a BIGINT in both engines. */
+  private def checksumSql(hash: String => String, varchar: String) = s"""
+    SELECT COUNT(*) AS n,
+      CAST(SUM(CAST(${hash(s"CAST(o_orderkey AS $varchar) || '|' || " +
+        s"CAST(o_custkey AS $varchar) || '|' || o_orderstatus")}
+        AS DECIMAL(38,0))) % 2305843009213693951 AS BIGINT) AS checksum
+    FROM orders"""
+
+  /** Engine-portable SQL shared by both sides of text_normalize. */
+  private val NormalizeSql = """
+    SELECT doc_id, md5(lower(trim(regexp_replace(text, '  +', ' ')))) AS norm_hash,
+      length(text) AS raw_len
+    FROM documents ORDER BY doc_id"""
+
+  /** Engine-portable SQL shared by both sides of ts_zscore (the
+    * agg_stats_exact decimal-moments pattern, then per-row z). */
+  private val ZscoreSql = """
+    WITH m AS (SELECT event_type, COUNT(*) AS n,
+        CAST(SUM(CAST(value AS DECIMAL(38,10))) AS DOUBLE) AS sx,
+        CAST(SUM(CAST(value * value AS DECIMAL(38,10))) AS DOUBLE) AS sxx
+      FROM events GROUP BY 1)
+    SELECT e.event_id, e.event_type,
+      (e.value - m.sx / m.n) / sqrt((m.sxx - m.sx * m.sx / m.n) / m.n) AS z
+    FROM events e JOIN m ON m.event_type = e.event_type
+    WHERE abs((e.value - m.sx / m.n)
+      / sqrt((m.sxx - m.sx * m.sx / m.n) / m.n)) > 2
+    ORDER BY e.event_id"""
+
+  private def batch4: Seq[Op] = Seq(
+
+    // Order-independent table checksum — the data-integrity primitive a
+    // 100 TB migration/compaction/replication pipeline runs on both sides
+    // of every copy (content-addressed comparison without moving data):
+    // per-row 60-bit md5 of the rendered row, summed (addition commutes —
+    // partitioning-independent) in exact decimal, folded to 61 bits. One
+    // map-side-combined aggregate, no shuffle beyond 1 row per partition.
+    Op("agg_checksum",
+      (s, dir) => {
+        view(s, dir, "orders")
+        s.sql(checksumSql(e => s"CAST(conv(substring(md5($e), 1, 15), 16, 10) AS BIGINT)", "STRING"))
+      },
+      Some(checksumSql(e => s"CAST('0x' || substr(md5($e), 1, 15) AS BIGINT)", "VARCHAR"))),
+
+    // Schema-evolution read — mergeSchema over a partition landscape where
+    // newer files carry an added column (how 100 TB tables actually evolve;
+    // rewriting history is not an option). Old-file rows surface NULL for
+    // the new column; the graded result certifies the union'd row count and
+    // both column sums against the source table.
+    Op("scan_merge_schema",
+      (s, dir) => {
+        val base = Staging.fresh("evolve")
+        val ev = Tables(s, dir, "events")
+        ev.select("event_id", "value").write.mode("overwrite")
+          .parquet(s"$base/v1")
+        ev.select(col("event_id"), col("value"),
+            (col("value") * 2).as("value_doubled"))
+          .write.mode("overwrite").parquet(s"$base/v2")
+        s.read.option("mergeSchema", "true").parquet(s"$base/v1", s"$base/v2")
+          .agg(count(lit(1)).as("n_rows"),
+            count(col("value_doubled")).as("n_evolved"),
+            num.dsum(col("value")).as("sum_value"),
+            num.dsum(col("value_doubled")).as("sum_doubled"))
+      },
+      Some(s"""SELECT 2 * COUNT(*) AS n_rows, COUNT(*) AS n_evolved,
+        CAST(CAST(SUM(CAST(value AS DECIMAL(38,10))) * 2 AS VARCHAR) AS DOUBLE) AS sum_value,
+        ${num.DSUM("value * 2")} AS sum_doubled
+        FROM events""")),
+
+    // Degree distribution — the first diagnostic run on any large graph
+    // (skew planning: how heavy is the heaviest key?). Directed multi-edge
+    // degrees from two map-side-combined counts; the histogram aggregate
+    // runs over vertex-sized data.
+    Op("graph_degree_dist",
+      (s, dir) => GraphFixture(s, dir).degrees
+        .groupBy("deg").agg(count(lit(1)).as("n_vertices"))
+        .orderBy("deg"),
+      Some(graft.graph.GraphSql.withGraph(
+        """SELECT deg, COUNT(*) AS n_vertices FROM (
+          SELECT v.id, COALESCE(o.c, 0) + COALESCE(i.c, 0) AS deg
+          FROM vertices v
+          LEFT JOIN (SELECT src, COUNT(*) AS c FROM edges GROUP BY 1) o
+            ON o.src = v.id
+          LEFT JOIN (SELECT dst, COUNT(*) AS c FROM edges GROUP BY 1) i
+            ON i.dst = v.id) d
+        GROUP BY 1 ORDER BY 1"""))),
+
+    // Canonical text normalization (case-fold, whitespace-collapse, trim)
+    // + content hash — the preprocessing step ahead of exact dedup; the
+    // hash IS the dedup key, so cross-engine hash equality here certifies
+    // the whole normalize→hash path. Pure per-row codegen'd expressions.
+    Op("text_normalize",
+      (s, dir) => {
+        view(s, dir, "documents")
+        s.sql(NormalizeSql)
+      },
+      Some(NormalizeSql)),
+
+    // base64 encode/decode round-trip — binary payloads (the multimodal
+    // family's wire format) rendered portably. Spark's base64/unbase64 and
+    // DuckDB's to_base64/from_base64 implement the same RFC 4648.
+    Op("fn_base64",
+      (s, dir) => {
+        view(s, dir, "customer")
+        s.sql("""SELECT c_custkey, base64(CAST(c_name AS BINARY)) AS b64,
+          CAST(unbase64(base64(CAST(c_name AS BINARY))) AS STRING) AS roundtrip
+          FROM customer ORDER BY c_custkey""")
+      },
+      Some("""SELECT c_custkey, to_base64(CAST(c_name AS BLOB)) AS b64,
+        CAST(from_base64(to_base64(CAST(c_name AS BLOB))) AS VARCHAR) AS roundtrip
+        FROM customer ORDER BY c_custkey""")),
+
+    // Per-series z-score outliers (|z| > 2): decimal-exact group moments
+    // (one map-side-combined pass), broadcast #groups-sized moment table,
+    // per-row IEEE z in a fixed operation order shared with the oracle.
+    Op("ts_zscore",
+      (s, dir) => {
+        view(s, dir, "events")
+        s.sql(ZscoreSql)
+      },
+      Some(ZscoreSql))
   )
 }

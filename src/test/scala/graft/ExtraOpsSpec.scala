@@ -156,6 +156,61 @@ class ExtraOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("agg_checksum is stable across partitionings") {
+    val a = SparkEntry.queries("agg_checksum")(spark, sf).head
+    // recompute over a reshuffled copy: addition commutes, so the fold
+    // must not depend on row order or partition count
+    Tables(spark, sf, "orders").repartition(7).createOrReplaceTempView("orders")
+    val b = spark.sql(
+      """SELECT COUNT(*) AS n,
+        CAST(SUM(CAST(CAST(conv(substring(md5(
+          CAST(o_orderkey AS STRING) || '|' || CAST(o_custkey AS STRING)
+            || '|' || o_orderstatus), 1, 15), 16, 10) AS BIGINT)
+          AS DECIMAL(38,0))) % 2305843009213693951 AS BIGINT) AS checksum
+      FROM orders""").head
+    assert(a.getLong(0) == b.getLong(0) && a.getLong(1) == b.getLong(1))
+  }
+
+  test("scan_merge_schema: old files yield NULL for the evolved column") {
+    val r = SparkEntry.queries("scan_merge_schema")(spark, sf).head
+    val n = Tables(spark, sf, "events").count()
+    assert(r.getLong(0) == 2 * n)  // both file generations read
+    assert(r.getLong(1) == n)      // evolved column non-null only in v2
+    assert(math.abs(r.getDouble(3) - 2 * r.getDouble(2) / 2) < 1e-6)
+  }
+
+  test("graph_degree_dist: histogram masses sum to the vertex count") {
+    val d = SparkEntry.queries("graph_degree_dist")(spark, sf).collect()
+    val nv = graph.GraphFixture(spark, sf).vertices.count()
+    assert(d.map(_.getLong(1)).sum == nv)
+    assert(d.map(_.getLong(0)).distinct.length == d.length)
+  }
+
+  test("text_normalize: hash invariant under extra whitespace and case") {
+    import spark.implicits._
+    val probe = Seq((1L, "Hello  World "), (2L, "hello world"))
+      .toDF("doc_id", "text")
+    probe.createOrReplaceTempView("documents")
+    val h = spark.sql(
+      """SELECT doc_id, md5(lower(trim(regexp_replace(text, '  +', ' ')))) AS norm_hash
+        FROM documents""").collect().map(_.getString(1))
+    assert(h(0) == h(1))
+  }
+
+  test("fn_base64 round-trip reproduces the name") {
+    SparkEntry.queries("fn_base64")(spark, sf).limit(200).collect().foreach { r =>
+      assert(r.getString(2).startsWith("Customer#"))
+      assert(java.util.Base64.getDecoder.decode(r.getString(1)).length > 0)
+    }
+  }
+
+  test("ts_zscore returns only |z| > 2 and flags a minority of events") {
+    val z = SparkEntry.queries("ts_zscore")(spark, sf).collect()
+    assert(z.forall(r => math.abs(r.getDouble(2)) > 2))
+    val n = Tables(spark, sf, "events").count()
+    assert(z.length < n / 4)
+  }
+
   test("graph_clustering: coeff in [0,1] and zero iff no triangles") {
     val rows = SparkEntry.queries("graph_clustering")(spark, sf).collect()
     assert(rows.nonEmpty)
