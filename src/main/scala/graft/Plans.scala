@@ -12,7 +12,8 @@ object Plans {
     "graph_prop_visibility", "stream_stream_join", "ts_gapfill",
     "ts_interpolate", "win_sessionize", "text_pack", "split_train_test",
     "sink_partitioned", "unpivot_melt", "profile_columns", "ts_ohlc",
-    "graph_jaccard")
+    "graph_jaccard", "join_salted", "join_correlated", "sample_stratified",
+    "sort_zorder", "agg_checksum", "scan_merge_schema", "ts_zscore")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
