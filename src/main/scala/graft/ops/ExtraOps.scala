@@ -507,6 +507,60 @@ object ExtraOps extends OpModule {
         view(s, dir, "events")
         s.sql(ZscoreSql)
       },
-      Some(ZscoreSql))
+      Some(ZscoreSql)),
+
+    // BANDED interval-overlap join — how interval joins partition at
+    // 100 TB: each interval explodes into the (bounded-count) week bands
+    // it covers, turning the non-equi overlap predicate into a plain
+    // equi-join/groupBy on the band key — shuffle-partitionable, no
+    // broadcast of either side needed. The ORACLE is the unbanded theta
+    // join (interval × week-grid with s < w+7d AND e ≥ w), so the grade
+    // certifies banding ≡ theta. Synthetic span: l_linenumber % 7 days.
+    Op("join_interval_banded",
+      (s, dir) => {
+        view(s, dir, "lineitem")
+        s.sql(s"""WITH iv AS (SELECT l_shipdate AS s,
+            timestampadd(DAY, l_linenumber % 7, l_shipdate) AS e,
+            l_extendedprice FROM lineitem),
+          bands AS (SELECT explode(sequence(date_trunc('week', s),
+              date_trunc('week', e), INTERVAL 7 DAY)) AS wstart,
+            l_extendedprice FROM iv)
+          SELECT wstart, COUNT(*) AS n,
+            CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,10))) AS DOUBLE) AS revenue
+          FROM bands GROUP BY 1 ORDER BY 1""")
+      },
+      Some(s"""WITH iv AS (SELECT l_shipdate AS s,
+          l_shipdate + ((l_linenumber % 7) * INTERVAL 1 DAY) AS e,
+          l_extendedprice FROM lineitem),
+        wk AS (SELECT unnest(generate_series(
+            date_trunc('week', (SELECT MIN(l_shipdate) FROM lineitem)),
+            date_trunc('week', (SELECT MAX(l_shipdate) FROM lineitem)
+              + 7 * INTERVAL 1 DAY),
+            7 * INTERVAL 1 DAY)) AS wstart)
+        SELECT w.wstart, COUNT(*) AS n, ${num.DSUM("iv.l_extendedprice")} AS revenue
+        FROM iv JOIN wk w ON iv.s < w.wstart + 7 * INTERVAL 1 DAY
+          AND iv.e >= w.wstart
+        GROUP BY 1 ORDER BY 1""")),
+
+    // Windowed top-k (top-2 event types per 15-min tumbling window) —
+    // the "trending now" aggregation: window bucketing, map-side-combined
+    // counts, then a rank over #buckets×#types rows (not the base table).
+    // Deterministic tie-break (count DESC, type ASC) in both engines.
+    Op("ts_topk_window",
+      (s, dir) => {
+        view(s, dir, "events")
+        s.sql("""WITH c AS (SELECT window(ts, '15 minutes').start AS wstart,
+            event_type, COUNT(*) AS n FROM events GROUP BY 1, 2)
+          SELECT wstart, event_type, n FROM (SELECT *,
+            ROW_NUMBER() OVER (PARTITION BY wstart
+              ORDER BY n DESC, event_type) AS rn FROM c)
+          WHERE rn <= 2 ORDER BY wstart, event_type""")
+      },
+      Some("""WITH c AS (SELECT time_bucket(INTERVAL '15 minutes', ts) AS wstart,
+          event_type, COUNT(*) AS n FROM events GROUP BY 1, 2)
+        SELECT wstart, event_type, n FROM (SELECT *,
+          ROW_NUMBER() OVER (PARTITION BY wstart
+            ORDER BY n DESC, event_type) AS rn FROM c)
+        WHERE rn <= 2 ORDER BY wstart, event_type"""))
   )
 }

@@ -211,6 +211,29 @@ class ExtraOpsSpec extends AnyFunSuite {
     assert(z.length < n / 4)
   }
 
+  test("join_interval_banded: week masses cover every interval-week overlap") {
+    val r = SparkEntry.queries("join_interval_banded")(spark, sf).collect()
+    // every lineitem contributes once per covered week: total mass ≥ rows
+    val n = Tables(spark, sf, "lineitem").count()
+    assert(r.map(_.getLong(1)).sum >= n)
+    // 0-day spans contribute exactly 1 week; 6-day spans at most 2
+    assert(r.map(_.getLong(1)).sum <= 2 * n)
+  }
+
+  test("ts_topk_window picks the true top-2 counts per window") {
+    val picked = SparkEntry.queries("ts_topk_window")(spark, sf).collect()
+      .groupBy(_.getTimestamp(0))
+    val full = Tables(spark, sf, "events")
+      .groupBy(window(col("ts"), "15 minutes")("start").as("w"), col("event_type"))
+      .count().collect().groupBy(_.getTimestamp(0))
+    picked.foreach { case (w, rs) =>
+      assert(rs.length <= 2)
+      val all = full(w).map(_.getLong(2)).sorted.reverse
+      val want = all.take(rs.length)
+      assert(rs.map(_.getLong(2)).sorted.reverse.toSeq == want.toSeq)
+    }
+  }
+
   test("graph_clustering: coeff in [0,1] and zero iff no triangles") {
     val rows = SparkEntry.queries("graph_clustering")(spark, sf).collect()
     assert(rows.nonEmpty)
