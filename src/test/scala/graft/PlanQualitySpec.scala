@@ -192,4 +192,33 @@ class PlanQualitySpec extends AnyFunSuite {
     val p = finalPlan("graph_jaccard")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
+
+  test("sort_zorder computes the Morton key inside codegen and top-ks") {
+    val p = finalPlan("sort_zorder")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("Exchange"), p) // per-partition heaps, driver merge
+  }
+
+  test("agg_checksum is one partial-agg pass (1-row shuffle)") {
+    val p = finalPlan("agg_checksum").split("== Initial Plan ==")(0)
+    assert("Exchange".r.findAllIn(p).size == 1, p)
+    assert(p.contains("HashAggregate"), p)
+  }
+
+  test("join_salted joins on the (key, salt) pair — equi, never nested-loop") {
+    val p = finalPlan("join_salted")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("salt"), p)
+  }
+
+  test("join_interval_banded is equi-join/aggregate shaped (no theta executor)") {
+    val p = finalPlan("join_interval_banded")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("Generate") || p.contains("explode"), p) // the banding
+  }
+
+  test("sample_stratified ranks inside one stratum-hash shuffle") {
+    val p = finalPlan("sample_stratified").split("== Initial Plan ==")(0)
+    assert("hashpartitioning\\(event_type".r.findAllIn(p).size <= 1, p)
+  }
 }
