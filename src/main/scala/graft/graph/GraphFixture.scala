@@ -215,6 +215,31 @@ object GraphSql {
   /** Unrolled PageRank p0..p<iters> mirroring PropertyGraph.pageRank
     * bit-for-bit: same double ops per row, same exact decimal sum (num.DSUM)
     * per destination. */
+  /** Unrolled personalized-PageRank chain pp0..pp<iters>: teleport only to
+    * the `region`-label seed vertices. Must mirror
+    * PropertyGraph.personalizedPageRank exactly (base = 0.15/|seeds| on
+    * seeds, 0 elsewhere; update = base + 0.85·Σ decimal-exact contribs). */
+  def pprChain(iters: Int): String = {
+    val pre = Seq(
+      "odeg AS MATERIALIZED (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY 1)",
+      "ns AS MATERIALIZED (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM vertices WHERE label = 'region')",
+      """pp0 AS MATERIALIZED (SELECT id,
+           CASE WHEN label = 'region' THEN CAST(0.15 AS DOUBLE) / (SELECT n FROM ns)
+                ELSE CAST(0 AS DOUBLE) END AS base,
+           CASE WHEN label = 'region' THEN CAST(1.0 AS DOUBLE) / (SELECT n FROM ns)
+                ELSE CAST(0 AS DOUBLE) END AS pr
+         FROM vertices)""")
+    val steps = (1 to iters).map { i =>
+      s"""pp$i AS MATERIALIZED (SELECT v.id, v.base,
+           v.base + CAST(0.85 AS DOUBLE) * COALESCE(c.s, CAST(0 AS DOUBLE)) AS pr
+         FROM pp0 v LEFT JOIN (
+           SELECT e.dst, ${num.DSUM("p.pr / CAST(o.outdeg AS DOUBLE)")} AS s
+           FROM edges e JOIN pp${i - 1} p ON p.id = e.src
+           JOIN odeg o ON o.src = e.src GROUP BY e.dst) c ON c.dst = v.id)"""
+    }
+    (pre ++ steps).mkString(", ")
+  }
+
   def prChain(iters: Int): String = {
     val pre = Seq(
       "odeg AS MATERIALIZED (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY 1)",

@@ -399,6 +399,36 @@ final case class PropertyGraph(vertices: DataFrame, edges: DataFrame) {
     pr
   }
 
+  /** Personalized PageRank: teleport mass flows only to the `seedPred`
+    * vertices (uniformly across them) instead of uniformly everywhere —
+    * importance RELATIVE to a seed set, the recommendation-engine variant.
+    * Same exact-decimal message sums and fixed IEEE op order as
+    * [[pageRank]]; the seed indicator joins once (vertex-sized, broadcast
+    * at any scale) and the per-iteration shape is identical. */
+  def personalizedPageRank(seedPred: org.apache.spark.sql.Column, iters: Int): DataFrame = {
+    val seeds = vertices.filter(seedPred).select("id")
+      .withColumn("is_seed", lit(1))
+    val ns = seeds.count().toDouble // metadata-scale driver value
+    val odeg = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    val ids = vertices.select("id")
+      .join(seeds, Seq("id"), "left")
+      .select(col("id"),
+        when(col("is_seed") === 1, lit(0.15) / lit(ns)).otherwise(lit(0.0)).as("base"),
+        when(col("is_seed") === 1, lit(1.0) / lit(ns)).otherwise(lit(0.0)).as("p0"))
+    var pr = ids.select(col("id"), col("base"), col("p0").as("pr"))
+    for (_ <- 1 to iters) {
+      val contribs = edges.select("src", "dst")
+        .join(pr.select(col("id").as("src"), col("pr")), "src")
+        .join(odeg, "src")
+        .select(col("dst"), (col("pr") / col("outdeg").cast("double")).as("contrib"))
+        .groupBy("dst").agg(graft.num.dsum(col("contrib")).as("s"))
+      pr = ids.join(contribs.withColumnRenamed("dst", "id"), Seq("id"), "left")
+        .select(col("id"), col("base"),
+          (col("base") + lit(0.85) * coalesce(col("s"), lit(0.0))).as("pr"))
+    }
+    pr.select("id", "pr")
+  }
+
   /** Per-vertex triangle count via DEGREE-ordered edge orientation (orient
     * each undirected edge from its lower-(degree, id) endpoint to the
     * higher): candidate counts are bounded by arboricity instead of max

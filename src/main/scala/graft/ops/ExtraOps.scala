@@ -561,6 +561,45 @@ object ExtraOps extends OpModule {
         SELECT wstart, event_type, n FROM (SELECT *,
           ROW_NUMBER() OVER (PARTITION BY wstart
             ORDER BY n DESC, event_type) AS rn FROM c)
-        WHERE rn <= 2 ORDER BY wstart, event_type"""))
+        WHERE rn <= 2 ORDER BY wstart, event_type""")),
+
+    // CDC upsert (latest-wins merge) through a materialized snapshot —
+    // the copy-on-write MERGE every lakehouse table needs: the snapshot
+    // holds latest-per-key for the even-id half (written + read back
+    // through parquet, so the round-trip is part of the grade), odd-id
+    // events arrive as updates, and the merge keeps the (ts, event_id)-
+    // latest row per (user_id, event_type) key. Merge = one window rank
+    // over snapshot ∪ updates, partitioned by the merge key — at 100 TB
+    // this shuffles only the affected partitions of a partitioned table
+    // (partition-pruned copy-on-write). The oracle computes latest-per-key
+    // directly on events: snapshot-then-merge must equal merge-all.
+    Op("sink_upsert",
+      (s, dir) => {
+        val base = Staging.fresh("upsert")
+        view(s, dir, "events")
+        s.sql("""SELECT * FROM (SELECT event_id, ts, user_id, event_type, value,
+            ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+              ORDER BY ts DESC, event_id DESC) AS rn
+          FROM events WHERE event_id % 2 = 0) WHERE rn = 1""")
+          .drop("rn").write.mode("overwrite").parquet(s"$base/snapshot")
+        s.read.parquet(s"$base/snapshot")
+          .createOrReplaceTempView("upsert_snapshot")
+        s.sql("""WITH merged AS (
+            SELECT event_id, ts, user_id, event_type, value FROM upsert_snapshot
+            UNION ALL
+            SELECT event_id, ts, user_id, event_type, value FROM events
+            WHERE event_id % 2 = 1),
+          r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+              ORDER BY ts DESC, event_id DESC) AS rn FROM merged)
+          SELECT event_type, COUNT(*) AS n_keys,
+            CAST(SUM(CAST(value AS DECIMAL(38,10))) AS DOUBLE) AS sum_latest
+          FROM r WHERE rn = 1 GROUP BY 1 ORDER BY 1""")
+      },
+      Some(s"""WITH r AS (SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY user_id, event_type
+          ORDER BY ts DESC, event_id DESC) AS rn FROM events)
+        SELECT event_type, COUNT(*) AS n_keys,
+          ${num.DSUM("value")} AS sum_latest
+        FROM r WHERE rn = 1 GROUP BY 1 ORDER BY 1"""))
   )
 }

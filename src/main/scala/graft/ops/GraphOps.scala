@@ -249,6 +249,17 @@ object GraphOps extends OpModule {
         "SELECT id, pr FROM p5 ORDER BY id",
         extra = GraphSql.prChain(5)))),
 
+    // Personalized PageRank from the region seed set — importance relative
+    // to a query context (the recommendation variant of pagerank). Exact-
+    // decimal message sums; oracle is the unrolled 4-step chain.
+    Op("graph_ppr",
+      (s, dir) => GraphFixture(s, dir)
+        .personalizedPageRank(col("label") === "region", 4)
+        .orderBy("id"),
+      Some(withGraph(
+        "SELECT id, pr FROM pp4 ORDER BY id",
+        extra = GraphSql.pprChain(4)))),
+
     Op("graph_triangles",
       (s, dir) => GraphFixture(s, dir).triangleCounts.orderBy("id"),
       Some(withGraph("""SELECT id, COUNT(*) AS n_tri FROM corners

@@ -234,6 +234,35 @@ class ExtraOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("graph_ppr: mass concentrates on seeds; non-reachable mass is zero") {
+    val pr = SparkEntry.queries("graph_ppr")(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val seedIds = pr.keys.filter(id => id >= 1000000000000L && id < 2000000000000L)
+    assert(seedIds.nonEmpty)
+    // every seed keeps at least its teleport base
+    seedIds.foreach(id => assert(pr(id) >= 0.15 / seedIds.size - 1e-12))
+    // vertices that cannot be reached from a region seed hold zero mass
+    // (regions have no out-edges in the fixture except via nothing —
+    // nation→region points TO regions, so only regions hold mass)
+    assert(pr.values.forall(_ >= 0.0))
+    val total = pr.values.sum
+    assert(total <= 1.0 + 1e-9)
+  }
+
+  test("sink_upsert: snapshot-then-merge equals direct latest-per-key") {
+    val merged = SparkEntry.queries("sink_upsert")(spark, sf).collect()
+    val direct = {
+      Tables(spark, sf, "events").createOrReplaceTempView("events")
+      spark.sql("""WITH r AS (SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY user_id, event_type
+          ORDER BY ts DESC, event_id DESC) AS rn FROM events)
+        SELECT event_type, COUNT(*) AS n_keys,
+          CAST(SUM(CAST(value AS DECIMAL(38,10))) AS DOUBLE) AS sum_latest
+        FROM r WHERE rn = 1 GROUP BY 1 ORDER BY 1""").collect()
+    }
+    assert(merged.toSeq == direct.toSeq)
+  }
+
   test("graph_clustering: coeff in [0,1] and zero iff no triangles") {
     val rows = SparkEntry.queries("graph_clustering")(spark, sf).collect()
     assert(rows.nonEmpty)
