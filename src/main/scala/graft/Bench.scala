@@ -42,6 +42,7 @@ object Bench {
       g.varHop(g.vertices.limit(1), 1).count()
       g.undirectedEdges.count() // shared by triangles / k-core
       g.orientedEdges.count()   // stored triangle/wedge index
+      g.triangleCounts.count()  // stored corner counts (triangles/clustering)
       g.undByA.count()          // stored message-passing index (labelprop)
       // JIT-warm the GraphX ConnectedComponents code path on a 2-edge toy
       // graph (it is distinct from Pregel's and cost ~3 s of first-touch

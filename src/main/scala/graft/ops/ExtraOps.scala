@@ -600,6 +600,19 @@ object ExtraOps extends OpModule {
           ORDER BY ts DESC, event_id DESC) AS rn FROM events)
         SELECT event_type, COUNT(*) AS n_keys,
           ${num.DSUM("value")} AS sum_latest
-        FROM r WHERE rn = 1 GROUP BY 1 ORDER BY 1"""))
+        FROM r WHERE rn = 1 GROUP BY 1 ORDER BY 1""")),
+
+    // Synthetic range source — spark.range as a first-class generator
+    // (backfills, date dimensions, test scaffolding): a partitioned,
+    // codegen'd source with no input files at all. Derived columns stay
+    // in exact integer arithmetic.
+    Op("source_range",
+      (s, dir) => s.range(0, 10000, 3)
+        .select(col("id"), (col("id") * col("id") % 97).as("sq_mod"),
+          (col("id") % 7).as("bucket"))
+        .orderBy("id"),
+      Some("""SELECT id, id * id % 97 AS sq_mod, id % 7 AS bucket
+        FROM (SELECT unnest(generate_series(0, 9999, 3)) AS id) r
+        ORDER BY id"""))
   )
 }
