@@ -123,6 +123,30 @@ object GraphOps extends OpModule {
           JOIN edges e ON e.src = r.id WHERE r.d < 3)""",
         recursive = true))),
 
+    // Reachability PROFILE: min-hop histogram from the entire order set
+    // (≤2 hops) — "how far is the data from its entities", the diagnostic
+    // for traversal cost planning. Unlike the point lookups (ego/paths),
+    // the frontier here is the 150k-order vertex class, so this runs the
+    // DISTRIBUTED BSP path (Pregel hop-flood on the shared GraphX view);
+    // the histogram folds vertex-sized output to a handful of rows.
+    Op("graph_hop_hist",
+      (s, dir) => {
+        val g = GraphFixture(s, dir)
+        g.varHop(g.vertices.filter(col("label") === "order"), 2)
+          .groupBy("hops").agg(count(lit(1)).as("n"))
+          .orderBy("hops")
+      },
+      Some(withGraph(
+        """SELECT hops, COUNT(*) AS n FROM (
+          SELECT id, MIN(d) AS hops FROM reach GROUP BY 1) m
+        GROUP BY 1 ORDER BY 1""",
+        extra = """reach(id, d) AS (
+          SELECT id, 0 FROM vertices WHERE label = 'order'
+          UNION
+          SELECT e.dst, r.d + 1 FROM reach r
+          JOIN edges e ON e.src = r.id WHERE r.d < 2)""",
+        recursive = true))),
+
     // Path enumeration ≤3 hops from order #1 (Blueprints path() step):
     // every walk with its full vertex sequence, serialized '->' for the
     // cross-engine compare (ARRAY columns have no portable hash form).
