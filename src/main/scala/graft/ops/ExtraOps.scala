@@ -613,6 +613,25 @@ object ExtraOps extends OpModule {
         .orderBy("id"),
       Some("""SELECT id, id * id % 97 AS sq_mod, id % 7 AS bucket
         FROM (SELECT unnest(generate_series(0, 9999, 3)) AS id) r
-        ORDER BY id"""))
+        ORDER BY id""")),
+
+    // Binary-payload exact dedup — content-addressed (md5 of the BINARY
+    // column, not the text) duplicate grouping with a canonical
+    // representative: the first dedup pass every multimodal corpus runs
+    // (identical image/audio files under different ids). Map-side-combined
+    // hash groupBy; payload bytes never shuffle — only their 128-bit
+    // digests do, which is the point at 100 TB.
+    Op("multimodal_dedup",
+      (s, dir) => {
+        view(s, dir, "documents")
+        s.sql("""SELECT md5(encode(text, 'utf-8')) AS checksum,
+            COUNT(*) AS n_copies, MIN(doc_id) AS canonical_id
+          FROM documents GROUP BY 1 HAVING COUNT(*) > 1
+          ORDER BY checksum""")
+      },
+      Some("""SELECT md5(text) AS checksum,
+          COUNT(*) AS n_copies, MIN(doc_id) AS canonical_id
+        FROM documents GROUP BY 1 HAVING COUNT(*) > 1
+        ORDER BY checksum"""))
   )
 }
