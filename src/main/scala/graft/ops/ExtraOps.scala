@@ -632,6 +632,30 @@ object ExtraOps extends OpModule {
       Some("""SELECT md5(text) AS checksum,
           COUNT(*) AS n_copies, MIN(doc_id) AS canonical_id
         FROM documents GROUP BY 1 HAVING COUNT(*) > 1
-        ORDER BY checksum"""))
+        ORDER BY checksum""")),
+
+    // Time-interval RANGE frame — the rolling-window-by-TIME aggregation
+    // (events in the last hour per user), where the frame is defined by
+    // the ORDER-BY value, not a row count: peers with equal timestamps all
+    // enter the frame (SQL standard), so the result is deterministic even
+    // with ts ties. Decimal-exact frame sums; one shuffle on the user key.
+    Op("win_time_range",
+      (s, dir) => {
+        view(s, dir, "events")
+        s.sql("""SELECT event_id, user_id,
+          COUNT(*) OVER w AS n_1h,
+          CAST(SUM(CAST(value AS DECIMAL(38,10))) OVER w AS DOUBLE) AS sum_1h
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts
+            RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+          ORDER BY event_id""")
+      },
+      Some(s"""SELECT event_id, user_id,
+        COUNT(*) OVER w AS n_1h,
+        ${num.DSUM_OVER("value", "OVER w")} AS sum_1h
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts
+          RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+        ORDER BY event_id"""))
   )
 }

@@ -123,6 +123,50 @@ object GraphOps extends OpModule {
           JOIN edges e ON e.src = r.id WHERE r.d < 3)""",
         recursive = true))),
 
+    // Point-to-class shortest path WITH path reconstruction: the nearest
+    // region-label vertex to customer #1 and the actual route (the "how
+    // are these two entities related" graph-DB query — SSSP gives only
+    // distances). Point traversal ⇒ driver-side bounded-depth walk
+    // enumeration over InSet-filtered scans (see graph_paths); the
+    // deterministic answer is the (hops, path-string)-minimal walk. The
+    // oracle enumerates the same walks recursively and picks the same
+    // minimum.
+    Op("graph_shortest_path",
+      (s, dir) => {
+        val g = GraphFixture(s, dir)
+        val src = 3000000000001L
+        var paths = Seq(Seq(src))
+        val acc = scala.collection.mutable.ArrayBuffer(paths)
+        for (_ <- 1 to 4) {
+          val frontier = paths.map(_.last).distinct
+          val adj = g.edges.filter(col("src").isin(frontier: _*))
+            .select("src", "dst").collect()
+            .groupBy(_.getLong(0))
+            .map { case (k, v) => k -> v.toSeq.map(_.getLong(1)) }
+          paths = paths.flatMap(p => adj.getOrElse(p.last, Nil).map(d => p :+ d))
+          acc += paths
+        }
+        val B = GraphFixture.B
+        val best = acc.toSeq.flatten
+          .filter(p => p.last >= B && p.last < 2 * B) // region tag = 1
+          .map(p => (p.last, (p.length - 1).toLong, p.mkString("->")))
+          .minBy(t => (t._2, t._3))
+        import s.implicits._
+        Seq(best).toDF("target", "hops", "path")
+      },
+      Some(withGraph(
+        """SELECT p.id AS target, CAST(len(p.path) - 1 AS BIGINT) AS hops,
+          array_to_string(p.path, '->') AS path
+        FROM p JOIN vertices v ON v.id = p.id AND v.label = 'region'
+        ORDER BY hops, path LIMIT 1""",
+        extra = """p(id, path) AS (
+          SELECT CAST(3000000000001 AS BIGINT) AS id,
+            [CAST(3000000000001 AS BIGINT)] AS path
+          UNION ALL
+          SELECT e.dst, list_append(pp.path, e.dst) FROM p pp
+          JOIN edges e ON e.src = pp.id WHERE len(pp.path) <= 4)""",
+        recursive = true))),
+
     // Reachability PROFILE: min-hop histogram from the entire order set
     // (≤2 hops) — "how far is the data from its entities", the diagnostic
     // for traversal cost planning. Unlike the point lookups (ego/paths),
