@@ -656,6 +656,71 @@ object ExtraOps extends OpModule {
         FROM events
         WINDOW w AS (PARTITION BY user_id ORDER BY ts
           RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
-        ORDER BY event_id"""))
+        ORDER BY event_id""")),
+
+    // Per-class embedding centroids — the k-means/IVF building block as a
+    // graded key. Cross-row FLOAT sums are the hardest cross-engine case
+    // (double→DECIMAL tie-rounding differs; see agg_skew's scaladoc), so
+    // components are micro-quantized first: q = ⌊v·10⁶ + 0.5⌋ is exact
+    // integer arithmetic on identical doubles in both engines, the sum is
+    // a BIGINT, and the closing two divisions are fixed-order IEEE. The
+    // centroid of quantized components sits ≈1e-6 from exact — constant,
+    // not data-dependent. Shuffle carries (label, dim) partial sums only.
+    Op("agg_vector_centroid",
+      (s, dir) => {
+        view(s, dir, "embeddings")
+        s.sql("""WITH x AS (SELECT label, pos + 1 AS dim,
+            CAST(FLOOR(CAST(col AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS q
+          FROM embeddings LATERAL VIEW posexplode(embedding) AS pos, col)
+          SELECT label, dim,
+            CAST(SUM(q) AS DOUBLE) / 1000000.0 / COUNT(*) AS c, COUNT(*) AS n
+          FROM x GROUP BY 1, 2 ORDER BY 1, 2""")
+      },
+      Some("""WITH x AS (SELECT label,
+          generate_subscripts(embedding, 1) AS dim,
+          CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS q
+        FROM embeddings)
+        SELECT label, dim,
+          CAST(SUM(q) AS DOUBLE) / 1000000.0 / COUNT(*) AS c, COUNT(*) AS n
+        FROM x GROUP BY 1, 2 ORDER BY 1, 2""")),
+
+    // Windowed exact distinct (unique users per 15-min window) — the
+    // streaming-analytics staple, registered as its oracle-checkable batch
+    // twin like the rest of the stream family. Spark plans the distinct
+    // as a two-level aggregate (partial distinct inside the window key).
+    Op("stream_window_distinct",
+      (s, dir) => {
+        view(s, dir, "events")
+        s.sql("""SELECT window(ts, '15 minutes').start AS wstart,
+          COUNT(DISTINCT user_id) AS n_users, COUNT(*) AS n_events
+          FROM events GROUP BY 1 ORDER BY 1""")
+      },
+      Some("""SELECT time_bucket(INTERVAL '15 minutes', ts) AS wstart,
+        COUNT(DISTINCT user_id) AS n_users, COUNT(*) AS n_events
+        FROM events GROUP BY 1 ORDER BY 1""")),
+
+    // NULL-safe equi join (<=> / IS NOT DISTINCT FROM): NULL keys match
+    // each other — the semantics MERGE/dedup pipelines need when the join
+    // key is itself nullable. Aggregate-then-join keeps the pair blowup
+    // at #groups; the null-safe comparison still hash-partitions (NULL is
+    // one partition key value, a skew candidate to salt at scale).
+    Op("join_null_safe",
+      (s, dir) => {
+        view(s, dir, "orders")
+        s.sql("""WITH a AS (SELECT NULLIF(o_orderstatus, 'P') AS k,
+            COUNT(*) AS n_left FROM orders GROUP BY 1),
+          b AS (SELECT NULLIF(o_orderstatus, 'O') AS k,
+            COUNT(*) AS n_right FROM orders GROUP BY 1)
+          SELECT a.k AS k, a.n_left, b.n_right
+          FROM a JOIN b ON a.k <=> b.k
+          ORDER BY k NULLS FIRST""")
+      },
+      Some("""WITH a AS (SELECT NULLIF(o_orderstatus, 'P') AS k,
+          COUNT(*) AS n_left FROM orders GROUP BY 1),
+        b AS (SELECT NULLIF(o_orderstatus, 'O') AS k,
+          COUNT(*) AS n_right FROM orders GROUP BY 1)
+        SELECT a.k AS k, a.n_left, b.n_right
+        FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k
+        ORDER BY k NULLS FIRST"""))
   )
 }
