@@ -721,6 +721,45 @@ object ExtraOps extends OpModule {
           COUNT(*) AS n_right FROM orders GROUP BY 1)
         SELECT a.k AS k, a.n_left, b.n_right
         FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k
-        ORDER BY k NULLS FIRST"""))
+        ORDER BY k NULLS FIRST""")),
+
+    // Cohort retention matrix — the product-analytics staple: users
+    // bucketed by first-seen week (cohort), activity counted per
+    // (cohort, week). Two aggregations on the user key + one broadcast
+    // join of the user→cohort map (user-sized; at 100 TB it shuffles on
+    // user_id, the same key as the first aggregate — one partitioning
+    // reused). Both engines' date_trunc('week') is ISO Monday-start.
+    Op("agg_cohort_retention",
+      (s, dir) => {
+        view(s, dir, "events")
+        s.sql(CohortSql)
+      },
+      Some(CohortSql)),
+
+    // Day-of-week × hour-of-day seasonality heatmap. Spark's dayofweek()
+    // is 1-based Sunday-first; EXTRACT(DOW) in the oracle is 0-based
+    // Sunday-first — the Spark side subtracts 1 so both emit 0=Sunday.
+    Op("ts_seasonality",
+      (s, dir) => {
+        view(s, dir, "events")
+        s.sql("""SELECT dayofweek(ts) - 1 AS dow, hour(ts) AS hr,
+          COUNT(*) AS n,
+          CAST(SUM(CAST(value AS DECIMAL(38,10))) AS DOUBLE) / COUNT(*) AS avg_value
+          FROM events GROUP BY 1, 2 ORDER BY 1, 2""")
+      },
+      Some(s"""SELECT CAST(EXTRACT(DOW FROM ts) AS INTEGER) AS dow,
+        CAST(EXTRACT(HOUR FROM ts) AS INTEGER) AS hr,
+        COUNT(*) AS n,
+        ${num.DSUM("value")} / COUNT(*) AS avg_value
+        FROM events GROUP BY 1, 2 ORDER BY 1, 2"""))
   )
+
+  /** Engine-portable SQL shared by both sides of agg_cohort_retention. */
+  private val CohortSql = """
+    WITH fw AS (SELECT user_id, MIN(date_trunc('week', ts)) AS cohort
+      FROM events GROUP BY 1)
+    SELECT fw.cohort, date_trunc('week', e.ts) AS wk,
+      COUNT(DISTINCT e.user_id) AS active, COUNT(*) AS n_events
+    FROM events e JOIN fw ON fw.user_id = e.user_id
+    GROUP BY 1, 2 ORDER BY 1, 2"""
 }
