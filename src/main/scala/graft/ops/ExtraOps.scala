@@ -207,7 +207,7 @@ object ExtraOps extends OpModule {
           tc AS (SELECT id, COUNT(*) AS n_tri FROM corners GROUP BY 1),
           deg AS (SELECT id, COUNT(*) AS d FROM (SELECT a AS id FROM und
             UNION ALL SELECT b FROM und) u GROUP BY 1)""")))
-  ) ++ batch2 ++ batch3 ++ batch4
+  ) ++ batch2 ++ batch3 ++ batch4 ++ batch10
 
   /** Engine-portable SQL shared by both sides of agg_bitwise. */
   private val BitwiseSql = """
@@ -762,4 +762,47 @@ object ExtraOps extends OpModule {
       COUNT(DISTINCT e.user_id) AS active, COUNT(*) AS n_events
     FROM events e JOIN fw ON fw.user_id = e.user_id
     GROUP BY 1, 2 ORDER BY 1, 2"""
+
+  /** Engine-portable SQL shared by both sides of agg_benford. Digit
+    * extraction goes through EXACT integer cents → string (integer→string
+    * rendering is identical everywhere; double→string is NOT), never
+    * through log10 (transcendental, banned by the determinism contract). */
+  private val BenfordSql = """
+    WITH d AS (SELECT CAST(substr(CAST(
+        CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS VARCHAR(20)), 1, 1)
+      AS INTEGER) AS digit FROM orders WHERE o_totalprice > 0)
+    SELECT digit, COUNT(*) AS n FROM d GROUP BY 1 ORDER BY 1"""
+
+  /** Engine-portable SQL shared by both sides of win_compress_runs. */
+  private val CompressSql = """
+    WITH x AS (SELECT event_id, user_id, event_type,
+      LAG(event_type) OVER (PARTITION BY user_id ORDER BY event_id) AS prev
+      FROM events)
+    SELECT user_id, COUNT(*) AS n_kept
+    FROM x WHERE prev IS NULL OR event_type <> prev
+    GROUP BY 1 ORDER BY 1"""
+
+  private def batch10: Seq[Op] = Seq(
+
+    // Benford first-digit profile — the data-quality / fraud screen run
+    // over financial columns. One codegen'd per-row digit extraction
+    // (through exact integer cents, see BenfordSql) + a 9-group aggregate.
+    Op("agg_benford",
+      (s, dir) => {
+        view(s, dir, "orders")
+        s.sql(BenfordSql)
+      },
+      Some(BenfordSql)),
+
+    // Run compression (drop consecutive duplicates per key) — the event-
+    // stream compaction that turns raw click logs into transition logs.
+    // One lag window over the per-user order, then a map-side-combined
+    // count of run starts.
+    Op("win_compress_runs",
+      (s, dir) => {
+        view(s, dir, "events")
+        s.sql(CompressSql)
+      },
+      Some(CompressSql))
+  )
 }
