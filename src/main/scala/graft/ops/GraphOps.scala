@@ -272,6 +272,21 @@ object GraphOps extends OpModule {
         "SELECT id, lbl AS component FROM l16 ORDER BY id",
         extra = GraphSql.ccChain(16)))),
 
+    // Component-size distribution — the connectivity skew diagnostic (one
+    // giant component? a long tail of islands?). Folds the STORED CC
+    // labeling (shared with graph_cc/graph_pregel) through two
+    // vertex-sized aggregates.
+    Op("graph_cc_sizes",
+      (s, dir) => GraphFixture(s, dir).connectedComponents
+        .groupBy("component").agg(count(lit(1)).as("sz"))
+        .groupBy("sz").agg(count(lit(1)).as("n_components"))
+        .orderBy("sz"),
+      Some(withGraph(
+        """SELECT sz, COUNT(*) AS n_components FROM (
+          SELECT lbl, COUNT(*) AS sz FROM l16 GROUP BY 1) c
+        GROUP BY 1 ORDER BY 1""",
+        extra = GraphSql.ccChain(16)))),
+
     // Pregel max-value flood = max vertex val per component.
     Op("graph_pregel",
       (s, dir) => GraphFixture(s, dir).maxFlood.orderBy("id"),

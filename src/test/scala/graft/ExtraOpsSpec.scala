@@ -263,6 +263,53 @@ class ExtraOpsSpec extends AnyFunSuite {
     assert(merged.toSeq == direct.toSeq)
   }
 
+  test("agg_benford: digits 1-9 only, masses sum to the row count") {
+    val d = SparkEntry.queries("agg_benford")(spark, sf).collect()
+    assert(d.map(_.getInt(0)).forall(x => x >= 1 && x <= 9))
+    assert(d.map(_.getLong(1)).sum ==
+      Tables(spark, sf, "orders").filter(col("o_totalprice") > 0).count())
+  }
+
+  test("win_compress_runs keeps at least one event per active user") {
+    val kept = SparkEntry.queries("win_compress_runs")(spark, sf).collect()
+    val users = Tables(spark, sf, "events").select("user_id").distinct().count()
+    assert(kept.length == users.toInt)
+    kept.foreach(r => assert(r.getLong(1) >= 1))
+  }
+
+  test("agg_cohort_retention: active never exceeds cohort week-1 size") {
+    val m = SparkEntry.queries("agg_cohort_retention")(spark, sf).collect()
+      .groupBy(_.getTimestamp(0))
+    m.foreach { case (cohort, rows) =>
+      // the cohort's first week contains every cohort member by definition
+      val first = rows.minBy(_.getTimestamp(1).getTime)
+      assert(first.getTimestamp(1) == cohort)
+      rows.foreach(r => assert(r.getLong(2) <= first.getLong(2)))
+    }
+  }
+
+  test("ts_seasonality covers only dow 0-6 and hr 0-23") {
+    val rows = SparkEntry.queries("ts_seasonality")(spark, sf).collect()
+    assert(rows.forall(r => r.getInt(0) >= 0 && r.getInt(0) <= 6))
+    assert(rows.forall(r => r.getInt(1) >= 0 && r.getInt(1) <= 23))
+    assert(rows.map(_.getLong(2)).sum == Tables(spark, sf, "events").count())
+  }
+
+  test("agg_vector_centroid: 64 dims per label, centroids within [-1,1]") {
+    val c = SparkEntry.queries("agg_vector_centroid")(spark, sf).collect()
+      .groupBy(_.getInt(0))
+    c.foreach { case (_, rows) =>
+      assert(rows.map(_.getInt(1)).sorted.toSeq == (1 to 64))
+      rows.foreach(r => assert(math.abs(r.getDouble(2)) <= 1.0))
+    }
+  }
+
+  test("graph_cc_sizes: total mass equals the vertex count") {
+    val h = SparkEntry.queries("graph_cc_sizes")(spark, sf).collect()
+    val nv = graph.GraphFixture(spark, sf).vertices.count()
+    assert(h.map(r => r.getLong(0) * r.getLong(1)).sum == nv)
+  }
+
   test("graph_clustering: coeff in [0,1] and zero iff no triangles") {
     val rows = SparkEntry.queries("graph_clustering")(spark, sf).collect()
     assert(rows.nonEmpty)
