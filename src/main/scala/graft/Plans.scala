@@ -13,7 +13,9 @@ object Plans {
     "ts_interpolate", "win_sessionize", "text_pack", "split_train_test",
     "sink_partitioned", "unpivot_melt", "profile_columns", "ts_ohlc",
     "graph_jaccard", "join_salted", "join_correlated", "sample_stratified",
-    "sort_zorder", "agg_checksum", "scan_merge_schema", "ts_zscore")
+    "sort_zorder", "agg_checksum", "scan_merge_schema", "ts_zscore",
+    "join_interval_banded", "agg_cohort_retention", "win_time_range",
+    "agg_vector_centroid")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
