@@ -803,6 +803,47 @@ object ExtraOps extends OpModule {
         view(s, dir, "events")
         s.sql(CompressSql)
       },
-      Some(CompressSql))
+      Some(CompressSql)),
+
+    // LATERAL correlated subquery (top-2 items per order) — the SQL
+    // surface for per-row dependent subqueries. Catalyst decorrelates the
+    // LIMIT-ed lateral into a window-rank join (never a per-row re-scan);
+    // same plan family topk_per_group grades directly, here reached from
+    // the user-facing LATERAL syntax.
+    Op("join_lateral",
+      (s, dir) => {
+        view(s, dir, "orders"); view(s, dir, "lineitem")
+        s.sql(LateralSql)
+      },
+      Some(LateralSql)),
+
+    // Multi-column DISTINCT aggregates in one pass: Spark plans the
+    // distinct set via one Expand + two-level aggregation instead of
+    // N self-joins — the OLAP "count unique per dimension" shape.
+    Op("agg_multi_distinct",
+      (s, dir) => {
+        view(s, dir, "orders")
+        s.sql(MultiDistinctSql)
+      },
+      Some(MultiDistinctSql))
   )
+
+  /** Engine-portable SQL shared by both sides of join_lateral. The inner
+    * ORDER BY carries the unique l_partkey tiebreak so the LIMIT 2 picks
+    * the same rows in both engines. */
+  private val LateralSql = """
+    SELECT o.o_orderkey, t.l_partkey, t.l_extendedprice
+    FROM orders o, LATERAL (SELECT l_partkey, l_extendedprice FROM lineitem
+      WHERE l_orderkey = o.o_orderkey
+      ORDER BY l_extendedprice DESC, l_partkey LIMIT 2) t
+    WHERE o.o_orderkey < 1000
+    ORDER BY o.o_orderkey, t.l_extendedprice DESC, t.l_partkey"""
+
+  /** Engine-portable SQL shared by both sides of agg_multi_distinct. */
+  private val MultiDistinctSql = """
+    SELECT o_orderstatus,
+      COUNT(DISTINCT o_custkey) AS d_cust,
+      COUNT(DISTINCT o_orderpriority) AS d_pri,
+      COUNT(*) AS n
+    FROM orders GROUP BY 1 ORDER BY 1"""
 }
