@@ -207,7 +207,7 @@ object ExtraOps extends OpModule {
           tc AS (SELECT id, COUNT(*) AS n_tri FROM corners GROUP BY 1),
           deg AS (SELECT id, COUNT(*) AS d FROM (SELECT a AS id FROM und
             UNION ALL SELECT b FROM und) u GROUP BY 1)""")))
-  ) ++ batch2 ++ batch3 ++ batch4 ++ batch10
+  ) ++ batch2 ++ batch3 ++ batch4 ++ batch10 ++ batch12
 
   /** Engine-portable SQL shared by both sides of agg_bitwise. */
   private val BitwiseSql = """
@@ -846,4 +846,61 @@ object ExtraOps extends OpModule {
       COUNT(DISTINCT o_orderpriority) AS d_pri,
       COUNT(*) AS n
     FROM orders GROUP BY 1 ORDER BY 1"""
+
+  private def batch12: Seq[Op] = Seq(
+
+    // Error-tolerant ingestion — PERMISSIVE CSV parsing with a corrupt-
+    // record column: real 100 TB feeds contain garbage lines, and the
+    // job must quarantine them, not die. Stage the table as CSV, inject
+    // 3 malformed lines, read back with an explicit schema: good rows
+    // round-trip exactly (shortest-roundtrip double rendering), bad rows
+    // land in _corrupt_record and are COUNTED as part of the graded
+    // result — the quarantine total is the contract.
+    Op("source_csv_malformed",
+      (s, dir) => {
+        val base = Staging.fresh("malcsv")
+        Tables(s, dir, "events").select("event_id", "event_type", "value")
+          .coalesce(1).write.mode("overwrite").csv(base)
+        // a separate bad feed file (appending to Spark's own output would
+        // invalidate its Hadoop .crc sidecar)
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get(base, "part-99999-badfeed.csv"),
+          "not_a_long,oops,NaN?\ngarbage\n,,,too,many,fields\n")
+        import org.apache.spark.sql.types._
+        val schema = StructType(Seq(
+          StructField("event_id", LongType), StructField("event_type", StringType),
+          StructField("value", DoubleType), StructField("_corrupt_record", StringType)))
+        val read = s.read.schema(schema)
+          .option("mode", "PERMISSIVE")
+          .option("columnNameOfCorruptRecord", "_corrupt_record")
+          .csv(base).cache()
+        read.agg(count(col("event_id")).as("n_good"),
+          count(col("_corrupt_record")).as("n_corrupt"),
+          num.dsum(col("value")).as("sum_value"))
+      },
+      Some(s"""SELECT COUNT(*) AS n_good, CAST(3 AS BIGINT) AS n_corrupt,
+        ${num.DSUM("value")} AS sum_value FROM events""")),
+
+    // Average degree per vertex label — which entity classes are the
+    // hubs. Folds the stored degree view by label; integer-exact sums,
+    // one closing division.
+    Op("graph_degree_by_label",
+      (s, dir) => graft.graph.GraphFixture(s, dir).degrees
+        .groupBy("label")
+        .agg(count(lit(1)).as("n_vertices"),
+          sum("deg").as("sum_deg"))
+        .select(col("label"), col("n_vertices"),
+          (col("sum_deg").cast("double") / col("n_vertices")).as("avg_deg"))
+        .orderBy("label"),
+      Some(graft.graph.GraphSql.withGraph(
+        """SELECT label, COUNT(*) AS n_vertices,
+          CAST(SUM(deg) AS DOUBLE) / COUNT(*) AS avg_deg
+        FROM (SELECT v.id, v.label, COALESCE(o.c, 0) + COALESCE(i.c, 0) AS deg
+          FROM vertices v
+          LEFT JOIN (SELECT src, COUNT(*) AS c FROM edges GROUP BY 1) o
+            ON o.src = v.id
+          LEFT JOIN (SELECT dst, COUNT(*) AS c FROM edges GROUP BY 1) i
+            ON i.dst = v.id) d
+        GROUP BY 1 ORDER BY 1""")))
+  )
 }
