@@ -881,6 +881,41 @@ object ExtraOps extends OpModule {
       Some(s"""SELECT COUNT(*) AS n_good, CAST(3 AS BIGINT) AS n_corrupt,
         ${num.DSUM("value")} AS sum_value FROM events""")),
 
+    // Watermark accounting as an oracle-checkable batch twin: an event is
+    // LATE if it arrives (arrival order = event_id) with a timestamp more
+    // than 10 minutes behind the maximum timestamp already seen in its
+    // user's stream — exactly the rows a 10-minute watermark would drop.
+    // One running-max window per user; the lateness profile tells you
+    // what watermark the streaming job can afford.
+    Op("stream_lateness",
+      (s, dir) => {
+        view(s, dir, "events")
+        s.sql(LatenessSql)
+      },
+      Some(LatenessSql)),
+
+    // Edge-type matrix (src label × edge label × dst label counts) —
+    // graph SCHEMA DISCOVERY, the first query against an unfamiliar
+    // property graph. Two joins against the vertex-sized label map
+    // (broadcast at bench SF, shuffle at 100 TB), then a tiny aggregate.
+    Op("graph_edge_type_matrix",
+      (s, dir) => {
+        val g = graft.graph.GraphFixture(s, dir)
+        val vl = g.vertices.select(col("id"), col("label"))
+        g.edges
+          .join(vl.select(col("id").as("src"), col("label").as("src_label")), "src")
+          .join(vl.select(col("id").as("dst"), col("label").as("dst_label")), "dst")
+          .groupBy(col("src_label"), col("label").as("edge_label"), col("dst_label"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy("src_label", "edge_label", "dst_label")
+      },
+      Some(graft.graph.GraphSql.withGraph(
+        """SELECT sv.label AS src_label, e.label AS edge_label,
+          dv.label AS dst_label, COUNT(*) AS n
+        FROM edges e JOIN vertices sv ON sv.id = e.src
+        JOIN vertices dv ON dv.id = e.dst
+        GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"""))),
+
     // Average degree per vertex label — which entity classes are the
     // hubs. Folds the stored degree view by label; integer-exact sums,
     // one closing division.
@@ -903,4 +938,18 @@ object ExtraOps extends OpModule {
             ON i.dst = v.id) d
         GROUP BY 1 ORDER BY 1""")))
   )
+
+  /** Engine-portable SQL shared by both sides of stream_lateness. The
+    * frame excludes the current row so an on-time event can't be late
+    * relative to itself. */
+  private val LatenessSql = """
+    WITH x AS (SELECT user_id, event_type, ts,
+      MAX(ts) OVER (PARTITION BY user_id ORDER BY event_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS seen
+      FROM events)
+    SELECT event_type,
+      COUNT(*) AS n,
+      CAST(count_if(seen IS NOT NULL
+        AND ts < seen - INTERVAL 10 MINUTE) AS BIGINT) AS n_late
+    FROM x GROUP BY 1 ORDER BY 1"""
 }
