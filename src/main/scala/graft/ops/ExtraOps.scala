@@ -207,7 +207,7 @@ object ExtraOps extends OpModule {
           tc AS (SELECT id, COUNT(*) AS n_tri FROM corners GROUP BY 1),
           deg AS (SELECT id, COUNT(*) AS d FROM (SELECT a AS id FROM und
             UNION ALL SELECT b FROM und) u GROUP BY 1)""")))
-  ) ++ batch2 ++ batch3 ++ batch4 ++ batch10 ++ batch12
+  ) ++ batch2 ++ batch3 ++ batch4 ++ batch10 ++ batch12 ++ batch13
 
   /** Engine-portable SQL shared by both sides of agg_bitwise. */
   private val BitwiseSql = """
@@ -937,6 +937,43 @@ object ExtraOps extends OpModule {
           LEFT JOIN (SELECT dst, COUNT(*) AS c FROM edges GROUP BY 1) i
             ON i.dst = v.id) d
         GROUP BY 1 ORDER BY 1""")))
+  )
+
+  private def batch13: Seq[Op] = Seq(
+
+    // Range-clustered sorted write + layout VERIFICATION — the data-layout
+    // contract zone-map pruning depends on: repartitionByRange(4) +
+    // sortWithinPartitions means every output file owns a disjoint
+    // o_totalprice range, so a price-filtered scan can skip whole files on
+    // parquet footer min/max alone. The key re-reads each file, computes
+    // its [min,max], counts overlapping file pairs — graded as ZERO — and
+    // round-trips the row count and an exact sum.
+    Op("sink_sorted_stats",
+      (s, dir) => {
+        val base = Staging.fresh("sorted")
+        Tables(s, dir, "orders").select("o_orderkey", "o_totalprice")
+          .repartitionByRange(4, col("o_totalprice"))
+          .sortWithinPartitions("o_totalprice")
+          .write.mode("overwrite").parquet(base)
+        val files = new java.io.File(base).listFiles()
+          .filter(_.getName.endsWith(".parquet")).map(_.toString).sorted
+        val ranges = files.map { f =>
+          val r = s.read.parquet(f)
+            .agg(min("o_totalprice"), max("o_totalprice")).head
+          (r.getDouble(0), r.getDouble(1))
+        }
+        val overlaps = ranges.combinations(2).count {
+          case Array((lo1, hi1), (lo2, hi2)) => hi1 >= lo2 && hi2 >= lo1
+          case _ => false
+        }
+        s.read.parquet(base)
+          .agg(count(lit(1)).as("n_rows"), num.dsum(col("o_totalprice")).as("sum_price"))
+          .withColumn("n_files", lit(files.length.toLong))
+          .withColumn("n_overlapping_pairs", lit(overlaps.toLong))
+      },
+      Some(s"""SELECT COUNT(*) AS n_rows, ${num.DSUM("o_totalprice")} AS sum_price,
+        CAST(4 AS BIGINT) AS n_files, CAST(0 AS BIGINT) AS n_overlapping_pairs
+        FROM orders"""))
   )
 
   /** Engine-portable SQL shared by both sides of stream_lateness. The
