@@ -973,8 +973,46 @@ object ExtraOps extends OpModule {
       },
       Some(s"""SELECT COUNT(*) AS n_rows, ${num.DSUM("o_totalprice")} AS sum_price,
         CAST(4 AS BIGINT) AS n_files, CAST(0 AS BIGINT) AS n_overlapping_pairs
-        FROM orders"""))
+        FROM orders""")),
+
+    // Rolling MEDIAN (7-row frame) — the robust twin of win_moving_avg
+    // (one outlier can't drag it). Frame content is deterministic under
+    // the unique o_orderkey ordering; exact-percentile interpolation
+    // identity across engines is already certified by agg_percentile.
+    Op("win_rolling_median",
+      (s, dir) => {
+        view(s, dir, "orders")
+        s.sql("""SELECT o_orderkey, o_orderstatus,
+          percentile(o_totalprice, 0.5) OVER w AS med7
+          FROM orders WINDOW w AS (PARTITION BY o_orderstatus
+            ORDER BY o_orderkey ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+          ORDER BY o_orderkey""")
+      },
+      Some("""SELECT o_orderkey, o_orderstatus,
+        quantile_cont(o_totalprice, 0.5) OVER w AS med7
+        FROM orders WINDOW w AS (PARTITION BY o_orderstatus
+          ORDER BY o_orderkey ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+        ORDER BY o_orderkey""")),
+
+    // Event-transition matrix (prev type → type counts per user journey)
+    // — the Markov-chain summary of user behavior; the lag window and the
+    // aggregate share the user partitioning.
+    Op("ts_transition_matrix",
+      (s, dir) => {
+        view(s, dir, "events")
+        s.sql(TransitionSql)
+      },
+      Some(TransitionSql))
   )
+
+  /** Engine-portable SQL shared by both sides of ts_transition_matrix. */
+  private val TransitionSql = """
+    WITH x AS (SELECT event_type,
+      LAG(event_type) OVER (PARTITION BY user_id ORDER BY event_id) AS prev
+      FROM events)
+    SELECT prev, event_type AS cur, COUNT(*) AS n
+    FROM x WHERE prev IS NOT NULL
+    GROUP BY 1, 2 ORDER BY 1, 2"""
 
   /** Engine-portable SQL shared by both sides of stream_lateness. The
     * frame excludes the current row so an on-time event can't be late
