@@ -611,6 +611,49 @@ object GraphOps extends OpModule {
         "SELECT id, lbl AS lp_label FROM lp3 ORDER BY id",
         extra = GraphSql.lpChain(3)))),
 
+    // Modularity Q of the label-propagation communities — the quality
+    // score for any community detection. Exact to the last bit across
+    // engines because both Σ-terms collapse to INTEGER aggregates:
+    // Q = (Σc e_c)/m − (Σc a_c²)/(4m²), where e_c (intra-community edge
+    // count) and a_c (community degree mass) are integers over the simple
+    // undirected graph — no cross-row float summation ever happens, and
+    // the two closing divisions are fixed-order IEEE. Two vertex-map
+    // joins + two map-side-combined aggregates.
+    Op("graph_modularity",
+      (s, dir) => {
+        val g = GraphFixture(s, dir)
+        val lbl = g.labelPropagation(3)
+        val und = g.undirectedEdges
+        val m = und.count()
+        val intra = und
+          .join(lbl.select(col("id").as("a"), col("lp_label").as("la")), "a")
+          .join(lbl.select(col("id").as("b"), col("lp_label").as("lb")), "b")
+          .filter(col("la") === col("lb")).count()
+        val sa2 = g.undDegrees
+          .join(lbl, "id")
+          .groupBy("lp_label").agg(sum("d").as("ac"))
+          .agg(sum(col("ac") * col("ac"))).head.getLong(0)
+        import s.implicits._
+        Seq((m, intra, sa2)).toDF("m", "intra", "sa2")
+          .selectExpr("m", "intra", "sa2",
+            "CAST(intra AS DOUBLE) / m - CAST(sa2 AS DOUBLE) / (4 * m * m) AS q")
+      },
+      Some(withGraph(
+        """SELECT m, intra, sa2,
+          CAST(intra AS DOUBLE) / m - CAST(sa2 AS DOUBLE) / (4 * m * m) AS q
+        FROM (SELECT (SELECT COUNT(*) FROM su) AS m,
+          (SELECT COUNT(*) FROM su u
+            JOIN lp3 x ON x.id = u.a JOIN lp3 y ON y.id = u.b
+            WHERE x.lbl = y.lbl) AS intra,
+          (SELECT CAST(SUM(ac * ac) AS BIGINT) FROM (
+            SELECT l.lbl, SUM(d.dd) AS ac FROM lp3 l
+            JOIN (SELECT id, COUNT(*) AS dd FROM (SELECT a AS id FROM su
+              UNION ALL SELECT b FROM su) z GROUP BY 1) d ON d.id = l.id
+            GROUP BY 1) cc) AS sa2) t""",
+        extra = GraphSql.lpChain(3) + """,
+          su AS (SELECT DISTINCT LEAST(src, dst) AS a,
+            GREATEST(src, dst) AS b FROM edges WHERE src <> dst)"""))),
+
     // Neighborhood Jaccard (link prediction): supplier pairs scored by
     // overlap of their in-neighbor part sets. Candidates come from one
     // self-equi-join on the shared part — pairs with zero overlap are never
