@@ -207,7 +207,7 @@ object ExtraOps extends OpModule {
           tc AS (SELECT id, COUNT(*) AS n_tri FROM corners GROUP BY 1),
           deg AS (SELECT id, COUNT(*) AS d FROM (SELECT a AS id FROM und
             UNION ALL SELECT b FROM und) u GROUP BY 1)""")))
-  ) ++ batch2 ++ batch3 ++ batch4 ++ batch10 ++ batch12 ++ batch13
+  ) ++ batch2 ++ batch3 ++ batch4 ++ batch10 ++ batch12 ++ batch13 ++ batch14
 
   /** Engine-portable SQL shared by both sides of agg_bitwise. */
   private val BitwiseSql = """
@@ -1013,6 +1013,60 @@ object ExtraOps extends OpModule {
     SELECT prev, event_type AS cur, COUNT(*) AS n
     FROM x WHERE prev IS NOT NULL
     GROUP BY 1, 2 ORDER BY 1, 2"""
+
+  private def batch14: Seq[Op] = Seq(
+
+    // Composite OLAP flagship #1 — the snowflake rollup (TPC-H Q5 shape):
+    // fact ⋈ fact ⋈ three snowflaked dims, revenue rolled up by region ×
+    // status. The plan this must produce (asserted in PlanQualitySpec):
+    // dims broadcast, ONE shuffle for the fact-fact join, partial
+    // aggregation before the final #groups-sized exchange.
+    Op("olap_star_rollup",
+      (s, dir) => {
+        Seq("lineitem", "orders", "customer", "nation", "region")
+          .foreach(view(s, dir, _))
+        s.sql(s"""SELECT r_name AS region, o_orderstatus AS status,
+          COUNT(*) AS n_items,
+          CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,10)))
+            AS DOUBLE) AS revenue
+          FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+          JOIN customer ON c_custkey = o_custkey
+          JOIN nation ON n_nationkey = c_nationkey
+          JOIN region ON r_regionkey = n_regionkey
+          GROUP BY 1, 2 ORDER BY 1, 2""")
+      },
+      Some(s"""SELECT r_name AS region, o_orderstatus AS status,
+        COUNT(*) AS n_items,
+        ${num.DSUM("l_extendedprice * (1 - l_discount)")} AS revenue
+        FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+        JOIN customer ON c_custkey = o_custkey
+        JOIN nation ON n_nationkey = c_nationkey
+        JOIN region ON r_regionkey = n_regionkey
+        GROUP BY 1, 2 ORDER BY 1, 2""")),
+
+    // Composite OLAP flagship #2 — top-10 orders by revenue within a
+    // filtered segment (TPC-H Q3 shape): selective dim filter pushed to
+    // the customer scan, fact-fact join, decimal-exact per-order revenue,
+    // global top-10 via TakeOrderedAndProject (per-partition heaps +
+    // driver merge — never a full sort).
+    Op("olap_topk_revenue",
+      (s, dir) => {
+        Seq("lineitem", "orders", "customer").foreach(view(s, dir, _))
+        s.sql(s"""SELECT o_orderkey,
+          CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,10)))
+            AS DOUBLE) AS revenue
+          FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+          JOIN customer ON c_custkey = o_custkey
+          WHERE c_mktsegment = 'BUILDING'
+          GROUP BY 1 ORDER BY revenue DESC, o_orderkey LIMIT 10""")
+      },
+      Some(s"""SELECT o_orderkey,
+        ${num.DSUM("l_extendedprice * (1 - l_discount)")} AS revenue
+        FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+        JOIN customer ON c_custkey = o_custkey
+        WHERE c_mktsegment = 'BUILDING'
+        GROUP BY 1 ORDER BY revenue DESC, o_orderkey LIMIT 10"""))
+  )
 
   /** Engine-portable SQL shared by both sides of stream_lateness. The
     * frame excludes the current row so an on-time event can't be late

@@ -221,4 +221,17 @@ class PlanQualitySpec extends AnyFunSuite {
     val p = finalPlan("sample_stratified").split("== Initial Plan ==")(0)
     assert("hashpartitioning\\(event_type".r.findAllIn(p).size <= 1, p)
   }
+
+  test("olap_star_rollup broadcasts every dimension") {
+    val p = finalPlan("olap_star_rollup")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 3, p) // cust/nation/region
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("olap_topk_revenue pushes the segment filter and top-ks") {
+    val p = finalPlan("olap_topk_revenue")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(p.contains("PushedFilters: [IsNotNull(c_mktsegment), EqualTo(c_mktsegment,BUILDING)]")
+      || p.contains("EqualTo(c_mktsegment,BUILDING)"), p)
+  }
 }
