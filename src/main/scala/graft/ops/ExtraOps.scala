@@ -1065,7 +1065,65 @@ object ExtraOps extends OpModule {
         FROM lineitem JOIN orders ON o_orderkey = l_orderkey
         JOIN customer ON c_custkey = o_custkey
         WHERE c_mktsegment = 'BUILDING'
-        GROUP BY 1 ORDER BY revenue DESC, o_orderkey LIMIT 10"""))
+        GROUP BY 1 ORDER BY revenue DESC, o_orderkey LIMIT 10""")),
+
+    // Composite OLAP flagship #3 — the pricing-summary report (TPC-H Q1
+    // shape): one scan, predicate pushed down, eight aggregates in a
+    // single map-side-combined pass; every sum/avg decimal-exact.
+    Op("olap_pricing_summary",
+      (s, dir) => {
+        view(s, dir, "lineitem")
+        s.sql("""SELECT l_returnflag, l_linestatus,
+          CAST(SUM(CAST(l_quantity AS DECIMAL(38,10))) AS DOUBLE) AS sum_qty,
+          CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,10))) AS DOUBLE) AS sum_base,
+          CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,10))) AS DOUBLE) AS sum_disc,
+          CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(38,10))) AS DOUBLE) AS sum_charge,
+          CAST(SUM(CAST(l_quantity AS DECIMAL(38,10))) AS DOUBLE) / COUNT(*) AS avg_qty,
+          CAST(SUM(CAST(l_discount AS DECIMAL(38,10))) AS DOUBLE) / COUNT(*) AS avg_disc,
+          COUNT(*) AS n
+          FROM lineitem WHERE l_quantity < 50
+          GROUP BY 1, 2 ORDER BY 1, 2""")
+      },
+      Some(s"""SELECT l_returnflag, l_linestatus,
+        ${num.DSUM("l_quantity")} AS sum_qty,
+        ${num.DSUM("l_extendedprice")} AS sum_base,
+        ${num.DSUM("l_extendedprice * (1 - l_discount)")} AS sum_disc,
+        ${num.DSUM("l_extendedprice * (1 - l_discount) * (1 + l_tax)")} AS sum_charge,
+        ${num.DSUM("l_quantity")} / COUNT(*) AS avg_qty,
+        ${num.DSUM("l_discount")} / COUNT(*) AS avg_disc,
+        COUNT(*) AS n
+        FROM lineitem WHERE l_quantity < 50
+        GROUP BY 1, 2 ORDER BY 1, 2""")),
+
+    // Repetition filter — the LLM-data quality signal n-gram dedup can't
+    // give you: WITHIN-document repetition (boilerplate, generated spam).
+    // Score = 1 − distinct_bigrams/total_bigrams, integer-exact until one
+    // division; the key returns the high-repetition quarantine (score >
+    // 0.05), like text_filter returns its drop reasons. Pure per-row array
+    // work — embarrassingly parallel.
+    Op("text_repetition",
+      (s, dir) => {
+        view(s, dir, "documents")
+        s.sql(s"""WITH b AS (SELECT doc_id,
+            size(${sparkToks("text")}) - 1 AS total,
+            size(array_distinct(transform(sequence(1, size(${sparkToks("text")}) - 1),
+              i -> concat_ws(' ', slice(${sparkToks("text")}, i, 2))))) AS uniq
+          FROM documents WHERE size(${sparkToks("text")}) >= 2)
+          SELECT doc_id, total, uniq,
+            1 - CAST(uniq AS DOUBLE) / total AS rep_score
+          FROM b WHERE 1 - CAST(uniq AS DOUBLE) / total > 0.05
+          ORDER BY doc_id""")
+      },
+      Some(s"""WITH t AS (SELECT doc_id, ${duckToks("text")} AS toks
+          FROM documents WHERE len(${duckToks("text")}) >= 2),
+        b AS (SELECT doc_id, len(toks) - 1 AS total,
+          len(list_distinct([toks[i] || ' ' || toks[i+1]
+            FOR i IN range(1, len(toks))])) AS uniq
+          FROM t)
+        SELECT doc_id, CAST(total AS BIGINT) AS total, CAST(uniq AS BIGINT) AS uniq,
+          1 - CAST(uniq AS DOUBLE) / total AS rep_score
+        FROM b WHERE 1 - CAST(uniq AS DOUBLE) / total > 0.05
+        ORDER BY doc_id"""))
   )
 
   /** Engine-portable SQL shared by both sides of stream_lateness. The
