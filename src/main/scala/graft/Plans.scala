@@ -15,7 +15,8 @@ object Plans {
     "graph_jaccard", "join_salted", "join_correlated", "sample_stratified",
     "sort_zorder", "agg_checksum", "scan_merge_schema", "ts_zscore",
     "join_interval_banded", "agg_cohort_retention", "win_time_range",
-    "agg_vector_centroid")
+    "agg_vector_centroid", "olap_star_rollup", "olap_topk_revenue",
+    "olap_pricing_summary", "graph_modularity")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

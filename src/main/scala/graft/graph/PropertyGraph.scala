@@ -520,6 +520,12 @@ final case class PropertyGraph(vertices: DataFrame, edges: DataFrame) {
     * implementation-defined ties, this is oracle-checkable and avoids the
     * per-vertex label-histogram map messages that make GraphX LP slow.
     * Isolated vertices keep their own label. */
+  /** Stored 3-iteration label-propagation communities — shared by the
+    * labelprop and modularity keys (the labeling is the expensive part;
+    * its consumers are vertex-sized folds). localCheckpoint'ed by the
+    * final iteration, freed by GC with the instance. */
+  lazy val lp3: DataFrame = labelPropagation(3)
+
   def labelPropagation(iters: Int): DataFrame = {
     // und is the stored [[undByA]] index — pre-hash-partitioned by the
     // receiving vertex `a` (explicit partition count so AQE doesn't

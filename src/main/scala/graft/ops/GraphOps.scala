@@ -606,7 +606,7 @@ object GraphOps extends OpModule {
     // Deterministic DF label propagation (max-count / min-label tie-break)
     // — oracle-checkable, unlike GraphX's arbitrary-tie variant.
     Op("graph_labelprop",
-      (s, dir) => GraphFixture(s, dir).labelPropagation(3).orderBy("id"),
+      (s, dir) => GraphFixture(s, dir).lp3.orderBy("id"),
       Some(withGraph(
         "SELECT id, lbl AS lp_label FROM lp3 ORDER BY id",
         extra = GraphSql.lpChain(3)))),
@@ -622,7 +622,7 @@ object GraphOps extends OpModule {
     Op("graph_modularity",
       (s, dir) => {
         val g = GraphFixture(s, dir)
-        val lbl = g.labelPropagation(3)
+        val lbl = g.lp3
         val und = g.undirectedEdges
         val m = und.count()
         val intra = und
