@@ -1123,8 +1123,47 @@ object ExtraOps extends OpModule {
         SELECT doc_id, CAST(total AS BIGINT) AS total, CAST(uniq AS BIGINT) AS uniq,
           1 - CAST(uniq AS DOUBLE) / total AS rep_score
         FROM b WHERE 1 - CAST(uniq AS DOUBLE) / total > 0.05
-        ORDER BY doc_id"""))
+        ORDER BY doc_id""")),
+
+    // FILTER (WHERE …) aggregate modifier — conditional aggregation
+    // without self-joins or CASE pyramids; each filtered aggregate stays
+    // map-side-combinable in the same single pass.
+    Op("agg_filter_clause",
+      (s, dir) => {
+        view(s, dir, "orders")
+        s.sql(FilterClauseSql)
+      },
+      Some(FilterClauseSql)),
+
+    // TRY_CAST — error-free coercion for dirty feeds: unparseable input
+    // yields NULL instead of killing the job (the expression-level
+    // counterpart of source_csv_malformed's PERMISSIVE mode).
+    Op("fn_try_cast",
+      (s, dir) => {
+        view(s, dir, "orders")
+        s.sql(TryCastSql)
+      },
+      Some(TryCastSql))
   )
+
+  /** Engine-portable SQL shared by both sides of agg_filter_clause. */
+  private val FilterClauseSql = """
+    SELECT o_orderstatus,
+      COUNT(*) AS n,
+      COUNT(*) FILTER (WHERE o_totalprice > 200000) AS n_big,
+      CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,10)))
+        FILTER (WHERE o_orderpriority = '1-URGENT') AS VARCHAR(48)) AS DOUBLE) AS sum_urgent
+    FROM orders GROUP BY 1 ORDER BY 1"""
+
+  /** Engine-portable SQL shared by both sides of fn_try_cast. The first
+    * character of o_orderpriority is a digit ('1-URGENT'), the full string
+    * is not — one succeeding and one NULLing coercion per row. */
+  private val TryCastSql = """
+    SELECT o_orderkey,
+      TRY_CAST(substr(o_orderpriority, 1, 1) AS INTEGER) AS pri_num,
+      TRY_CAST(o_orderpriority AS INTEGER) AS pri_raw,
+      TRY_CAST(o_orderstatus AS DOUBLE) AS status_num
+    FROM orders ORDER BY o_orderkey"""
 
   /** Engine-portable SQL shared by both sides of stream_lateness. The
     * frame excludes the current row so an on-time event can't be late
