@@ -165,9 +165,10 @@ object GraphSql {
   /** Unrolled undirected min-label propagation: l0..l<iters>. Converges to
     * connected components when iters ≥ eccentricity of each component's
     * min-id vertex (≤ ~9 for this fixture at any SF; 16 leaves margin). */
-  def ccChain(iters: Int): String = {
-    val und = "und AS MATERIALIZED (SELECT src AS a, dst AS b FROM edges UNION SELECT dst, src FROM edges)"
-    val l0 = "l0 AS MATERIALIZED (SELECT id, id AS lbl FROM vertices)"
+  def ccChain(iters: Int, edgesRel: String = "edges",
+      verticesRel: String = "vertices"): String = {
+    val und = s"und AS MATERIALIZED (SELECT src AS a, dst AS b FROM $edgesRel UNION SELECT dst, src FROM $edgesRel)"
+    val l0 = s"l0 AS MATERIALIZED (SELECT id, id AS lbl FROM $verticesRel)"
     val steps = (1 to iters).map { i =>
       s"""l$i AS MATERIALIZED (SELECT l.id, LEAST(l.lbl, COALESCE(MIN(p.lbl), l.lbl)) AS lbl
          FROM l${i - 1} l LEFT JOIN und u ON u.a = l.id

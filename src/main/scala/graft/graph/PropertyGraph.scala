@@ -99,6 +99,11 @@ final case class PropertyGraph(vertices: DataFrame, edges: DataFrame) {
       edges.filter(col("vis") === "public"))
       .subgraph(col("vis") === "public")
 
+  /** Stored visible-subgraph instance: analytics over the security-trimmed
+    * graph ([[visible]] builds a fresh wrapper per call; the stored one
+    * shares its lazy artifacts — CC labeling, GraphX view — across keys). */
+  lazy val visibleView: PropertyGraph = visible
+
   /** Variable-length reachability ≤ maxHops from `sources` (a DF with an
     * `id` column): Pregel hop-flood on the shared GraphX view — each vertex
     * converges to its MINIMUM hop count from any source. */

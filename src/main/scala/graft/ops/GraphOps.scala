@@ -287,6 +287,22 @@ object GraphOps extends OpModule {
         GROUP BY 1 ORDER BY 1""",
         extra = GraphSql.ccChain(16)))),
 
+    // Connected components of the VISIBLE subgraph — analytics under the
+    // cell-visibility model: secret vertices/edges are trimmed BEFORE the
+    // labeling runs, so components that were only bridged by secret
+    // elements fall apart (the security-correct answer, not the convenient
+    // one). Runs on the stored visibleView instance so the trimmed GraphX
+    // build is shared across visibility-aware keys.
+    Op("graph_visible_cc",
+      (s, dir) => GraphFixture(s, dir).visibleView
+        .connectedComponents.orderBy("id"),
+      Some(withGraph(
+        "SELECT id, lbl AS component FROM l16 ORDER BY id",
+        extra = """vv AS MATERIALIZED (SELECT * FROM vertices WHERE vis = 'public'),
+          ve AS MATERIALIZED (SELECT e.* FROM edges e
+            JOIN vv a ON a.id = e.src JOIN vv b ON b.id = e.dst
+            WHERE e.vis = 'public'), """ + GraphSql.ccChain(16, "ve", "vv")))),
+
     // Pregel max-value flood = max vertex val per component.
     Op("graph_pregel",
       (s, dir) => GraphFixture(s, dir).maxFlood.orderBy("id"),
