@@ -207,7 +207,7 @@ object ExtraOps extends OpModule {
           tc AS (SELECT id, COUNT(*) AS n_tri FROM corners GROUP BY 1),
           deg AS (SELECT id, COUNT(*) AS d FROM (SELECT a AS id FROM und
             UNION ALL SELECT b FROM und) u GROUP BY 1)""")))
-  ) ++ batch2 ++ batch3 ++ batch4 ++ batch10 ++ batch12 ++ batch13 ++ batch14
+  ) ++ batch2 ++ batch3 ++ batch4 ++ batch10 ++ batch12 ++ batch13 ++ batch14 ++ batch15
 
   /** Engine-portable SQL shared by both sides of agg_bitwise. */
   private val BitwiseSql = """
@@ -1164,6 +1164,50 @@ object ExtraOps extends OpModule {
       TRY_CAST(o_orderpriority AS INTEGER) AS pri_raw,
       TRY_CAST(o_orderstatus AS DOUBLE) AS status_num
     FROM orders ORDER BY o_orderkey"""
+
+  /** Engine-portable SQL shared by both sides of dedup_stats. */
+  private val DedupStatsSql = """
+    WITH g AS (SELECT md5(text) AS ck, COUNT(*) AS n FROM documents GROUP BY 1)
+    SELECT CAST(SUM(n) AS BIGINT) AS n_docs, COUNT(*) AS n_unique,
+      CAST(SUM(n) - COUNT(*) AS BIGINT) AS n_redundant,
+      1 - CAST(COUNT(*) AS DOUBLE) / SUM(n) AS dup_rate,
+      CAST(MAX(n) AS BIGINT) AS max_cluster
+    FROM g"""
+
+  private def batch15: Seq[Op] = Seq(
+
+    // Corpus dedup report — the summary every dedup pipeline emits before
+    // and after its run (how much would exact dedup save?): unique-content
+    // counts, redundancy mass, the largest duplicate cluster. One hash
+    // groupBy + one 1-row fold; integer-exact until the final rate.
+    Op("dedup_stats",
+      (s, dir) => {
+        view(s, dir, "documents")
+        s.sql(DedupStatsSql.replace("md5(text)", "md5(encode(text, 'utf-8'))"))
+      },
+      Some(DedupStatsSql)),
+
+    // Global graph density (and the simple-graph edge count backing it):
+    // m_simple / (n·(n−1)) over the directed simple graph — the first
+    // scalar anyone asks of a graph. Integer-exact numerators; one
+    // closing division.
+    Op("graph_density",
+      (s, dir) => {
+        val g = GraphFixture(s, dir)
+        val n = g.vertices.count()
+        val mSimple = g.edges.select("src", "dst").distinct().count()
+        import s.implicits._
+        Seq((n, mSimple)).toDF("n_vertices", "m_simple")
+          .selectExpr("n_vertices", "m_simple",
+            "CAST(m_simple AS DOUBLE) / (n_vertices * (n_vertices - 1)) AS density")
+      },
+      Some(graft.graph.GraphSql.withGraph(
+        """SELECT n_vertices, m_simple,
+          CAST(m_simple AS DOUBLE) / (n_vertices * (n_vertices - 1)) AS density
+        FROM (SELECT (SELECT COUNT(*) FROM vertices) AS n_vertices,
+          (SELECT COUNT(*) FROM (SELECT DISTINCT src, dst FROM edges) d)
+            AS m_simple) t""")))
+  )
 
   /** Engine-portable SQL shared by both sides of stream_lateness. The
     * frame excludes the current row so an on-time event can't be late
