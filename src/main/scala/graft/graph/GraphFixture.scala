@@ -217,17 +217,21 @@ object GraphSql {
     * bit-for-bit: same double ops per row, same exact decimal sum (num.DSUM)
     * per destination. */
   /** Unrolled personalized-PageRank chain pp0..pp<iters>: teleport only to
-    * the `region`-label seed vertices. Must mirror
+    * the `seedLabel` vertices. Must mirror
     * PropertyGraph.personalizedPageRank exactly (base = 0.15/|seeds| on
-    * seeds, 0 elsewhere; update = base + 0.85·Σ decimal-exact contribs). */
-  def pprChain(iters: Int): String = {
+    * seeds, 0 elsewhere; update = base + 0.85·Σ decimal-exact contribs).
+    * Seeds default to 'customer' — a label WITH out-edges (in_nation,
+    * colocated), so mass actually propagates customer→nation→region /
+    * customer→supplier across the 4 unrolled steps; the earlier 'region'
+    * seed set was pure sinks and never exercised propagation. */
+  def pprChain(iters: Int, seedLabel: String = "customer"): String = {
     val pre = Seq(
       "odeg AS MATERIALIZED (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY 1)",
-      "ns AS MATERIALIZED (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM vertices WHERE label = 'region')",
-      """pp0 AS MATERIALIZED (SELECT id,
-           CASE WHEN label = 'region' THEN CAST(0.15 AS DOUBLE) / (SELECT n FROM ns)
+      s"ns AS MATERIALIZED (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM vertices WHERE label = '$seedLabel')",
+      s"""pp0 AS MATERIALIZED (SELECT id,
+           CASE WHEN label = '$seedLabel' THEN CAST(0.15 AS DOUBLE) / (SELECT n FROM ns)
                 ELSE CAST(0 AS DOUBLE) END AS base,
-           CASE WHEN label = 'region' THEN CAST(1.0 AS DOUBLE) / (SELECT n FROM ns)
+           CASE WHEN label = '$seedLabel' THEN CAST(1.0 AS DOUBLE) / (SELECT n FROM ns)
                 ELSE CAST(0 AS DOUBLE) END AS pr
          FROM vertices)""")
     val steps = (1 to iters).map { i =>

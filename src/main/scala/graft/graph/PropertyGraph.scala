@@ -30,6 +30,15 @@ import org.apache.spark.storage.StorageLevel
   *    each triangle is generated exactly once; the fixture graph keeps wedge
   *    counts bounded (see GraphFixture).
   */
+object PropertyGraph {
+  /** Count of point-traversal calls that overflowed [[PropertyGraph.ego]]'s /
+    * [[PropertyGraph.walks]]'s frontier cap and took the distributed form —
+    * test observability for the cutover (PropertyGraphSpec's synthetic-hub
+    * test asserts it fires), and a cheap production signal that a workload's
+    * "point" lookups are actually hub scans. */
+  val traversalFallbacks = new java.util.concurrent.atomic.AtomicLong(0)
+}
+
 final case class PropertyGraph(vertices: DataFrame, edges: DataFrame) {
 
   private def spark = vertices.sparkSession
@@ -151,6 +160,116 @@ final case class PropertyGraph(vertices: DataFrame, edges: DataFrame) {
       srcZero.join(reached.select("id"), Seq("id"), "left_anti"))
   }
 
+  /** Frontier cap for the driver-side point-traversal path ([[ego]] /
+    * [[walks]]): ids are collected to the driver and pushed back as InSet
+    * literals ONLY while the frontier stays under this bound; one row past
+    * it and the traversal restarts on the distributed join/BSP form. The
+    * driver path is a latency optimization (one filtered scan vs an AQE
+    * join cascade), never a correctness requirement — on a power-law graph
+    * a hub vertex can make a "point" neighborhood graph-sized, and an
+    * unguarded collect would OOM the driver and inline a megabyte In-list
+    * into the plan. */
+  private def frontierCap: Int =
+    spark.conf.getOption("graft.graph.frontierCap").map(_.toInt).getOrElse(10000)
+
+  /** Adjacency restricted to `frontier`, collected to the driver — or None
+    * the moment either the frontier itself or the collected edge set
+    * exceeds `cap` (the LIMIT cap+1 bounds what the driver ever holds, so
+    * the overflow probe is itself safe on a hub). `adj`'s first two columns
+    * are (from, to). */
+  private def collectAdjCapped(adj: DataFrame, frontier: Seq[Long],
+      cap: Int): Option[Array[(Long, Long)]] = {
+    if (frontier.isEmpty) return Some(Array.empty)
+    if (frontier.size > cap) return None
+    val c = adj.columns
+    val rows = adj.filter(col(c(0)).isin(frontier: _*))
+      .select(col(c(0)), col(c(1))).limit(cap + 1).collect()
+    if (rows.length > cap) None
+    else Some(rows.map(r => (r.getLong(0), r.getLong(1))))
+  }
+
+  /** Ego network: the edge list induced by the ≤ `hops` UNDIRECTED
+    * neighborhood of one vertex — THE graph-DB point lookup. Runs the
+    * latency path (driver-side frontier expansion → InSet-pushed scans,
+    * no joins) while every frontier stays under [[frontierCap]], and cuts
+    * over to the distributed semi-join form the moment one overflows —
+    * hub vertices get the scale path, point lookups keep point latency. */
+  def ego(srcId: Long, hops: Int): DataFrame = {
+    val cap = frontierCap
+    val und = undByA
+    var keep = Vector(srcId)
+    var frontier: Seq[Long] = Seq(srcId)
+    var overflow = false
+    var h = 0
+    while (h < hops && !overflow) {
+      collectAdjCapped(und, frontier, cap) match {
+        case Some(pairs) =>
+          val nbrs = pairs.map(_._2).distinct.toSeq
+          frontier = nbrs
+          keep = (keep ++ nbrs).distinct
+          if (keep.size > cap) overflow = true
+        case None => overflow = true
+      }
+      h += 1
+    }
+    if (!overflow)
+      edges.filter(col("src").isin(keep: _*) && col("dst").isin(keep: _*))
+        .select("src", "dst", "label")
+    else {
+      PropertyGraph.traversalFallbacks.incrementAndGet()
+      val sp = spark; import sp.implicits._
+      var ids = Seq(srcId).toDF("id")
+      var front = ids
+      for (_ <- 1 to hops) {
+        front = und.join(front.withColumnRenamed("id", "a"), "a")
+          .select(col("b").as("id")).distinct()
+        ids = ids.unionAll(front).distinct()
+      }
+      edges
+        .join(ids.withColumnRenamed("id", "src"), Seq("src"), "left_semi")
+        .join(ids.withColumnRenamed("id", "dst"), Seq("dst"), "left_semi")
+        .select("src", "dst", "label")
+    }
+  }
+
+  /** Bounded-depth walk enumeration from one vertex, every walk with its
+    * hop count and '->'-serialized vertex sequence (Blueprints path()).
+    * Same guarded two-path design as [[ego]]: driver-side enumeration
+    * under [[frontierCap]] (frontier ids, collected adjacency, AND the
+    * walk set itself are all capped — walks multiply, so depth alone is
+    * no bound), distributed [[paths]] when anything overflows. Both forms
+    * emit identical rows, including the 0-hop walk. */
+  def walks(srcId: Long, maxHops: Int): DataFrame = {
+    val cap = frontierCap
+    val adj = edges.select("src", "dst")
+    var walkSet = Seq(Seq(srcId))
+    val acc = scala.collection.mutable.ArrayBuffer(walkSet)
+    var overflow = false
+    var h = 0
+    while (h < maxHops && !overflow) {
+      val frontier = walkSet.map(_.last).distinct
+      collectAdjCapped(adj, frontier, cap) match {
+        case Some(pairs) =>
+          val m = pairs.groupBy(_._1).map { case (k, v) => k -> v.toSeq.map(_._2) }
+          walkSet = walkSet.flatMap(p => m.getOrElse(p.last, Nil).map(d => p :+ d))
+          if (walkSet.size > cap) overflow = true else acc += walkSet
+        case None => overflow = true
+      }
+      h += 1
+    }
+    val sp = spark; import sp.implicits._
+    if (!overflow)
+      acc.toSeq.flatten
+        .map(p => (p.last, (p.length - 1).toLong, p.mkString("->")))
+        .toDF("id", "hops", "path")
+    else {
+      PropertyGraph.traversalFallbacks.incrementAndGet()
+      paths(Seq(srcId).toDF("id"), maxHops)
+        .select(col("id"), (size(col("path")) - 1).cast("long").as("hops"),
+          array_join(transform(col("path"), _.cast("string")), "->").as("path"))
+    }
+  }
+
   /** Path enumeration ≤ maxHops from `sources` (Blueprints' path() step):
     * every distinct edge walk, each row carrying the full vertex id array.
     * Level h is one equi-join + array_append — all codegen'd builtins, no
@@ -170,6 +289,15 @@ final case class PropertyGraph(vertices: DataFrame, edges: DataFrame) {
     }
     acc.reduce(_ unionAll _)
   }
+
+  /** Start a Gremlin-style traversal chain from the vertices satisfying
+    * `pred` (see [[Traversal]]): `g.V(...).out("l").has(...).path()`. */
+  def V(pred: org.apache.spark.sql.Column): Traversal =
+    Traversal(this, vertices.filter(pred).select(col("id").as("v0")), 0)
+
+  /** String form of the traversal chain — the query-language front end:
+    * `g.traverse("V(label='customer').out('in_nation').path()")`. */
+  def traverse(query: String): DataFrame = Traversal.parse(this, query)
 
   /** GraphFrames-style motif finding: compile a pattern string into the
     * equivalent join pipeline. Pattern syntax: `(a)-[:label]->(b)` terms

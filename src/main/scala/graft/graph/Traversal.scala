@@ -1,0 +1,118 @@
+package graft.graph
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Gremlin-style traversal-chain front end — the query language the
+  * Blueprints family is actually driven with (`g.V().has(...).out(...).
+  * path()`), re-expressed Spark-first: a traversal is a DataFrame whose
+  * columns `v0..vK` hold the walk prefix, and every step is one declarative
+  * transform — `out`/`in`/`both` are equi-joins against the edge list,
+  * `has` is a vertex-attribute join + filter — so Catalyst plans the chain
+  * (broadcast/SMJ/AQE, pushdown into the scans) instead of the reference
+  * family's element-at-a-time iteration. No driver-side state anywhere:
+  * a chain over a 100 TB graph is just a join tree.
+  *
+  * Two entry points on [[PropertyGraph]]:
+  *  - the typed fluent API: `g.V(col("label") === "customer").out("in_nation").path()`
+  *  - the string parser: `g.traverse("V(label='customer').out('in_nation').path()")`
+  * Both compile to the same plan.
+  */
+final case class Traversal(g: PropertyGraph, df: DataFrame, depth: Int) {
+  private def head = s"v$depth"
+  private def next = s"v${depth + 1}"
+
+  private def step(elabel: String, from: String, to: String): Traversal = {
+    val e = g.edges.filter(col("label") === elabel)
+      .select(col(from).as(head), col(to).as(next))
+    Traversal(g, df.join(e, head), depth + 1)
+  }
+
+  /** Follow out-edges labeled `elabel` (Gremlin out(label)). */
+  def out(elabel: String): Traversal = step(elabel, "src", "dst")
+
+  /** Follow in-edges labeled `elabel` (Gremlin in(label)). */
+  def in(elabel: String): Traversal = step(elabel, "dst", "src")
+
+  /** Follow edges labeled `elabel` in either direction (Gremlin both). */
+  def both(elabel: String): Traversal = {
+    val e = g.edges.filter(col("label") === elabel)
+    val u = e.select(col("src").as(head), col("dst").as(next))
+      .unionAll(e.select(col("dst").as(head), col("src").as(next)))
+    Traversal(g, df.join(u, head), depth + 1)
+  }
+
+  /** Filter the traversal head by a predicate over the head vertex's
+    * attributes (`id`, `label`, `name`, `vis`, `val`) — Gremlin has().
+    * The attributes are joined on, filtered, and dropped, so the walk
+    * columns stay the only state the chain carries. */
+  def has(pred: Column): Traversal = {
+    val keep = df.columns
+    val v = g.vertices.withColumnRenamed("id", head)
+    Traversal(g, df.join(v, head).filter(pred).select(keep.head, keep.tail: _*), depth)
+  }
+
+  /** The walk matrix: one row per surviving walk, columns v0..vK. */
+  def path(): DataFrame = df.select((0 to depth).map(i => col(s"v$i")): _*)
+
+  /** Distinct head-vertex ids (Gremlin's terminal id() fold). */
+  def ids(): DataFrame = df.select(col(head).as("id")).distinct()
+}
+
+object Traversal {
+  private val StepPat = """(\w+)\(([^()]*)\)""".r
+  private val CmpPat = """(\w+)\s*(!=|>=|<=|=|>|<)\s*(.+)""".r
+
+  /** Parse one `attr op value` predicate (value: 'quoted' or numeric)
+    * against plain vertex-attribute columns. */
+  private def pred(arg: String): Column = arg.trim match {
+    case CmpPat(attr, op, raw) =>
+      val v0 = raw.trim
+      val value: Any =
+        if (v0.startsWith("'") && v0.endsWith("'")) v0.substring(1, v0.length - 1)
+        else if (v0.matches("-?\\d+")) v0.toLong
+        else if (v0.matches("-?\\d*\\.\\d+")) v0.toDouble
+        else throw new IllegalArgumentException(s"bad literal: $v0")
+      op match {
+        case "="  => col(attr) === value
+        case "!=" => col(attr) =!= value
+        case ">"  => col(attr) > value
+        case "<"  => col(attr) < value
+        case ">=" => col(attr) >= value
+        case "<=" => col(attr) <= value
+      }
+    case other => throw new IllegalArgumentException(s"bad predicate: $other")
+  }
+
+  private def label(arg: String): String = {
+    val a = arg.trim
+    require(a.startsWith("'") && a.endsWith("'") && a.length >= 2,
+      s"step wants a quoted edge label, got: $a")
+    a.substring(1, a.length - 1)
+  }
+
+  /** Compile a chain string — `V(<pred>?)` then any of
+    * `out('l')/in('l')/both('l')/has(<pred>)`, optionally terminated by
+    * `path()` (default) or `ids()` — into the traversal's DataFrame. */
+  def parse(g: PropertyGraph, query: String): DataFrame = {
+    val steps = StepPat.findAllMatchIn(query)
+      .map(m => (m.group(1), m.group(2).trim)).toList
+    require(steps.nonEmpty && steps.head._1 == "V",
+      s"traversal must start with V(...): $query")
+    val matched = steps.map { case (n, a) => s"$n($a)" }.mkString(".")
+    require(matched.replaceAll("\\s", "") == query.replaceAll("\\s", ""),
+      s"unparsed trailing syntax in: $query")
+    var t = g.V(if (steps.head._2.isEmpty) lit(true) else pred(steps.head._2))
+    var result: Option[DataFrame] = None
+    steps.tail.foreach {
+      case ("out", a)  => t = t.out(label(a))
+      case ("in", a)   => t = t.in(label(a))
+      case ("both", a) => t = t.both(label(a))
+      case ("has", a)  => t = t.has(pred(a))
+      case ("path", "") => result = Some(t.path())
+      case ("ids", "")  => result = Some(t.ids())
+      case (s, a) => throw new IllegalArgumentException(s"unknown step: $s($a)")
+    }
+    result.getOrElse(t.path())
+  }
+}

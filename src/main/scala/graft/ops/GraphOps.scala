@@ -126,33 +126,20 @@ object GraphOps extends OpModule {
     // Point-to-class shortest path WITH path reconstruction: the nearest
     // region-label vertex to customer #1 and the actual route (the "how
     // are these two entities related" graph-DB query — SSSP gives only
-    // distances). Point traversal ⇒ driver-side bounded-depth walk
-    // enumeration over InSet-filtered scans (see graph_paths); the
-    // deterministic answer is the (hops, path-string)-minimal walk. The
+    // distances). Point traversal ⇒ PropertyGraph.walks — driver-side
+    // enumeration under the frontier cap, distributed paths() past it —
+    // then the (hops, path-string)-minimal walk picked declaratively, so
+    // an unreachable target yields ZERO rows (matching the oracle's
+    // LIMIT 1 over an empty set) instead of a driver minBy crash. The
     // oracle enumerates the same walks recursively and picks the same
     // minimum.
     Op("graph_shortest_path",
       (s, dir) => {
-        val g = GraphFixture(s, dir)
-        val src = 3000000000001L
-        var paths = Seq(Seq(src))
-        val acc = scala.collection.mutable.ArrayBuffer(paths)
-        for (_ <- 1 to 4) {
-          val frontier = paths.map(_.last).distinct
-          val adj = g.edges.filter(col("src").isin(frontier: _*))
-            .select("src", "dst").collect()
-            .groupBy(_.getLong(0))
-            .map { case (k, v) => k -> v.toSeq.map(_.getLong(1)) }
-          paths = paths.flatMap(p => adj.getOrElse(p.last, Nil).map(d => p :+ d))
-          acc += paths
-        }
         val B = GraphFixture.B
-        val best = acc.toSeq.flatten
-          .filter(p => p.last >= B && p.last < 2 * B) // region tag = 1
-          .map(p => (p.last, (p.length - 1).toLong, p.mkString("->")))
-          .minBy(t => (t._2, t._3))
-        import s.implicits._
-        Seq(best).toDF("target", "hops", "path")
+        GraphFixture(s, dir).walks(3000000000001L, 4)
+          .filter(col("id") >= B && col("id") < 2 * B) // region tag = 1
+          .select(col("id").as("target"), col("hops"), col("path"))
+          .orderBy("hops", "path").limit(1)
       },
       Some(withGraph(
         """SELECT p.id AS target, CAST(len(p.path) - 1 AS BIGINT) AS hops,
@@ -194,34 +181,17 @@ object GraphOps extends OpModule {
     // Path enumeration ≤3 hops from order #1 (Blueprints path() step):
     // every walk with its full vertex sequence, serialized '->' for the
     // cross-engine compare (ARRAY columns have no portable hash form).
-    // Like graph_ego, this is a POINT traversal — walks from one vertex,
-    // bounded by neighborhood size, not graph size — so it runs the
-    // graph-DB latency path: per-hop InSet-filtered scans of the edge
-    // cache collect the (multiplicity-preserving) frontier adjacency,
-    // and the walk enumeration happens driver-side on the tiny result
+    // Like graph_ego, this is a POINT traversal, so PropertyGraph.walks
+    // runs the graph-DB latency path — per-hop InSet-filtered scans of
+    // the edge cache, walk enumeration driver-side on the tiny result
     // (179 walks at sf0.01; the DF-join formulation paid 3 AQE join
-    // cascades over the full edge cache — 8-17 s at sf0.1, vs ~1 s).
-    // PropertyGraph.paths stays the distributed API for large frontiers.
+    // cascades over the full edge cache — 8-17 s at sf0.1, vs ~1 s) —
+    // and cuts over to the distributed PropertyGraph.paths form when any
+    // frontier or the walk set overflows the cap (hub-vertex guard).
     Op("graph_paths",
-      (s, dir) => {
-        val g = GraphFixture(s, dir)
-        val src = 6000000000001L
-        var paths = Seq(Seq(src))
-        val acc = scala.collection.mutable.ArrayBuffer(paths)
-        for (_ <- 1 to 3) {
-          val frontier = paths.map(_.last).distinct
-          val adj = g.edges.filter(col("src").isin(frontier: _*))
-            .select("src", "dst").collect()
-            .groupBy(_.getLong(0))
-            .map { case (k, v) => k -> v.toSeq.map(_.getLong(1)) }
-          paths = paths.flatMap(p => adj.getOrElse(p.last, Nil).map(d => p :+ d))
-          acc += paths
-        }
-        import s.implicits._
-        acc.toSeq.flatten.map(p => (p.last, p.mkString("->")))
-          .toDF("id", "path")
-          .orderBy("id", "path")
-      },
+      (s, dir) => GraphFixture(s, dir).walks(6000000000001L, 3)
+        .select("id", "path")
+        .orderBy("id", "path"),
       Some(withGraph(
         "SELECT id, array_to_string(path, '->') AS path FROM p ORDER BY 1, 2",
         extra = """p(id, path) AS (
@@ -348,12 +318,16 @@ object GraphOps extends OpModule {
         "SELECT id, pr FROM p5 ORDER BY id",
         extra = GraphSql.prChain(5)))),
 
-    // Personalized PageRank from the region seed set — importance relative
-    // to a query context (the recommendation variant of pagerank). Exact-
-    // decimal message sums; oracle is the unrolled 4-step chain.
+    // Personalized PageRank from the CUSTOMER seed set — importance
+    // relative to a query context (the recommendation variant of
+    // pagerank). Customers have out-edges (in_nation, colocated), so the
+    // 4 iterations genuinely propagate mass customer→nation→region and
+    // customer→supplier→nation (a region seed set — pure sinks — would
+    // test only the teleport base). Exact-decimal message sums; oracle is
+    // the unrolled 4-step chain.
     Op("graph_ppr",
       (s, dir) => GraphFixture(s, dir)
-        .personalizedPageRank(col("label") === "region", 4)
+        .personalizedPageRank(col("label") === "customer", 4)
         .orderBy("id"),
       Some(withGraph(
         "SELECT id, pr FROM pp4 ORDER BY id",
@@ -470,6 +444,36 @@ object GraphOps extends OpModule {
         JOIN vertices n ON n.id = e1.dst
         WHERE e1.label = 'in_nation' AND c.val > 5000
         ORDER BY c_id, s_id"""))),
+
+    // Traversal-chain DSL (the Gremlin-style string front end the
+    // Blueprints family is driven with): V().has().out().out().path()
+    // parsed and compiled to the equivalent join tree (see graph.Traversal)
+    // — the oracle is the hand-written SQL of that tree, so the parser and
+    // compiler are certified end-to-end against ground truth.
+    Op("graph_traversal_dsl",
+      (s, dir) => GraphFixture(s, dir).traverse(
+        "V(label='customer').has(val>9000).out('in_nation').out('in_region').path()")
+        .orderBy("v0", "v1", "v2"),
+      Some(withGraph("""SELECT c.id AS v0, e1.dst AS v1, e2.dst AS v2
+        FROM vertices c
+        JOIN edges e1 ON e1.src = c.id AND e1.label = 'in_nation'
+        JOIN edges e2 ON e2.src = e1.dst AND e2.label = 'in_region'
+        WHERE c.label = 'customer' AND c.val > 9000
+        ORDER BY 1, 2, 3"""))),
+
+    // Reverse traversal + mid-chain has() + the ids() terminal fold:
+    // members of every region's nations, restricted to visible vertices.
+    Op("graph_traversal_ids",
+      (s, dir) => GraphFixture(s, dir).traverse(
+        "V(label='region').in('in_region').in('in_nation').has(vis='public').ids()")
+        .orderBy("id"),
+      Some(withGraph("""SELECT DISTINCT e2.src AS id
+        FROM vertices r
+        JOIN edges e1 ON e1.dst = r.id AND e1.label = 'in_region'
+        JOIN edges e2 ON e2.dst = e1.src AND e2.label = 'in_nation'
+        JOIN vertices m ON m.id = e2.src
+        WHERE r.label = 'region' AND m.vis = 'public'
+        ORDER BY 1"""))),
 
     // Batch CRUD (Blueprints mutation surface re-expressed as dataflow —
     // BASELINE.json scopes OLTP mutation out; writes are new DF versions):
@@ -711,30 +715,21 @@ object GraphOps extends OpModule {
 
     // Ego network — THE graph-db lookup: everything within 2 undirected
     // hops of one entity (customer #1), as the induced edge list. This is
-    // a LATENCY-path query, so it runs like a graph database runs point
-    // traversals: the frontier (bounded by neighborhood size, not graph
-    // size — tiny by the query's own definition) is expanded DRIVER-SIDE
+    // a LATENCY-path query, so PropertyGraph.ego runs it like a graph
+    // database runs point traversals: the frontier is expanded DRIVER-SIDE
     // with two collects of filtered index scans, then pushed down as
     // InSet literals — one filtered scan of the edge cache, no joins, no
     // AQE stage cascade (the join/semi-join formulation measured 15 s at
     // sf0.1 — all broadcast-hash, but ~10 adaptive stages of fixed
     // overhead; the pushed-down form is the same filtered scans at ~1 s).
-    // The distributed BSP path for UNBOUNDED frontiers is graph_var_hop.
+    // The latency path is GUARDED, not assumed: an undirected 2-hop
+    // neighborhood routes through nation hubs whose neighbor sets grow
+    // with scale factor, so past the frontier cap ego() restarts on the
+    // distributed semi-join form (see PropertyGraph.frontierCap; the BSP
+    // path for class-sized frontiers is graph_var_hop).
     Op("graph_ego",
-      (s, dir) => {
-        val g = GraphFixture(s, dir)
-        val und = g.undByA
-        val src = 3000000000001L
-        def expand(frontier: Seq[Long]): Seq[Long] =
-          und.filter(col("a").isin(frontier: _*)).select("b")
-            .distinct().collect().map(_.getLong(0)).toSeq
-        val l1 = expand(Seq(src))
-        val keep = (Seq(src) ++ l1 ++ expand(l1)).distinct
-        g.edges
-          .filter(col("src").isin(keep: _*) && col("dst").isin(keep: _*))
-          .select("src", "dst", "label")
-          .orderBy("src", "dst", "label")
-      },
+      (s, dir) => GraphFixture(s, dir).ego(3000000000001L, 2)
+        .orderBy("src", "dst", "label"),
       Some(withGraph(
         """SELECT e.src, e.dst, e.label FROM edges e
           JOIN (SELECT DISTINCT id FROM reach) a ON a.id = e.src

@@ -234,16 +234,22 @@ class ExtraOpsSpec extends AnyFunSuite {
     }
   }
 
-  test("graph_ppr: mass concentrates on seeds; non-reachable mass is zero") {
+  test("graph_ppr: seeds keep teleport base and mass actually propagates") {
     val pr = SparkEntry.queries("graph_ppr")(spark, sf).collect()
       .map(r => r.getLong(0) -> r.getDouble(1)).toMap
-    val seedIds = pr.keys.filter(id => id >= 1000000000000L && id < 2000000000000L)
+    val seedIds = pr.keys.filter(id => id >= 3000000000000L && id < 4000000000000L)
     assert(seedIds.nonEmpty)
-    // every seed keeps at least its teleport base
+    // every customer seed keeps at least its teleport base
     seedIds.foreach(id => assert(pr(id) >= 0.15 / seedIds.size - 1e-12))
-    // vertices that cannot be reached from a region seed hold zero mass
-    // (regions have no out-edges in the fixture except via nothing —
-    // nation→region points TO regions, so only regions hold mass)
+    // propagation is EXERCISED, not just the teleport base: customers have
+    // out-edges (in_nation, colocated), so nations (hop 1), suppliers
+    // (hop 1) and regions (hop 2) must all hold strictly positive mass.
+    def massIn(tag: Long) =
+      pr.collect { case (id, p) if id >= tag * 1000000000000L &&
+        id < (tag + 1) * 1000000000000L => p }.sum
+    assert(massIn(2) > 0.0, "nations unreached — propagation not exercised")
+    assert(massIn(4) > 0.0, "suppliers unreached — propagation not exercised")
+    assert(massIn(1) > 0.0, "regions unreached — 2-hop propagation not exercised")
     assert(pr.values.forall(_ >= 0.0))
     val total = pr.values.sum
     assert(total <= 1.0 + 1e-9)

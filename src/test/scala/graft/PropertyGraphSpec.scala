@@ -134,6 +134,63 @@ class PropertyGraphSpec extends AnyFunSuite {
     assert(empty.find("(a)-[:x]->(b)").count() == 0)
   }
 
+  test("traversal DSL: fluent API and string parser compile to the same result") {
+    val fluent = g.V(col("label") === "customer").has(col("val") > 9000)
+      .out("in_nation").out("in_region").path()
+    val parsed = g.traverse(
+      "V(label='customer').has(val>9000).out('in_nation').out('in_region').path()")
+    assert(fluent.columns.toSeq == Seq("v0", "v1", "v2"))
+    assert(fluent.collect().map(_.toString).sorted.toSeq ==
+      parsed.collect().map(_.toString).sorted.toSeq)
+    assert(parsed.count() > 0)
+    // both() sees each colocated edge from either endpoint
+    val b = g.V(col("id") === 3000000000001L).both("colocated").ids()
+    val o = g.V(col("id") === 3000000000001L).out("colocated").ids()
+    assert(b.count() >= o.count())
+    // ids() dedups
+    val ids = g.traverse("V(label='nation').in('in_nation').ids()")
+    assert(ids.count() == ids.distinct().count())
+    // parser rejects garbage
+    intercept[IllegalArgumentException](g.traverse("out('x').path()"))
+    intercept[IllegalArgumentException](g.traverse("V().hop('x')"))
+    intercept[IllegalArgumentException](g.traverse("V().out('x').junk!"))
+  }
+
+  test("point traversals cut over to the distributed form on a hub vertex") {
+    // Synthetic hub: vertex 1 fans out to 60 spokes (plus one in-edge), so
+    // the level-1 frontier blows any small cap — exactly the power-law-hub
+    // shape that made the unguarded driver-side expansion a scale killer.
+    // The guarded ego()/walks() must (a) actually fire the cutover and
+    // (b) return bit-identical results on both paths.
+    val sp = spark; import sp.implicits._
+    val n = 60
+    val v = (1L to (n + 2L)).map(i => (i, "x", s"v$i", "public", 0.0))
+      .toDF("id", "label", "name", "vis", "val")
+    val e = ((2L to (n + 1L)).map(i => (1L, i, "spoke", 1.0, "public")) :+
+      (n + 2L, 1L, "inbound", 1.0, "public"))
+      .toDF("src", "dst", "label", "weight", "vis")
+    val hub = graft.graph.PropertyGraph(v, e)
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.collect().map(_.toString).sorted.toSeq
+    try {
+      spark.conf.set("graft.graph.frontierCap", "100000")
+      val egoDriver = rows(hub.ego(1L, 2))
+      val walksDriver = rows(hub.walks(1L, 2))
+      assert(egoDriver.nonEmpty && walksDriver.size == 1 + n) // 0-hop + spokes
+      val before = graft.graph.PropertyGraph.traversalFallbacks.get()
+      spark.conf.set("graft.graph.frontierCap", "5")
+      val egoDist = rows(hub.ego(1L, 2))
+      val walksDist = rows(hub.walks(1L, 2))
+      assert(graft.graph.PropertyGraph.traversalFallbacks.get() >= before + 2,
+        "frontier cap did not trigger the distributed fallback")
+      assert(egoDist == egoDriver, "ego: distributed ≠ driver path")
+      assert(walksDist == walksDriver, "walks: distributed ≠ driver path")
+    } finally {
+      spark.conf.unset("graft.graph.frontierCap")
+      hub.uncache()
+    }
+  }
+
   test("throwaway graph instances release artifact caches via uncache()") {
     // Library pattern: a per-query derived graph (here the visibility view)
     // builds its own undirected/oriented artifacts; uncache() must return
