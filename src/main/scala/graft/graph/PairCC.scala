@@ -1,0 +1,76 @@
+package graft.graph
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Connected-component labels over a sparse PAIR graph (`da`, `db` columns)
+  * via hook+jump min-label rounds — the shared merge kernel of
+  * dedup_cluster (LSH near-dup pairs) and incremental CC maintenance
+  * (component-adjacency pairs from an edge delta). Hook adopts the minimum
+  * label in the closed neighborhood; jump then follows the label pointer one
+  * level (l(x) ← min(l(x), l(l(x)))), so effective reach grows geometrically
+  * — O(log diameter) rounds.
+  *
+  * Scale knobs (read from the session conf so deployments tune without code
+  * changes):
+  *  - `graft.dedup.singlePartitionPairLimit` (default 100k): at or below
+  *    this pair count the loop runs single-partition (one-task stages beat
+  *    32-task shuffles per round on sparse pair sets); past it the SAME
+  *    loop runs partitioned — the cluster path, no coalesce(1).
+  *  - `graft.dedup.reliableCheckpoint` (default false): round checkpoints
+  *    go through a parquet round-trip instead of localCheckpoint.
+  *    localCheckpoint stores blocks in executor memory and dies with an
+  *    executor — fine single-JVM, wrong on a 1000-node cluster where a lost
+  *    executor would kill a half-converged loop.
+  */
+object PairCC {
+
+  /** Test observability: runs that took the PARTITIONED label loop. */
+  val partitionedRuns = new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** Label every id appearing in `pairs` with its component's minimum id.
+    * Mirrors DedupOps.clusterChain's algebra exactly, so the DuckDB oracle
+    * stays valid for every knob combination. */
+  def labels(pairs0: DataFrame, rounds: Int): DataFrame = {
+    val s = pairs0.sparkSession
+    val reliable =
+      s.conf.getOption("graft.dedup.reliableCheckpoint").exists(_.toBoolean)
+    val singleLimit =
+      s.conf.getOption("graft.dedup.singlePartitionPairLimit")
+        .map(_.toLong).getOrElse(100000L)
+    def ckpt(df: DataFrame, eager: Boolean) =
+      if (reliable) {
+        val p = graft.Staging.fresh("paircc-ckpt")
+        df.write.mode("overwrite").parquet(p)
+        s.read.parquet(p)
+      } else df.localCheckpoint(eager)
+    // Pairs once (eager checkpoint: the iteration loop below would
+    // otherwise re-plan the whole upstream pipeline per reference).
+    val pairs = ckpt(pairs0, true)
+    val nPairs = pairs.count() // checkpointed — metadata-cost count
+    val undAll = pairs.select(col("da").as("a"), col("db").as("b"))
+      .unionAll(pairs.select(col("db").as("a"), col("da").as("b")))
+    val und = ckpt(
+      if (nPairs <= singleLimit) undAll.coalesce(1)
+      else { partitionedRuns.incrementAndGet(); undAll }, true)
+    // Hook + jump rounds; one lazy checkpoint per ROUND keeps the plan
+    // constant-size while paying the per-materialization floor half as
+    // often as per-step checkpoints.
+    var lbl = und.select(col("a").as("id")).distinct()
+      .select(col("id"), col("id").as("lbl"))
+    for (_ <- 1 to rounds) {
+      val nl = und.join(lbl.select(col("id").as("b"), col("lbl").as("l")), "b")
+        .groupBy(col("a").as("id")).agg(min("l").as("nl"))
+      val hooked = lbl.join(nl, Seq("id"), "left")
+        .select(col("id"),
+          least(col("lbl"), coalesce(col("nl"), col("lbl"))).as("lbl"))
+      lbl = ckpt(hooked.join(
+          hooked.select(col("id").as("lbl"), col("lbl").as("ll")),
+          Seq("lbl"), "left")
+        .select(col("id"),
+          least(col("lbl"), coalesce(col("ll"), col("lbl"))).as("lbl")),
+        eager = false)
+    }
+    lbl
+  }
+}

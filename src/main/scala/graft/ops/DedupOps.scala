@@ -113,6 +113,14 @@ object DedupOps extends OpModule {
     (Seq(und, l0) ++ steps).mkString(", ")
   }
 
+  /** The hook+jump pair-CC kernel lives in [[graft.graph.PairCC]] (shared
+    * with incremental CC maintenance); these forwarders keep the dedup
+    * naming for the op/spec call sites. */
+  private[graft] def clusterLabels(pairs: org.apache.spark.sql.DataFrame,
+      rounds: Int): org.apache.spark.sql.DataFrame =
+    graft.graph.PairCC.labels(pairs, rounds)
+  private[graft] def partitionedClusterRuns = graft.graph.PairCC.partitionedRuns
+
   def ops: Seq[Op] = Seq(
 
     // Exact dedup: md5 fingerprint, keep min doc_id per distinct text.
@@ -143,38 +151,15 @@ object DedupOps extends OpModule {
     // joins tables orders of magnitude smaller than the corpus.
     Op("dedup_cluster",
       (s, dir) => {
-        // Pairs once (eager checkpoint: tiny, and the iteration loop below
-        // would otherwise re-plan the whole MinHash pipeline per reference).
-        // The pair set is orders of magnitude smaller than the corpus (LSH
-        // bounds it), so the label loop runs single-partition — one-task
-        // stages instead of 32-task shuffles per round. On a corpus where
-        // pairs themselves are huge, drop the coalesce — the same loop runs
-        // partitioned. (The bigger round-2 win was halving materialization
-        // rounds via hook+jump: 12.7 s → ~4 s on the whole key.)
+        // The pair set here is orders of magnitude smaller than the corpus
+        // (LSH bounds it), so at bench scale the label loop runs
+        // single-partition; clusterLabels holds the scale knobs (pair-count
+        // cutover to the partitioned loop, reliable-checkpoint option) and
+        // LlmOpsSpec proves both knob settings produce identical labels.
+        // (The bigger round-2 win was halving materialization rounds via
+        // hook+jump: 12.7 s → ~4 s on the whole key.)
         val pairs = s.sql(s"SELECT da, db FROM ${pairsView(s, dir)}")
-          .localCheckpoint()
-        val und = pairs.select(col("da").as("a"), col("db").as("b"))
-          .unionAll(pairs.select(col("db").as("a"), col("da").as("b")))
-          .coalesce(1)
-          .localCheckpoint()
-        // Hook + jump rounds (mirrors clusterChain exactly); one lazy
-        // checkpoint per ROUND keeps the plan constant-size while paying the
-        // per-materialization floor half as often as per-step checkpoints.
-        var lbl = und.select(col("a").as("id")).distinct()
-          .select(col("id"), col("id").as("lbl"))
-        for (_ <- 1 to 4) {
-          val nl = und.join(lbl.select(col("id").as("b"), col("lbl").as("l")), "b")
-            .groupBy(col("a").as("id")).agg(min("l").as("nl"))
-          val hooked = lbl.join(nl, Seq("id"), "left")
-            .select(col("id"),
-              least(col("lbl"), coalesce(col("nl"), col("lbl"))).as("lbl"))
-          lbl = hooked.join(
-              hooked.select(col("id").as("lbl"), col("lbl").as("ll")),
-              Seq("lbl"), "left")
-            .select(col("id"),
-              least(col("lbl"), coalesce(col("ll"), col("lbl"))).as("lbl"))
-            .localCheckpoint(false)
-        }
+        val lbl = clusterLabels(pairs, 4)
         val sizes = lbl.groupBy("lbl").agg(count(lit(1)).as("n"))
         lbl.join(sizes, "lbl")
           .select(col("lbl").as("cluster_rep"), col("id").as("doc_id"),

@@ -242,6 +242,20 @@ object GraphOps extends OpModule {
         "SELECT id, lbl AS component FROM l16 ORDER BY id",
         extra = GraphSql.ccChain(16)))),
 
+    // INCREMENTAL CC maintenance: the 'did' edges (user→event — the
+    // fixture's streaming-ingest analog batch, cf. stream_graph_ingest)
+    // are folded into the BASE graph's stored labeling via delta-bounded
+    // component merging (PropertyGraph.incrementalCC) instead of a
+    // full-graph fixed point. The oracle is the FULL recompute over all
+    // edges (same chain as graph_cc), so the green row certifies
+    // incremental ≡ full, bit-for-bit.
+    Op("graph_cc_incremental",
+      (s, dir) => GraphFixture(s, dir)
+        .incrementalCC(col("label") === "did").orderBy("id"),
+      Some(withGraph(
+        "SELECT id, lbl AS component FROM l16 ORDER BY id",
+        extra = GraphSql.ccChain(16)))),
+
     // Component-size distribution — the connectivity skew diagnostic (one
     // giant component? a long tail of islands?). Folds the STORED CC
     // labeling (shared with graph_cc/graph_pregel) through two

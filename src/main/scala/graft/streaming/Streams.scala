@@ -17,10 +17,32 @@ object Streams {
     StructField("user_id", LongType), StructField("event_type", StringType),
     StructField("value", DoubleType), StructField("props", StringType)))
 
+  /** State-store provider selection via the `graft.streaming.stateStore`
+    * flag ('rocksdb' | 'memory'; default memory = HDFS-backed provider).
+    * The default keeps ALL keyed state (sessions, dedup horizon, custom
+    * state machines) on executor heaps — fine at fixture scale, the first
+    * thing to change at 100 TB where per-executor state outgrows memory:
+    * RocksDB spills state to local disk with an in-heap block cache and
+    * makes snapshot/restore incremental. Applied at [[readEvents]] so every
+    * stream constructed here honors the flag; StreamingSpec asserts the
+    * two providers produce identical results on the stateful ops. */
+  def configureStateStore(spark: SparkSession): Unit = {
+    val provider =
+      spark.conf.getOption("graft.streaming.stateStore").getOrElse("memory") match {
+        case "rocksdb" =>
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+        case _ =>
+          "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider"
+      }
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass", provider)
+  }
+
   /** Streaming read of an events parquet directory (ns ts as long → µs). */
-  def readEvents(spark: SparkSession, dir: String): DataFrame =
+  def readEvents(spark: SparkSession, dir: String): DataFrame = {
+    configureStateStore(spark)
     spark.readStream.schema(eventsSchema).parquet(dir)
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  }
 
   /** Tumbling-window counts with a 10-minute watermark (late rows beyond the
     * watermark are dropped from state — asserted in StreamingSpec). */

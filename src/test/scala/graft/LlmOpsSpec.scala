@@ -89,6 +89,40 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(cl.count() > 0)
   }
 
+  test("clusterLabels: partitioned loop + reliable checkpoint ≡ single-partition path") {
+    // Pair set big enough to exercise the partitioned branch under a tiny
+    // limit override: 3000 two-node components + a few 8-chains (hook+jump
+    // converges a diameter-7 chain well within 4 rounds).
+    import spark.implicits._
+    val pairs = ((1L to 3000L).map(i => (2 * i, 2 * i + 1)) ++
+      (0L until 5L).flatMap(c => (0L until 7L)
+        .map(j => (100000L + 10 * c + j, 100000L + 10 * c + j + 1))))
+      .toDF("da", "db")
+    def labels(df: org.apache.spark.sql.DataFrame) =
+      ops.DedupOps.clusterLabels(df, 4).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val base = labels(pairs) // defaults: single-partition, localCheckpoint
+    val before = ops.DedupOps.partitionedClusterRuns.get()
+    try {
+      spark.conf.set("graft.dedup.singlePartitionPairLimit", "10")
+      spark.conf.set("graft.dedup.reliableCheckpoint", "true")
+      val part = labels(pairs)
+      assert(ops.DedupOps.partitionedClusterRuns.get() > before,
+        "partitioned branch did not fire")
+      assert(part == base, "partitioned/reliable labels differ from baseline")
+    } finally {
+      spark.conf.unset("graft.dedup.singlePartitionPairLimit")
+      spark.conf.unset("graft.dedup.reliableCheckpoint")
+    }
+    // and the labeling is a FIXPOINT: every pair connected, labels are
+    // component minima
+    val lblMap = base.toMap
+    pairs.collect().foreach { r =>
+      assert(lblMap(r.getLong(0)) == lblMap(r.getLong(1)))
+    }
+    assert(base.groupBy(_._2).forall { case (l, m) => m.map(_._1).min == l })
+  }
+
   test("text_filter verdicts partition the corpus with auditable reasons") {
     val f = SparkEntry.queries("text_filter")(spark, sf)
     val verdicts = f.select("verdict").distinct().collect().map(_.getString(0)).toSet

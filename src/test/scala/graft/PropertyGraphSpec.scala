@@ -134,6 +134,19 @@ class PropertyGraphSpec extends AnyFunSuite {
     assert(empty.find("(a)-[:x]->(b)").count() == 0)
   }
 
+  test("incrementalCC equals the full recompute for different delta batches") {
+    val full = g.connectedComponents.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    // 'did' merges otherwise-isolated user/event vertices (real component
+    // unions); 'by' splits the giant component in the base graph (merge
+    // must reunite it). Either way incremental must be bit-identical.
+    for (delta <- Seq("did", "by")) {
+      val inc = g.incrementalCC(col("label") === delta).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      assert(inc == full, s"incrementalCC(delta=$delta) ≠ full recompute")
+    }
+  }
+
   test("traversal DSL: fluent API and string parser compile to the same result") {
     val fluent = g.V(col("label") === "customer").has(col("val") > 9000)
       .out("in_nation").out("in_region").path()

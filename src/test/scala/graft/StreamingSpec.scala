@@ -107,6 +107,31 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$outDir/data").count() == n)
   }
 
+  test("RocksDB state store: stateful ops produce identical results to default") {
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.collect().map(_.toString).sorted.toSeq
+    def runStateful(tag: String): (Seq[String], Seq[String]) = (
+      rows(runToMemory(Streams.sessionCounts(
+        Streams.readEvents(spark, srcDir)), s"t_sess_$tag")),
+      rows(runToMemory(Streams.statefulPurchaseCounts(spark,
+        Streams.readEvents(spark, srcDir)).toDF(), s"t_stat_$tag", mode = "append")))
+    val (sessDefault, statDefault) = runStateful("default")
+    try {
+      spark.conf.set("graft.streaming.stateStore", "rocksdb")
+      val (sessRocks, statRocks) = runStateful("rocks")
+      // the flag actually selected the RocksDB provider…
+      assert(spark.conf.get("spark.sql.streaming.stateStore.providerClass")
+        .contains("RocksDB"))
+      // …and state semantics are provider-independent
+      assert(sessRocks == sessDefault, "session windows differ under RocksDB")
+      assert(statRocks == statDefault, "stateful counts differ under RocksDB")
+      assert(sessDefault.nonEmpty && statDefault.nonEmpty)
+    } finally {
+      spark.conf.unset("graft.streaming.stateStore")
+      Streams.configureStateStore(spark) // restore the default provider
+    }
+  }
+
   test("ts_gapfill grid is complete: consecutive 5-min buckets, no holes") {
     val f = SparkEntry.queries("ts_gapfill")(spark, TestSpark.sf)
     // within each user, every step between consecutive grid rows is exactly
