@@ -95,6 +95,31 @@ object Views {
     }
 }
 
+/** ANALYZE-equivalent table/column statistics for the fixture tables —
+  * the CBO story a 100 TB deployment needs: AQE fixes plans at RUNTIME from
+  * observed shuffle sizes, but join ORDER is decided at planning time, and
+  * without row-count/NDV/min-max stats Catalyst's cost-based join reorder
+  * never fires (it requires every relation to carry rowCount). Deployments
+  * run this at ingest; here it registers each parquet fixture as an
+  * external catalog table and runs
+  * `ANALYZE TABLE … COMPUTE STATISTICS FOR ALL COLUMNS` once per
+  * (session, dir, table). PlanQualitySpec asserts the resulting stats flip
+  * a 3-way join order that file-size estimates alone get wrong. */
+object TableStats {
+  private val memo = new SessionMemo[(String, String), String]
+
+  /** Ensure `table` is analyzed; returns the catalog table name to query. */
+  def analyzed(s: SparkSession, dir: String, table: String): String =
+    memo.getOrElseUpdate(s, (dir, table)) {
+      val tn = s"graft_stats_${table}_${Integer.toHexString(dir.hashCode)}"
+      if (!s.catalog.tableExists(tn)) {
+        s.sql(s"CREATE TABLE $tn USING parquet LOCATION '$dir/$table.parquet'")
+        s.sql(s"ANALYZE TABLE $tn COMPUTE STATISTICS FOR ALL COLUMNS")
+      }
+      tn
+    }
+}
+
 /** Process-scoped scratch space for operators that stage data on local disk
   * (format round-trips, file-source streaming). One root per JVM, fixed
   * subdirectory per use — re-runs overwrite instead of accumulating temp

