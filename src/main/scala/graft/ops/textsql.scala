@@ -37,6 +37,14 @@ object textsql {
   def duckShingles(toks: String) =
     s"list_transform(generate_series(1, len($toks) - 2), i -> array_to_string($toks[i:i+2], ' '))"
 
+  /** Width-`w` word shingles (assumes size ≥ w — filter first); the 3-word
+    * pair above stays verbatim because the minhash keys hash its exact
+    * output strings. */
+  def sparkShinglesW(toks: String, w: Int) =
+    s"transform(sequence(1, size($toks) - ${w - 1}), i -> concat_ws(' ', slice($toks, i, $w)))"
+  def duckShinglesW(toks: String, w: Int) =
+    s"list_transform(generate_series(1, len($toks) - ${w - 1}), i -> array_to_string($toks[i:i+${w - 1}], ' '))"
+
   /** Ordered-fold dot product of two float arrays, in double. */
   def sparkDot(a: String, b: String) =
     s"aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0 AS DOUBLE), (acc, v) -> acc + v)"

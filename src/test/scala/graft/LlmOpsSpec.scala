@@ -123,6 +123,23 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(base.groupBy(_._2).forall { case (l, m) => m.map(_._1).min == l })
   }
 
+  test("text_decontaminate flags only train docs, with verifiable overlap") {
+    val hits = SparkEntry.queries("text_decontaminate")(spark, sf).collect()
+    assert(hits.nonEmpty) // fixture has cross-holdout 5-gram leakage at every SF
+    hits.foreach { r =>
+      assert(r.getLong(0) % 17 != 0, s"eval doc ${r.getLong(0)} flagged as train")
+      assert(r.getLong(1) >= 1 && r.getLong(2) >= 1)
+    }
+    // re-derive one flagged doc's overlap directly and match the counts
+    val d = hits.head.getLong(0)
+    val sh = Tables(spark, sf, "documents")
+      .selectExpr("doc_id", s"explode(${ops.textsql.sparkShinglesW(ops.textsql.sparkToks("text"), 5)}) AS s")
+      .filter(col("doc_id") % 17 === 0 || col("doc_id") === d).distinct()
+    val shared = sh.filter(col("doc_id") === d).select("s")
+      .intersect(sh.filter(col("doc_id") % 17 === 0).select("s"))
+    assert(shared.count() == hits.head.getLong(1))
+  }
+
   test("text_filter verdicts partition the corpus with auditable reasons") {
     val f = SparkEntry.queries("text_filter")(spark, sf)
     val verdicts = f.select("verdict").distinct().collect().map(_.getString(0)).toSet
