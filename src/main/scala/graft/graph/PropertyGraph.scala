@@ -497,6 +497,54 @@ final case class PropertyGraph(vertices: DataFrame, edges: DataFrame) {
   private val baseCCMemo =
     new scala.collection.concurrent.TrieMap[String, DataFrame]
 
+  /** INCREMENTAL triangle-count maintenance: fold the edge batch matching
+    * `deltaPred` into a stored base triangle count without re-counting the
+    * base graph. The new triangles are exactly those using ≥1 delta edge,
+    * enumerated DELTA-FIRST: each (canonical) delta edge probes the full
+    * graph's stored undirected adjacency for common neighbors — work is
+    * |delta| × avg-degree, never corpus-sized. Triangles closed by two or
+    * three delta edges would be enumerated once per participating delta
+    * edge, so triples are emitted VERTEX-SORTED and deduped — exact by
+    * construction, no inclusion-exclusion bookkeeping. Returns one row
+    * (n_base, n_delta, n_total); the oracle recomputes n_base and n_total
+    * from scratch on both edge sets, so a green row certifies
+    * incremental ≡ full recount. */
+  def incrementalTriangles(deltaPred: org.apache.spark.sql.Column): DataFrame = {
+    val sp = spark; import sp.implicits._
+    val nBase: Long = triBaseMemo.getOrElseUpdate(deltaPred.toString, {
+      val base = PropertyGraph(vertices, edges.filter(!deltaPred))
+      // coalesce: a triangle-free base graph aggregates over zero rows
+      val n = base.triangleCounts.agg(coalesce(sum("n_tri"), lit(0L)))
+        .head.getLong(0) / 3
+      base.uncache()
+      n
+    })
+    val und = undirectedEdges // stored FULL-graph canonical adjacency
+    val adj = und.select(col("a").as("u"), col("b").as("v"))
+      .unionAll(und.select(col("b").as("u"), col("a").as("v")))
+    val deltaUnd = edges.filter(deltaPred).filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b")).distinct()
+      // a delta edge that parallels an existing base edge closes no NEW
+      // triangle (the simple undirected graph already had the pair) — one
+      // delta-sized anti-join probe keeps the count exact in that case too
+      .join(edges.filter(!deltaPred).filter(col("src") =!= col("dst"))
+        .select(least(col("src"), col("dst")).as("a"),
+          greatest(col("src"), col("dst")).as("b")),
+        Seq("a", "b"), "left_anti")
+    val nDelta = deltaUnd
+      .join(adj.select(col("u").as("a"), col("v").as("c")), "a")
+      .join(adj.select(col("u").as("b"), col("v").as("c")), Seq("b", "c"))
+      .select(least(col("a"), col("b"), col("c")).as("x"),
+        (col("a") + col("b") + col("c") - least(col("a"), col("b"), col("c"))
+          - greatest(col("a"), col("b"), col("c"))).as("y"),
+        greatest(col("a"), col("b"), col("c")).as("z"))
+      .distinct().count()
+    Seq((nBase, nDelta, nBase + nDelta)).toDF("n_base", "n_delta", "n_total")
+  }
+  private val triBaseMemo =
+    new scala.collection.concurrent.TrieMap[String, Long]
+
   /** Min hop count from each vertex TO any vertex satisfying `targetPred`,
     * following edge direction: Pregel hop-flood from the targets with
     * messages flowing dst→src. Beats GraphX ShortestPaths (~10×: int

@@ -52,11 +52,34 @@ final case class Traversal(g: PropertyGraph, df: DataFrame, depth: Int) {
     Traversal(g, df.join(v, head).filter(pred).select(keep.head, keep.tail: _*), depth)
   }
 
+  /** Keep only simple walks — no vertex visited twice (Gremlin
+    * simplePath()). One conjunctive per-row filter over the walk columns,
+    * fully codegen'd; no joins, no state. */
+  def simplePath(): Traversal =
+    if (depth == 0) this
+    else {
+      val distinctPairs = (for { i <- 0 until depth; j <- (i + 1) to depth }
+        yield col(s"v$i") =!= col(s"v$j")).reduce(_ && _)
+      Traversal(g, df.filter(distinctPairs), depth)
+    }
+
+  /** Collapse duplicate walks (Gremlin dedup() over the current path). */
+  def dedup(): Traversal = Traversal(g, df.distinct(), depth)
+
   /** The walk matrix: one row per surviving walk, columns v0..vK. */
   def path(): DataFrame = df.select((0 to depth).map(i => col(s"v$i")): _*)
 
   /** Distinct head-vertex ids (Gremlin's terminal id() fold). */
   def ids(): DataFrame = df.select(col(head).as("id")).distinct()
+
+  /** Head-vertex attribute per surviving walk (Gremlin values('attr') —
+    * one row per walk, not deduped, matching Gremlin's stream semantics). */
+  def values(attr: String): DataFrame =
+    df.join(g.vertices.withColumnRenamed("id", head), head).select(col(attr))
+
+  /** Number of surviving walks (Gremlin's terminal count() fold). */
+  def count(): DataFrame =
+    df.agg(org.apache.spark.sql.functions.count(lit(1)).as("n_walks"))
 }
 
 object Traversal {
@@ -92,8 +115,9 @@ object Traversal {
   }
 
   /** Compile a chain string — `V(<pred>?)` then any of
-    * `out('l')/in('l')/both('l')/has(<pred>)`, optionally terminated by
-    * `path()` (default) or `ids()` — into the traversal's DataFrame. */
+    * `out('l')/in('l')/both('l')/has(<pred>)/simplePath()/dedup()`,
+    * optionally terminated by `path()` (default), `ids()`, `values('attr')`
+    * or `count()` — into the traversal's DataFrame. */
   def parse(g: PropertyGraph, query: String): DataFrame = {
     val steps = StepPat.findAllMatchIn(query)
       .map(m => (m.group(1), m.group(2).trim)).toList
@@ -109,8 +133,12 @@ object Traversal {
       case ("in", a)   => t = t.in(label(a))
       case ("both", a) => t = t.both(label(a))
       case ("has", a)  => t = t.has(pred(a))
-      case ("path", "") => result = Some(t.path())
-      case ("ids", "")  => result = Some(t.ids())
+      case ("simplePath", "") => t = t.simplePath()
+      case ("dedup", "")      => t = t.dedup()
+      case ("path", "")   => result = Some(t.path())
+      case ("ids", "")    => result = Some(t.ids())
+      case ("values", a)  => result = Some(t.values(label(a)))
+      case ("count", "")  => result = Some(t.count())
       case (s, a) => throw new IllegalArgumentException(s"unknown step: $s($a)")
     }
     result.getOrElse(t.path())

@@ -256,6 +256,30 @@ object GraphOps extends OpModule {
         "SELECT id, lbl AS component FROM l16 ORDER BY id",
         extra = GraphSql.ccChain(16)))),
 
+    // INCREMENTAL triangle maintenance: the 'colocated' batch (customer ×
+    // same-nation supplier — edges that CLOSE wedges through shared nation
+    // neighbors, so the delta actually creates triangles) folded into the
+    // stored base count via delta-first common-neighbor probing
+    // (PropertyGraph.incrementalTriangles). The oracle recounts BOTH the
+    // base and full graphs from scratch, so the green row certifies the
+    // delta enumeration is exact — including triangles with 2-3 delta
+    // edges, which the vertex-sorted triple dedup counts once.
+    Op("graph_triangles_incremental",
+      (s, dir) => GraphFixture(s, dir)
+        .incrementalTriangles(col("label") === "colocated"),
+      Some(withGraph(
+        """SELECT n_base, n_total - n_base AS n_delta, n_total FROM (
+          SELECT
+            (SELECT COUNT(*) FROM bu e1 JOIN bu e2 ON e2.a = e1.b
+              JOIN bu e3 ON e3.a = e1.a AND e3.b = e2.b) AS n_base,
+            (SELECT COUNT(*) FROM fu e1 JOIN fu e2 ON e2.a = e1.b
+              JOIN fu e3 ON e3.a = e1.a AND e3.b = e2.b) AS n_total) t""",
+        extra = """fu AS MATERIALIZED (SELECT DISTINCT LEAST(src, dst) AS a,
+            GREATEST(src, dst) AS b FROM edges WHERE src <> dst),
+          bu AS MATERIALIZED (SELECT DISTINCT LEAST(src, dst) AS a,
+            GREATEST(src, dst) AS b FROM edges
+            WHERE src <> dst AND label <> 'colocated')"""))),
+
     // Component-size distribution — the connectivity skew diagnostic (one
     // giant component? a long tail of islands?). Folds the STORED CC
     // labeling (shared with graph_cc/graph_pregel) through two
@@ -487,6 +511,40 @@ object GraphOps extends OpModule {
         JOIN edges e2 ON e2.dst = e1.src AND e2.label = 'in_nation'
         JOIN vertices m ON m.id = e2.src
         WHERE r.label = 'region' AND m.vis = 'public'
+        ORDER BY 1"""))),
+
+    // simplePath() + the count() terminal fold: colocation 2-walks
+    // supplier→customer→supplier' that never revisit a vertex — the
+    // walk-dedup semantics Gremlin chains lean on (without simplePath the
+    // dominant "walk back over the same edge" term swamps the count).
+    // simplePath compiles to ONE conjunctive codegen'd filter over the walk
+    // columns — no join, no driver state.
+    Op("graph_traversal_simple",
+      (s, dir) => GraphFixture(s, dir).traverse(
+        "V(label='supplier').both('colocated').simplePath().both('colocated').simplePath().count()"),
+      Some(withGraph("""SELECT COUNT(*) AS n_walks FROM (
+          SELECT sv.id AS v0, c1.b AS v1, c2.b AS v2
+          FROM vertices sv
+          JOIN co c1 ON c1.a = sv.id
+          JOIN co c2 ON c2.a = c1.b
+          WHERE sv.label = 'supplier') w
+        WHERE v0 <> v1 AND v0 <> v2 AND v1 <> v2""",
+        extra = """co AS (SELECT src AS a, dst AS b FROM edges
+            WHERE label = 'colocated'
+          UNION ALL SELECT dst, src FROM edges WHERE label = 'colocated')"""))),
+
+    // values() terminal: per-walk head-attribute stream (NOT deduped —
+    // Gremlin's values() is a stream fold; multiplicity is part of the
+    // answer and the oracle asserts it).
+    Op("graph_traversal_values",
+      (s, dir) => GraphFixture(s, dir).traverse(
+        "V(label='customer').has(val>9000).out('in_nation').values('name')")
+        .orderBy("name"),
+      Some(withGraph("""SELECT n.name AS name
+        FROM vertices c
+        JOIN edges e ON e.src = c.id AND e.label = 'in_nation'
+        JOIN vertices n ON n.id = e.dst
+        WHERE c.label = 'customer' AND c.val > 9000
         ORDER BY 1"""))),
 
     // Batch CRUD (Blueprints mutation surface re-expressed as dataflow —

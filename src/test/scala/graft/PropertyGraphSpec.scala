@@ -147,6 +147,19 @@ class PropertyGraphSpec extends AnyFunSuite {
     }
   }
 
+  test("incrementalTriangles ≡ full recount, including multi-delta-edge triangles") {
+    val full = g.triangleCounts.agg(sum("n_tri")).head.getLong(0) / 3
+    // 'colocated' deltas close wedges with ONE delta edge each; 'in_nation'
+    // deltas build triangles whose OTHER TWO edges are also delta — the
+    // vertex-sorted triple dedup is what keeps that case exact.
+    for (delta <- Seq("colocated", "in_nation")) {
+      val r = g.incrementalTriangles(col("label") === delta).head
+      assert(r.getLong(0) + r.getLong(1) == r.getLong(2))
+      assert(r.getLong(2) == full,
+        s"incrementalTriangles(delta=$delta): ${r.getLong(2)} ≠ full $full")
+    }
+  }
+
   test("traversal DSL: fluent API and string parser compile to the same result") {
     val fluent = g.V(col("label") === "customer").has(col("val") > 9000)
       .out("in_nation").out("in_region").path()
@@ -167,6 +180,33 @@ class PropertyGraphSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](g.traverse("out('x').path()"))
     intercept[IllegalArgumentException](g.traverse("V().hop('x')"))
     intercept[IllegalArgumentException](g.traverse("V().out('x').junk!"))
+  }
+
+  test("traversal DSL: simplePath / dedup / values / count steps") {
+    // simplePath removes exactly the walks that revisit a vertex
+    val all = g.traverse(
+      "V(label='supplier').both('colocated').both('colocated').count()")
+      .head.getLong(0)
+    val simple = g.traverse(
+      "V(label='supplier').both('colocated').simplePath().both('colocated').simplePath().count()")
+      .head.getLong(0)
+    val back = g.V(col("label") === "supplier").both("colocated").both("colocated")
+      .path().filter(col("v0") === col("v2")).count()
+    assert(simple == all - back, "simplePath must drop exactly the v0=v2 walks")
+    // at sf0.001 every customer has exactly one colocated supplier, so ALL
+    // 2-walks backtrack (simple = 0) — the identity above is the real
+    // contract; here just pin that the filter dropped something
+    assert(back > 0 && simple < all)
+    // values streams one row per walk (multiplicity preserved)...
+    val vals = g.traverse(
+      "V(label='customer').has(val>9000).out('in_nation').values('name')")
+    val walks = g.traverse(
+      "V(label='customer').has(val>9000).out('in_nation').path()")
+    assert(vals.count() == walks.count())
+    // ...and dedup collapses duplicate walks to the distinct set
+    val dd = g.traverse(
+      "V(label='customer').has(val>9000).out('in_nation').dedup().path()")
+    assert(dd.count() == walks.distinct().count())
   }
 
   test("point traversals cut over to the distributed form on a hub vertex") {
