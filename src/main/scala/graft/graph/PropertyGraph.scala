@@ -470,28 +470,42 @@ final case class PropertyGraph(vertices: DataFrame, edges: DataFrame) {
     * asserts. At 100 TB this is the difference between re-labeling the
     * whole graph per ingest batch and joining the batch against a stored
     * vertex→component index. */
-  def incrementalCC(deltaPred: org.apache.spark.sql.Column, rounds: Int = 6): DataFrame = {
+  def incrementalCC(deltaPred: org.apache.spark.sql.Column, rounds: Int = 6): DataFrame =
     // The base labeling IS the stored index this operator maintains — a
     // deployment computes it once at ingest and folds every delta batch
-    // into it. Memoize per delta predicate (the base graph is a function of
-    // it) so repeated calls price like the deployment: delta-sized joins +
-    // component merge, not a fresh full-graph fixed point (8.2 s → ~1.5 s
-    // per call at sf0.1). localCheckpoint'ed so the throwaway base graph's
-    // caches can be released immediately.
-    val baseCC = baseCCMemo.getOrElseUpdate(deltaPred.toString, {
+    // into it. Memoized per delta predicate (the base graph is a function
+    // of it) so repeated calls price like the deployment: delta-sized joins
+    // + component merge, not a fresh full-graph fixed point (8.2 s → ~1.5 s
+    // per call at sf0.1).
+    foldBatchCC(storedBaseCC(deltaPred), edges.filter(deltaPred), rounds)
+
+  /** The stored base labeling `incrementalCC` maintains (memoized — see
+    * scaladoc there); also the seed state for streaming maintenance
+    * ([[foldBatchCC]] per micro-batch). */
+  def storedBaseCC(deltaPred: org.apache.spark.sql.Column): DataFrame =
+    baseCCMemo.getOrElseUpdate(deltaPred.toString, {
       val base = PropertyGraph(vertices, edges.filter(!deltaPred))
       val cc = base.connectedComponents.localCheckpoint()
       base.uncache()
       cc
     })
-    val deltaPairs = edges.filter(deltaPred)
-      .join(baseCC.select(col("id").as("src"), col("component").as("da")), "src")
-      .join(baseCC.select(col("id").as("dst"), col("component").as("db")), "dst")
+
+  /** Fold ONE batch of delta edges (`src`, `dst` columns) into labeling
+    * `lbl` (id, component — component = min vertex id). Because the merged
+    * label of touched components is again the minimum vertex id, folds
+    * COMPOSE: applying batches one at a time yields bit-identical labels to
+    * a single full recompute over everything folded so far — which is what
+    * lets Structured Streaming maintain CC per micro-batch
+    * (stream_cc_maintain) with delta-bounded work. */
+  def foldBatchCC(lbl: DataFrame, batch: DataFrame, rounds: Int = 6): DataFrame = {
+    val pairs = batch
+      .join(lbl.select(col("id").as("src"), col("component").as("da")), "src")
+      .join(lbl.select(col("id").as("dst"), col("component").as("db")), "dst")
       .filter(col("da") =!= col("db"))
       .select("da", "db").distinct()
-    val merged = PairCC.labels(deltaPairs, rounds)
+    val merged = PairCC.labels(pairs, rounds)
       .select(col("id").as("component"), col("lbl").as("mergedc"))
-    baseCC.join(merged, Seq("component"), "left")
+    lbl.join(merged, Seq("component"), "left")
       .select(col("id"), coalesce(col("mergedc"), col("component")).as("component"))
   }
   private val baseCCMemo =

@@ -23,6 +23,9 @@ import org.apache.spark.sql.functions._
   * spills in the external sort instead of buffering on a task heap. */
 object StreamOps extends OpModule {
 
+  /** Test observability: micro-batches folded by stream_cc_maintain. */
+  val ccMaintainBatches = new java.util.concurrent.atomic.AtomicLong(0)
+
   def ops: Seq[Op] = Seq(
 
     // True streaming source inside the harness (§2.1 source_stream_events):
@@ -149,6 +152,48 @@ object StreamOps extends OpModule {
         COUNT(DISTINCT 7000000000000 + user_id) AS n_users,
         ${num.DSUM("value")} AS sum_weight
         FROM events GROUP BY 1 ORDER BY 1""")),
+
+    // STREAMING ANALYTICS MAINTENANCE: connected components kept current
+    // across micro-batches. The 'did' edges arrive as a 3-file stream
+    // (maxFilesPerTrigger=1 → 3 real micro-batches); foreachBatch folds
+    // each batch into the maintained labeling via the same delta-bounded
+    // component merge incrementalCC uses (PropertyGraph.foldBatchCC —
+    // min-id labels make folds COMPOSE, so batch-at-a-time ≡ one-shot).
+    // The oracle is the full-graph CC chain: the green row certifies that
+    // three sequential incremental folds land bit-identical to a full
+    // recompute over everything. Per-batch work is delta-sized (batch
+    // edges → component pairs → hook+jump merge); the labeling is the only
+    // cross-batch state, localCheckpoint'ed each fold so lineage stays
+    // constant (at 100 TB: a stored table updated per batch).
+    Op("stream_cc_maintain",
+      (s, dir) => {
+        val g = graft.graph.GraphFixture(s, dir)
+        val B = graft.graph.GraphFixture.B
+        val stage = graft.Staging.dir(s"ccm-src-${dir.hashCode.toHexString}")
+        if (!new java.io.File(s"$stage/_SUCCESS").exists())
+          Tables(s, dir, "events")
+            .repartitionByRange(3, col("event_id"))
+            .write.mode("overwrite").parquet(stage)
+        var lbl = g.storedBaseCC(col("label") === "did")
+        val q = s.readStream.schema(Streams.eventsSchema)
+          .option("maxFilesPerTrigger", 1).parquet(stage)
+          .select((lit(7 * B) + col("user_id")).as("src"),
+            (lit(8 * B) + col("event_id")).as("dst"))
+          .writeStream
+          .option("checkpointLocation", graft.Staging.fresh("ccm-chk"))
+          .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+            StreamOps.ccMaintainBatches.incrementAndGet()
+            lbl = g.foldBatchCC(lbl, batch).localCheckpoint()
+            ()
+          }
+          .start()
+        q.processAllAvailable()
+        q.stop()
+        lbl.orderBy("id")
+      },
+      Some(graft.graph.GraphSql.withGraph(
+        "SELECT id, lbl AS component FROM l16 ORDER BY id",
+        extra = graft.graph.GraphSql.ccChain(16)))),
 
     // Time-series gap-fill: per-user 5-minute grid from first to last
     // active bucket (sequence + explode — distributed, no driver

@@ -132,6 +132,17 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("stream_cc_maintain folds multiple real micro-batches to the full-CC fixpoint") {
+    val before = graft.streaming.StreamOps.ccMaintainBatches.get()
+    val maintained = SparkEntry.queries("stream_cc_maintain")(spark, TestSpark.sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val nBatches = graft.streaming.StreamOps.ccMaintainBatches.get() - before
+    assert(nBatches >= 2, s"expected multiple micro-batches, saw $nBatches")
+    val full = graft.graph.GraphFixture(spark, TestSpark.sf).connectedComponents
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(maintained == full, "streamed incremental labeling ≠ full recompute")
+  }
+
   test("ts_gapfill grid is complete: consecutive 5-min buckets, no holes") {
     val f = SparkEntry.queries("ts_gapfill")(spark, TestSpark.sf)
     // within each user, every step between consecutive grid rows is exactly
