@@ -18,6 +18,7 @@ object SparkEntry {
     ops.StatsOps,
     ops.PipelineOps,
     ops.ExtraOps,
+    ops.QualityOps,
     streaming.StreamOps)
 
   lazy val allOps: Seq[Op] = {

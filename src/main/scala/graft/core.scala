@@ -185,6 +185,23 @@ object util {
     * DuckDB's ORDER BY ALL (columns must be non-null: Spark sorts nulls
     * first, DuckDB last). */
   def sortAll(df: DataFrame): DataFrame = df.orderBy(df.columns.map(col).toSeq: _*)
+
+  /** Lineage cut for ITERATIVE loops: localCheckpoint + a stats reset.
+    *
+    * `Dataset.localCheckpoint` alone is NOT enough in a loop: the
+    * checkpoint's LogicalRDD carries `originStats` — the full pre-cut
+    * plan statistics — so a self-joining round makes sizeInBytes SQUARE
+    * every iteration. The estimate's BigInt digit count then doubles per
+    * round, and after a few folds Catalyst's size-only stats visitor spends
+    * minutes in Karatsuba/Toom-Cook multiplication (observed: 550 s of
+    * driver CPU planning stream_cc_maintain's third micro-batch fold).
+    * Rebuilding the frame from the checkpointed RDD through the public
+    * row-level constructor drops originStats, so every cut is a fresh
+    * leaf and per-round planning cost stays constant. The row↔internal
+    * conversion this adds is paid on loop-state-sized data (labelings,
+    * pair sets, top-k rows) — noise next to a single stats blowup. */
+  def cut(df: DataFrame, eager: Boolean = true): DataFrame =
+    df.sparkSession.createDataFrame(df.localCheckpoint(eager).rdd, df.schema)
 }
 
 object num {

@@ -43,7 +43,7 @@ object PairCC {
         val p = graft.Staging.fresh("paircc-ckpt")
         df.write.mode("overwrite").parquet(p)
         s.read.parquet(p)
-      } else df.localCheckpoint(eager)
+      } else graft.util.cut(df, eager)
     // Pairs once (eager checkpoint: the iteration loop below would
     // otherwise re-plan the whole upstream pipeline per reference).
     val pairs = ckpt(pairs0, true)

@@ -485,7 +485,7 @@ final case class PropertyGraph(vertices: DataFrame, edges: DataFrame) {
   def storedBaseCC(deltaPred: org.apache.spark.sql.Column): DataFrame =
     baseCCMemo.getOrElseUpdate(deltaPred.toString, {
       val base = PropertyGraph(vertices, edges.filter(!deltaPred))
-      val cc = base.connectedComponents.localCheckpoint()
+      val cc = graft.util.cut(base.connectedComponents)
       base.uncache()
       cc
     })
@@ -731,11 +731,10 @@ final case class PropertyGraph(vertices: DataFrame, edges: DataFrame) {
     // survivors outgrow broadcast drops the hint and takes the shuffle).
     // Round 1 needs no restriction (the live set still contains every
     // endpoint): it is a filter over the stored [[undDegrees]] index.
-    var live = undDegrees.select(col("id"), col("d").as("deg"))
-      .filter(col("deg") >= k)
-      .localCheckpoint()
+    var live = graft.util.cut(undDegrees.select(col("id"), col("d").as("deg"))
+      .filter(col("deg") >= k))
     for (_ <- 2 to rounds)
-      live = kCoreRound(live, k).localCheckpoint()
+      live = graft.util.cut(kCoreRound(live, k))
     live
   }
 
@@ -801,9 +800,9 @@ final case class PropertyGraph(vertices: DataFrame, edges: DataFrame) {
       // lbl is referenced twice per iteration (message join + carry-over);
       // a lazy localCheckpoint keeps lineage linear AND the plan constant-
       // size (persist alone leaves a plan that doubles per generation).
-      lbl = lbl.join(pick, Seq("id"), "left")
-        .select(col("id"), coalesce(col("l"), col("lbl")).as("lbl"))
-        .localCheckpoint(false)
+      lbl = graft.util.cut(lbl.join(pick, Seq("id"), "left")
+        .select(col("id"), coalesce(col("l"), col("lbl")).as("lbl")),
+        eager = false)
     }
     // Eagerly materialize the vertex-sized result — callers get a
     // self-contained LogicalRDD. und is the stored [[undByA]] index (fixture

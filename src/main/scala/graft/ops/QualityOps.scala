@@ -1,0 +1,373 @@
+package graft.ops
+
+import graft.{Op, OpModule, Tables}
+import graft.graph.{GraphFixture, GraphSql}
+import org.apache.spark.sql.functions._
+import textsql._
+
+/** Round-6 additions: data-quality auditing, dimension-history building
+  * (SCD2), corpus boilerplate profiling, and per-root bounded-hop harmonic
+  * centrality (SURVEY.md §2.10/§2.11 families).
+  *
+  * House determinism rules apply (graft.num scaladoc): integer-only or
+  * decimal-exact aggregates, explicit total orders, identical operation
+  * order in both engines.
+  */
+object QualityOps extends OpModule {
+
+  /** Test observability: micro-batches folded by stream_scd2_maintain. */
+  val scd2MaintainBatches = new java.util.concurrent.atomic.AtomicLong(0)
+
+  private def view(s: org.apache.spark.sql.SparkSession, dir: String, n: String): Unit =
+    Tables(s, dir, n).createOrReplaceTempView(n)
+
+  def ops: Seq[Op] = Seq(
+
+    // Referential-integrity audit — the Deequ-style constraint check a
+    // pipeline runs before publishing a dataset: for each declared FK,
+    // child row count + orphan count (children whose parent key is absent).
+    // The seven fixture FKs are clean by construction (zero orphans IS the
+    // audit's answer); the eighth row fault-injects negated order keys into
+    // a copy of the child, proving the audit counts real violations rather
+    // than vacuously passing. Each check is one LEFT JOIN on a unique
+    // parent key; parent sides are dimension-sized (broadcast), so at
+    // 100 TB every check is a map-side probe over the child scan — no
+    // child-sized shuffle.
+    Op("dq_referential",
+      (s, dir) => {
+        Seq("lineitem", "orders", "customer", "supplier", "nation", "region",
+          "part", "events").foreach(view(s, dir, _))
+        s.sql(DqReferentialSql)
+      },
+      Some(DqReferentialSql)),
+
+    // SCD TYPE-2 dimension history — CDC's "what did this attribute look
+    // like over time" build: per user, each RUN of consecutive equal
+    // event_type values becomes one versioned row with [valid_from,
+    // valid_to) bounds and an is_current flag. Three window passes over ONE
+    // user-clustered sort (lag → change flag → running version id, then a
+    // lead for the closing bound): a single shuffle on user_id, per-user
+    // bounded state — the layout a 100 TB dimension build wants (cluster by
+    // business key, never a global sort). Epoch-micros longs avoid
+    // cross-engine timestamp text; version numbering is deterministic via
+    // the (tm, event_id) total order.
+    Op("cdc_scd2",
+      (s, dir) => {
+        view(s, dir, "events")
+        s.sql(scd2Sql("unix_micros(ts)"))
+      },
+      Some(scd2Sql("epoch_us(ts)"))),
+
+    // STREAMING SCD2 MAINTENANCE — the ORDER-SENSITIVE incremental
+    // materialization (vs stream_topk_maintain's order-free semilattice):
+    // dimension history folded forward as commit-log slices arrive. State
+    // is the compressed run list (user, type, [valid_from...], n_events) —
+    // runs-sized, never raw-event-sized — and each micro-batch unions its
+    // rows as unit runs with the state and re-compresses: adjacent
+    // same-type runs merge, summing counts. Correct because arrival order
+    // is commit-log order (each slice's timestamps follow all previous
+    // slices'), which is exactly the contract a CDC log gives you; the
+    // harness stages 4 time-quartile files with strictly increasing mtimes
+    // so the file source replays that contract deterministically. Per-batch
+    // cost: one shuffle of (state ∪ batch) on user_id — state stays
+    // bounded by #versions, so at 100 TB/day the fold's working set is the
+    // dimension history, not the event firehose. Versions/validity bounds
+    // are assigned once at read-out (row_number + lead over the final
+    // runs), so mid-stream state never renumbers. Oracle: the batch SCD2
+    // build (same SQL as cdc_scd2) — three folds must land exactly on it.
+    Op("stream_scd2_maintain",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val stage = graft.Staging.dir(s"scd2-src-${dir.hashCode.toHexString}")
+        val inDir = new java.io.File(s"$stage/in")
+        if (!new java.io.File(s"$stage/_STAGED").exists()) {
+          val e = Tables(s, dir, "events")
+            .filter(col("user_id") % 10 === 0)
+            .select(col("user_id"), col("event_type"),
+              expr("unix_micros(ts)").as("tm"), col("event_id"))
+          // Exact time-quartile slices (harness-side stand-in for the
+          // natural arrival files of a log; the single-partition window is
+          // staging-only, not part of the maintained computation).
+          val sliced = e.withColumn("slice",
+            ntile(4).over(Window.orderBy(col("tm"), col("event_id"))))
+          inDir.mkdirs()
+          for (i <- 1 to 4) {
+            val p = s"$stage/s$i"
+            sliced.filter(col("slice") === i).drop("slice")
+              .coalesce(1).write.mode("overwrite").parquet(p)
+            val part = new java.io.File(p).listFiles()
+              .find(_.getName.endsWith(".parquet")).get
+            val dst = new java.io.File(inDir, f"b$i%02d.parquet")
+            java.nio.file.Files.move(part.toPath, dst.toPath)
+            // Strictly increasing mtimes = the file source's arrival order.
+            dst.setLastModified(1755000000000L + i * 60000L)
+          }
+          new java.io.File(s"$stage/_STAGED").createNewFile()
+        }
+        val wU = Window.partitionBy("user_id").orderBy("from_tm", "from_eid")
+        def compress(runs: org.apache.spark.sql.DataFrame) = {
+          val v = runs
+            .withColumn("prev", lag("event_type", 1).over(wU))
+            .withColumn("chg", when(col("prev").isNull ||
+              col("prev") =!= col("event_type"), 1).otherwise(0))
+            .withColumn("ver", sum("chg").over(
+              wU.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          v.groupBy(col("user_id"), col("ver"))
+            .agg(min("event_type").as("event_type"),
+              min(struct(col("from_tm"), col("from_eid"))).as("fk"),
+              sum("n").as("n"))
+            .select(col("user_id"), col("event_type"),
+              col("fk.from_tm").as("from_tm"),
+              col("fk.from_eid").as("from_eid"), col("n"))
+        }
+        val schema = org.apache.spark.sql.types.StructType.fromDDL(
+          "user_id BIGINT, event_type STRING, tm BIGINT, event_id BIGINT")
+        var state = s.createDataFrame(
+          new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
+          .select(col("user_id"), col("event_type"), col("tm").as("from_tm"),
+            col("event_id").as("from_eid"), lit(1L).as("n"))
+          .limit(0)
+        val q = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", 1).parquet(inDir.toString)
+          .writeStream
+          .option("checkpointLocation", graft.Staging.fresh("scd2-chk"))
+          .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+            QualityOps.scd2MaintainBatches.incrementAndGet()
+            val unitRuns = batch.select(col("user_id"), col("event_type"),
+              col("tm").as("from_tm"), col("event_id").as("from_eid"),
+              lit(1L).as("n"))
+            state = graft.util.cut(compress(state.unionAll(unitRuns)))
+            ()
+          }
+          .start()
+        q.processAllAvailable()
+        q.stop()
+        val wv = Window.partitionBy("user_id").orderBy("from_tm", "from_eid")
+        state
+          .withColumn("version", row_number().over(wv).cast("long"))
+          .withColumn("valid_to",
+            coalesce(lead("from_tm", 1).over(wv), lit(-1L)))
+          .withColumn("is_current",
+            when(lead("from_tm", 1).over(wv).isNull, 1).otherwise(0))
+          .select(col("user_id"), col("version"), col("event_type"),
+            col("from_tm").as("valid_from"), col("valid_to"),
+            col("is_current"), col("n").as("n_events"))
+          .orderBy("user_id", "version")
+      },
+      Some(scd2Sql("epoch_us(ts)"))),
+
+    // Partition-freshness audit — the "is yesterday's data in yet" check a
+    // scheduler gates on: per event class, row count, last-seen event time
+    // and staleness vs the corpus frontier, all in epoch micros (integer-
+    // exact). One map-side-combined aggregate + a scalar frontier — at
+    // 100 TB this is metadata-cheap, and in production the same query runs
+    // on partition stats instead of the raw scan.
+    Op("dq_freshness",
+      (s, dir) => {
+        view(s, dir, "events")
+        s.sql(freshnessSql("unix_micros(ts)"))
+      },
+      Some(freshnessSql("epoch_us(ts)"))),
+
+    // OLAP flagship — market-share report (TPC-H Q8 shape): revenue by
+    // supplier-region × order year, each region's share of the year via a
+    // window over the aggregate. Two-level structure: the 5-way snowflake
+    // join (dims broadcast, ONE fact-fact shuffle) feeds a years×regions-
+    // sized aggregate, so the share window runs on a tiny relation —
+    // never window-over-fact. Shares are double divisions of decimal-exact
+    // sums, identical IEEE ops in both engines.
+    Op("olap_mkt_share",
+      (s, dir) => {
+        Seq("lineitem", "orders", "supplier", "nation", "region")
+          .foreach(view(s, dir, _))
+        s.sql(mktShareSql(e => s"CAST($e AS DOUBLE)"))
+      },
+      // DuckDB's DECIMAL→DOUBLE cast double-rounds; the VARCHAR hop is
+      // correctly rounded and matches Spark bit-for-bit (num.DSUM scaladoc).
+      Some(mktShareSql(e => s"CAST(CAST($e AS VARCHAR) AS DOUBLE)"))),
+
+    // Corpus BOILERPLATE profile — the frequent-fragment audit behind
+    // common-crawl-style boilerplate removal: a bigram shingle is
+    // boilerplate when it appears in ≥ 6.25% of documents (scale-relative
+    // threshold — df·16 ≥ N — calibrated to split the fixture's bigram df
+    // distribution at every shipped SF, so the audit is never vacuous); each doc
+    // reports its distinct-shingle count and how many are boilerplate (the
+    // removal decision input). Scale shape: the document-frequency
+    // aggregate shuffles DISTINCT (doc, shingle) pairs grouped by shingle —
+    // vocabulary²-bounded, not corpus-sized — and the qualifying set is
+    // tiny by construction (it's the HEAD of the df distribution), so the
+    // per-doc recount is a broadcast probe of that set against the doc
+    // shingle stream. Nothing corpus-sized is ever shuffled twice.
+    Op("text_boilerplate",
+      (s, dir) => {
+        view(s, dir, "documents")
+        s.sql(s"""
+          WITH toks AS (SELECT doc_id, ${sparkToks("text")} AS t FROM documents),
+          sh AS (SELECT DISTINCT doc_id, s FROM (
+            SELECT doc_id, explode(${sparkShinglesW("t", 2)}) AS s
+            FROM toks WHERE size(t) >= 2) x),
+          nd AS (SELECT COUNT(*) AS n FROM documents),
+          freq AS (SELECT s, COUNT(*) AS df FROM sh GROUP BY 1),
+          boiler AS (SELECT s, df FROM freq WHERE df * 16 >= (SELECT n FROM nd))
+          SELECT sh.doc_id, COUNT(*) AS n_shingles,
+            COUNT(boiler.s) AS n_boiler,
+            COALESCE(MAX(boiler.df), 0) AS max_df
+          FROM sh LEFT JOIN boiler ON boiler.s = sh.s
+          GROUP BY 1 ORDER BY 1""")
+      },
+      Some(s"""
+        WITH toks AS (SELECT doc_id, ${duckToks("text")} AS t FROM documents),
+        sh AS MATERIALIZED (SELECT DISTINCT doc_id, s FROM (
+          SELECT doc_id, unnest(${duckShinglesW("t", 2)}) AS s
+          FROM toks WHERE len(t) >= 2) x),
+        nd AS (SELECT COUNT(*) AS n FROM documents),
+        freq AS (SELECT s, COUNT(*) AS df FROM sh GROUP BY 1),
+        boiler AS (SELECT s, df FROM freq WHERE df * 16 >= (SELECT n FROM nd))
+        SELECT sh.doc_id, COUNT(*) AS n_shingles,
+          CAST(COUNT(boiler.s) AS BIGINT) AS n_boiler,
+          CAST(COALESCE(MAX(boiler.df), 0) AS BIGINT) AS max_df
+        FROM sh LEFT JOIN boiler ON boiler.s = sh.s
+        GROUP BY 1 ORDER BY 1""")),
+
+    // Bounded-hop HARMONIC centrality from the customer roots: score(v) =
+    // Σ_u 1/d(v,u) over out-reachable u within ≤3 hops, scaled ×6 so every
+    // term (6/1, 6/2, 6/3) is an exact integer — cross-engine-exact without
+    // touching floats. Unlike graph_hop_hist (single-SOURCE-SET min-hop),
+    // this tracks PER-ROOT distances: the frontier is (root, id) pairs, one
+    // equi-join per level — the multi-source BSP shape, 3 shuffles total.
+    // Frontier size is Σ_root |N≤3(root)| — linear in roots × bounded
+    // fan-out, never all-pairs; at 100 TB the root set is the query's
+    // seed sample (here: the full customer class, exactly oracle-able).
+    Op("graph_harmonic",
+      (s, dir) => {
+        val g = GraphFixture(s, dir)
+        val adj = g.edges.select(col("src"), col("dst"))
+        var frontier = g.vertices.filter(col("label") === "customer")
+          .select(col("id").as("root"), col("id"), lit(0).as("d"))
+        val levels = scala.collection.mutable.ArrayBuffer(frontier)
+        for (i <- 1 to 3) {
+          frontier = frontier.join(adj, frontier("id") === adj("src"))
+            .select(col("root"), col("dst").as("id"), lit(i).as("d"))
+          levels += frontier
+        }
+        levels.reduce(_ unionAll _)
+          .groupBy("root", "id").agg(min("d").as("d"))
+          .filter(col("d") > 0)
+          .groupBy("root")
+          .agg(sum(expr("6 div d")).as("harmonic6"),
+            count(lit(1)).as("n_reach"))
+          .select(col("root").as("id"), col("harmonic6"), col("n_reach"))
+          .orderBy("id")
+      },
+      Some(GraphSql.withGraph(
+        """SELECT root AS id, CAST(SUM(6 // d) AS BIGINT) AS harmonic6,
+          COUNT(*) AS n_reach
+        FROM m GROUP BY 1 ORDER BY 1""",
+        extra = """r0 AS (SELECT id AS root, id, 0 AS d FROM vertices
+            WHERE label = 'customer'),
+          reach(root, id, d) AS (
+            SELECT root, id, d FROM r0
+            UNION
+            SELECT r.root, e.dst, r.d + 1 FROM reach r
+            JOIN edges e ON e.src = r.id WHERE r.d < 3),
+          m AS (SELECT root, id, MIN(d) AS d FROM reach
+            GROUP BY 1, 2 HAVING MIN(d) > 0)""",
+        recursive = true)))
+  )
+
+  /** Engine-portable FK audit SQL — one string serves both sides. Every
+    * parent key is UNIQUE in its table (primary keys), so LEFT JOIN + null
+    * probe counts orphans without duplicating children; a NULL child FK
+    * matches nothing and counts as an orphan in both engines identically. */
+  private val DqReferentialSql = """
+    SELECT * FROM (
+      SELECT 'lineitem->orders' AS fk, COUNT(*) AS n_child,
+        COUNT(CASE WHEN o.o_orderkey IS NULL THEN 1 END) AS n_orphans
+      FROM lineitem l LEFT JOIN orders o ON o.o_orderkey = l.l_orderkey
+      UNION ALL
+      SELECT 'lineitem->part', COUNT(*),
+        COUNT(CASE WHEN p.p_partkey IS NULL THEN 1 END)
+      FROM lineitem l LEFT JOIN part p ON p.p_partkey = l.l_partkey
+      UNION ALL
+      SELECT 'lineitem->supplier', COUNT(*),
+        COUNT(CASE WHEN s.s_suppkey IS NULL THEN 1 END)
+      FROM lineitem l LEFT JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      UNION ALL
+      SELECT 'orders->customer', COUNT(*),
+        COUNT(CASE WHEN c.c_custkey IS NULL THEN 1 END)
+      FROM orders o LEFT JOIN customer c ON c.c_custkey = o.o_custkey
+      UNION ALL
+      SELECT 'customer->nation', COUNT(*),
+        COUNT(CASE WHEN n.n_nationkey IS NULL THEN 1 END)
+      FROM customer c LEFT JOIN nation n ON n.n_nationkey = c.c_nationkey
+      UNION ALL
+      SELECT 'nation->region', COUNT(*),
+        COUNT(CASE WHEN r.r_regionkey IS NULL THEN 1 END)
+      FROM nation n LEFT JOIN region r ON r.r_regionkey = n.n_regionkey
+      UNION ALL
+      SELECT 'events.user->customer', COUNT(*),
+        COUNT(CASE WHEN c.c_custkey IS NULL THEN 1 END)
+      FROM events e LEFT JOIN customer c ON c.c_custkey = e.user_id
+      UNION ALL
+      SELECT 'fault_injected->orders', COUNT(*),
+        COUNT(CASE WHEN o.o_orderkey IS NULL THEN 1 END)
+      FROM (SELECT l_orderkey FROM lineitem
+        UNION ALL SELECT -l_orderkey - 1 FROM lineitem
+        WHERE l_orderkey % 100 = 0) f
+      LEFT JOIN orders o ON o.o_orderkey = f.l_orderkey
+    ) checks ORDER BY fk"""
+
+  /** Freshness audit; `tm` is the engine-specific epoch-micros extraction. */
+  private def freshnessSql(tm: String): String = s"""
+    WITH e AS (SELECT event_type, $tm AS tm FROM events),
+    g AS (SELECT MAX(tm) AS gmax FROM e)
+    SELECT event_type, COUNT(*) AS n, MAX(tm) AS last_tm,
+      (SELECT gmax FROM g) - MAX(tm) AS staleness_us
+    FROM e GROUP BY 1 ORDER BY 1"""
+
+  /** Market-share SQL; `d` renders the engine's correctly-rounded
+    * DECIMAL→DOUBLE cast (EXTRACT(YEAR ...) and the DECIMAL(38,10) sums
+    * are shared dialect). */
+  private def mktShareSql(d: String => String): String = s"""
+    WITH rev AS (
+      SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS yr,
+        r_name AS region,
+        SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,10))) AS rev
+      FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN nation ON n_nationkey = s_nationkey
+      JOIN region ON r_regionkey = n_regionkey
+      GROUP BY 1, 2)
+    SELECT yr, region, ${d("rev")} AS revenue,
+      ${d("rev")} / ${d("SUM(rev) OVER (PARTITION BY yr)")} AS share
+    FROM rev ORDER BY yr, region"""
+
+  /** SCD2 build over events (user_id % 10 = 0 slice); `tm` is the
+    * engine-specific epoch-micros extraction — everything after it is
+    * shared verbatim. */
+  private def scd2Sql(tm: String): String = s"""
+    WITH e AS (SELECT user_id, event_type, $tm AS tm, event_id
+      FROM events WHERE user_id % 10 = 0),
+    l AS (SELECT user_id, event_type, tm, event_id,
+      LAG(event_type) OVER w AS prev_type
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tm, event_id)),
+    b AS (SELECT user_id, event_type, tm, event_id,
+      CASE WHEN prev_type IS NULL OR prev_type <> event_type
+        THEN 1 ELSE 0 END AS chg
+      FROM l),
+    v AS (SELECT user_id, event_type, tm,
+      SUM(chg) OVER (PARTITION BY user_id ORDER BY tm, event_id
+        ROWS UNBOUNDED PRECEDING) AS version
+      FROM b),
+    runs AS (SELECT user_id, CAST(version AS BIGINT) AS version,
+      MIN(event_type) AS event_type, MIN(tm) AS valid_from,
+      COUNT(*) AS n_events
+      FROM v GROUP BY user_id, version)
+    SELECT user_id, version, event_type, valid_from,
+      COALESCE(LEAD(valid_from) OVER (PARTITION BY user_id ORDER BY version),
+        -1) AS valid_to,
+      CASE WHEN LEAD(valid_from) OVER (PARTITION BY user_id ORDER BY version)
+        IS NULL THEN 1 ELSE 0 END AS is_current,
+      n_events
+    FROM runs ORDER BY user_id, version"""
+}

@@ -26,6 +26,9 @@ object StreamOps extends OpModule {
   /** Test observability: micro-batches folded by stream_cc_maintain. */
   val ccMaintainBatches = new java.util.concurrent.atomic.AtomicLong(0)
 
+  /** Test observability: micro-batches folded by stream_topk_maintain. */
+  val topkMaintainBatches = new java.util.concurrent.atomic.AtomicLong(0)
+
   def ops: Seq[Op] = Seq(
 
     // True streaming source inside the harness (§2.1 source_stream_events):
@@ -183,7 +186,7 @@ object StreamOps extends OpModule {
           .option("checkpointLocation", graft.Staging.fresh("ccm-chk"))
           .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
             StreamOps.ccMaintainBatches.incrementAndGet()
-            lbl = g.foldBatchCC(lbl, batch).localCheckpoint()
+            lbl = graft.util.cut(g.foldBatchCC(lbl, batch))
             ()
           }
           .start()
@@ -194,6 +197,85 @@ object StreamOps extends OpModule {
       Some(graft.graph.GraphSql.withGraph(
         "SELECT id, lbl AS component FROM l16 ORDER BY id",
         extra = graft.graph.GraphSql.ccChain(16)))),
+
+    // STREAM-STATIC ENRICHMENT: the other half of streaming joins
+    // (stream_stream_join covers stream⋈stream) — a live event stream
+    // joined against a static dimension. The static side is
+    // dimension-sized, so Spark broadcasts it once and every micro-batch
+    // probes the same hash table — no per-batch shuffle, no streaming
+    // state. At 100 TB/day of events this is THE enrichment shape: the
+    // stream never repartitions; only the final windowless aggregate
+    // shuffles its (25-row) group set.
+    Op("stream_static_enrich",
+      (s, dir) => {
+        val stage = graft.Staging.dir(s"events-src-${dir.hashCode.toHexString}")
+        val dst = java.nio.file.Paths.get(s"$stage/events.parquet")
+        if (!java.nio.file.Files.exists(dst))
+          try java.nio.file.Files.copy(
+            java.nio.file.Paths.get(s"$dir/events.parquet"), dst)
+          catch { case _: java.nio.file.FileAlreadyExistsException => () }
+        val nation = broadcast(Tables(s, dir, "nation"))
+        val name = "stream_static_enrich_sink"
+        val q = Streams.readEvents(s, stage)
+          .join(nation, col("user_id") % 25 === col("n_nationkey"))
+          .groupBy("n_name")
+          .agg(count(lit(1)).as("n"), num.dsum(col("value")).as("sum_value"))
+          .writeStream.format("memory").queryName(name)
+          .outputMode("complete").start()
+        q.processAllAvailable()
+        q.stop()
+        s.table(name).orderBy("n_name")
+      },
+      Some(s"""SELECT n_name, COUNT(*) AS n, ${num.DSUM("value")} AS sum_value
+        FROM events JOIN nation ON user_id % 25 = n_nationkey
+        GROUP BY 1 ORDER BY 1""")),
+
+    // STREAMING TOP-K MAINTENANCE: the leaderboard kept current across
+    // micro-batches. Top-k under a total order is a SEMILATTICE merge
+    // (top3(top3(A) ∪ top3(B)) = top3(A ∪ B)), so foreachBatch ranks each
+    // batch down to k rows per key, merges with the k-row maintained state,
+    // and re-ranks — per-batch work is batch-sized, cross-batch state is
+    // k·|keys| rows. The oracle is the full-data top-3: three sequential
+    // folds must land exactly on it. Ties break on event_id, so the
+    // maintained rows are deterministic. (vs ts_topk_window: that key is
+    // per-window batch top-k; this one maintains a global leaderboard.)
+    Op("stream_topk_maintain",
+      (s, dir) => {
+        val stage = graft.Staging.dir(s"topk-src-${dir.hashCode.toHexString}")
+        if (!new java.io.File(s"$stage/_SUCCESS").exists())
+          Tables(s, dir, "events")
+            .repartitionByRange(3, col("event_id"))
+            .write.mode("overwrite").parquet(stage)
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("event_type")
+          .orderBy(col("value").desc, col("event_id").desc)
+        def top3(df: org.apache.spark.sql.DataFrame) = df
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 3)
+        var state = Tables(s, dir, "events")
+          .select("event_type", "event_id", "value").limit(0)
+        val q = s.readStream.schema(Streams.eventsSchema)
+          .option("maxFilesPerTrigger", 1).parquet(stage)
+          .select("event_type", "event_id", "value")
+          .writeStream
+          .option("checkpointLocation", graft.Staging.fresh("topk-chk"))
+          .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+            StreamOps.topkMaintainBatches.incrementAndGet()
+            state = graft.util.cut(
+              top3(state.unionAll(top3(batch).drop("rn"))).drop("rn"))
+            ()
+          }
+          .start()
+        q.processAllAvailable()
+        q.stop()
+        top3(state).select("event_type", "rn", "event_id", "value")
+          .orderBy("event_type", "rn")
+      },
+      Some("""SELECT event_type, CAST(rn AS INTEGER) AS rn, event_id, value
+        FROM (SELECT event_type, event_id, value,
+          ROW_NUMBER() OVER (PARTITION BY event_type
+            ORDER BY value DESC, event_id DESC) AS rn FROM events) t
+        WHERE rn <= 3 ORDER BY event_type, rn""")),
 
     // Time-series gap-fill: per-user 5-minute grid from first to last
     // active bucket (sequence + explode — distributed, no driver

@@ -1,0 +1,113 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Semantic invariants for the QualityOps additions (cross-engine value
+  * equality is the Verify/DuckDB gate's job; these assert the properties
+  * the values must satisfy). */
+class QualityOpsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = TestSpark.sf
+
+  test("dq_referential: fixture FKs clean, fault-injection row catches orphans") {
+    val rows = SparkEntry.queries("dq_referential")(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(rows.size == 8)
+    rows.foreach { case (fk, (nChild, nOrphans)) =>
+      assert(nChild > 0, s"$fk audited zero children")
+      assert(nOrphans <= nChild)
+      if (fk != "fault_injected->orders")
+        assert(nOrphans == 0, s"$fk unexpectedly has $nOrphans orphans")
+    }
+    // The self-test row must detect every negated key as an orphan.
+    val (b, c) = rows("fault_injected->orders")
+    val clean = rows("lineitem->orders")._1
+    assert(c == b - clean, "fault injection must flag exactly the fuzzed rows")
+    assert(c > 0, "the audit never saw a violation — vacuous")
+  }
+
+  test("cdc_scd2: per user — versions contiguous, intervals chain, one current") {
+    val byUser = SparkEntry.queries("cdc_scd2")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3),
+        r.getLong(4), r.getInt(5)))
+      .groupBy(_._1)
+    assert(byUser.nonEmpty)
+    byUser.foreach { case (u, vs) =>
+      val sorted = vs.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == (1L to sorted.length), s"user $u versions not contiguous")
+      assert(sorted.count(_._6 == 1) == 1, s"user $u must have exactly one current row")
+      assert(sorted.last._6 == 1 && sorted.last._5 == -1L)
+      sorted.toSeq.sliding(2).foreach {
+        case Seq(a, b) =>
+          assert(a._5 == b._4, s"user $u: valid_to must equal next valid_from")
+          assert(a._3 != b._3, s"user $u: consecutive versions share event_type — runs not collapsed")
+        case _ =>
+      }
+    }
+  }
+
+  test("stream_scd2_maintain folds ordered micro-batches to the exact batch SCD2") {
+    val before = ops.QualityOps.scd2MaintainBatches.get()
+    val maintained = SparkEntry.queries("stream_scd2_maintain")(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    val nBatches = ops.QualityOps.scd2MaintainBatches.get() - before
+    assert(nBatches >= 2, s"expected multiple micro-batches, saw $nBatches")
+    val full = SparkEntry.queries("cdc_scd2")(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    assert(maintained == full, "maintained SCD2 ≠ batch rebuild")
+  }
+
+  test("dq_freshness: staleness non-negative, frontier class at zero") {
+    val rows = SparkEntry.queries("dq_freshness")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, n, _, stale) =>
+      assert(n > 0); assert(stale >= 0)
+    }
+    assert(rows.count(_._4 == 0) >= 1, "some class must own the frontier")
+    assert(rows.map(_._3).max ==
+      rows.filter(_._4 == 0).head._3, "zero-staleness class must hold max ts")
+  }
+
+  test("olap_mkt_share: shares partition each year exactly") {
+    val rows = SparkEntry.queries("olap_mkt_share")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (yr, rs) =>
+      val tot = rs.map(_._4).sum
+      assert(math.abs(tot - 1.0) < 1e-9, s"year $yr shares sum to $tot")
+      rs.foreach { case (_, _, rev, sh) =>
+        assert(rev > 0 && sh > 0 && sh <= 1.0)
+      }
+    }
+  }
+
+  test("text_boilerplate: boiler counts bounded and threshold actually splits") {
+    val rows = SparkEntry.queries("text_boilerplate")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, nSh, nBoiler, maxDf) =>
+      assert(nBoiler <= nSh)
+      if (nBoiler == 0) assert(maxDf == 0)
+    }
+    // The 25% threshold must neither flag everything nor nothing —
+    // otherwise the contract is vacuous at this SF.
+    assert(rows.exists(_._3 > 0), "no boilerplate found anywhere — vacuous")
+    assert(rows.exists(r => r._3 < r._2), "every shingle flagged — vacuous")
+  }
+
+  test("graph_harmonic: scores consistent with bounded reach") {
+    val rows = SparkEntry.queries("graph_harmonic")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    val custCount = Tables(spark, sf, "customer").count()
+    assert(rows.length == custCount,
+      "every customer has out-reach (nation at 1 hop) and must appear")
+    rows.foreach { case (_, h6, n) =>
+      // Each reached vertex contributes 6, 3, or 2; so 2n ≤ h6 ≤ 6n.
+      assert(h6 >= 2 * n && h6 <= 6 * n)
+      // nation at d=1 (6) and region at d=2 (3) are always reachable.
+      assert(h6 >= 9 && n >= 2)
+    }
+  }
+}

@@ -143,6 +143,24 @@ class StreamingSpec extends AnyFunSuite {
     assert(maintained == full, "streamed incremental labeling ≠ full recompute")
   }
 
+  test("stream_topk_maintain folds micro-batches to the exact full-data top-3") {
+    val before = graft.streaming.StreamOps.topkMaintainBatches.get()
+    val maintained = SparkEntry.queries("stream_topk_maintain")(spark, TestSpark.sf)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSeq
+    val nBatches = graft.streaming.StreamOps.topkMaintainBatches.get() - before
+    assert(nBatches >= 2, s"expected multiple micro-batches, saw $nBatches")
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val full = Tables(spark, TestSpark.sf, "events")
+      .withColumn("rn", row_number().over(Window.partitionBy("event_type")
+        .orderBy(col("value").desc, col("event_id").desc)))
+      .filter(col("rn") <= 3)
+      .select("event_type", "rn", "event_id")
+      .orderBy("event_type", "rn")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSeq
+    assert(maintained == full, "maintained leaderboard ≠ full-data top-3")
+  }
+
   test("ts_gapfill grid is complete: consecutive 5-min buckets, no holes") {
     val f = SparkEntry.queries("ts_gapfill")(spark, TestSpark.sf)
     // within each user, every step between consecutive grid rows is exactly
