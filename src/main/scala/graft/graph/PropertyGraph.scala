@@ -498,14 +498,55 @@ final case class PropertyGraph(vertices: DataFrame, edges: DataFrame) {
     * lets Structured Streaming maintain CC per micro-batch
     * (stream_cc_maintain) with delta-bounded work. */
   def foldBatchCC(lbl: DataFrame, batch: DataFrame, rounds: Int = 6): DataFrame = {
-    val pairs = batch
+    // Broadcast the DELTA-bounded sides, never the labeling: the batch (a
+    // micro-batch / ingest delta) and everything derived from it stay
+    // batch-sized by construction, while the labeling is graph-sized — so
+    // with these hints the labeling is never shuffled OR sorted anywhere
+    // in the fold (matters doubly under foreachBatch, where AQE is
+    // disabled and a post-cut labeling has no stats: without hints every
+    // join here went sort-merge). A deployment whose ingest batches
+    // outgrow broadcast drops the hints and takes the shuffle — that is
+    // the same knob PairCC documents.
+    val p1 = broadcast(batch.select("src", "dst"))
       .join(lbl.select(col("id").as("src"), col("component").as("da")), "src")
+    val pairs = broadcast(p1)
       .join(lbl.select(col("id").as("dst"), col("component").as("db")), "dst")
       .filter(col("da") =!= col("db"))
       .select("da", "db").distinct()
-    val merged = PairCC.labels(pairs, rounds)
-      .select(col("id").as("component"), col("lbl").as("mergedc"))
-    lbl.join(merged, Seq("component"), "left")
+    // The merge graph's nodes are TOUCHED COMPONENTS (≤ 2·|batch| of them,
+    // graph-size-independent), so under a size cap the exact component
+    // merge is a driver union-find — one job instead of a 6-round
+    // distributed label loop (the loop cost 6 small jobs × every
+    // micro-batch; at 3 streamed folds that was most of
+    // stream_cc_maintain's wall clock). Past the cap — ingest batches
+    // touching >100k components — the SAME semantics run distributed via
+    // PairCC. Identical labels either way: both assign each touched
+    // component the minimum component id in its merged set.
+    val cap = spark.conf.getOption("graft.cc.unionFindPairLimit")
+      .map(_.toInt).getOrElse(100000)
+    val head = pairs.limit(cap + 1).collect()
+    val merged =
+      if (head.length <= cap) {
+        val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+        def find(x: Long): Long = {
+          var r = x
+          while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+          var c = x
+          while (parent.getOrElse(c, c) != c) {
+            val n = parent.getOrElse(c, c); parent(c) = r; c = n
+          }
+          r
+        }
+        head.foreach { r =>
+          val (a, b) = (find(r.getLong(0)), find(r.getLong(1)))
+          if (a != b) { if (a < b) parent(b) = a else parent(a) = b }
+        }
+        val ids = head.flatMap(r => Seq(r.getLong(0), r.getLong(1))).distinct
+        val sp = spark; import sp.implicits._
+        ids.map(i => (i, find(i))).toSeq.toDF("component", "mergedc")
+      } else PairCC.labels(pairs, rounds)
+        .select(col("id").as("component"), col("lbl").as("mergedc"))
+    lbl.join(broadcast(merged), Seq("component"), "left")
       .select(col("id"), coalesce(col("mergedc"), col("component")).as("component"))
   }
   private val baseCCMemo =
