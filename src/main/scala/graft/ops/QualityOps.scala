@@ -229,6 +229,33 @@ object QualityOps extends OpModule {
         FROM sh LEFT JOIN boiler ON boiler.s = sh.s
         GROUP BY 1 ORDER BY 1""")),
 
+    // Exponential smoothing, EXACT: the 8-term halving-weight moving
+    // average (value/2 + prev/4 + ... + prev7/256) — the truncated EWMA a
+    // monitoring pipeline actually computes. Cross-engine bit-exact on raw
+    // doubles with NO decimal hop: dividing by 2^k only shifts the
+    // exponent (never rounds), and the written-out sum fixes the add
+    // order, so both engines execute the identical IEEE op sequence. One
+    // user-clustered sort, 8 lags in a single window pass.
+    Op("ts_ewma",
+      (s, dir) => {
+        view(s, dir, "events")
+        s.sql(EwmaSql)
+      },
+      Some(EwmaSql)),
+
+    // CDC APPLY with deletes — the missing half of upsert (sink_upsert):
+    // fold an insert/update/delete log to the final row set. Last-writer-
+    // wins per key via one row_number over the (ts, event_id) commit
+    // order; keys whose final action is D vanish. Values pass through
+    // untouched (no arithmetic — exact). At 100 TB this is one shuffle of
+    // the log on the primary key; the anti-delete filter is free.
+    Op("cdc_apply_deletes",
+      (s, dir) => {
+        view(s, dir, "events")
+        s.sql(CdcApplySql)
+      },
+      Some(CdcApplySql)),
+
     // Bounded-hop HARMONIC centrality from the customer roots: score(v) =
     // Σ_u 1/d(v,u) over out-reachable u within ≤3 hops, scaled ×6 so every
     // term (6/1, 6/2, 6/3) is an exact integer — cross-engine-exact without
@@ -316,6 +343,34 @@ object QualityOps extends OpModule {
         WHERE l_orderkey % 100 = 0) f
       LEFT JOIN orders o ON o.o_orderkey = f.l_orderkey
     ) checks ORDER BY fk"""
+
+  /** Engine-portable truncated-EWMA SQL (see ts_ewma). */
+  private val EwmaSql = {
+    val lags = (1 to 7).map(k =>
+      s"LAG(value, $k) OVER w AS v$k").mkString(",\n      ")
+    val terms = (1 to 7).map(k =>
+      s"COALESCE(v$k, 0) / ${1L << (k + 1)}").mkString(" + ")
+    s"""
+    WITH l AS (SELECT user_id, event_id, value,
+      $lags
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+    SELECT user_id, event_id, value / 2 + $terms AS ewma8
+    FROM l ORDER BY user_id, event_id"""
+  }
+
+  /** Engine-portable CDC apply SQL (see cdc_apply_deletes). */
+  private val CdcApplySql = """
+    WITH log AS (SELECT user_id, event_id, ts, value,
+      CASE WHEN event_id % 10 = 0 THEN 'D'
+           WHEN event_id % 3 = 0 THEN 'I' ELSE 'U' END AS op
+      FROM events),
+    last AS (SELECT user_id, op, value,
+      ROW_NUMBER() OVER (PARTITION BY user_id
+        ORDER BY ts DESC, event_id DESC) AS rn
+      FROM log)
+    SELECT user_id, op AS last_op, value FROM last
+    WHERE rn = 1 AND op <> 'D' ORDER BY user_id"""
 
   /** Freshness audit; `tm` is the engine-specific epoch-micros extraction. */
   private def freshnessSql(tm: String): String = s"""

@@ -147,6 +147,24 @@ class PropertyGraphSpec extends AnyFunSuite {
     }
   }
 
+  test("CC fold: driver union-find and distributed PairCC paths agree; labeling never shuffles") {
+    val lbl = g.storedBaseCC(col("label") === "did")
+    val batch = g.edges.filter(col("label") === "did").select("src", "dst")
+    def fold(): Seq[(Long, Long)] = g.foldBatchCC(lbl, batch).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val viaUnionFind = fold() // default cap: driver path
+    spark.conf.set("graft.cc.unionFindPairLimit", "0") // force distributed
+    val viaPairCC = try fold()
+    finally spark.conf.unset("graft.cc.unionFindPairLimit")
+    assert(viaUnionFind == viaPairCC, "cutover paths must be bit-identical")
+    // Scale shape: with delta-bounded sides broadcast, the stored labeling
+    // is never exchanged or sorted anywhere in the fold plan.
+    val plan = g.foldBatchCC(lbl, batch).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.linesIterator.take(5).mkString("\n"))
+    assert(!plan.contains("SortMergeJoin"),
+      "fold must not sort-merge the labeling:\n" + plan.linesIterator.take(25).mkString("\n"))
+  }
+
   test("incrementalTriangles ≡ full recount, including multi-delta-edge triangles") {
     val full = g.triangleCounts.agg(sum("n_tri")).head.getLong(0) / 3
     // 'colocated' deltas close wedges with ONE delta edge each; 'in_nation'

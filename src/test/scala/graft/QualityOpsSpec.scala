@@ -96,6 +96,29 @@ class QualityOpsSpec extends AnyFunSuite {
     assert(rows.exists(r => r._3 < r._2), "every shingle flagged — vacuous")
   }
 
+  test("ts_ewma: bounded by window max, equals value/2-scaled head for first rows") {
+    val rows = SparkEntry.queries("ts_ewma")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.nonEmpty)
+    // Weights sum to 255/256 < 1, every term ≥ 0 when values ≥ 0... values
+    // may be any sign; assert instead |ewma| ≤ max|value| (convexity bound).
+    val maxAbs = Tables(spark, sf, "events")
+      .agg(org.apache.spark.sql.functions.max(
+        org.apache.spark.sql.functions.abs(org.apache.spark.sql.functions.col("value"))))
+      .head.getDouble(0)
+    rows.foreach { case (_, _, e) => assert(math.abs(e) <= maxAbs) }
+  }
+
+  test("cdc_apply_deletes: no deleted keys survive, one row per key") {
+    val rows = SparkEntry.queries("cdc_apply_deletes")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(rows.nonEmpty)
+    assert(rows.map(_._1).distinct.length == rows.length, "one row per key")
+    assert(rows.forall(_._2 != "D"), "deleted keys must vanish")
+    val nKeys = Tables(spark, sf, "events").select("user_id").distinct().count()
+    assert(rows.length < nKeys, "some key's last action must be a delete")
+  }
+
   test("graph_harmonic: scores consistent with bounded reach") {
     val rows = SparkEntry.queries("graph_harmonic")(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
