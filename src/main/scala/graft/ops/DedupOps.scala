@@ -18,6 +18,40 @@ import textsql._
   * more than one bucket's pairs in an executor at a time. */
 object DedupOps extends OpModule {
 
+  /** Test observability: micro-batches folded by stream_minhash_maintain. */
+  val minhashMaintainBatches = new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** Band signature (doc_id, b0, b1) for the docs in `docsRel` — the
+    * per-batch step of the streaming dedup-index maintenance; same hash
+    * family and band layout as [[minhashCtes]], Spark dialect only. */
+  private def bandsSql(docsRel: String): String = s"""
+    WITH sh AS (SELECT DISTINCT doc_id, s FROM (
+        SELECT doc_id, explode(${sparkShingles("toks")}) AS s FROM (
+          SELECT doc_id, ${sparkToks("text")} AS toks FROM $docsRel
+          WHERE size(${sparkToks("text")}) >= 3) t) x),
+    hs AS (SELECT doc_id, ${sparkHash("s")} AS h FROM sh),
+    sig AS (SELECT doc_id, $minCols FROM hs GROUP BY doc_id)
+    SELECT doc_id,
+      concat_ws('_', CAST(m0 AS STRING), CAST(m1 AS STRING), CAST(m2 AS STRING), CAST(m3 AS STRING)) AS b0,
+      concat_ws('_', CAST(m4 AS STRING), CAST(m5 AS STRING), CAST(m6 AS STRING), CAST(m7 AS STRING)) AS b1
+    FROM sig"""
+
+  /** Exact shingle-Jaccard verify of the `mh_cand` (da, db) candidates
+    * against the `documents` view — the tail of [[minhashCtes]] with the
+    * candidate set injected; Spark dialect only. */
+  private def candVerifySql: String = s"""
+    WITH sh AS (SELECT doc_id, s FROM ($sparkShingleSql) q),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (SELECT c.da, c.db, COUNT(*) AS i FROM mh_cand c
+      JOIN sh sa ON sa.doc_id = c.da
+      JOIN sh sb ON sb.doc_id = c.db AND sb.s = sa.s
+      GROUP BY c.da, c.db)
+    SELECT da, db, i AS n_common,
+      CAST(i AS DOUBLE) / CAST(na.n + nb.n - i AS DOUBLE) AS jaccard
+    FROM inter JOIN sizes na ON na.doc_id = da
+    JOIN sizes nb ON nb.doc_id = db
+    WHERE CAST(i AS DOUBLE) / CAST(na.n + nb.n - i AS DOUBLE) >= 0.5"""
+
   /** Distinct (doc_id, 3-word-shingle) pairs — the unit of minhash/ngram. */
   private def sparkShingleSql =
     s"""SELECT DISTINCT doc_id, n_chars, s FROM (
@@ -55,13 +89,16 @@ object DedupOps extends OpModule {
     * dialect; shared by dedup_minhash (reports the pairs) and dedup_cluster
     * (connects them into components). `shFrom` is the shingle source: the
     * materialized view (Spark) or the inline subquery (DuckDB). */
+  /** The 8 affine-minhash aggregate columns (shared by the batch pipeline
+    * and the streaming maintenance's per-batch signature step). */
+  private val minCols = A.zipWithIndex
+    .map { case (a, i) => s"MIN(($a * h + ${i + 1}) % $P) AS m$i" }
+    .mkString(", ")
+
   private def minhashCtes(spark: Boolean, shFrom: String): String = {
     val mat = if (spark) "" else "MATERIALIZED "
     val str = if (spark) "STRING" else "VARCHAR"
     val hash = if (spark) sparkHash("s") else duckHash("s")
-    val minCols = A.zipWithIndex
-      .map { case (a, i) => s"MIN(($a * h + ${i + 1}) % $P) AS m$i" }
-      .mkString(", ")
     s"""sh AS ${mat}(SELECT doc_id, s FROM $shFrom),
       hs AS (SELECT doc_id, $hash AS h FROM sh),
       sig AS ${mat}(SELECT doc_id, $minCols FROM hs GROUP BY doc_id),
@@ -171,6 +208,72 @@ object DedupOps extends OpModule {
         FROM cl4 c JOIN (SELECT lbl, COUNT(*) AS n FROM cl4 GROUP BY lbl) s
           ON s.lbl = c.lbl
         ORDER BY cluster_rep, doc_id""")),
+
+    // STREAMING DEDUP-INDEX MAINTENANCE — the near-dup pair set kept
+    // current as corpus slices arrive (the shape a 100 TB/day training-data
+    // intake actually runs: nobody re-minhashes the whole corpus per
+    // drop). State: the band index (doc_id, b0, b1) of every doc seen +
+    // the verified pair set. Per batch: signature/bands for the NEW docs
+    // only; candidates = new-bands equi-joined against the full index
+    // (two band joins, new side broadcast — the index never shuffles);
+    // already-verified pairs are anti-joined away; survivors get the exact
+    // shingle-Jaccard verify. Pair discovery is ORDER-FREE (a pair
+    // surfaces exactly once, when its later doc arrives), so any slicing
+    // folds to the same set — the oracle is the full-corpus batch
+    // pipeline, and three folds must land exactly on it. Per-batch cost:
+    // batch-sized signature work + index probes; nothing corpus-sized is
+    // ever recomputed.
+    Op("stream_minhash_maintain",
+      (s, dir) => {
+        val stage = graft.Staging.dir(s"mhm-src-${dir.hashCode.toHexString}")
+        if (!new java.io.File(s"$stage/_SUCCESS").exists())
+          Tables(s, dir, "documents").select("doc_id", "text")
+            .repartitionByRange(3, col("doc_id"))
+            .write.mode("overwrite").parquet(stage)
+        Tables(s, dir, "documents").createOrReplaceTempView("documents")
+        var bands = s.sql(bandsSql("documents")).limit(0)
+        var pairs = s.createDataFrame(
+          new java.util.ArrayList[org.apache.spark.sql.Row](),
+          org.apache.spark.sql.types.StructType.fromDDL(
+            "da BIGINT, db BIGINT, n_common BIGINT, jaccard DOUBLE"))
+        val q = s.readStream
+          .schema(org.apache.spark.sql.types.StructType.fromDDL(
+            "doc_id BIGINT, text STRING"))
+          .option("maxFilesPerTrigger", 1).parquet(stage)
+          .writeStream
+          .option("checkpointLocation", graft.Staging.fresh("mhm-chk"))
+          .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+            DedupOps.minhashMaintainBatches.incrementAndGet()
+            // foreachBatch hands a Dataset on a CLONED session; register
+            // and query everything through it (it inherited the
+            // `documents` view registered before start()).
+            val bs = batch.sparkSession
+            batch.createOrReplaceTempView("mh_batch")
+            val nb = graft.util.cut(bs.sql(bandsSql("mh_batch")))
+            bands = graft.util.cut(bands.unionAll(nb))
+            def candOn(b: String) = broadcast(
+              nb.select(col("doc_id").as("nid"), col(b).as("k")))
+              .join(bands.select(col("doc_id").as("aid"), col(b).as("k")), "k")
+            val cand = candOn("b0").unionAll(candOn("b1"))
+              .filter(col("nid") =!= col("aid"))
+              .select(least(col("nid"), col("aid")).as("da"),
+                greatest(col("nid"), col("aid")).as("db"))
+              .distinct()
+              .join(pairs.select("da", "db"), Seq("da", "db"), "left_anti")
+            cand.createOrReplaceTempView("mh_cand")
+            pairs = graft.util.cut(pairs.unionAll(bs.sql(candVerifySql)))
+            ()
+          }
+          .start()
+        q.processAllAvailable()
+        q.stop()
+        pairs.select(col("da").as("doc_a"), col("db").as("doc_b"),
+          col("n_common"), col("jaccard"))
+          .orderBy("doc_a", "doc_b")
+      },
+      Some(s"""WITH ${minhashCtes(spark = false, s"($duckShingleSql) q")}
+        SELECT da AS doc_a, db AS doc_b, n_common, jaccard FROM pairs
+        ORDER BY doc_a, doc_b""")),
 
     // 32-bit SimHash fingerprint over tokens (with multiplicity).
     Op("dedup_simhash",

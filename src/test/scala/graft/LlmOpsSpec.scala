@@ -140,6 +140,17 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(shared.count() == hits.head.getLong(1))
   }
 
+  test("stream_minhash_maintain folds corpus slices to the exact batch pair set") {
+    val before = ops.DedupOps.minhashMaintainBatches.get()
+    val maintained = SparkEntry.queries("stream_minhash_maintain")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val nBatches = ops.DedupOps.minhashMaintainBatches.get() - before
+    assert(nBatches >= 2, s"expected multiple micro-batches, saw $nBatches")
+    val full = SparkEntry.queries("dedup_minhash")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(maintained == full, "maintained pair set ≠ batch MinHash pipeline")
+  }
+
   test("text_filter verdicts partition the corpus with auditable reasons") {
     val f = SparkEntry.queries("text_filter")(spark, sf)
     val verdicts = f.select("verdict").distinct().collect().map(_.getString(0)).toSet
