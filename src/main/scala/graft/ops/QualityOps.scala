@@ -256,6 +256,70 @@ object QualityOps extends OpModule {
       },
       Some(CdcApplySql)),
 
+    // Rank-statistic windows: PERCENT_RANK + CUME_DIST over a UNIQUE total
+    // order ((price, key) tiebreak — rank == row_number, so both measures
+    // are ratios of identical ints and the doubles match bit-for-bit).
+    // One shuffle on the partition key, single window pass.
+    Op("win_percent_rank",
+      (s, dir) => {
+        view(s, dir, "orders")
+        s.sql(PercentRankSql)
+      },
+      Some(PercentRankSql)),
+
+    // Exact heavy hitters — the frequent-key audit (hot users, hot shards):
+    // keys whose count is ≥ 1.2× the mean (n·u·5 ≥ total·6 — integer-only
+    // threshold, calibrated to split the fixture's flat-ish distribution
+    // at every shipped SF). Two map-side-combined aggregates; the
+    // threshold scalars broadcast. At 100 TB this is the exact pass you
+    // run AFTER a sketch (approx_distinct/topk) flags a shard — or
+    // standalone when the key space fits a shuffle, as here.
+    Op("agg_heavy_hitters",
+      (s, dir) => {
+        view(s, dir, "events")
+        s.sql(HeavyHittersSql)
+      },
+      Some(HeavyHittersSql)),
+
+    // RAG-style CHUNKING: fixed 50-token windows, stride 40 (10-token
+    // overlap) — the retrieval-corpus prep step between cleaning and
+    // embedding. Chunk count is pure integer arithmetic ((n-11) div 40 + 1
+    // past one window), chunk bodies come from per-row array slices —
+    // distributed explode, no driver enumeration, no shuffle at all until
+    // the final presentation sort. (vs text_pack: that key PACKS whole
+    // docs into context budgets; this one SPLITS docs into windows.)
+    Op("text_chunk",
+      (s, dir) => {
+        view(s, dir, "documents")
+        s.sql(chunkSql(
+          toks = sparkToks("text"), len = t => s"size($t)",
+          div = "div", gen = nc => s"explode(sequence(1, $nc))",
+          slice = (t, a, l) => s"slice($t, $a, $l)",
+          join = a => s"concat_ws(' ', $a)"))
+      },
+      Some(chunkSql(
+        toks = duckToks("text"), len = t => s"len($t)",
+        div = "//", gen = nc => s"unnest(generate_series(1, $nc))",
+        slice = (t, a, l) => s"$t[$a:$a + $l - 1]",
+        join = a => s"array_to_string($a, ' ')"))),
+
+    // GNN-style NEIGHBOR SAMPLING (GraphSAGE fan-out [2,2]): per customer
+    // root, a deterministic 2-neighbor sample per node by md5(edge) rank —
+    // the subgraph extraction step of distributed GNN training. Each level
+    // is one equi-join + one per-parent window; sampling by edge hash
+    // means a node's sample is identical for every root that reaches it
+    // (cacheable at 100 TB) and reproducible across engines/partitionings.
+    Op("graph_khop_sample",
+      (s, dir) => {
+        val g = GraphFixture(s, dir)
+        g.vertices.createOrReplaceTempView("g_vertices")
+        g.edges.createOrReplaceTempView("g_edges")
+        s.sql("WITH " + khopSampleCtes("g_vertices", "g_edges", "STRING") +
+          " " + KhopSampleBody)
+      },
+      Some(GraphSql.withGraph(KhopSampleBody,
+        extra = khopSampleCtes("vertices", "edges", "VARCHAR")))),
+
     // Bounded-hop HARMONIC centrality from the customer roots: score(v) =
     // Σ_u 1/d(v,u) over out-reachable u within ≤3 hops, scaled ×6 so every
     // term (6/1, 6/2, 6/3) is an exact integer — cross-engine-exact without
@@ -371,6 +435,68 @@ object QualityOps extends OpModule {
       FROM log)
     SELECT user_id, op AS last_op, value FROM last
     WHERE rn = 1 AND op <> 'D' ORDER BY user_id"""
+
+  /** Engine-portable rank-statistic window SQL. */
+  private val PercentRankSql = """
+    SELECT o_orderkey, o_orderstatus,
+      PERCENT_RANK() OVER w AS pr,
+      CUME_DIST() OVER w AS cd
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
+    ORDER BY o_orderstatus, o_orderkey"""
+
+  /** Engine-portable exact heavy-hitters SQL (≥ 1.2× mean, integer-only). */
+  private val HeavyHittersSql = """
+    WITH c AS (SELECT user_id, COUNT(*) AS n FROM events GROUP BY 1),
+    t AS (SELECT COUNT(*) AS total, COUNT(DISTINCT user_id) AS u FROM events)
+    SELECT user_id, n FROM c
+    WHERE n * (SELECT u FROM t) * 5 >= (SELECT total FROM t) * 6
+    ORDER BY n DESC, user_id"""
+
+  /** Chunking SQL; engine-specific pieces injected (see text_chunk). */
+  private def chunkSql(toks: String, len: String => String, div: String,
+      gen: String => String, slice: (String, String, String) => String,
+      join: String => String): String = {
+    val nc = s"CASE WHEN n <= 50 THEN 1 ELSE (n - 11) $div 40 + 1 END"
+    val start = "(1 + 40 * (i - 1))"
+    s"""
+    WITH toks AS (SELECT doc_id, $toks AS t FROM documents),
+    sized AS (SELECT doc_id, t, ${len("t")} AS n FROM toks),
+    g AS (SELECT doc_id, t, n, ${gen(nc)} AS i FROM sized)
+    SELECT doc_id, CAST(i AS BIGINT) AS chunk_id,
+      ${join(slice("t", start, "50"))} AS chunk,
+      CAST(${len(slice("t", start, "50"))} AS BIGINT) AS n_tok
+    FROM g ORDER BY doc_id, chunk_id"""
+  }
+
+  /** k-hop sampling CTEs over (`vRel`, `eRel`); `str` is the engine's
+    * string type name for the md5-rank cast. Pairs with [[KhopSampleBody]]
+    * under the caller's WITH clause. */
+  private def khopSampleCtes(vRel: String, eRel: String, str: String): String = {
+    def h(s: String, d: String) =
+      s"md5(concat(CAST($s AS $str), '_', CAST($d AS $str)))"
+    s"""s1 AS (
+      SELECT src AS root, dst AS id FROM (
+        SELECT e.src, e.dst,
+          ROW_NUMBER() OVER (PARTITION BY e.src
+            ORDER BY ${h("e.src", "e.dst")}, e.dst) AS rn
+        FROM $eRel e JOIN $vRel v ON v.id = e.src AND v.label = 'customer') x
+      WHERE rn <= 2),
+    s2 AS (
+      SELECT root, id FROM (
+        SELECT s1.root, e.dst AS id,
+          ROW_NUMBER() OVER (PARTITION BY s1.root, s1.id
+            ORDER BY ${h("e.src", "e.dst")}, e.dst) AS rn
+        FROM s1 JOIN $eRel e ON e.src = s1.id) x
+      WHERE rn <= 2)"""
+  }
+
+  private val KhopSampleBody = """
+    SELECT root, hop, id FROM (
+      SELECT DISTINCT root, 1 AS hop, id FROM s1
+      UNION ALL
+      SELECT DISTINCT root, 2 AS hop, id FROM s2) u
+    ORDER BY root, hop, id"""
 
   /** Freshness audit; `tm` is the engine-specific epoch-micros extraction. */
   private def freshnessSql(tm: String): String = s"""

@@ -119,6 +119,60 @@ class QualityOpsSpec extends AnyFunSuite {
     assert(rows.length < nKeys, "some key's last action must be a delete")
   }
 
+  test("win_percent_rank: both measures in [0,1], monotone in the order") {
+    val rows = SparkEntry.queries("win_percent_rank")(spark, sf).collect()
+      .map(r => (r.getString(1), r.getDouble(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, pr, cd) =>
+      assert(pr >= 0.0 && pr <= 1.0); assert(cd > 0.0 && cd <= 1.0)
+    }
+    rows.groupBy(_._1).foreach { case (_, rs) =>
+      assert(rs.exists(_._2 == 0.0) && rs.exists(_._3 == 1.0))
+    }
+  }
+
+  test("agg_heavy_hitters: flags only above-mean keys, threshold splits") {
+    val total = Tables(spark, sf, "events").count()
+    val u = Tables(spark, sf, "events").select("user_id").distinct().count()
+    val rows = SparkEntry.queries("agg_heavy_hitters")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows.nonEmpty, "threshold flagged nothing — vacuous")
+    assert(rows.length < u, "threshold flagged every key — vacuous")
+    rows.foreach { case (_, n) => assert(n * u * 5 >= total * 6) }
+  }
+
+  test("text_chunk: stride-40 windows tile every doc, full token coverage") {
+    val rows = SparkEntry.queries("text_chunk")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+    val byDoc = rows.groupBy(_._1)
+    val nDocs = Tables(spark, sf, "documents").count()
+    assert(byDoc.size == nDocs, "every doc must chunk")
+    import org.apache.spark.sql.functions._
+    val tokCounts = Tables(spark, sf, "documents")
+      .select(col("doc_id"), size(split(col("text"), " ")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    byDoc.foreach { case (d, cs) =>
+      val n = tokCounts(d)
+      val expected = if (n <= 50) 1 else (n - 11) / 40 + 1
+      assert(cs.length == expected, s"doc $d: ${cs.length} chunks, want $expected")
+      val last = cs.maxBy(_._2)
+      // last chunk must reach the final token: start + len - 1 == n
+      assert(40 * (last._2 - 1) + last._3 == n, s"doc $d tail uncovered")
+    }
+  }
+
+  test("graph_khop_sample: fan-out bounds hold, every out-degree customer roots") {
+    val rows = SparkEntry.queries("graph_khop_sample")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    val byRoot = rows.groupBy(_._1)
+    assert(byRoot.nonEmpty)
+    byRoot.foreach { case (root, rs) =>
+      val h1 = rs.filter(_._2 == 1); val h2 = rs.filter(_._2 == 2)
+      assert(h1.nonEmpty && h1.length <= 2, s"root $root h1=${h1.length}")
+      assert(h2.length <= 4, s"root $root h2=${h2.length}")
+    }
+  }
+
   test("graph_harmonic: scores consistent with bounded reach") {
     val rows = SparkEntry.queries("graph_harmonic")(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
