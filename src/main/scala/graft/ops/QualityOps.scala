@@ -30,9 +30,12 @@ object QualityOps extends OpModule {
     // audit's answer); the eighth row fault-injects negated order keys into
     // a copy of the child, proving the audit counts real violations rather
     // than vacuously passing. Each check is one LEFT JOIN on a unique
-    // parent key; parent sides are dimension-sized (broadcast), so at
-    // 100 TB every check is a map-side probe over the child scan — no
-    // child-sized shuffle.
+    // parent key. At fixture scale every parent broadcasts (asserted in
+    // PlanQualitySpec); at 100 TB that stays true for the DIMENSION
+    // parents (nation/region/part/customer) while fact-sized parents
+    // (orders in lineitem->orders) outgrow broadcast and AQE takes the
+    // key-partitioned shuffle — the correct shape, since the orphan count
+    // is a per-key-partition map-side aggregate either way.
     Op("dq_referential",
       (s, dir) => {
         Seq("lineitem", "orders", "customer", "supplier", "nation", "region",

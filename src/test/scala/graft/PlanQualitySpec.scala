@@ -270,4 +270,24 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(p.contains("PushedFilters: [IsNotNull(c_mktsegment), EqualTo(c_mktsegment,BUILDING)]")
       || p.contains("EqualTo(c_mktsegment,BUILDING)"), p)
   }
+
+  test("olap_mkt_share broadcasts the snowflake dims; share window runs post-aggregate") {
+    val p = finalPlan("olap_mkt_share")
+    // supplier/nation/region all broadcast; only the fact-fact join shuffles
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 3, p)
+    assert(!p.contains("CartesianProduct"), p)
+    // the window must sit ABOVE the aggregate (years×regions-sized input),
+    // never over the fact: in the rendered tree the Window node appears
+    // before (= downstream of) the HashAggregate nodes.
+    val wi = p.indexOf("Window"); val ai = p.indexOf("HashAggregate")
+    assert(wi >= 0 && ai >= 0 && wi < ai, "share window not post-aggregate:\n" + p)
+  }
+
+  test("dq_referential probes every FK as a broadcast of the parent side") {
+    val p = finalPlan("dq_referential")
+    // 8 checks; each parent (dimension/unique-key side) must broadcast —
+    // a child-sized shuffle would make the audit cost a full fact sort.
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 8, p)
+    assert(!p.contains("SortMergeJoin"), "audit shuffled a child table:\n" + p)
+  }
 }
