@@ -38,9 +38,14 @@ object DedupOps extends OpModule {
 
   /** Exact shingle-Jaccard verify of the `mh_cand` (da, db) candidates
     * against the `documents` view — the tail of [[minhashCtes]] with the
-    * candidate set injected; Spark dialect only. */
+    * candidate set injected; Spark dialect only. The shingle scan is
+    * SEMI-JOINED down to candidate docs first: per-batch verify work is
+    * candidate-bounded, never corpus-sized. */
   private def candVerifySql: String = s"""
-    WITH sh AS (SELECT doc_id, s FROM ($sparkShingleSql) q),
+    WITH cids AS (SELECT da AS doc_id FROM mh_cand
+      UNION SELECT db FROM mh_cand),
+    sh AS (SELECT doc_id, s FROM ($sparkShingleSql) q
+      WHERE doc_id IN (SELECT doc_id FROM cids)),
     sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
     inter AS (SELECT c.da, c.db, COUNT(*) AS i FROM mh_cand c
       JOIN sh sa ON sa.doc_id = c.da
