@@ -18,6 +18,9 @@ object QualityOps extends OpModule {
   /** Test observability: micro-batches folded by stream_scd2_maintain. */
   val scd2MaintainBatches = new java.util.concurrent.atomic.AtomicLong(0)
 
+  /** Test observability: micro-batches audited by stream_quality_gate. */
+  val qualityGateBatches = new java.util.concurrent.atomic.AtomicLong(0)
+
   private def view(s: org.apache.spark.sql.SparkSession, dir: String, n: String): Unit =
     Tables(s, dir, n).createOrReplaceTempView(n)
 
@@ -259,6 +262,108 @@ object QualityOps extends OpModule {
       },
       Some(CdcApplySql)),
 
+    // OLAP flagship — returned-items report (TPC-H Q10 shape): selective
+    // fact filter (l_returnflag = 'R', pushed to the scan) → fact-fact
+    // join → customer rollup → global top-20 via TakeOrderedAndProject.
+    // The customer group-by is the one wide shuffle; dims broadcast.
+    Op("olap_returned_top",
+      (s, dir) => {
+        Seq("lineitem", "orders", "customer", "nation").foreach(view(s, dir, _))
+        s.sql(returnedTopSql(e => s"CAST($e AS DOUBLE)"))
+      },
+      Some(returnedTopSql(e => s"CAST(CAST($e AS VARCHAR) AS DOUBLE)"))),
+
+    // NEAREST-match as-of join (vs join_asof's backward-only): each
+    // purchase pairs with its temporally CLOSEST click, before or after.
+    // Same union-frame trick, two window passes over ONE user-clustered
+    // sort (running max for the backward candidate, running min over the
+    // following frame for the forward one), then an integer-micros CASE
+    // picks the nearer side (ties to backward). No range join, no
+    // per-row subquery — one shuffle on user_id at any scale.
+    Op("join_asof_nearest",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val ev = Tables(s, dir, "events")
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("user_id"), col("ts"), lit(0).as("tag"),
+            lit(-1L).as("event_id"))
+        val purch = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts"), lit(1).as("tag"), col("event_id"))
+        val ord = Window.partitionBy("user_id").orderBy("ts", "tag", "event_id")
+        val back = ord.rowsBetween(Long.MinValue, 0)
+        val fwd = ord.rowsBetween(0, Long.MaxValue)
+        clicks.union(purch)
+          .withColumn("b", max(when(col("tag") === 0, col("ts"))).over(back))
+          .withColumn("f", min(when(col("tag") === 0, col("ts"))).over(fwd))
+          .filter(col("tag") === 1)
+          .withColumn("nearest_click_ts",
+            when(col("b").isNull, col("f"))
+              .when(col("f").isNull, col("b"))
+              .when(expr("unix_micros(ts) - unix_micros(b)") <=
+                expr("unix_micros(f) - unix_micros(ts)"), col("b"))
+              .otherwise(col("f")))
+          .select("event_id", "user_id", "ts", "nearest_click_ts")
+          .orderBy("event_id")
+      },
+      Some("""SELECT p.event_id, p.user_id, p.ts,
+        CASE WHEN b.ts IS NULL THEN f.ts
+             WHEN f.ts IS NULL THEN b.ts
+             WHEN epoch_us(p.ts) - epoch_us(b.ts)
+               <= epoch_us(f.ts) - epoch_us(p.ts) THEN b.ts
+             ELSE f.ts END AS nearest_click_ts
+        FROM events p
+        LEFT JOIN LATERAL (SELECT MAX(c.ts) AS ts FROM events c
+          WHERE c.event_type = 'click' AND c.user_id = p.user_id
+            AND c.ts <= p.ts) b ON true
+        LEFT JOIN LATERAL (SELECT MIN(c.ts) AS ts FROM events c
+          WHERE c.event_type = 'click' AND c.user_id = p.user_id
+            AND c.ts > p.ts) f ON true
+        WHERE p.event_type = 'purchase' ORDER BY p.event_id""")),
+
+    // STREAMING QUALITY GATE — the per-batch audit a production intake
+    // runs before letting a micro-batch through: per event class, rows
+    // seen and rows quarantined (value < 0.5 — a rule that actually fires
+    // on ~1% of the fixture at every SF, so the gate is never vacuous).
+    // State is the audit-totals table (classes-sized); each batch folds
+    // its own map-side-combined aggregate in — additive state, the
+    // cheapest maintenance shape there is. The oracle is the whole-corpus
+    // audit: three gated batches must sum exactly to it.
+    Op("stream_quality_gate",
+      (s, dir) => {
+        val stage = graft.Staging.dir(s"dqg-src-${dir.hashCode.toHexString}")
+        if (!new java.io.File(s"$stage/_SUCCESS").exists())
+          Tables(s, dir, "events")
+            .select("event_id", "event_type", "value")
+            .repartitionByRange(3, col("event_id"))
+            .write.mode("overwrite").parquet(stage)
+        var state = Tables(s, dir, "events")
+          .select(col("event_type"), lit(0L).as("n"), lit(0L).as("n_bad"))
+          .limit(0)
+        val q = s.readStream
+          .schema(org.apache.spark.sql.types.StructType.fromDDL(
+            "event_id BIGINT, event_type STRING, value DOUBLE"))
+          .option("maxFilesPerTrigger", 1).parquet(stage)
+          .writeStream
+          .option("checkpointLocation", graft.Staging.fresh("dqg-chk"))
+          .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+            QualityOps.qualityGateBatches.incrementAndGet()
+            val audit = batch.groupBy("event_type")
+              .agg(count(lit(1)).as("n"),
+                count(when(col("value") < 0.5, 1)).as("n_bad"))
+            state = graft.util.cut(state.unionAll(audit)
+              .groupBy("event_type")
+              .agg(sum("n").as("n"), sum("n_bad").as("n_bad")))
+            ()
+          }
+          .start()
+        q.processAllAvailable()
+        q.stop()
+        state.orderBy("event_type")
+      },
+      Some("""SELECT event_type, COUNT(*) AS n,
+        COUNT(CASE WHEN value < 0.5 THEN 1 END) AS n_bad
+        FROM events GROUP BY 1 ORDER BY 1""")),
+
     // Rank-statistic windows: PERCENT_RANK + CUME_DIST over a UNIQUE total
     // order ((price, key) tiebreak — rank == row_number, so both measures
     // are ratios of identical ints and the doubles match bit-for-bit).
@@ -438,6 +543,18 @@ object QualityOps extends OpModule {
       FROM log)
     SELECT user_id, op AS last_op, value FROM last
     WHERE rn = 1 AND op <> 'D' ORDER BY user_id"""
+
+  /** Returned-items report SQL; `d` renders the engine's correctly-rounded
+    * DECIMAL→DOUBLE cast. */
+  private def returnedTopSql(d: String => String): String = s"""
+    SELECT c_custkey, c_name, n_name,
+      ${d("SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,10)))")}
+        AS revenue
+    FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    JOIN nation ON n_nationkey = c_nationkey
+    WHERE l_returnflag = 'R'
+    GROUP BY 1, 2, 3 ORDER BY revenue DESC, c_custkey LIMIT 20"""
 
   /** Engine-portable rank-statistic window SQL. */
   private val PercentRankSql = """

@@ -175,10 +175,13 @@ object StreamOps extends OpModule {
         val stage = graft.Staging.dir(s"ccm-src-${dir.hashCode.toHexString}")
         if (!new java.io.File(s"$stage/_SUCCESS").exists())
           Tables(s, dir, "events")
+            .select("user_id", "event_id")
             .repartitionByRange(3, col("event_id"))
             .write.mode("overwrite").parquet(stage)
         var lbl = g.storedBaseCC(col("label") === "did")
-        val q = s.readStream.schema(Streams.eventsSchema)
+        val q = s.readStream
+          .schema(org.apache.spark.sql.types.StructType.fromDDL(
+            "user_id BIGINT, event_id BIGINT"))
           .option("maxFilesPerTrigger", 1).parquet(stage)
           .select((lit(7 * B) + col("user_id")).as("src"),
             (lit(8 * B) + col("event_id")).as("dst"))
@@ -244,6 +247,7 @@ object StreamOps extends OpModule {
         val stage = graft.Staging.dir(s"topk-src-${dir.hashCode.toHexString}")
         if (!new java.io.File(s"$stage/_SUCCESS").exists())
           Tables(s, dir, "events")
+            .select("event_type", "event_id", "value")
             .repartitionByRange(3, col("event_id"))
             .write.mode("overwrite").parquet(stage)
         val w = org.apache.spark.sql.expressions.Window
@@ -254,7 +258,9 @@ object StreamOps extends OpModule {
           .filter(col("rn") <= 3)
         var state = Tables(s, dir, "events")
           .select("event_type", "event_id", "value").limit(0)
-        val q = s.readStream.schema(Streams.eventsSchema)
+        val q = s.readStream
+          .schema(org.apache.spark.sql.types.StructType.fromDDL(
+            "event_type STRING, event_id BIGINT, value DOUBLE"))
           .option("maxFilesPerTrigger", 1).parquet(stage)
           .select("event_type", "event_id", "value")
           .writeStream

@@ -119,6 +119,41 @@ class QualityOpsSpec extends AnyFunSuite {
     assert(rows.length < nKeys, "some key's last action must be a delete")
   }
 
+  test("stream_quality_gate sums batch audits to the whole-corpus audit") {
+    val before = ops.QualityOps.qualityGateBatches.get()
+    val gated = SparkEntry.queries("stream_quality_gate")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    val nBatches = ops.QualityOps.qualityGateBatches.get() - before
+    assert(nBatches >= 2, s"expected multiple micro-batches, saw $nBatches")
+    import org.apache.spark.sql.functions._
+    val full = Tables(spark, sf, "events").groupBy("event_type")
+      .agg(count(lit(1)).as("n"), count(when(col("value") < 0.5, 1)).as("nb"))
+      .orderBy("event_type")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(gated == full, "gated totals ≠ whole-corpus audit")
+    assert(gated.exists(_._3 > 0), "quarantine rule never fired — vacuous")
+  }
+
+  test("join_asof_nearest picks the closer of backward/forward candidates") {
+    val rows = SparkEntry.queries("join_asof_nearest")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // cross-check 20 purchases against a direct per-row computation
+    val ev = Tables(spark, sf, "events").collect()
+      .map(r => (r.getLong(2), r.getString(3), r.getTimestamp(1)))
+    val clicksByUser = ev.filter(_._2 == "click").groupBy(_._1)
+    rows.take(20).foreach { r =>
+      val (u, ts, got) = (r.getLong(1), r.getTimestamp(2), r.getTimestamp(3))
+      val cs = clicksByUser.getOrElse(u, Array.empty).map(_._3)
+      if (cs.isEmpty) assert(got == null)
+      else {
+        val best = cs.minBy(c => (math.abs(c.getTime - ts.getTime),
+          if (c.getTime <= ts.getTime) 0 else 1))
+        assert(math.abs(got.getTime - ts.getTime) ==
+          math.abs(best.getTime - ts.getTime), s"user $u at $ts: $got vs $best")
+      }
+    }
+  }
+
   test("win_percent_rank: both measures in [0,1], monotone in the order") {
     val rows = SparkEntry.queries("win_percent_rank")(spark, sf).collect()
       .map(r => (r.getString(1), r.getDouble(2), r.getDouble(3)))
