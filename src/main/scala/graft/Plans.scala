@@ -16,7 +16,9 @@ object Plans {
     "sort_zorder", "agg_checksum", "scan_merge_schema", "ts_zscore",
     "join_interval_banded", "agg_cohort_retention", "win_time_range",
     "agg_vector_centroid", "olap_star_rollup", "olap_topk_revenue",
-    "olap_pricing_summary", "graph_modularity")
+    "olap_pricing_summary", "graph_modularity", "olap_mkt_share",
+    "olap_returned_top", "dq_referential", "join_asof_nearest",
+    "graph_khop_sample", "text_chunk", "cdc_scd2", "agg_heavy_hitters")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
