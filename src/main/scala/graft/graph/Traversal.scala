@@ -66,6 +66,16 @@ final case class Traversal(g: PropertyGraph, df: DataFrame, depth: Int) {
   /** Collapse duplicate walks (Gremlin dedup() over the current path). */
   def dedup(): Traversal = Traversal(g, df.distinct(), depth)
 
+  /** Gremlin repeat(body).times(n): apply the sub-traversal n times. The
+    * body is a plain function — each application extends the walk matrix
+    * with the body's joins, so the whole repetition is still ONE Catalyst
+    * join tree (an unrolled BSP level per application, same shape as
+    * graph_var_hop's flood but path-tracking). */
+  def repeat(body: Traversal => Traversal, times: Int): Traversal = {
+    require(times >= 0 && times <= 16, s"times out of range: $times")
+    (1 to times).foldLeft(this)((t, _) => body(t))
+  }
+
   /** The walk matrix: one row per surviving walk, columns v0..vK. */
   def path(): DataFrame = df.select((0 to depth).map(i => col(s"v$i")): _*)
 
@@ -114,11 +124,25 @@ object Traversal {
     a.substring(1, a.length - 1)
   }
 
+  private val RepeatPat = """repeat\((\w+\('[^']*'\))\)\.times\((\d+)\)""".r
+
+  /** Expand `repeat(step('l')).times(n)` into n inline copies of the step
+    * BEFORE flat parsing — textual unrolling is exactly the fluent
+    * [[Traversal.repeat]] semantics for single-step bodies. */
+  private def expandRepeats(q: String): String =
+    RepeatPat.replaceAllIn(q, m => {
+      val n = m.group(2).toInt
+      require(n >= 1 && n <= 16, s"times out of range: $n")
+      Seq.fill(n)(m.group(1)).mkString(".")
+    })
+
   /** Compile a chain string — `V(<pred>?)` then any of
-    * `out('l')/in('l')/both('l')/has(<pred>)/simplePath()/dedup()`,
-    * optionally terminated by `path()` (default), `ids()`, `values('attr')`
-    * or `count()` — into the traversal's DataFrame. */
-  def parse(g: PropertyGraph, query: String): DataFrame = {
+    * `out('l')/in('l')/both('l')/has(<pred>)/simplePath()/dedup()/
+    * repeat(step('l')).times(n)`, optionally terminated by `path()`
+    * (default), `ids()`, `values('attr')` or `count()` — into the
+    * traversal's DataFrame. */
+  def parse(g: PropertyGraph, query0: String): DataFrame = {
+    val query = expandRepeats(query0)
     val steps = StepPat.findAllMatchIn(query)
       .map(m => (m.group(1), m.group(2).trim)).toList
     require(steps.nonEmpty && steps.head._1 == "V",

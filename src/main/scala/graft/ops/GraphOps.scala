@@ -499,6 +499,23 @@ object GraphOps extends OpModule {
         WHERE c.label = 'customer' AND c.val > 9000
         ORDER BY 1, 2, 3"""))),
 
+    // repeat(...).times(n) (Gremlin's bounded loop): two undirected
+    // in_nation hops from each customer = its same-nation peers (customers
+    // AND suppliers), simplePath() dropping the bounce-back. The parser
+    // unrolls the repetition into the same flat join tree the fluent
+    // repeat() builds — certified against the hand-written 2-hop SQL.
+    Op("graph_traversal_repeat",
+      (s, dir) => GraphFixture(s, dir).traverse(
+        "V(label='customer').repeat(both('in_nation')).times(2).simplePath().count()"),
+      Some(withGraph("""SELECT COUNT(*) AS n_walks
+        FROM vertices c
+        JOIN u e1 ON e1.a = c.id
+        JOIN u e2 ON e2.a = e1.b
+        WHERE c.label = 'customer' AND e2.b <> c.id AND e2.b <> e1.a""",
+        extra = """u AS (SELECT src AS a, dst AS b FROM edges
+            WHERE label = 'in_nation'
+          UNION ALL SELECT dst, src FROM edges WHERE label = 'in_nation')"""))),
+
     // Reverse traversal + mid-chain has() + the ids() terminal fold:
     // members of every region's nations, restricted to visible vertices.
     Op("graph_traversal_ids",

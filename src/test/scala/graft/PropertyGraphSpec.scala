@@ -200,6 +200,16 @@ class PropertyGraphSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](g.traverse("V().out('x').junk!"))
   }
 
+  test("traversal DSL: repeat().times() — parser unrolling ≡ fluent fold") {
+    val viaParser = g.traverse(
+      "V(label='customer').repeat(both('in_nation')).times(2).simplePath().count()")
+      .head.getLong(0)
+    val viaFluent = g.V(col("label") === "customer")
+      .repeat(_.both("in_nation"), 2).simplePath().count()
+      .head.getLong(0)
+    assert(viaParser == viaFluent && viaParser > 0)
+  }
+
   test("traversal DSL: simplePath / dedup / values / count steps") {
     // simplePath removes exactly the walks that revisit a vertex
     val all = g.traverse(
