@@ -5,9 +5,13 @@ import graft.graph.{GraphFixture, GraphSql}
 import org.apache.spark.sql.functions._
 import textsql._
 
-/** Round-6 additions: data-quality auditing, dimension-history building
-  * (SCD2), corpus boilerplate profiling, and per-root bounded-hop harmonic
-  * centrality (SURVEY.md §2.10/§2.11 families).
+/** Round-6 additions (SURVEY.md §2.10/§2.11 families): data-quality
+  * auditing (FK referential checks, partition freshness, streaming quality
+  * gate), CDC (SCD2 build + streaming maintenance, I/U/D apply), corpus
+  * profiling (boilerplate, stride chunking), OLAP flagships (Q8 market
+  * share, Q10 returns), rank-statistic windows, exact heavy hitters and
+  * truncated EWMA, nearest as-of join, and graph analytics (per-root
+  * harmonic centrality, GraphSAGE-style neighbor sampling).
   *
   * House determinism rules apply (graft.num scaladoc): integer-only or
   * decimal-exact aggregates, explicit total orders, identical operation
