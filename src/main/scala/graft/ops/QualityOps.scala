@@ -277,6 +277,35 @@ object QualityOps extends OpModule {
       },
       Some(returnedTopSql(e => s"CAST(CAST($e AS VARCHAR) AS DOUBLE)"))),
 
+    // BLOOM-PREFILTER join — semi-join reduction: build a Bloom filter on
+    // the (filtered) dim keys and drop fact rows that cannot match BEFORE
+    // the join. The exactness argument: Bloom has false positives but no
+    // false negatives, and the join itself removes the false positives —
+    // so the result is bit-identical to the plain join (which IS the
+    // oracle). The 100 TB shape: a 100M-key filter at 1% fpp is ~120 MB —
+    // shippable to every task when the dim TABLE (keys + payload) is far
+    // past broadcast range; the fact side sheds (1 - selectivity) of its
+    // rows before paying the shuffle. The mightContain probe is a scalar
+    // UDF (the one non-codegen hop in this file) — at scale the same
+    // pattern rides Spark's runtime row-level bloom injection, but the
+    // EXPLICIT form is the one you reach for when the optimizer can't see
+    // the selectivity.
+    Op("join_bloom_prefilter",
+      (s, dir) => {
+        val cust = Tables(s, dir, "customer")
+          .filter(col("c_mktsegment") === "BUILDING")
+        val bf = cust.stat.bloomFilter("c_custkey", 10000, 0.01)
+        val mightContain = udf((k: Long) => bf.mightContain(k))
+        Tables(s, dir, "orders")
+          .filter(mightContain(col("o_custkey")))
+          .join(cust, col("o_custkey") === col("c_custkey"))
+          .select("o_orderkey", "c_custkey", "o_totalprice")
+          .orderBy("o_orderkey")
+      },
+      Some("""SELECT o_orderkey, c_custkey, o_totalprice
+        FROM orders JOIN customer ON c_custkey = o_custkey
+        WHERE c_mktsegment = 'BUILDING' ORDER BY o_orderkey""")),
+
     // NEAREST-match as-of join (vs join_asof's backward-only): each
     // purchase pairs with its temporally CLOSEST click, before or after.
     // Same union-frame trick, two window passes over ONE user-clustered
