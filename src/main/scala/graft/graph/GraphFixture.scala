@@ -245,6 +245,22 @@ object GraphSql {
     (pre ++ steps).mkString(", ")
   }
 
+  /** Unrolled Katz chain k0..k<iters> mirroring PropertyGraph.katz
+    * bit-for-bit: β=1, α=0.25 (exponent-shift-exact per-row multiply),
+    * per-destination decimal-exact sum (num.DSUM), one scalar double add. */
+  def katzChain(iters: Int): String = {
+    val k0 = "k0 AS MATERIALIZED (SELECT id, CAST(1.0 AS DOUBLE) AS katz FROM vertices)"
+    val steps = (1 to iters).map { i =>
+      s"""k$i AS MATERIALIZED (SELECT v.id,
+           CAST(1.0 AS DOUBLE) + COALESCE(c.s, CAST(0 AS DOUBLE)) AS katz
+         FROM vertices v LEFT JOIN (
+           SELECT e.dst, ${num.DSUM("p.katz * CAST(0.25 AS DOUBLE)")} AS s
+           FROM edges e JOIN k${i - 1} p ON p.id = e.src
+           GROUP BY e.dst) c ON c.dst = v.id)"""
+    }
+    (Seq(k0) ++ steps).mkString(", ")
+  }
+
   def prChain(iters: Int): String = {
     val pre = Seq(
       "odeg AS MATERIALIZED (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY 1)",

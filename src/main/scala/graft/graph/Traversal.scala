@@ -90,6 +90,29 @@ final case class Traversal(g: PropertyGraph, df: DataFrame, depth: Int) {
   /** Number of surviving walks (Gremlin's terminal count() fold). */
   def count(): DataFrame =
     df.agg(org.apache.spark.sql.functions.count(lit(1)).as("n_walks"))
+
+  /** Gremlin groupCount().by('attr'): walk count per head-vertex attribute
+    * value — one attribute join + a map-side-combinable groupBy, the
+    * histogram fold a traversal engine runs server-side. */
+  def groupCount(attr: String): DataFrame =
+    df.join(g.vertices.withColumnRenamed("id", head), head)
+      .groupBy(col(attr))
+      .agg(org.apache.spark.sql.functions.count(lit(1)).as("n_walks"))
+      .orderBy(attr)
+
+  /** Gremlin order().by('attr').limit(n): the n first walks by head-vertex
+    * attribute, emitted as that attribute. The sort key is extended with
+    * the full walk prefix so the SELECTED walk set is deterministic when
+    * attribute values tie at the cut — and Catalyst executes the whole
+    * fold as one TakeOrderedAndProject (top-n heap per partition + driver
+    * merge of n-sized heads), never a global sort. */
+  def orderBy(attr: String, n: Int): DataFrame = {
+    val tieBreak = (0 to depth).map(i => col(s"v$i"))
+    df.join(g.vertices.withColumnRenamed("id", head), head)
+      .orderBy(col(attr) +: tieBreak: _*)
+      .limit(n)
+      .select(col(attr))
+  }
 }
 
 object Traversal {
@@ -139,8 +162,9 @@ object Traversal {
   /** Compile a chain string — `V(<pred>?)` then any of
     * `out('l')/in('l')/both('l')/has(<pred>)/simplePath()/dedup()/
     * repeat(step('l')).times(n)`, optionally terminated by `path()`
-    * (default), `ids()`, `values('attr')` or `count()` — into the
-    * traversal's DataFrame. */
+    * (default), `ids()`, `values('attr')`, `count()`,
+    * `groupCount().by('attr')` or `order().by('attr').limit(n)` — into
+    * the traversal's DataFrame. */
   def parse(g: PropertyGraph, query0: String): DataFrame = {
     val query = expandRepeats(query0)
     val steps = StepPat.findAllMatchIn(query)
@@ -152,19 +176,31 @@ object Traversal {
       s"unparsed trailing syntax in: $query")
     var t = g.V(if (steps.head._2.isEmpty) lit(true) else pred(steps.head._2))
     var result: Option[DataFrame] = None
-    steps.tail.foreach {
-      case ("out", a)  => t = t.out(label(a))
-      case ("in", a)   => t = t.in(label(a))
-      case ("both", a) => t = t.both(label(a))
-      case ("has", a)  => t = t.has(pred(a))
-      case ("simplePath", "") => t = t.simplePath()
-      case ("dedup", "")      => t = t.dedup()
-      case ("path", "")   => result = Some(t.path())
-      case ("ids", "")    => result = Some(t.ids())
-      case ("values", a)  => result = Some(t.values(label(a)))
-      case ("count", "")  => result = Some(t.count())
-      case (s, a) => throw new IllegalArgumentException(s"unknown step: $s($a)")
+    // List-walk with lookahead: groupCount()/order() are two- and
+    // three-token folds (`.by(...)`, `.limit(n)`) in Gremlin's surface
+    // syntax, so the parser consumes their modifier steps together.
+    @annotation.tailrec
+    def loop(rest: List[(String, String)]): Unit = rest match {
+      case Nil => ()
+      case ("out", a) :: tl  => t = t.out(label(a)); loop(tl)
+      case ("in", a) :: tl   => t = t.in(label(a)); loop(tl)
+      case ("both", a) :: tl => t = t.both(label(a)); loop(tl)
+      case ("has", a) :: tl  => t = t.has(pred(a)); loop(tl)
+      case ("simplePath", "") :: tl => t = t.simplePath(); loop(tl)
+      case ("dedup", "") :: tl      => t = t.dedup(); loop(tl)
+      case ("groupCount", "") :: ("by", a) :: tl =>
+        result = Some(t.groupCount(label(a))); loop(tl)
+      case ("order", "") :: ("by", a) :: ("limit", n) :: tl
+          if n.matches("\\d+") =>
+        result = Some(t.orderBy(label(a), n.toInt)); loop(tl)
+      case ("path", "") :: tl   => result = Some(t.path()); loop(tl)
+      case ("ids", "") :: tl    => result = Some(t.ids()); loop(tl)
+      case ("values", a) :: tl  => result = Some(t.values(label(a))); loop(tl)
+      case ("count", "") :: tl  => result = Some(t.count()); loop(tl)
+      case (s, a) :: _ =>
+        throw new IllegalArgumentException(s"unknown step: $s($a)")
     }
+    loop(steps.tail)
     result.getOrElse(t.path())
   }
 }

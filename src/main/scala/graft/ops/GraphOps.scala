@@ -356,6 +356,19 @@ object GraphOps extends OpModule {
         "SELECT id, pr FROM p5 ORDER BY id",
         extra = GraphSql.prChain(5)))),
 
+    // Katz centrality, 4 fixed iterations: counts α-attenuated bounded
+    // walks INTO each vertex (no out-degree normalization — a hub with
+    // many in-edges scores high even when its sources fan out widely,
+    // the property that distinguishes Katz from PageRank). α=2^-2 keeps
+    // every per-row multiply an exponent shift and every score a
+    // multiple of 4^-4, so the unrolled DuckDB chain matches
+    // bit-for-bit.
+    Op("graph_katz",
+      (s, dir) => GraphFixture(s, dir).katz(4).orderBy("id"),
+      Some(withGraph(
+        "SELECT id, katz FROM k4 ORDER BY id",
+        extra = GraphSql.katzChain(4)))),
+
     // Personalized PageRank from the CUSTOMER seed set — importance
     // relative to a query context (the recommendation variant of
     // pagerank). Customers have out-edges (in_nation, colocated), so the
@@ -563,6 +576,37 @@ object GraphOps extends OpModule {
         JOIN vertices n ON n.id = e.dst
         WHERE c.label = 'customer' AND c.val > 9000
         ORDER BY 1"""))),
+
+    // groupCount().by() terminal: walk histogram over a head attribute —
+    // each customer's nation fans back out to everything in that nation,
+    // and the fold counts surviving walks per end-vertex label. The
+    // histogram is a map-side-combinable groupBy over the walk matrix
+    // (label cardinality-sized result, never walk-sized).
+    Op("graph_traversal_groupcount",
+      (s, dir) => GraphFixture(s, dir).traverse(
+        "V(label='customer').out('in_nation').in('in_nation').groupCount().by('label')"),
+      Some(withGraph("""SELECT m.label, COUNT(*) AS n_walks
+        FROM vertices c
+        JOIN edges e1 ON e1.src = c.id AND e1.label = 'in_nation'
+        JOIN edges e2 ON e2.dst = e1.dst AND e2.label = 'in_nation'
+        JOIN vertices m ON m.id = e2.src
+        WHERE c.label = 'customer'
+        GROUP BY 1 ORDER BY 1"""))),
+
+    // order().by().limit() terminal: the first 10 part names supplying any
+    // supplier, by name. The fold compiles to TakeOrderedAndProject (per-
+    // partition top-n heap + n-sized driver merge — no global sort), and
+    // the sort key is extended with the walk prefix so the selected set is
+    // deterministic across engines when names tie at the cut.
+    Op("graph_traversal_order",
+      (s, dir) => GraphFixture(s, dir).traverse(
+        "V(label='supplier').in('supplied_by').order().by('name').limit(10)"),
+      Some(withGraph("""SELECT p.name AS name
+        FROM vertices s
+        JOIN edges e ON e.dst = s.id AND e.label = 'supplied_by'
+        JOIN vertices p ON p.id = e.src
+        WHERE s.label = 'supplier'
+        ORDER BY p.name, s.id, p.id LIMIT 10"""))),
 
     // Batch CRUD (Blueprints mutation surface re-expressed as dataflow —
     // BASELINE.json scopes OLTP mutation out; writes are new DF versions):

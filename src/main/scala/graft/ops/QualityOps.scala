@@ -196,6 +196,26 @@ object QualityOps extends OpModule {
       // correctly rounded and matches Spark bit-for-bit (num.DSUM scaladoc).
       Some(mktShareSql(e => s"CAST(CAST($e AS VARCHAR) AS DOUBLE)"))),
 
+    // TPC-H Q5 shape — LOCAL-supplier volume: revenue per nation from
+    // line items whose customer AND supplier sit in the same nation of
+    // one region, over one order year. The snowflake prunes hardest at
+    // the top (region='ASIA' → 1 of 5 regions → 5 nations), and that
+    // pruning REACHES the fact scan through two broadcast dim chains
+    // (region→nation→{customer,supplier}); the one genuinely large join
+    // (lineitem⋈orders) carries the o_orderdate range predicate pushed
+    // to the orders scan first. The same-nation equality
+    // (s_nationkey = c_nationkey) is the non-obvious plan hazard: it
+    // correlates the two dim chains, so a bad order pays a fact-sized
+    // intermediate twice — the dims-first order keeps every
+    // intermediate dim-bounded.
+    Op("olap_local_supplier",
+      (s, dir) => {
+        Seq("lineitem", "orders", "customer", "supplier", "nation", "region")
+          .foreach(view(s, dir, _))
+        s.sql(localSupplierSql(e => s"CAST($e AS DOUBLE)"))
+      },
+      Some(localSupplierSql(e => s"CAST(CAST($e AS VARCHAR) AS DOUBLE)"))),
+
     // Corpus BOILERPLATE profile — the frequent-fragment audit behind
     // common-crawl-style boilerplate removal: a bigram shingle is
     // boilerplate when it appears in ≥ 6.25% of documents (scale-relative
@@ -675,6 +695,26 @@ object QualityOps extends OpModule {
     SELECT yr, region, ${d("rev")} AS revenue,
       ${d("rev")} / ${d("SUM(rev) OVER (PARTITION BY yr)")} AS share
     FROM rev ORDER BY yr, region"""
+
+  /** TPC-H-Q5-shape SQL; `d` renders the engine's correctly-rounded
+    * DECIMAL→DOUBLE cast (joins, date range and DECIMAL(38,10) sum are
+    * shared dialect). */
+  private def localSupplierSql(d: String => String): String = s"""
+    WITH rev AS (
+      SELECT n_name,
+        SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,10))) AS rev,
+        COUNT(*) AS n_lineitems
+      FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+      JOIN customer ON c_custkey = o_custkey
+      JOIN supplier ON s_suppkey = l_suppkey AND s_nationkey = c_nationkey
+      JOIN nation ON n_nationkey = s_nationkey
+      JOIN region ON r_regionkey = n_regionkey
+      WHERE r_name = 'ASIA'
+        AND o_orderdate >= TIMESTAMP '1997-01-01'
+        AND o_orderdate < TIMESTAMP '1998-01-01'
+      GROUP BY 1)
+    SELECT n_name, ${d("rev")} AS revenue, n_lineitems
+    FROM rev ORDER BY n_name"""
 
   /** SCD2 build over events (user_id % 10 = 0 slice); `tm` is the
     * engine-specific epoch-micros extraction — everything after it is

@@ -90,40 +90,101 @@ object SimOps extends OpModule {
           FROM scored)
         SELECT qa, vb, rnk, cos FROM ranked WHERE rnk <= 5 ORDER BY qa, rnk"""
 
+  /** The four ANN pipeline RESULTS, materialized once per (session, dir)
+    * like the graph's stored labelings: each is a few-hundred-row ranked
+    * candidate list that its own key AND sim_recall both consume — without
+    * the memo, sim_recall's four hit-count actions re-executed every
+    * pipeline (the exact brute-force scorer ran 4×). Result-sized persists,
+    * corpus-sized nothing. */
+  private def topkView(s: org.apache.spark.sql.SparkSession, dir: String): String =
+    graft.Views.materialize(s, dir, "simtopk", s"""
+      WITH n AS (SELECT vec_id, embedding, nrm FROM ${normView(s, dir)}),
+      q AS (SELECT vec_id AS qa, embedding AS eq, nrm AS nq FROM n
+        WHERE vec_id % 100 = 0),
+      scored AS (SELECT q.qa, n.vec_id AS vb,
+        vec_dot(q.eq, n.embedding) / (q.nq * n.nrm) AS cos
+        FROM q JOIN n ON n.vec_id <> q.qa),
+      ranked AS (SELECT qa, vb, cos,
+        ROW_NUMBER() OVER (PARTITION BY qa ORDER BY cos DESC, vb) AS rnk
+        FROM scored)
+      SELECT qa, vb, rnk, cos FROM ranked WHERE rnk <= 5""")
+
+  private def knnView(s: org.apache.spark.sql.SparkSession, dir: String): String =
+    graft.Views.materialize(s, dir, "simknn", s"""
+      WITH n AS (SELECT vec_id, embedding,
+        ${sparkSignBucket("embedding", 8)} AS bkt, nrm
+        FROM ${normView(s, dir)}),
+      l AS (SELECT vec_id AS va, embedding AS ea, bkt, nrm AS na FROM n
+        WHERE vec_id % 10 = 0),
+      scored AS (SELECT l.va, n.vec_id AS vb,
+        vec_dot(l.ea, n.embedding) / (l.na * n.nrm) AS cos
+        FROM l JOIN n ON n.bkt = l.bkt AND n.vec_id <> l.va),
+      ranked AS (SELECT va, vb, cos,
+        ROW_NUMBER() OVER (PARTITION BY va ORDER BY cos DESC, vb) AS rnk
+        FROM scored)
+      SELECT va, vb, rnk, cos FROM ranked WHERE rnk <= 3""")
+
+  private def mtView(s: org.apache.spark.sql.SparkSession, dir: String): String =
+    graft.Views.materialize(s, dir, "simmt", s"""
+      WITH n AS (SELECT vec_id, embedding, nrm FROM ${normView(s, dir)}),
+      tabs AS (SELECT vec_id, t,
+        (CASE WHEN element_at(embedding, 3*t+1) > 0 THEN 1 ELSE 0 END) +
+        (CASE WHEN element_at(embedding, 3*t+2) > 0 THEN 2 ELSE 0 END) +
+        (CASE WHEN element_at(embedding, 3*t+3) > 0 THEN 4 ELSE 0 END) AS bkt
+        FROM n LATERAL VIEW explode(sequence(0, 9)) x AS t),
+      qt AS (SELECT vec_id, t, bkt FROM tabs WHERE vec_id % 100 = 0),
+      cand AS (SELECT DISTINCT q.vec_id AS qa, c.vec_id AS vb
+        FROM qt q JOIN tabs c ON c.t = q.t AND c.bkt = q.bkt
+          AND c.vec_id <> q.vec_id),
+      scored AS (SELECT cand.qa, cand.vb,
+        vec_dot(a.embedding, b.embedding) / (a.nrm * b.nrm) AS cos
+        FROM cand JOIN n a ON a.vec_id = cand.qa
+        JOIN n b ON b.vec_id = cand.vb),
+      ranked AS (SELECT qa, vb, cos,
+        ROW_NUMBER() OVER (PARTITION BY qa ORDER BY cos DESC, vb) AS rnk
+        FROM scored)
+      SELECT qa, vb, rnk, cos FROM ranked WHERE rnk <= 3""")
+
+  private def ivfView(s: org.apache.spark.sql.SparkSession, dir: String): String =
+    graft.Views.materialize(s, dir, "simivf", s"""
+      WITH n AS (SELECT vec_id, label, embedding, nrm FROM ${normView(s, dir)}),
+      unn AS (SELECT vec_id, label, dim, v FROM ${unnView(s, dir)}),
+      cent AS (SELECT label, dim,
+        CAST(SUM(CAST(v AS DECIMAL(38,10))) AS DOUBLE) / COUNT(v) AS c
+        FROM unn GROUP BY label, dim),
+      cnorm AS (SELECT label,
+        sqrt(CAST(SUM(CAST(c * c AS DECIMAL(38,10))) AS DOUBLE)) AS cn
+        FROM cent GROUP BY label),
+      q AS (SELECT vec_id AS qa, label AS qlabel, embedding AS eq, nrm AS nq
+        FROM n WHERE vec_id % 100 = 0),
+      qc AS (SELECT u.vec_id AS qa, ce.label,
+          CAST(SUM(CAST(CAST(u.v AS DOUBLE) * ce.c AS DECIMAL(38,10))) AS DOUBLE) AS dot
+        FROM unn u JOIN cent ce ON ce.dim = u.dim
+        WHERE u.vec_id % 100 = 0 GROUP BY u.vec_id, ce.label),
+      probe AS (SELECT qa, label FROM (
+        SELECT qc.qa, qc.label,
+          ROW_NUMBER() OVER (PARTITION BY qc.qa
+            ORDER BY qc.dot / cn.cn DESC, qc.label) AS pr
+        FROM qc JOIN cnorm cn ON cn.label = qc.label) t WHERE pr <= 2),
+      scored AS (SELECT q.qa, n.vec_id AS vb,
+          vec_dot(q.eq, n.embedding) / (q.nq * n.nrm) AS cos
+        FROM probe p JOIN q ON q.qa = p.qa
+        JOIN n ON n.label = p.label AND n.vec_id <> q.qa),
+      ranked AS (SELECT qa, vb, cos,
+        ROW_NUMBER() OVER (PARTITION BY qa ORDER BY cos DESC, vb) AS rnk
+        FROM scored)
+      SELECT qa, vb, rnk, cos FROM ranked WHERE rnk <= 3""")
+
   def ops: Seq[Op] = Seq(
 
     Op("sim_topk",
-      (s, dir) => {
-        s.sql(s"""
-          WITH n AS (SELECT vec_id, embedding, nrm FROM ${normView(s, dir)}),
-          q AS (SELECT vec_id AS qa, embedding AS eq, nrm AS nq FROM n
-            WHERE vec_id % 100 = 0),
-          scored AS (SELECT q.qa, n.vec_id AS vb,
-            vec_dot(q.eq, n.embedding) / (q.nq * n.nrm) AS cos
-            FROM q JOIN n ON n.vec_id <> q.qa),
-          ranked AS (SELECT qa, vb, cos,
-            ROW_NUMBER() OVER (PARTITION BY qa ORDER BY cos DESC, vb) AS rnk
-            FROM scored)
-          SELECT qa, vb, rnk, cos FROM ranked WHERE rnk <= 5 ORDER BY qa, rnk""")
-      },
+      (s, dir) => s.sql(
+        s"SELECT qa, vb, rnk, cos FROM ${topkView(s, dir)} ORDER BY qa, rnk"),
       Some(topkOracle)),
 
     Op("sim_knn_join",
-      (s, dir) => {
-        s.sql(s"""
-          WITH n AS (SELECT vec_id, embedding,
-            ${sparkSignBucket("embedding", 8)} AS bkt, nrm
-            FROM ${normView(s, dir)}),
-          l AS (SELECT vec_id AS va, embedding AS ea, bkt, nrm AS na FROM n
-            WHERE vec_id % 10 = 0),
-          scored AS (SELECT l.va, n.vec_id AS vb,
-            vec_dot(l.ea, n.embedding) / (l.na * n.nrm) AS cos
-            FROM l JOIN n ON n.bkt = l.bkt AND n.vec_id <> l.va),
-          ranked AS (SELECT va, vb, cos,
-            ROW_NUMBER() OVER (PARTITION BY va ORDER BY cos DESC, vb) AS rnk
-            FROM scored)
-          SELECT va, vb, rnk, cos FROM ranked WHERE rnk <= 3 ORDER BY va, rnk""")
-      },
+      (s, dir) => s.sql(
+        s"SELECT va, vb, rnk, cos FROM ${knnView(s, dir)} ORDER BY va, rnk"),
       Some(knnOracle)),
 
     // MULTI-TABLE sign-LSH kNN — the standard recall dial a production ANN
@@ -138,27 +199,8 @@ object SimOps extends OpModule {
     // bits per table keeps buckets discriminative. The single-table
     // variant (sim_knn_join) stays as the cheap low-recall baseline.
     Op("sim_knn_multitable",
-      (s, dir) => {
-        s.sql(s"""
-          WITH n AS (SELECT vec_id, embedding, nrm FROM ${normView(s, dir)}),
-          tabs AS (SELECT vec_id, t,
-            (CASE WHEN element_at(embedding, 3*t+1) > 0 THEN 1 ELSE 0 END) +
-            (CASE WHEN element_at(embedding, 3*t+2) > 0 THEN 2 ELSE 0 END) +
-            (CASE WHEN element_at(embedding, 3*t+3) > 0 THEN 4 ELSE 0 END) AS bkt
-            FROM n LATERAL VIEW explode(sequence(0, 9)) x AS t),
-          qt AS (SELECT vec_id, t, bkt FROM tabs WHERE vec_id % 100 = 0),
-          cand AS (SELECT DISTINCT q.vec_id AS qa, c.vec_id AS vb
-            FROM qt q JOIN tabs c ON c.t = q.t AND c.bkt = q.bkt
-              AND c.vec_id <> q.vec_id),
-          scored AS (SELECT cand.qa, cand.vb,
-            vec_dot(a.embedding, b.embedding) / (a.nrm * b.nrm) AS cos
-            FROM cand JOIN n a ON a.vec_id = cand.qa
-            JOIN n b ON b.vec_id = cand.vb),
-          ranked AS (SELECT qa, vb, cos,
-            ROW_NUMBER() OVER (PARTITION BY qa ORDER BY cos DESC, vb) AS rnk
-            FROM scored)
-          SELECT qa, vb, rnk, cos FROM ranked WHERE rnk <= 3 ORDER BY qa, rnk""")
-      },
+      (s, dir) => s.sql(
+        s"SELECT qa, vb, rnk, cos FROM ${mtView(s, dir)} ORDER BY qa, rnk"),
       Some(mtOracle)),
 
     // True IVF: train a coarse quantizer (centroid = exact per-dim mean of
@@ -168,36 +210,8 @@ object SimOps extends OpModule {
     // mirrorable in the oracle; the rerank uses native vec_dot. At 100 TB
     // the centroid table stays broadcast-size while cells shard naturally.
     Op("sim_ivf",
-      (s, dir) => {
-        s.sql(s"""
-          WITH n AS (SELECT vec_id, label, embedding, nrm FROM ${normView(s, dir)}),
-          unn AS (SELECT vec_id, label, dim, v FROM ${unnView(s, dir)}),
-          cent AS (SELECT label, dim,
-            CAST(SUM(CAST(v AS DECIMAL(38,10))) AS DOUBLE) / COUNT(v) AS c
-            FROM unn GROUP BY label, dim),
-          cnorm AS (SELECT label,
-            sqrt(CAST(SUM(CAST(c * c AS DECIMAL(38,10))) AS DOUBLE)) AS cn
-            FROM cent GROUP BY label),
-          q AS (SELECT vec_id AS qa, label AS qlabel, embedding AS eq, nrm AS nq
-            FROM n WHERE vec_id % 100 = 0),
-          qc AS (SELECT u.vec_id AS qa, ce.label,
-              CAST(SUM(CAST(CAST(u.v AS DOUBLE) * ce.c AS DECIMAL(38,10))) AS DOUBLE) AS dot
-            FROM unn u JOIN cent ce ON ce.dim = u.dim
-            WHERE u.vec_id % 100 = 0 GROUP BY u.vec_id, ce.label),
-          probe AS (SELECT qa, label FROM (
-            SELECT qc.qa, qc.label,
-              ROW_NUMBER() OVER (PARTITION BY qc.qa
-                ORDER BY qc.dot / cn.cn DESC, qc.label) AS pr
-            FROM qc JOIN cnorm cn ON cn.label = qc.label) t WHERE pr <= 2),
-          scored AS (SELECT q.qa, n.vec_id AS vb,
-              vec_dot(q.eq, n.embedding) / (q.nq * n.nrm) AS cos
-            FROM probe p JOIN q ON q.qa = p.qa
-            JOIN n ON n.label = p.label AND n.vec_id <> q.qa),
-          ranked AS (SELECT qa, vb, cos,
-            ROW_NUMBER() OVER (PARTITION BY qa ORDER BY cos DESC, vb) AS rnk
-            FROM scored)
-          SELECT qa, vb, rnk, cos FROM ranked WHERE rnk <= 3 ORDER BY qa, rnk""")
-      },
+      (s, dir) => s.sql(
+        s"SELECT qa, vb, rnk, cos FROM ${ivfView(s, dir)} ORDER BY qa, rnk"),
       Some(ivfOracle)),
 
     // ANN recall as a GRADED CONTRACT: recall@3 of the two approximate
@@ -210,27 +224,31 @@ object SimOps extends OpModule {
     // breaks the harness, not just a spec heuristic.
     Op("sim_recall",
       (s, dir) => {
-        val exact = graft.SparkEntry.queries("sim_topk")(s, dir)
-          .filter(col("rnk") <= 3).select("qa", "vb")
-        val knn = graft.SparkEntry.queries("sim_knn_join")(s, dir)
-          .filter(col("va") % 100 === 0)
-          .select(col("va").as("qa"), col("vb"))
-        val ivf = graft.SparkEntry.queries("sim_ivf")(s, dir)
-          .select("qa", "vb")
-        val mt = graft.SparkEntry.queries("sim_knn_multitable")(s, dir)
-          .select("qa", "vb")
-        // metadata-scale driver scalars (counts), never row data
-        val nQ = exact.select("qa").distinct().count()
-        val knnHits = knn.join(exact, Seq("qa", "vb"), "left_semi").count()
-        val ivfHits = ivf.join(exact, Seq("qa", "vb"), "left_semi").count()
-        val mtHits = mt.join(exact, Seq("qa", "vb"), "left_semi").count()
-        import s.implicits._
-        Seq(("ivf", nQ, ivfHits), ("knn", nQ, knnHits), ("multitable", nQ, mtHits))
-          .toDF("method", "n_queries", "n_hits")
-          .select(col("method"), col("n_queries"), col("n_hits"),
-            (col("n_hits").cast("double") /
-              (lit(3) * col("n_queries")).cast("double")).as("recall"))
-          .orderBy("method")
+        // one declarative query over the memoized pipeline results
+        // (persisted, result-sized views): the hit counts are scalar
+        // aggregates of broadcast-joined few-hundred-row inputs, folded in
+        // a SINGLE job — the earlier form ran four driver count() actions
+        // and paid per-action planning/AQE latency 4× for metadata-scale
+        // answers.
+        s.sql(s"""
+          WITH exact AS (SELECT qa, vb FROM ${topkView(s, dir)} WHERE rnk <= 3),
+          nq AS (SELECT COUNT(DISTINCT qa) AS n FROM exact),
+          knnh AS (SELECT COUNT(*) AS hits FROM ${knnView(s, dir)} k
+            JOIN exact e ON e.qa = k.va AND e.vb = k.vb WHERE k.va % 100 = 0),
+          ivfh AS (SELECT COUNT(*) AS hits FROM ${ivfView(s, dir)} i
+            JOIN exact e ON e.qa = i.qa AND e.vb = i.vb),
+          mth AS (SELECT COUNT(*) AS hits FROM ${mtView(s, dir)} m
+            JOIN exact e ON e.qa = m.qa AND e.vb = m.vb)
+          SELECT method, n_queries, n_hits,
+            CAST(n_hits AS DOUBLE) / CAST(3 * n_queries AS DOUBLE) AS recall
+          FROM (
+            SELECT 'ivf' AS method, nq.n AS n_queries, ivfh.hits AS n_hits
+            FROM nq, ivfh
+            UNION ALL
+            SELECT 'knn', nq.n, knnh.hits FROM nq, knnh
+            UNION ALL
+            SELECT 'multitable', nq.n, mth.hits FROM nq, mth) r
+          ORDER BY method""")
       },
       Some(s"""
         WITH exact AS (SELECT qa, vb FROM ($topkOracle) t WHERE rnk <= 3),

@@ -237,6 +237,45 @@ class PropertyGraphSpec extends AnyFunSuite {
     assert(dd.count() == walks.distinct().count())
   }
 
+  test("traversal DSL: groupCount().by() and order().by().limit() folds") {
+    // groupCount partitions the walk count exactly: per-label counts sum
+    // to the total walk count, and the parser matches the fluent fold
+    val walks = g.traverse(
+      "V(label='customer').out('in_nation').in('in_nation').count()")
+      .head.getLong(0)
+    val hist = g.traverse(
+      "V(label='customer').out('in_nation').in('in_nation').groupCount().by('label')")
+    assert(hist.agg(sum("n_walks")).head.getLong(0) == walks)
+    val fluent = g.V(col("label") === "customer")
+      .out("in_nation").in("in_nation").groupCount("label")
+    assert(hist.collect().toSeq == fluent.collect().toSeq)
+    // order().by().limit(n) returns the n first attribute values of the
+    // full ordered stream (a prefix, with multiplicity)
+    val top = g.traverse(
+      "V(label='supplier').in('supplied_by').order().by('name').limit(10)")
+      .collect().map(_.getString(0)).toSeq
+    val full = g.V(col("label") === "supplier").in("supplied_by")
+      .values("name").collect().map(_.getString(0)).toSeq.sorted
+    assert(top == full.take(10))
+  }
+
+  test("katz: sinks score β=1, scores are 4^-k-grained, in-degree monotone at k=1") {
+    val k1 = g.katz(1)
+    val indeg = g.edges.groupBy(col("dst").as("id"))
+      .agg(count(lit(1)).as("d"))
+    val joined = k1.join(indeg, Seq("id"), "left")
+      .select(col("katz"), coalesce(col("d"), lit(0L)).as("d")).collect()
+    // one iteration from x0=1: katz = 1 + 0.25·in_degree exactly
+    joined.foreach(r =>
+      assert(r.getDouble(0) == 1.0 + 0.25 * r.getLong(1)))
+    // four iterations: every score is an integer multiple of 4^-4
+    val k4 = g.katz(4).collect()
+    k4.foreach { r =>
+      val scaled = r.getDouble(1) * 256.0
+      assert(scaled == math.rint(scaled), s"not 4^-4-grained: $r")
+    }
+  }
+
   test("point traversals cut over to the distributed form on a hub vertex") {
     // Synthetic hub: vertex 1 fans out to 60 spokes (plus one in-edge), so
     // the level-1 frontier blows any small cap — exactly the power-law-hub
