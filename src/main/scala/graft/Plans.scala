@@ -18,7 +18,9 @@ object Plans {
     "agg_vector_centroid", "olap_star_rollup", "olap_topk_revenue",
     "olap_pricing_summary", "graph_modularity", "olap_mkt_share",
     "olap_returned_top", "dq_referential", "join_asof_nearest",
-    "graph_khop_sample", "text_chunk", "cdc_scd2", "agg_heavy_hitters")
+    "graph_khop_sample", "text_chunk", "cdc_scd2", "agg_heavy_hitters",
+    "join_bloom_prefilter", "olap_local_supplier", "graph_katz",
+    "graph_traversal_order", "ts_autocorr")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

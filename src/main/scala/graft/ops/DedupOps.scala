@@ -36,20 +36,24 @@ object DedupOps extends OpModule {
       concat_ws('_', CAST(m4 AS STRING), CAST(m5 AS STRING), CAST(m6 AS STRING), CAST(m7 AS STRING)) AS b1
     FROM sig"""
 
+  /** Candidate-doc shingles: the corpus shingle scan SEMI-JOINED down to
+    * the docs appearing in `mh_cand` — per-batch verify work is
+    * candidate-bounded, never corpus-sized. Materialized (cut) per batch
+    * before [[candVerifySql]] runs, because that query reads the shingle
+    * set three times (two intersection legs + sizes) and Spark inlines
+    * view references. */
+  private def candShinglesSql: String = s"""
+    SELECT doc_id, s FROM ($sparkShingleSql) q
+    WHERE doc_id IN (SELECT da FROM mh_cand UNION SELECT db FROM mh_cand)"""
+
   /** Exact shingle-Jaccard verify of the `mh_cand` (da, db) candidates
-    * against the `documents` view — the tail of [[minhashCtes]] with the
-    * candidate set injected; Spark dialect only. The shingle scan is
-    * SEMI-JOINED down to candidate docs first: per-batch verify work is
-    * candidate-bounded, never corpus-sized. */
+    * over the materialized `mh_sh` candidate shingles — the tail of
+    * [[minhashCtes]] with the candidate set injected; Spark dialect only. */
   private def candVerifySql: String = s"""
-    WITH cids AS (SELECT da AS doc_id FROM mh_cand
-      UNION SELECT db FROM mh_cand),
-    sh AS (SELECT doc_id, s FROM ($sparkShingleSql) q
-      WHERE doc_id IN (SELECT doc_id FROM cids)),
-    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    WITH sizes AS (SELECT doc_id, COUNT(*) AS n FROM mh_sh GROUP BY doc_id),
     inter AS (SELECT c.da, c.db, COUNT(*) AS i FROM mh_cand c
-      JOIN sh sa ON sa.doc_id = c.da
-      JOIN sh sb ON sb.doc_id = c.db AND sb.s = sa.s
+      JOIN mh_sh sa ON sa.doc_id = c.da
+      JOIN mh_sh sb ON sb.doc_id = c.db AND sb.s = sa.s
       GROUP BY c.da, c.db)
     SELECT da, db, i AS n_common,
       CAST(i AS DOUBLE) / CAST(na.n + nb.n - i AS DOUBLE) AS jaccard
@@ -265,7 +269,14 @@ object DedupOps extends OpModule {
                 greatest(col("nid"), col("aid")).as("db"))
               .distinct()
               .join(pairs.select("da", "db"), Seq("da", "db"), "left_anti")
-            cand.createOrReplaceTempView("mh_cand")
+            // cut BEFORE registering: candVerifySql references mh_cand
+            // three times (cids, inter, and via sh's IN-probe) and Spark
+            // inlines CTE/view references — un-materialized, the whole
+            // band-join + anti-join candidate plan re-executed per
+            // reference, tripling the verify step.
+            graft.util.cut(cand).createOrReplaceTempView("mh_cand")
+            graft.util.cut(bs.sql(candShinglesSql))
+              .createOrReplaceTempView("mh_sh")
             pairs = graft.util.cut(pairs.unionAll(bs.sql(candVerifySql)))
             ()
           }

@@ -216,6 +216,24 @@ object QualityOps extends OpModule {
       },
       Some(localSupplierSql(e => s"CAST(CAST($e AS VARCHAR) AS DOUBLE)"))),
 
+    // Lag-k AUTOCORRELATION (k=1,2) of the event-value series per type —
+    // the seasonality/self-similarity diagnostic a monitoring pipeline
+    // computes next to ts_seasonality's bucket means. Raw (uncentered)
+    // autocorrelation r_k = Σ x_t·x_{t-k} / Σ x_t², so every term is one
+    // per-row IEEE multiply, the sums are exact decimal, and the closing
+    // division is a single correctly-rounded op — fully cross-engine
+    // bit-exact, unlike the centered/Pearson form whose mean subtraction
+    // would compound rounding. One shuffle (the per-type window sort);
+    // lag products are map-side after it; at 100 TB the series is
+    // type-clustered, exactly this layout.
+    Op("ts_autocorr",
+      (s, dir) => {
+        view(s, dir, "events")
+        s.sql(autocorrSql(e => s"CAST($e AS DOUBLE)", "unix_micros(ts)"))
+      },
+      Some(autocorrSql(e => s"CAST(CAST($e AS VARCHAR) AS DOUBLE)",
+        "epoch_us(ts)"))),
+
     // Corpus BOILERPLATE profile — the frequent-fragment audit behind
     // common-crawl-style boilerplate removal: a bigram shingle is
     // boilerplate when it appears in ≥ 6.25% of documents (scale-relative
@@ -715,6 +733,21 @@ object QualityOps extends OpModule {
       GROUP BY 1)
     SELECT n_name, ${d("rev")} AS revenue, n_lineitems
     FROM rev ORDER BY n_name"""
+
+  /** Lag-k autocorrelation SQL; `d` renders the engine's correctly-rounded
+    * DECIMAL→DOUBLE cast, `tm` its epoch-micros extraction. */
+  private def autocorrSql(d: String => String, tm: String): String = s"""
+    WITH e AS (SELECT event_type, $tm AS tm, event_id, value FROM events),
+    l AS (SELECT event_type, value,
+      LAG(value, 1) OVER w AS v1, LAG(value, 2) OVER w AS v2
+      FROM e WINDOW w AS (PARTITION BY event_type ORDER BY tm, event_id)),
+    a AS (SELECT event_type, COUNT(*) AS n,
+      ${d("SUM(CAST(value * value AS DECIMAL(38,10)))")} AS sxx,
+      ${d("SUM(CAST(value * v1 AS DECIMAL(38,10)))")} AS sx1,
+      ${d("SUM(CAST(value * v2 AS DECIMAL(38,10)))")} AS sx2
+      FROM l GROUP BY 1)
+    SELECT event_type, n, sx1 / sxx AS r1, sx2 / sxx AS r2
+    FROM a ORDER BY event_type"""
 
   /** SCD2 build over events (user_id % 10 = 0 slice); `tm` is the
     * engine-specific epoch-micros extraction — everything after it is

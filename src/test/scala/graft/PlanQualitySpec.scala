@@ -290,4 +290,34 @@ class PlanQualitySpec extends AnyFunSuite {
     assert("BroadcastHashJoin".r.findAllIn(p).size >= 8, p)
     assert(!p.contains("SortMergeJoin"), "audit shuffled a child table:\n" + p)
   }
+
+  test("join_bloom_prefilter probes the filter BELOW the join, on the scan side") {
+    val p = finalPlan("join_bloom_prefilter")
+    // the mightContain probe (the one UDF in the suite) must sit between
+    // the orders scan and the join — pre-shedding fact rows is the whole
+    // point; above the join it would be dead weight
+    val ji = p.indexOf("Join"); val fi = p.indexOf("UDF(")
+    assert(fi >= 0, "bloom probe filter missing:\n" + p)
+    assert(ji >= 0 && ji < fi,
+      "bloom probe not below the join in the rendered tree:\n" + p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("olap_local_supplier broadcasts the dim chains; range filter reaches orders scan") {
+    val p = finalPlan("olap_local_supplier")
+    // region/nation/customer/supplier all broadcast; lineitem⋈orders is
+    // the only shuffle-scale join
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 3, p)
+    assert(p.contains("o_orderdate"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("graph_katz aggregates messages map-side (partial agg under the shuffle)") {
+    val p = finalPlan("graph_katz")
+    // the per-destination decimal sum must plan as partial+final
+    // HashAggregate pairs, not a single post-shuffle aggregate over raw
+    // messages
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }
