@@ -293,7 +293,9 @@ final case class PropertyGraph(vertices: DataFrame, edges: DataFrame) {
   /** Start a Gremlin-style traversal chain from the vertices satisfying
     * `pred` (see [[Traversal]]): `g.V(...).out("l").has(...).path()`. */
   def V(pred: org.apache.spark.sql.Column): Traversal =
-    Traversal(this, vertices.filter(pred).select(col("id").as("v0")), 0)
+    Traversal(this, vertices.filter(pred).select(col("id").as("v0")), 0,
+      Some(vertices.filter(pred)
+        .select(col("id").as("h"), lit(1L).as("cnt"))))
 
   /** String form of the traversal chain — the query-language front end:
     * `g.traverse("V(label='customer').out('in_nation').path()")`. */

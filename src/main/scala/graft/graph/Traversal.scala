@@ -13,33 +13,68 @@ import org.apache.spark.sql.functions._
   * family's element-at-a-time iteration. No driver-side state anywhere:
   * a chain over a 100 TB graph is just a join tree.
   *
+  * BULKING (TinkerPop's bulk-traversal optimization): alongside the walk
+  * matrix, the chain maintains a vertex-sized `(h, cnt)` frame — walk
+  * COUNT per current head — through every multiplicity-preserving step
+  * (`out`/`in`/`both` fold counts level by level: cnt'(v) = Σ_{u→v}
+  * cnt(u); `has` filters it). Aggregating terminals (`count()`,
+  * `groupCount().by()`, `ids()`) read the bulk frame, so a histogram over
+  * a 10M-walk chain shuffles vertex-sized count vectors, never the walks.
+  * Prefix-dependent steps (`simplePath()`, `dedup()`) drop the bulk frame
+  * — their semantics need the walk rows — and the terminals fall back to
+  * the walk matrix.
+  *
   * Two entry points on [[PropertyGraph]]:
   *  - the typed fluent API: `g.V(col("label") === "customer").out("in_nation").path()`
   *  - the string parser: `g.traverse("V(label='customer').out('in_nation').path()")`
   * Both compile to the same plan.
   */
-final case class Traversal(g: PropertyGraph, df: DataFrame, depth: Int) {
+final case class Traversal(g: PropertyGraph, df: DataFrame, depth: Int,
+    bulk: Option[DataFrame] = None) {
   private def head = s"v$depth"
   private def next = s"v${depth + 1}"
 
-  private def step(elabel: String, from: String, to: String): Traversal = {
-    val e = g.edges.filter(col("label") === elabel)
+  private def step(elabel: Option[String], from: String, to: String): Traversal = {
+    val e = elabel.fold(g.edges)(l => g.edges.filter(col("label") === l))
       .select(col(from).as(head), col(to).as(next))
-    Traversal(g, df.join(e, head), depth + 1)
+    val b = bulk.map { bf =>
+      val eb = elabel.fold(g.edges)(l => g.edges.filter(col("label") === l))
+        .select(col(from).as("h"), col(to).as("h2"))
+      bf.join(eb, "h").groupBy("h2").agg(sum("cnt").as("cnt"))
+        .withColumnRenamed("h2", "h")
+    }
+    Traversal(g, df.join(e, head), depth + 1, b)
   }
 
   /** Follow out-edges labeled `elabel` (Gremlin out(label)). */
-  def out(elabel: String): Traversal = step(elabel, "src", "dst")
+  def out(elabel: String): Traversal = step(Some(elabel), "src", "dst")
+
+  /** Follow out-edges of ANY label (Gremlin's bare out()). */
+  def out(): Traversal = step(None, "src", "dst")
 
   /** Follow in-edges labeled `elabel` (Gremlin in(label)). */
-  def in(elabel: String): Traversal = step(elabel, "dst", "src")
+  def in(elabel: String): Traversal = step(Some(elabel), "dst", "src")
+
+  /** Follow in-edges of ANY label (Gremlin's bare in()). */
+  def in(): Traversal = step(None, "dst", "src")
 
   /** Follow edges labeled `elabel` in either direction (Gremlin both). */
-  def both(elabel: String): Traversal = {
-    val e = g.edges.filter(col("label") === elabel)
+  def both(elabel: String): Traversal = bothImpl(Some(elabel))
+
+  /** Follow edges of ANY label in either direction (Gremlin's bare both()). */
+  def both(): Traversal = bothImpl(None)
+
+  private def bothImpl(elabel: Option[String]): Traversal = {
+    val e = elabel.fold(g.edges)(l => g.edges.filter(col("label") === l))
     val u = e.select(col("src").as(head), col("dst").as(next))
       .unionAll(e.select(col("dst").as(head), col("src").as(next)))
-    Traversal(g, df.join(u, head), depth + 1)
+    val b = bulk.map { bf =>
+      val ub = e.select(col("src").as("h"), col("dst").as("h2"))
+        .unionAll(e.select(col("dst").as("h"), col("src").as("h2")))
+      bf.join(ub, "h").groupBy("h2").agg(sum("cnt").as("cnt"))
+        .withColumnRenamed("h2", "h")
+    }
+    Traversal(g, df.join(u, head), depth + 1, b)
   }
 
   /** Filter the traversal head by a predicate over the head vertex's
@@ -49,22 +84,27 @@ final case class Traversal(g: PropertyGraph, df: DataFrame, depth: Int) {
   def has(pred: Column): Traversal = {
     val keep = df.columns
     val v = g.vertices.withColumnRenamed("id", head)
-    Traversal(g, df.join(v, head).filter(pred).select(keep.head, keep.tail: _*), depth)
+    val b = bulk.map(bf => bf.join(g.vertices.withColumnRenamed("id", "h"), "h")
+      .filter(pred).select("h", "cnt"))
+    Traversal(g, df.join(v, head).filter(pred).select(keep.head, keep.tail: _*),
+      depth, b)
   }
 
   /** Keep only simple walks — no vertex visited twice (Gremlin
     * simplePath()). One conjunctive per-row filter over the walk columns,
-    * fully codegen'd; no joins, no state. */
+    * fully codegen'd; no joins, no state. Drops the bulk frame: counts
+    * cannot see which walks revisit a vertex. */
   def simplePath(): Traversal =
     if (depth == 0) this
     else {
       val distinctPairs = (for { i <- 0 until depth; j <- (i + 1) to depth }
         yield col(s"v$i") =!= col(s"v$j")).reduce(_ && _)
-      Traversal(g, df.filter(distinctPairs), depth)
+      Traversal(g, df.filter(distinctPairs), depth, None)
     }
 
-  /** Collapse duplicate walks (Gremlin dedup() over the current path). */
-  def dedup(): Traversal = Traversal(g, df.distinct(), depth)
+  /** Collapse duplicate walks (Gremlin dedup() over the current path).
+    * Drops the bulk frame: multiplicity is exactly what dedup removes. */
+  def dedup(): Traversal = Traversal(g, df.distinct(), depth, None)
 
   /** Gremlin repeat(body).times(n): apply the sub-traversal n times. The
     * body is a plain function — each application extends the walk matrix
@@ -80,25 +120,40 @@ final case class Traversal(g: PropertyGraph, df: DataFrame, depth: Int) {
   def path(): DataFrame = df.select((0 to depth).map(i => col(s"v$i")): _*)
 
   /** Distinct head-vertex ids (Gremlin's terminal id() fold). */
-  def ids(): DataFrame = df.select(col(head).as("id")).distinct()
+  def ids(): DataFrame = bulk match {
+    case Some(b) => b.select(col("h").as("id")).distinct()
+    case None    => df.select(col(head).as("id")).distinct()
+  }
 
   /** Head-vertex attribute per surviving walk (Gremlin values('attr') —
     * one row per walk, not deduped, matching Gremlin's stream semantics). */
   def values(attr: String): DataFrame =
     df.join(g.vertices.withColumnRenamed("id", head), head).select(col(attr))
 
-  /** Number of surviving walks (Gremlin's terminal count() fold). */
-  def count(): DataFrame =
-    df.agg(org.apache.spark.sql.functions.count(lit(1)).as("n_walks"))
+  /** Number of surviving walks (Gremlin's terminal count() fold) — reads
+    * the vertex-sized bulk frame when the chain preserved it. */
+  def count(): DataFrame = bulk match {
+    case Some(b) =>
+      b.agg(coalesce(sum("cnt"), lit(0L)).as("n_walks"))
+    case None =>
+      df.agg(org.apache.spark.sql.functions.count(lit(1)).as("n_walks"))
+  }
 
   /** Gremlin groupCount().by('attr'): walk count per head-vertex attribute
-    * value — one attribute join + a map-side-combinable groupBy, the
-    * histogram fold a traversal engine runs server-side. */
-  def groupCount(attr: String): DataFrame =
-    df.join(g.vertices.withColumnRenamed("id", head), head)
-      .groupBy(col(attr))
-      .agg(org.apache.spark.sql.functions.count(lit(1)).as("n_walks"))
-      .orderBy(attr)
+    * value — the histogram fold a traversal engine runs server-side. Over
+    * the bulk frame this is one vertex-attribute join + a sum of counts;
+    * the walk-matrix fallback counts rows. */
+  def groupCount(attr: String): DataFrame = bulk match {
+    case Some(b) =>
+      b.join(g.vertices.withColumnRenamed("id", "h"), "h")
+        .groupBy(col(attr)).agg(sum("cnt").as("n_walks"))
+        .orderBy(attr)
+    case None =>
+      df.join(g.vertices.withColumnRenamed("id", head), head)
+        .groupBy(col(attr))
+        .agg(org.apache.spark.sql.functions.count(lit(1)).as("n_walks"))
+        .orderBy(attr)
+  }
 
   /** Gremlin order().by('attr').limit(n): the n first walks by head-vertex
     * attribute, emitted as that attribute. The sort key is extended with
@@ -147,7 +202,7 @@ object Traversal {
     a.substring(1, a.length - 1)
   }
 
-  private val RepeatPat = """repeat\((\w+\('[^']*'\))\)\.times\((\d+)\)""".r
+  private val RepeatPat = """repeat\((\w+\((?:'[^']*')?\))\)\.times\((\d+)\)""".r
 
   /** Expand `repeat(step('l')).times(n)` into n inline copies of the step
     * BEFORE flat parsing — textual unrolling is exactly the fluent
@@ -182,6 +237,9 @@ object Traversal {
     @annotation.tailrec
     def loop(rest: List[(String, String)]): Unit = rest match {
       case Nil => ()
+      case ("out", "") :: tl  => t = t.out(); loop(tl)
+      case ("in", "") :: tl   => t = t.in(); loop(tl)
+      case ("both", "") :: tl => t = t.both(); loop(tl)
       case ("out", a) :: tl  => t = t.out(label(a)); loop(tl)
       case ("in", a) :: tl   => t = t.in(label(a)); loop(tl)
       case ("both", a) :: tl => t = t.both(label(a)); loop(tl)

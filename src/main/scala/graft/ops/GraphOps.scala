@@ -593,6 +593,23 @@ object GraphOps extends OpModule {
         WHERE c.label = 'customer'
         GROUP BY 1 ORDER BY 1"""))),
 
+    // UNLABELED steps (Gremlin's bare in()/out()/both()): traverse every
+    // edge label at once — the "what surrounds this element" browse query
+    // a graph UI issues, where the label set is unknown up front. The
+    // 2-hop label histogram of everything feeding into regions: the
+    // unfiltered edge scan replaces the label-pruned one; the fold is
+    // unchanged.
+    Op("graph_traversal_unlabeled",
+      (s, dir) => GraphFixture(s, dir).traverse(
+        "V(label='region').in().in().groupCount().by('label')"),
+      Some(withGraph("""SELECT m.label, COUNT(*) AS n_walks
+        FROM vertices r
+        JOIN edges e1 ON e1.dst = r.id
+        JOIN edges e2 ON e2.dst = e1.src
+        JOIN vertices m ON m.id = e2.src
+        WHERE r.label = 'region'
+        GROUP BY 1 ORDER BY 1"""))),
+
     // order().by().limit() terminal: the first 10 part names supplying any
     // supplier, by name. The fold compiles to TakeOrderedAndProject (per-
     // partition top-n heap + n-sized driver merge — no global sort), and

@@ -312,6 +312,15 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("graph_traversal_groupcount runs BULKED — sums counts, never walk rows") {
+    val p = finalPlan("graph_traversal_groupcount")
+    // the TinkerPop-style bulk fold: per-level aggregation of (head, cnt)
+    // — the plan must sum the maintained counts; a count(1) over the
+    // materialized walk matrix means bulking regressed
+    assert(p.contains("sum(cnt"), "no bulk count-sum in plan:\n" + p)
+    assert(!p.contains("count(1)"), "walk-matrix fold leaked back:\n" + p)
+  }
+
   test("graph_katz aggregates messages map-side (partial agg under the shuffle)") {
     val p = finalPlan("graph_katz")
     // the per-destination decimal sum must plan as partial+final

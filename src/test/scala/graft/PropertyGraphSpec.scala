@@ -259,6 +259,20 @@ class PropertyGraphSpec extends AnyFunSuite {
     assert(top == full.take(10))
   }
 
+  test("traversal DSL: unlabeled steps traverse every edge label at once") {
+    // bare in() ≡ the union of per-label in() traversals
+    val all = g.traverse("V(label='nation').in().count()").head.getLong(0)
+    val perLabel = g.V(col("label") === "nation").in("in_nation").count()
+      .head.getLong(0)
+    // nations' only in-edges are in_nation (in_region points nation→region)
+    assert(all == perLabel && all > 0)
+    // parser accepts bare steps inside repeat()
+    val rep = g.traverse(
+      "V(label='region').repeat(in()).times(2).count()").head.getLong(0)
+    val fluent = g.V(col("label") === "region").in().in().count().head.getLong(0)
+    assert(rep == fluent)
+  }
+
   test("katz: sinks score β=1, scores are 4^-k-grained, in-degree monotone at k=1") {
     val k1 = g.katz(1)
     val indeg = g.edges.groupBy(col("dst").as("id"))
