@@ -34,12 +34,17 @@ final case class Traversal(g: PropertyGraph, df: DataFrame, depth: Int,
   private def head = s"v$depth"
   private def next = s"v${depth + 1}"
 
-  private def step(elabel: Option[String], from: String, to: String): Traversal = {
-    val e = elabel.fold(g.edges)(l => g.edges.filter(col("label") === l))
-      .select(col(from).as(head), col(to).as(next))
+  private def edgeSet(elabel: Option[String], epred: Option[Column]): DataFrame = {
+    val byLabel = elabel.fold(g.edges)(l => g.edges.filter(col("label") === l))
+    epred.fold(byLabel)(byLabel.filter)
+  }
+
+  private def step(elabel: Option[String], epred: Option[Column],
+      from: String, to: String): Traversal = {
+    val es = edgeSet(elabel, epred)
+    val e = es.select(col(from).as(head), col(to).as(next))
     val b = bulk.map { bf =>
-      val eb = elabel.fold(g.edges)(l => g.edges.filter(col("label") === l))
-        .select(col(from).as("h"), col(to).as("h2"))
+      val eb = es.select(col(from).as("h"), col(to).as("h2"))
       bf.join(eb, "h").groupBy("h2").agg(sum("cnt").as("cnt"))
         .withColumnRenamed("h2", "h")
     }
@@ -47,25 +52,41 @@ final case class Traversal(g: PropertyGraph, df: DataFrame, depth: Int,
   }
 
   /** Follow out-edges labeled `elabel` (Gremlin out(label)). */
-  def out(elabel: String): Traversal = step(Some(elabel), "src", "dst")
+  def out(elabel: String): Traversal = step(Some(elabel), None, "src", "dst")
 
   /** Follow out-edges of ANY label (Gremlin's bare out()). */
-  def out(): Traversal = step(None, "src", "dst")
+  def out(): Traversal = step(None, None, "src", "dst")
+
+  /** Follow out-edges labeled `elabel` that satisfy an EDGE-property
+    * predicate (over `weight`, `vis`) — Gremlin's
+    * outE(label).has(...).inV() collapsed into one step: the predicate
+    * lands on the edge scan before the join, so a selective edge filter
+    * prunes the walk fan-out at the source. */
+  def out(elabel: String, epred: Column): Traversal =
+    step(Some(elabel), Some(epred), "src", "dst")
 
   /** Follow in-edges labeled `elabel` (Gremlin in(label)). */
-  def in(elabel: String): Traversal = step(Some(elabel), "dst", "src")
+  def in(elabel: String): Traversal = step(Some(elabel), None, "dst", "src")
 
   /** Follow in-edges of ANY label (Gremlin's bare in()). */
-  def in(): Traversal = step(None, "dst", "src")
+  def in(): Traversal = step(None, None, "dst", "src")
+
+  /** Edge-predicate in-step — Gremlin inE(label).has(...).outV(). */
+  def in(elabel: String, epred: Column): Traversal =
+    step(Some(elabel), Some(epred), "dst", "src")
 
   /** Follow edges labeled `elabel` in either direction (Gremlin both). */
-  def both(elabel: String): Traversal = bothImpl(Some(elabel))
+  def both(elabel: String): Traversal = bothImpl(Some(elabel), None)
 
   /** Follow edges of ANY label in either direction (Gremlin's bare both()). */
-  def both(): Traversal = bothImpl(None)
+  def both(): Traversal = bothImpl(None, None)
 
-  private def bothImpl(elabel: Option[String]): Traversal = {
-    val e = elabel.fold(g.edges)(l => g.edges.filter(col("label") === l))
+  /** Edge-predicate both-step — bothE(label).has(...).otherV(). */
+  def both(elabel: String, epred: Column): Traversal =
+    bothImpl(Some(elabel), Some(epred))
+
+  private def bothImpl(elabel: Option[String], epred: Option[Column]): Traversal = {
+    val e = edgeSet(elabel, epred)
     val u = e.select(col("src").as(head), col("dst").as(next))
       .unionAll(e.select(col("dst").as(head), col("src").as(next)))
     val b = bulk.map { bf =>
@@ -195,6 +216,16 @@ object Traversal {
     case other => throw new IllegalArgumentException(s"bad predicate: $other")
   }
 
+  /** Matches a `'label', <edge-pred>` step argument — the edge-predicate
+    * form of out/in/both (Gremlin's outE(l).has(...).inV() collapsed). */
+  private object EdgePred {
+    def unapply(arg: String): Option[(String, Column)] = {
+      val i = arg.indexOf(',')
+      if (i < 0) None
+      else Some((label(arg.substring(0, i)), pred(arg.substring(i + 1))))
+    }
+  }
+
   private def label(arg: String): String = {
     val a = arg.trim
     require(a.startsWith("'") && a.endsWith("'") && a.length >= 2,
@@ -240,6 +271,9 @@ object Traversal {
       case ("out", "") :: tl  => t = t.out(); loop(tl)
       case ("in", "") :: tl   => t = t.in(); loop(tl)
       case ("both", "") :: tl => t = t.both(); loop(tl)
+      case ("out", EdgePred(l, p)) :: tl  => t = t.out(l, p); loop(tl)
+      case ("in", EdgePred(l, p)) :: tl   => t = t.in(l, p); loop(tl)
+      case ("both", EdgePred(l, p)) :: tl => t = t.both(l, p); loop(tl)
       case ("out", a) :: tl  => t = t.out(label(a)); loop(tl)
       case ("in", a) :: tl   => t = t.in(label(a)); loop(tl)
       case ("both", a) :: tl => t = t.both(label(a)); loop(tl)

@@ -189,6 +189,41 @@ object DedupOps extends OpModule {
         SELECT da AS doc_a, db AS doc_b, n_common, jaccard FROM pairs
         ORDER BY doc_a, doc_b""")),
 
+    // LSH TUNING CURVE — the s-curve report a dedup pipeline publishes
+    // when choosing (bands, rows): for each similarity grid point s,
+    // the shipped b=2/r=4 layout's theoretical capture probability
+    // 1−(1−s⁴)², next to the OBSERVED verified-pair count in that
+    // similarity bucket. Powers are written out as multiplies (no pow —
+    // transcendental-free, cross-engine bit-exact); the observed column
+    // buckets the memoized pair index, so the report costs a 19-row grid
+    // join however large the corpus. The curve is what says "0.5-Jaccard
+    // pairs are caught with p≈0.12 — raise b or drop r if you need the
+    // gray zone".
+    Op("dedup_lsh_curve",
+      (s, dir) => {
+        s.sql(s"""
+          WITH grid AS (SELECT explode(sequence(0, 19)) AS k),
+          obs AS (SELECT least(CAST(floor(jaccard * 20) AS INT), 19) AS k,
+              COUNT(*) AS n
+            FROM ${pairsView(s, dir)} GROUP BY 1),
+          c AS (SELECT k, CAST(k AS DOUBLE) / 20 AS s FROM grid),
+          c2 AS (SELECT k, s, s * s * s * s AS s4 FROM c)
+          SELECT s, s4, 1.0 - (1.0 - s4) * (1.0 - s4) AS p_capture,
+            COALESCE(obs.n, CAST(0 AS BIGINT)) AS observed_pairs
+          FROM c2 LEFT JOIN obs ON obs.k = c2.k ORDER BY s""")
+      },
+      Some(s"""
+        WITH ${minhashCtes(spark = false, s"($duckShingleSql) q")},
+        grid AS (SELECT unnest(generate_series(0, 19)) AS k),
+        obs AS (SELECT LEAST(CAST(floor(jaccard * 20) AS INT), 19) AS k,
+            COUNT(*) AS n
+          FROM pairs GROUP BY 1),
+        c AS (SELECT k, CAST(k AS DOUBLE) / 20 AS s FROM grid),
+        c2 AS (SELECT k, s, s * s * s * s AS s4 FROM c)
+        SELECT s, s4, 1.0 - (1.0 - s4) * (1.0 - s4) AS p_capture,
+          COALESCE(obs.n, CAST(0 AS BIGINT)) AS observed_pairs
+        FROM c2 LEFT JOIN obs ON obs.k = c2.k ORDER BY s""")),
+
     // Near-dup CLUSTERING — the full training-data dedup pipeline: LSH
     // pairs → connected components (unrolled min-label propagation) →
     // canonical representative (min doc_id) per cluster. This is the "keep

@@ -593,6 +593,21 @@ object GraphOps extends OpModule {
         WHERE c.label = 'customer'
         GROUP BY 1 ORDER BY 1"""))),
 
+    // EDGE-predicate step (Gremlin outE('l').has(...).inV() collapsed into
+    // out('l', pred)): the weight filter lands on the edge scan BEFORE the
+    // walk join, pruning fan-out at the source — the DSL twin of the raw
+    // graph_out key, graded through the parser path.
+    Op("graph_traversal_edgepred",
+      (s, dir) => GraphFixture(s, dir).traverse(
+        "V(label='order').out('contains', weight>30).values('name')")
+        .orderBy("name"),
+      Some(withGraph("""SELECT p.name AS name
+        FROM vertices o
+        JOIN edges e ON e.src = o.id AND e.label = 'contains'
+        JOIN vertices p ON p.id = e.dst
+        WHERE o.label = 'order' AND e.weight > 30
+        ORDER BY 1"""))),
+
     // UNLABELED steps (Gremlin's bare in()/out()/both()): traverse every
     // edge label at once — the "what surrounds this element" browse query
     // a graph UI issues, where the label set is unknown up front. The

@@ -273,6 +273,22 @@ class PropertyGraphSpec extends AnyFunSuite {
     assert(rep == fluent)
   }
 
+  test("traversal DSL: edge-predicate steps filter on the edge scan") {
+    // out('l', pred) ≡ the raw edge filter + join
+    val viaDsl = g.traverse(
+      "V(label='order').out('contains', weight>30).count()").head.getLong(0)
+    val raw = g.edges.filter(col("label") === "contains" && col("weight") > 30)
+      .count()
+    assert(viaDsl == raw && viaDsl > 0)
+    // fluent and parsed forms agree; predicate composes with later steps
+    val fluent = g.V(col("label") === "order")
+      .out("contains", col("weight") > 30).groupCount("label").collect().toSeq
+    val parsed = g.traverse(
+      "V(label='order').out('contains', weight>30).groupCount().by('label')")
+      .collect().toSeq
+    assert(fluent == parsed)
+  }
+
   test("katz: sinks score β=1, scores are 4^-k-grained, in-degree monotone at k=1") {
     val k1 = g.katz(1)
     val indeg = g.edges.groupBy(col("dst").as("id"))
