@@ -878,6 +878,46 @@ object GraphOps extends OpModule {
             WHERE label = 'supplied_by'),
           dg AS (SELECT dst AS sup, COUNT(*) AS d FROM sb GROUP BY 1)"""))),
 
+    // RESOURCE-ALLOCATION link prediction — Σ 1/deg(c) over common
+    // neighbors c, the Adamic-Adar family member WITHOUT the logarithm:
+    // every term is one exact IEEE division, the sum is exact decimal, so
+    // the score is bit-reproducible cross-engine (Adamic-Adar's 1/log d
+    // is not). Candidates come only from the shared-part equi-join (like
+    // graph_jaccard), never all-pairs; the hub-damping intuition is the
+    // same — a part supplied by everyone contributes almost nothing.
+    // deg(c) is the FULL simple undirected degree of the shared part (the
+    // stored undDegrees index), not just its supplier fan-out.
+    Op("graph_resource_alloc",
+      (s, dir) => {
+        val g = GraphFixture(s, dir)
+        val sup = g.edges.filter(col("label") === "supplied_by")
+          .select(col("src").as("part"), col("dst").as("sup"))
+        val deg = g.undDegrees.withColumnRenamed("id", "part")
+        sup.select(col("part"), col("sup").as("s1"))
+          .join(sup.select(col("part"), col("sup").as("s2")), "part")
+          .filter(col("s1") < col("s2"))
+          .join(deg, "part")
+          .select(col("s1"), col("s2"),
+            (lit(1.0) / col("d").cast("double")).as("w"))
+          .groupBy("s1", "s2")
+          .agg(graft.num.dsum(col("w")).as("ra"),
+            count(lit(1)).as("n_common"))
+          .filter(col("n_common") >= 2)
+          .orderBy("s1", "s2")
+      },
+      Some(withGraph(s"""SELECT a.dst AS s1, b.dst AS s2,
+          ${graft.num.DSUM("CAST(1 AS DOUBLE) / CAST(dg.d AS DOUBLE)")} AS ra,
+          COUNT(*) AS n_common
+        FROM sb a JOIN sb b ON b.src = a.src AND a.dst < b.dst
+        JOIN dg ON dg.id = a.src
+        GROUP BY 1, 2 HAVING COUNT(*) >= 2
+        ORDER BY s1, s2""",
+        extra = """sb AS MATERIALIZED (SELECT src, dst FROM edges
+            WHERE label = 'supplied_by'),
+          und AS (SELECT src AS a, dst AS b FROM edges WHERE src <> dst
+            UNION SELECT dst, src FROM edges WHERE src <> dst),
+          dg AS (SELECT a AS id, COUNT(*) AS d FROM und GROUP BY 1)"""))),
+
     // Ego network — THE graph-db lookup: everything within 2 undirected
     // hops of one entity (customer #1), as the induced edge list. This is
     // a LATENCY-path query, so PropertyGraph.ego runs it like a graph

@@ -226,6 +226,28 @@ object QualityOps extends OpModule {
     // would compound rounding. One shuffle (the per-type window sort);
     // lag products are map-side after it; at 100 TB the series is
     // type-clustered, exactly this layout.
+    // HASHING-TRICK term-frequency vectors — the fixed-width featurization
+    // a training pipeline runs when the vocabulary is unbounded: every
+    // token hashes into one of 16 buckets, each doc becomes its sparse
+    // (bucket, count) rows. No vocabulary table, no second pass, and the
+    // width is a constant however large the corpus — the whole point of
+    // the trick at 100 TB. One explode + map-side-combinable groupBy;
+    // md5-derived bucket hash is engine-portable.
+    Op("text_hashvec",
+      (s, dir) => {
+        view(s, dir, "documents")
+        s.sql(s"""
+          WITH tok AS (SELECT doc_id, explode(${sparkToks("text")}) AS w
+            FROM documents)
+          SELECT doc_id, ${sparkHash("w")} % 16 AS bucket, COUNT(*) AS n
+          FROM tok GROUP BY 1, 2 ORDER BY 1, 2""")
+      },
+      Some(s"""
+        WITH tok AS (SELECT doc_id, unnest(${duckToks("text")}) AS w
+          FROM documents)
+        SELECT doc_id, ${duckHash("w")} % 16 AS bucket, COUNT(*) AS n
+        FROM tok GROUP BY 1, 2 ORDER BY 1, 2""")),
+
     Op("ts_autocorr",
       (s, dir) => {
         view(s, dir, "events")
