@@ -20,7 +20,8 @@ object Plans {
     "olap_returned_top", "dq_referential", "join_asof_nearest",
     "graph_khop_sample", "text_chunk", "cdc_scd2", "agg_heavy_hitters",
     "join_bloom_prefilter", "olap_local_supplier", "graph_katz",
-    "graph_traversal_order", "ts_autocorr")
+    "graph_traversal_order", "ts_autocorr", "graph_resource_alloc",
+    "graph_traversal_groupcount", "dedup_lsh_curve", "text_hashvec")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
