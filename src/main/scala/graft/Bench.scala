@@ -99,16 +99,23 @@ object Bench {
         (System.nanoTime() - t0) / 1e9
       }
       val t1 = once()
-      val t = if (t1 > 2.5) { System.gc(); sinceGc = 0; math.min(t1, once()) }
-        else t1
-      name -> (t1, t)
+      val (t2, t) = if (t1 > 2.5) {
+        System.gc(); sinceGc = 0
+        val s = once(); (Some(s), math.min(t1, s))
+      } else (None, t1)
+      name -> (t1, t2, t)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v._2 }
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v._3 }
       .mkString("{", ",", "}")
     val qsFirst = results.map { case (k, v) => s"\"" + k + "\":" + v._1 }
       .mkString("{", ",", "}")
+    // Both raw samples for every re-measured key (round-6 ask): the reported
+    // number is min(t1, t2), and with t1 in queries_first_run and t2 here the
+    // per-key selection is fully auditable — nothing is a silently-chosen min.
+    val qsSecond = results.collect { case (k, (_, Some(t2), _)) =>
+      s"\"" + k + "\":" + t2 }.mkString("{", ",", "}")
     val totalFirst = if (results.nonEmpty) results.values.map(_._1).sum else 0.0
-    val total = if (results.nonEmpty) results.values.map(_._2).sum else 0.0
+    val total = if (results.nonEmpty) results.values.map(_._3).sum else 0.0
     // Stop Spark BEFORE printing so none of its shutdown chatter lands
     // after the metric lines; per-query detail first (may be long), then a
     // SHORT final line the driver's tail-capture can always parse (round-1
@@ -118,6 +125,7 @@ object Bench {
     spark.stop()
     println(s"""{"metric":"queries","queries":$qs,"sf":"$sfDir"}""")
     println(s"""{"metric":"queries_first_run","queries":$qsFirst,"sf":"$sfDir"}""")
+    println(s"""{"metric":"queries_second_run","queries":$qsSecond,"sf":"$sfDir"}""")
     println(s"""{"metric":"total_first_run","value":$totalFirst,"unit":"sec","sf":"$sfDir"}""")
     println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir"}""")
     System.out.flush()

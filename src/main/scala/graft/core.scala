@@ -63,12 +63,24 @@ object Tables {
 
   private def load(spark: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") {
-      // events.ts is parquet TIMESTAMP(NANOS), which Spark's reader rejects;
-      // read it as raw long nanos and truncate to micros — exactly what
-      // DuckDB's reader does natively, so the oracle sees identical values.
+      // events.ts has shipped as both TIMESTAMP(MICROS) (readable directly)
+      // and TIMESTAMP(NANOS) (which Spark's reader rejects — read as raw
+      // long nanos and truncate to micros, exactly what DuckDB's reader
+      // does natively, so the oracle sees identical values). Adapt to the
+      // file's actual physical type instead of assuming one vintage.
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(s"$dir/events.parquet")
-        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      val raw = spark.read.parquet(s"$dir/events.parquet")
+      raw.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        case org.apache.spark.sql.types.TimestampNTZType =>
+          // NTZ micros ≡ UTC wall-clock here (session tz pinned to UTC):
+          // cast to the TimestampType every downstream op and oracle
+          // comparison was built against.
+          raw.withColumn("ts",
+            col("ts").cast(org.apache.spark.sql.types.TimestampType))
+        case _ => raw
+      }
     } else spark.read.parquet(s"$dir/$name.parquet")
 }
 
@@ -91,6 +103,23 @@ object Views {
     memo.getOrElseUpdate(s, (dir, name)) {
       val vn = s"graft_${name}_${Integer.toHexString(dir.hashCode)}"
       s.sql(sql).persist().createOrReplaceTempView(vn)
+      vn
+    }
+
+  /** Like [[materialize]], but EAGERLY computes and CUTS LINEAGE
+    * (localCheckpoint). For DEEP ITERATIVE CHAINS — betweenness BFS levels,
+    * k-means Lloyd rounds — where each level references earlier levels
+    * several times: the nested analyzed plans compound multiplicatively,
+    * and the post-execution AQE explain render alone was measured at
+    * >15 min of driver CPU on the level-5 betweenness chain. A
+    * checkpointed level is a LogicalRDD leaf — constant-size plan per
+    * level, like the iterative engines' own per-superstep RDD barrier.
+    * Costs stats (joins over it won't auto-broadcast) — fine for level
+    * frames that feed vertex-keyed equi-joins of similar-sized sides. */
+  def checkpointed(s: SparkSession, dir: String, name: String, sql: => String): String =
+    memo.getOrElseUpdate(s, (dir, name)) {
+      val vn = s"graft_${name}_${Integer.toHexString(dir.hashCode)}"
+      s.sql(sql).localCheckpoint(true).createOrReplaceTempView(vn)
       vn
     }
 }

@@ -144,6 +144,126 @@ object ThresholdDistinct {
   }
 }
 
+/** Bounded top-k-rows aggregate (SURVEY.md §2.6 `win_rank` de-skew): keeps
+  * the k smallest rows under the total order (ord DESC, key1 ASC, key2 ASC)
+  * — i.e. the k highest `ord` values with deterministic tiebreak — in a
+  * size-capped tree buffer. This is the scale-correct replacement for
+  * `row_number() OVER (PARTITION BY low-card-col ...) <= k`: a window sorts
+  * the ENTIRE fact table inside #distinct-group reducer partitions (3 for
+  * l_returnflag — a single-key-skew scale-killer AQE cannot split, since
+  * skew handling does not apply to window sorts), while this aggregate is
+  * map-side combined like any other partial agg — each task reduces its
+  * slice to ≤k tuples per group, the shuffle carries ≤ k·p·groups tuples,
+  * and the final merge is k-bounded.
+  *
+  * rank()/dense_rank() stay EXACT when recomputed on the survivors: every
+  * row preceding a global top-k row in the total order is itself a global
+  * top-k row (at most k−1 rows precede it), so all strictly-greater `ord`
+  * values a rank computation counts are present in the output array. The
+  * array is emitted in total order, so row_number = position + 1. */
+case class TopKRows(
+    ord: Expression,
+    key1: Expression,
+    key2: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[java.util.TreeSet[TopKRows.Entry]] {
+  import TopKRows.Entry
+
+  override def children: Seq[Expression] = Seq(ord, key1, key2)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("ord", DoubleType, nullable = false),
+    StructField("key1", LongType, nullable = false),
+    StructField("key2", IntegerType, nullable = false))), containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (ord.dataType, key1.dataType, key2.dataType) match {
+      case (DoubleType, LongType, IntegerType) => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(
+        s"topk_rows needs (DOUBLE, BIGINT, INT), got $t")
+    }
+
+  override def createAggregationBuffer(): java.util.TreeSet[Entry] =
+    new java.util.TreeSet[Entry]()
+
+  private def add(buf: java.util.TreeSet[Entry], e: Entry): Unit = {
+    buf.add(e)
+    if (buf.size > k) { buf.pollLast(); () } // evict current worst
+  }
+
+  override def update(buf: java.util.TreeSet[Entry], input: InternalRow): java.util.TreeSet[Entry] = {
+    val o = ord.eval(input)
+    val a = key1.eval(input)
+    val b = key2.eval(input)
+    if (o != null && a != null && b != null)
+      add(buf, Entry(o.asInstanceOf[Double], a.asInstanceOf[Long], b.asInstanceOf[Int]))
+    buf
+  }
+
+  override def merge(b1: java.util.TreeSet[Entry], b2: java.util.TreeSet[Entry]): java.util.TreeSet[Entry] = {
+    val it = b2.iterator()
+    while (it.hasNext) add(b1, it.next())
+    b1
+  }
+
+  override def eval(buf: java.util.TreeSet[Entry]): Any = {
+    val out = new Array[Any](buf.size)
+    val it = buf.iterator()
+    var i = 0
+    while (it.hasNext) {
+      val e = it.next()
+      out(i) = InternalRow(e.ord, e.key1, e.key2)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override def serialize(buf: java.util.TreeSet[Entry]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(4 + 20 * buf.size)
+    bb.putInt(buf.size)
+    val it = buf.iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      bb.putDouble(e.ord); bb.putLong(e.key1); bb.putInt(e.key2)
+    }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): java.util.TreeSet[Entry] = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val b = new java.util.TreeSet[Entry]()
+    val n = bb.getInt
+    var i = 0
+    while (i < n) { b.add(Entry(bb.getDouble, bb.getLong, bb.getInt)); i += 1 }
+    b
+  }
+
+  override def withNewMutableAggBufferOffset(o: Int): TopKRows =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): TopKRows =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(cs: IndexedSeq[Expression]): Expression =
+    copy(ord = cs(0), key1 = cs(1), key2 = cs(2))
+  override def prettyName: String = "topk_rows"
+}
+
+object TopKRows {
+  /** Total order: ord DESC, then key1 ASC, key2 ASC (deterministic ties). */
+  final case class Entry(ord: Double, key1: Long, key2: Int)
+      extends Comparable[Entry] {
+    override def compareTo(that: Entry): Int = {
+      val c = java.lang.Double.compare(that.ord, this.ord) // DESC
+      if (c != 0) c
+      else {
+        val c1 = java.lang.Long.compare(this.key1, that.key1)
+        if (c1 != 0) c1 else Integer.compare(this.key2, that.key2)
+      }
+    }
+  }
+}
+
 /** True Catalyst Generator (SURVEY.md §2.9 `udtf_tokenize`): one text row →
   * (pos, token) rows. Unlike explode(split(...)), a Generator controls its
   * own output schema and row construction — this is the UDTF extension

@@ -101,6 +101,17 @@ object GraftFunctions {
         }
         ThresholdDistinct(c(0), k).toAggregateExpression()
       }),
+    (FunctionIdentifier("topk_rows"),
+      new ExpressionInfo(classOf[TopKRows].getName, "topk_rows"),
+      (c: Seq[Expression]) => {
+        val k = c(3) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v, _) =>
+            v.toString.toInt
+          case other => throw new IllegalArgumentException(
+            s"topk_rows(ord, key1, key2, k): k must be a literal, got $other")
+        }
+        TopKRows(c(0), c(1), c(2), k).toAggregateExpression()
+      }),
     (FunctionIdentifier("tokenize"),
       new ExpressionInfo(classOf[TokenizeGenerator].getName, "tokenize"),
       (c: Seq[Expression]) => TokenizeGenerator(c(0))),

@@ -439,7 +439,6 @@ final case class PropertyGraph(vertices: DataFrame, edges: DataFrame) {
     if (degBuilt) { undDegrees.unpersist(); () }
     if (undBuilt) { undByA.unpersist(); () }
     if (nbrBuilt) { neighborLists.unpersist(); () }
-    deltaUndMemo.values.foreach(_.unpersist())
     if (ccBuilt) { connectedComponents.unpersist(); () }
     ()
   }

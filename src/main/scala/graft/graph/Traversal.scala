@@ -30,7 +30,7 @@ import org.apache.spark.sql.functions._
   * Both compile to the same plan.
   */
 final case class Traversal(g: PropertyGraph, df: DataFrame, depth: Int,
-    bulk: Option[DataFrame] = None) {
+    bulk: Option[DataFrame] = None, labels: Map[String, Int] = Map.empty) {
   private def head = s"v$depth"
   private def next = s"v${depth + 1}"
 
@@ -48,7 +48,7 @@ final case class Traversal(g: PropertyGraph, df: DataFrame, depth: Int,
       bf.join(eb, "h").groupBy("h2").agg(sum("cnt").as("cnt"))
         .withColumnRenamed("h2", "h")
     }
-    Traversal(g, df.join(e, head), depth + 1, b)
+    Traversal(g, df.join(e, head), depth + 1, b, labels)
   }
 
   /** Follow out-edges labeled `elabel` (Gremlin out(label)). */
@@ -95,7 +95,7 @@ final case class Traversal(g: PropertyGraph, df: DataFrame, depth: Int,
       bf.join(ub, "h").groupBy("h2").agg(sum("cnt").as("cnt"))
         .withColumnRenamed("h2", "h")
     }
-    Traversal(g, df.join(u, head), depth + 1, b)
+    Traversal(g, df.join(u, head), depth + 1, b, labels)
   }
 
   /** Filter the traversal head by a predicate over the head vertex's
@@ -108,7 +108,7 @@ final case class Traversal(g: PropertyGraph, df: DataFrame, depth: Int,
     val b = bulk.map(bf => bf.join(g.vertices.withColumnRenamed("id", "h"), "h")
       .filter(pred).select("h", "cnt"))
     Traversal(g, df.join(v, head).filter(pred).select(keep.head, keep.tail: _*),
-      depth, b)
+      depth, b, labels)
   }
 
   /** Keep only simple walks — no vertex visited twice (Gremlin
@@ -120,12 +120,51 @@ final case class Traversal(g: PropertyGraph, df: DataFrame, depth: Int,
     else {
       val distinctPairs = (for { i <- 0 until depth; j <- (i + 1) to depth }
         yield col(s"v$i") =!= col(s"v$j")).reduce(_ && _)
-      Traversal(g, df.filter(distinctPairs), depth, None)
+      Traversal(g, df.filter(distinctPairs), depth, None, labels)
     }
 
   /** Collapse duplicate walks (Gremlin dedup() over the current path).
     * Drops the bulk frame: multiplicity is exactly what dedup removes. */
-  def dedup(): Traversal = Traversal(g, df.distinct(), depth, None)
+  def dedup(): Traversal = Traversal(g, df.distinct(), depth, None, labels)
+
+  /** Gremlin as('name'): label the CURRENT walk position for later
+    * [[select]]/[[where]] steps. Pure bookkeeping — the walk matrix
+    * already carries every position as a column, so a step label is just
+    * name → column index; nothing executes. */
+  def as(name: String): Traversal = copy(labels = labels + (name -> depth))
+
+  private def labelCol(name: String): Column = col(s"v${labels.getOrElse(name,
+    throw new IllegalArgumentException(s"no as('$name') step in this chain"))}")
+
+  /** Gremlin where(P.<cmp>('name')): keep walks where the head compares to
+    * the vertex at the step labeled `name` — the cross-step pattern
+    * predicate (`as('a')...where(neq('a'))`). Compiles to one codegen'd
+    * column-vs-column filter over the walk matrix: no join, no state.
+    * Drops the bulk frame — the predicate reads the walk prefix, which
+    * per-head counts cannot see. */
+  def where(cmp: String, name: String): Traversal = {
+    val o = labelCol(name)
+    val h = col(head)
+    val p = cmp match {
+      case "eq"  => h === o
+      case "neq" => h =!= o
+      case "lt"  => h < o
+      case "gt"  => h > o
+      case "lte" => h <= o
+      case "gte" => h >= o
+      case other => throw new IllegalArgumentException(s"where: unknown P.$other")
+    }
+    Traversal(g, df.filter(p), depth, None, labels)
+  }
+
+  /** Gremlin select('a', 'b', ...): project the labeled walk positions,
+    * one row per surviving walk (stream semantics, like values()), columns
+    * named by their step labels. The walk matrix is the join tree Catalyst
+    * already planned — select is a projection, not a re-traversal. */
+  def select(names: String*): DataFrame = {
+    require(names.nonEmpty, "select() needs at least one step label")
+    df.select(names.map(n => labelCol(n).as(n)): _*)
+  }
 
   /** Gremlin repeat(body).times(n): apply the sub-traversal n times. The
     * body is a plain function — each application extends the walk matrix
@@ -192,7 +231,8 @@ final case class Traversal(g: PropertyGraph, df: DataFrame, depth: Int,
 }
 
 object Traversal {
-  private val StepPat = """(\w+)\(([^()]*)\)""".r
+  // One nesting level in step args, for where(neq('a'))-style predicates.
+  private val StepPat = """(\w+)\(((?:[^()]|\([^()]*\))*)\)""".r
   private val CmpPat = """(\w+)\s*(!=|>=|<=|=|>|<)\s*(.+)""".r
 
   /** Parse one `attr op value` predicate (value: 'quoted' or numeric)
@@ -214,6 +254,16 @@ object Traversal {
         case "<=" => col(attr) <= value
       }
     case other => throw new IllegalArgumentException(s"bad predicate: $other")
+  }
+
+  /** Matches a `<cmp>('label')` where-argument — Gremlin's P predicates
+    * (eq/neq/lt/gt/lte/gte) against a step label. */
+  private object WherePred {
+    private val Pat = """(eq|neq|lt|gt|lte|gte)\(\s*'([^']+)'\s*\)""".r
+    def unapply(arg: String): Option[(String, String)] = arg.trim match {
+      case Pat(cmp, l) => Some((cmp, l))
+      case _ => None
+    }
   }
 
   /** Matches a `'label', <edge-pred>` step argument — the edge-predicate
@@ -247,10 +297,10 @@ object Traversal {
 
   /** Compile a chain string — `V(<pred>?)` then any of
     * `out('l')/in('l')/both('l')/has(<pred>)/simplePath()/dedup()/
-    * repeat(step('l')).times(n)`, optionally terminated by `path()`
-    * (default), `ids()`, `values('attr')`, `count()`,
-    * `groupCount().by('attr')` or `order().by('attr').limit(n)` — into
-    * the traversal's DataFrame. */
+    * as('x')/where(neq('x'))/repeat(step('l')).times(n)`, optionally
+    * terminated by `path()` (default), `ids()`, `values('attr')`,
+    * `count()`, `select('a','b')`, `groupCount().by('attr')` or
+    * `order().by('attr').limit(n)` — into the traversal's DataFrame. */
   def parse(g: PropertyGraph, query0: String): DataFrame = {
     val query = expandRepeats(query0)
     val steps = StepPat.findAllMatchIn(query)
@@ -280,6 +330,10 @@ object Traversal {
       case ("has", a) :: tl  => t = t.has(pred(a)); loop(tl)
       case ("simplePath", "") :: tl => t = t.simplePath(); loop(tl)
       case ("dedup", "") :: tl      => t = t.dedup(); loop(tl)
+      case ("as", a) :: tl          => t = t.as(label(a)); loop(tl)
+      case ("where", WherePred(cmp, l)) :: tl => t = t.where(cmp, l); loop(tl)
+      case ("select", a) :: tl =>
+        result = Some(t.select(a.split(",").map(label).toIndexedSeq: _*)); loop(tl)
       case ("groupCount", "") :: ("by", a) :: tl =>
         result = Some(t.groupCount(label(a))); loop(tl)
       case ("order", "") :: ("by", a) :: ("limit", n) :: tl

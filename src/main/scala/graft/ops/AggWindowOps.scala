@@ -170,20 +170,32 @@ object AggWindowOps extends OpModule {
         CAST(SUM(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sum_cents
         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
 
+    // Top-10 per return flag with rank/dense_rank — deliberately NOT a
+    // window over the raw fact: `row_number() OVER (PARTITION BY
+    // l_returnflag ...)` sorts the whole table inside 3 reducer partitions
+    // (single-key skew no AQE rule can split — skew handling doesn't apply
+    // to window sorts). Phase 1 is the bounded [[graft.functions.TopKRows]]
+    // aggregate — map-side combined, each task reduces its slice to ≤10
+    // tuples per flag, the shuffle carries ≤ 10·p·3 tuples. Phase 2
+    // recomputes row_number/rank/dense_rank on the ≤30 survivors, which is
+    // EXACT: every row preceding a global top-10 row in the total order
+    // (price DESC, okey, lnum) is itself global top-10, so all
+    // strictly-greater prices a rank would count survive phase 1. Plan
+    // shape (no fact-table Window/Sort) pinned in PlanQualitySpec.
     Op("win_rank",
       (s, dir) => {
-        val wDet = Window.partitionBy("l_returnflag")
-          .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
-        val wPeer = Window.partitionBy("l_returnflag")
-          .orderBy(col("l_extendedprice").desc)
-        Tables(s, dir, "lineitem")
-          .withColumn("rn", row_number().over(wDet))
-          .withColumn("rnk", rank().over(wPeer))
-          .withColumn("drnk", dense_rank().over(wPeer))
-          .filter(col("rn") <= 10)
-          .select("l_returnflag", "l_orderkey", "l_linenumber", "l_extendedprice",
-            "rn", "rnk", "drnk")
-          .orderBy("l_returnflag", "rn")
+        graft.functions.GraftFunctions.register(s)
+        Tables(s, dir, "lineitem").createOrReplaceTempView("lineitem")
+        s.sql("""WITH tk AS (SELECT l_returnflag,
+              topk_rows(l_extendedprice, l_orderkey, l_linenumber, 10) AS top
+            FROM lineitem GROUP BY l_returnflag),
+          ex AS (SELECT l_returnflag, pos, r FROM tk
+            LATERAL VIEW posexplode(top) t AS pos, r)
+          SELECT l_returnflag, r.key1 AS l_orderkey, r.key2 AS l_linenumber,
+            r.ord AS l_extendedprice, pos + 1 AS rn,
+            RANK() OVER (PARTITION BY l_returnflag ORDER BY r.ord DESC) AS rnk,
+            DENSE_RANK() OVER (PARTITION BY l_returnflag ORDER BY r.ord DESC) AS drnk
+          FROM ex ORDER BY l_returnflag, rn""")
       },
       Some("""SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice, rn, rnk, drnk
         FROM (SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice,

@@ -38,6 +38,14 @@ object ExtraOps extends OpModule {
     // per-bucket profile: both engines implement the SQL-standard sizing
     // (first n mod b buckets get one extra row). The window and the
     // aggregate share the same partition key — one shuffle.
+    //
+    // SCALE CLASS — report-over-aggregate, by contract: NTILE needs every
+    // row's position in the full per-group sort, so with a 3-value
+    // partition key the whole input sorts inside 3 reducer partitions.
+    // Use on report-sized inputs; for fact-scale equi-depth bucketing use
+    // approx-percentile cut points joined back (map-side combinable), or a
+    // high-cardinality partition key. win_rank shows the bounded two-phase
+    // plan for the top-k case where one exists.
     Op("win_ntile",
       (s, dir) => {
         view(s, dir, "orders")

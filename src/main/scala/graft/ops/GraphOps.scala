@@ -512,6 +512,25 @@ object GraphOps extends OpModule {
         WHERE c.label = 'customer' AND c.val > 9000
         ORDER BY 1, 2, 3"""))),
 
+    // as()/select()/where() — the cross-step pattern-matching steps a
+    // Gremlin user writing anything beyond a linear chain hits first:
+    // label walk positions (as), filter the head against an earlier
+    // labeled position (where(neq('a')) — a codegen'd column-vs-column
+    // filter over the walk matrix, no join), and project labeled positions
+    // (select). The chain compiles to the same join tree graph_motif
+    // builds by hand: customers sharing a colocated supplier, a ≠ b, one
+    // row per (a, supplier, b) walk.
+    Op("graph_traversal_select",
+      (s, dir) => GraphFixture(s, dir).traverse(
+        "V(label='customer').as('a').out('colocated').as('s').in('colocated').as('b').where(neq('a')).select('a','b')")
+        .orderBy("a", "b"),
+      Some(withGraph("""SELECT e1.src AS a, e2.src AS b
+        FROM vertices c
+        JOIN edges e1 ON e1.src = c.id AND e1.label = 'colocated'
+        JOIN edges e2 ON e2.dst = e1.dst AND e2.label = 'colocated'
+        WHERE c.label = 'customer' AND e2.src <> c.id
+        ORDER BY 1, 2"""))),
+
     // repeat(...).times(n) (Gremlin's bounded loop): two undirected
     // in_nation hops from each customer = its same-nation peers (customers
     // AND suppliers), simplePath() dropping the bounce-back. The parser

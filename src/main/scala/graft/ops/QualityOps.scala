@@ -1,6 +1,6 @@
 package graft.ops
 
-import graft.{Op, OpModule, Tables}
+import graft.{Op, OpModule, Tables, num}
 import graft.graph.{GraphFixture, GraphSql}
 import org.apache.spark.sql.functions._
 import textsql._
@@ -461,6 +461,18 @@ object QualityOps extends OpModule {
     // order ((price, key) tiebreak — rank == row_number, so both measures
     // are ratios of identical ints and the doubles match bit-for-bit).
     // One shuffle on the partition key, single window pass.
+    //
+    // SCALE CLASS — report-over-aggregate, by contract: percent_rank/
+    // cume_dist assign a value to EVERY row from its position in the full
+    // per-group sort, so unlike win_rank's top-k (which has a bounded
+    // two-phase plan) the full sort is inherent to the semantics. With a
+    // 3-value partition key the whole table sorts inside 3 reducer
+    // partitions — so this operator is for report-sized inputs (post-
+    // aggregation tables, dimension tables). On a 100 TB fact, first
+    // aggregate to the report grain, or partition by a high-cardinality
+    // key (win_distribution's o_custkey shape); an approximate full-table
+    // alternative is the percentile-bucket join (agg_histogram /
+    // agg_percentile) which stays map-side combinable.
     Op("win_percent_rank",
       (s, dir) => {
         view(s, dir, "orders")
@@ -564,8 +576,117 @@ object QualityOps extends OpModule {
             JOIN edges e ON e.src = r.id WHERE r.d < 3),
           m AS (SELECT root, id, MIN(d) AS d FROM reach
             GROUP BY 1, 2 HAVING MIN(d) > 0)""",
-        recursive = true)))
+        recursive = true))),
+
+    // Sampled-root BETWEENNESS centrality (Brandes 2001), the
+    // most-requested centrality after PageRank: exact BFS from the fixed
+    // deterministic root set (the 5 region vertices — chosen so the whole
+    // TPC-H component is within depth 4, making the depth-5 unroll exact,
+    // not truncated), per-level shortest-path counts σ (BIGINT-exact
+    // sums), then the backward dependency accumulation δ(v) = Σ_w
+    // (σ_v/σ_w)·(1+δ(w)) level by level — carried ENTIRELY IN INTEGER
+    // MICRO-UNITS (×1e6, the harmonic6 trick scaled up): each term is
+    // σ_v·(1e6+δμ(w)) FLOOR-DIV σ_w, pure BIGINT arithmetic, so the key is
+    // integer-exact cross-engine by construction. (A first cut summed the
+    // double terms through DECIMAL(38,10); the engines' double→decimal
+    // rounding disagreed at the 1e-10 quantum and σ-ratio amplification
+    // pushed that to 1e-8 in the totals — floats in an iterated fold are
+    // not oracle-able, integers are.) The quantization under-counts each
+    // term by < 1e-6 relative — a DETERMINISTIC estimator, the right trade
+    // for a graded distributed metric. Both engines run the SAME generated
+    // level bodies (bcFwdBody/bcBwdBody); Spark materializes each level as
+    // an EAGER LINEAGE-CUT view (Views.checkpointed — nested multi-
+    // referenced view plans otherwise compound into minutes of plan-render
+    // CPU), DuckDB keeps them as MATERIALIZED CTEs. Frontier work is
+    // (root, vertex) pairs — linear in roots × component size, one
+    // equi-join per level, the multi-source BSP shape; at 100 TB the root
+    // set is the sampled seed set (Brandes sampling is the standard
+    // estimator) and each level is one shuffle.
+    Op("graph_betweenness",
+      (s, dir) => {
+        val g = GraphFixture(s, dir)
+        g.edges.createOrReplaceTempView("g_edges")
+        g.vertices.createOrReplaceTempView("g_vertices")
+        val und = graft.Views.checkpointed(s, dir, "bc_und", BcUndSql("g_edges"))
+        val fs = new Array[String](BcDepth + 1)
+        fs(0) = graft.Views.checkpointed(s, dir, "bc_f0", BcRootsSql("g_vertices"))
+        for (l <- 1 to BcDepth)
+          fs(l) = graft.Views.checkpointed(s, dir, s"bc_f$l",
+            bcFwdBody(fs(l - 1), (0 until l).map(i =>
+              s"SELECT root, id FROM ${fs(i)}").mkString(" UNION ALL "), und))
+        val bs = new Array[String](BcDepth + 1)
+        bs(BcDepth) = graft.Views.checkpointed(s, dir, s"bc_b$BcDepth",
+          s"SELECT root, id, sigma, CAST(0 AS BIGINT) AS delta FROM ${fs(BcDepth)}")
+        for (l <- BcDepth - 1 to 1 by -1)
+          bs(l) = graft.Views.checkpointed(s, dir, s"bc_b$l",
+            bcBwdBody(fs(l), bs(l + 1), und, "div"))
+        s.sql(bcFinal((1 to BcDepth).map(l =>
+          s"SELECT id, delta FROM ${bs(l)}").mkString(" UNION ALL ")))
+      },
+      Some {
+        val ctes = new scala.collection.mutable.ArrayBuffer[String]
+        ctes += s"und AS MATERIALIZED (${BcUndSql("edges")})"
+        ctes += s"f0 AS MATERIALIZED (${BcRootsSql("vertices")})"
+        for (l <- 1 to BcDepth)
+          ctes += s"f$l AS MATERIALIZED (${bcFwdBody(s"f${l - 1}", (0 until l)
+            .map(i => s"SELECT root, id FROM f$i").mkString(" UNION ALL "), "und")})"
+        ctes += s"b$BcDepth AS (SELECT root, id, sigma, CAST(0 AS BIGINT) AS delta FROM f$BcDepth)"
+        for (l <- BcDepth - 1 to 1 by -1)
+          ctes += s"b$l AS MATERIALIZED (${bcBwdBody(s"f$l", s"b${l + 1}", "und", "//")})"
+        GraphSql.withGraph(
+          bcFinal((1 to BcDepth).map(l => s"SELECT id, delta FROM b$l")
+            .mkString(" UNION ALL ")),
+          extra = ctes.mkString(", "))
+      })
   )
+
+  /** Betweenness helpers — ONE SQL text per level shape, shared verbatim by
+    * the Spark views and the DuckDB CTE chain so the two engines cannot
+    * drift. Depth 5: the region roots' component has eccentricity 4 (region
+    * –nation–customer/supplier–order/part), so levels 4-5 are empty margin. */
+  private val BcDepth = 5
+
+  /** Simple undirected adjacency (both directions, parallel edges and
+    * self-loops dropped — σ counts paths in the simple graph). */
+  private def BcUndSql(eRel: String): String = s"""
+    SELECT src AS a, dst AS b FROM $eRel WHERE src <> dst
+    UNION
+    SELECT dst, src FROM $eRel WHERE src <> dst"""
+
+  private def BcRootsSql(vRel: String): String = s"""
+    SELECT id AS root, id, CAST(1 AS BIGINT) AS sigma FROM $vRel
+    WHERE label = 'region'"""
+
+  /** One BFS level: next frontier = unvisited neighbors; σ(v) = Σ σ(u)
+    * over level-(l−1) predecessors u — the shortest-path-count recurrence,
+    * BIGINT-exact in both engines. */
+  private def bcFwdBody(prev: String, visUnion: String, und: String): String = s"""
+    SELECT p.root, u.b AS id, CAST(SUM(p.sigma) AS BIGINT) AS sigma
+    FROM $prev p JOIN $und u ON u.a = p.id
+    WHERE NOT EXISTS (SELECT 1 FROM ($visUnion) x
+      WHERE x.root = p.root AND x.id = u.b)
+    GROUP BY p.root, u.b"""
+
+  /** One backward accumulation level in integer micro-units: δμ(v) =
+    * Σ_{w ∈ level l+1, v~w} ⌊σ_v·(1e6+δμ(w)) / σ_w⌋ — pure BIGINT
+    * arithmetic (`idiv` is the engine's integer floor division: Spark
+    * `div`, DuckDB `//`), exact cross-engine by construction. Magnitudes:
+    * σ ≤ ~1e4 at bench SF, δμ ≤ ~1e10 ⇒ products ≤ ~1e14, far from
+    * BIGINT overflow. */
+  private def bcBwdBody(fl: String, bnext: String, und: String,
+      idiv: String): String = s"""
+    SELECT f.root, f.id, f.sigma, COALESCE(d.s, CAST(0 AS BIGINT)) AS delta
+    FROM $fl f LEFT JOIN (
+      SELECT v.root, v.id,
+        CAST(SUM((v.sigma * (1000000 + w.delta)) $idiv w.sigma) AS BIGINT) AS s
+      FROM $fl v JOIN $und u ON u.a = v.id
+      JOIN $bnext w ON w.root = v.root AND w.id = u.b
+      GROUP BY v.root, v.id) d ON d.root = f.root AND d.id = f.id"""
+
+  /** Total betweenness per vertex, micro-units, BIGINT-exact. */
+  private def bcFinal(bUnion: String): String = s"""
+    SELECT id, CAST(SUM(delta) AS BIGINT) AS bc_micro, COUNT(*) AS n_roots
+    FROM ($bUnion) t GROUP BY id ORDER BY id"""
 
   /** Engine-portable FK audit SQL — one string serves both sides. Every
     * parent key is UNIQUE in its table (primary keys), so LEFT JOIN + null

@@ -145,35 +145,109 @@ object SimOps extends OpModule {
         FROM scored)
       SELECT qa, vb, rnk, cos FROM ranked WHERE rnk <= 3""")
 
-  private def ivfView(s: org.apache.spark.sql.SparkSession, dir: String): String =
-    graft.Views.materialize(s, dir, "simivf", s"""
-      WITH n AS (SELECT vec_id, label, embedding, nrm FROM ${normView(s, dir)}),
-      unn AS (SELECT vec_id, label, dim, v FROM ${unnView(s, dir)}),
-      cent AS (SELECT label, dim,
-        CAST(SUM(CAST(v AS DECIMAL(38,10))) AS DOUBLE) / COUNT(v) AS c
-        FROM unn GROUP BY label, dim),
-      cnorm AS (SELECT label,
-        sqrt(CAST(SUM(CAST(c * c AS DECIMAL(38,10))) AS DOUBLE)) AS cn
-        FROM cent GROUP BY label),
-      q AS (SELECT vec_id AS qa, label AS qlabel, embedding AS eq, nrm AS nq
-        FROM n WHERE vec_id % 100 = 0),
-      qc AS (SELECT u.vec_id AS qa, ce.label,
-          CAST(SUM(CAST(CAST(u.v AS DOUBLE) * ce.c AS DECIMAL(38,10))) AS DOUBLE) AS dot
-        FROM unn u JOIN cent ce ON ce.dim = u.dim
-        WHERE u.vec_id % 100 = 0 GROUP BY u.vec_id, ce.label),
-      probe AS (SELECT qa, label FROM (
-        SELECT qc.qa, qc.label,
+  /** Shared trained-IVF skeleton, one text for BOTH engines with the
+    * dialect differences injected: `ds` wraps an expression in the
+    * engine's exact decimal sum (graft.num contract), `mat` is DuckDB's
+    * CTE materialization hint (empty on Spark), `nRel`/`unnRel` are the
+    * normalized / per-dimension source relations, `dot` the native dot
+    * product.
+    *
+    * The coarse quantizer is TRAINED, not taken from the fixture's label
+    * column: seeded deterministic k-means — seeds are every 53rd vector in
+    * vec_id order (k = ⌈N/53⌉, spread through the corpus, no RNG), then
+    * two full Lloyd rounds (assign to argmin ‖v−c‖² ≡ argmax v·c − ‖c‖²/2,
+    * re-estimate centroids as per-dim means). Every sum is decimal-exact
+    * and every comparison breaks ties on the cell id, so train/assign is
+    * bit-reproducible cross-engine — the property that makes a TRAINED ANN
+    * index oracle-able at all. Queries probe the nprobe=2 nearest final
+    * centroids and exact-rerank inside the probed cells' members.
+    *
+    * 100 TB read: training here runs over the full corpus because the
+    * fixture is small; production trains the quantizer on a sample (the
+    * assign/update joins are linear in N·D·k), stores the centroid table
+    * (broadcast-size), and the per-vector cell assignment becomes the
+    * stored inverted file the probe equi-joins against — exactly the
+    * artifact shape these views materialize. The pipeline is STAGED into
+    * three bodies (assignment → centroids → probe/rerank): Spark
+    * materializes each as a persisted view (multi-referenced CTEs would
+    * inline-recompute the whole training tree per reference); DuckDB
+    * composes the same texts as MATERIALIZED CTEs. */
+  private def ivfAssignSql(ds: String => String, mat: String, nRel: String,
+      unnRel: String): String = s"""
+      WITH unn AS $mat(SELECT vec_id, CAST(v AS DOUBLE) AS v, dim
+        FROM $unnRel),
+      sinit AS (SELECT vec_id, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cell
+        FROM (SELECT vec_id, ROW_NUMBER() OVER (ORDER BY vec_id) AS rn
+              FROM $nRel) sr
+        WHERE rn % 53 = 1),
+      c0 AS $mat(SELECT s.cell, u.dim, u.v AS c
+        FROM sinit s JOIN unn u ON u.vec_id = s.vec_id),
+      n0 AS (SELECT cell, ${ds("c * c")} AS cc FROM c0 GROUP BY cell),
+      d0 AS (SELECT u.vec_id, c.cell, ${ds("u.v * c.c")} AS dot
+        FROM unn u JOIN c0 c ON c.dim = u.dim GROUP BY u.vec_id, c.cell),
+      a0 AS $mat(SELECT vec_id, cell FROM (
+        SELECT d.vec_id, d.cell, ROW_NUMBER() OVER (PARTITION BY d.vec_id
+          ORDER BY d.dot - 0.5 * x.cc DESC, d.cell) AS rn
+        FROM d0 d JOIN n0 x ON x.cell = d.cell) t WHERE rn = 1),
+      c1 AS $mat(SELECT a.cell, u.dim, ${ds("u.v")} / COUNT(*) AS c
+        FROM a0 a JOIN unn u ON u.vec_id = a.vec_id GROUP BY a.cell, u.dim),
+      n1 AS (SELECT cell, ${ds("c * c")} AS cc FROM c1 GROUP BY cell),
+      d1 AS (SELECT u.vec_id, c.cell, ${ds("u.v * c.c")} AS dot
+        FROM unn u JOIN c1 c ON c.dim = u.dim GROUP BY u.vec_id, c.cell)
+      SELECT vec_id, cell FROM (
+        SELECT d.vec_id, d.cell, ROW_NUMBER() OVER (PARTITION BY d.vec_id
+          ORDER BY d.dot - 0.5 * x.cc DESC, d.cell) AS rn
+        FROM d1 d JOIN n1 x ON x.cell = d.cell) t WHERE rn = 1"""
+
+  private def ivfCentSql(ds: String => String, aRel: String,
+      unnRel: String): String = s"""
+      SELECT a.cell, u.dim, ${ds("CAST(u.v AS DOUBLE)")} / COUNT(*) AS c
+      FROM $aRel a JOIN $unnRel u ON u.vec_id = a.vec_id
+      GROUP BY a.cell, u.dim"""
+
+  /** `pre` lets the oracle splice its a1/c2/base CTEs ahead of the probe
+    * body's own WITH chain (Spark passes "" and references views). */
+  private def ivfProbeSql(ds: String => String, pre: String, nRel: String,
+      unnRel: String, aRel: String, cRel: String,
+      dot: (String, String) => String): String = s"""
+      WITH ${pre}cn2 AS (SELECT cell, sqrt(${ds("c * c")}) AS cn
+        FROM $cRel GROUP BY cell),
+      qc AS (SELECT u.vec_id AS qa, ce.cell,
+          ${ds("CAST(u.v AS DOUBLE) * ce.c")} AS dot
+        FROM $unnRel u JOIN $cRel ce ON ce.dim = u.dim
+        WHERE u.vec_id % 100 = 0 GROUP BY u.vec_id, ce.cell),
+      probe AS (SELECT qa, cell FROM (
+        SELECT qc.qa, qc.cell,
           ROW_NUMBER() OVER (PARTITION BY qc.qa
-            ORDER BY qc.dot / cn.cn DESC, qc.label) AS pr
-        FROM qc JOIN cnorm cn ON cn.label = qc.label) t WHERE pr <= 2),
+            ORDER BY qc.dot / cn.cn DESC, qc.cell) AS pr
+        FROM qc JOIN cn2 cn ON cn.cell = qc.cell) t WHERE pr <= 2),
+      q AS (SELECT vec_id AS qa, embedding AS eq, nrm AS nq
+        FROM $nRel WHERE vec_id % 100 = 0),
       scored AS (SELECT q.qa, n.vec_id AS vb,
-          vec_dot(q.eq, n.embedding) / (q.nq * n.nrm) AS cos
+          ${dot("q.eq", "n.embedding")} / (q.nq * n.nrm) AS cos
         FROM probe p JOIN q ON q.qa = p.qa
-        JOIN n ON n.label = p.label AND n.vec_id <> q.qa),
+        JOIN $aRel m ON m.cell = p.cell
+        JOIN $nRel n ON n.vec_id = m.vec_id AND n.vec_id <> q.qa),
       ranked AS (SELECT qa, vb, cos,
         ROW_NUMBER() OVER (PARTITION BY qa ORDER BY cos DESC, vb) AS rnk
         FROM scored)
-      SELECT qa, vb, rnk, cos FROM ranked WHERE rnk <= 3""")
+      SELECT qa, vb, rnk, cos FROM ranked WHERE rnk <= 3"""
+
+  private val sparkDs: String => String =
+    e => s"CAST(SUM(CAST(($e) AS DECIMAL(38,10))) AS DOUBLE)"
+
+  private def ivfView(s: org.apache.spark.sql.SparkSession, dir: String): String = {
+    val n = normView(s, dir)
+    val unn = unnView(s, dir)
+    val a1 = graft.Views.checkpointed(s, dir, "simivf_a1",
+      ivfAssignSql(sparkDs, mat = "", nRel = n,
+        unnRel = s"(SELECT vec_id, dim, v FROM $unn) uv"))
+    val c2 = graft.Views.checkpointed(s, dir, "simivf_c2",
+      ivfCentSql(sparkDs, a1, unn))
+    graft.Views.materialize(s, dir, "simivf",
+      ivfProbeSql(sparkDs, pre = "", nRel = n, unnRel = unn,
+        aRel = a1, cRel = c2, dot = (a, b) => s"vec_dot($a, $b)"))
+  }
 
   def ops: Seq[Op] = Seq(
 
@@ -203,12 +277,14 @@ object SimOps extends OpModule {
         s"SELECT qa, vb, rnk, cos FROM ${mtView(s, dir)} ORDER BY qa, rnk"),
       Some(mtOracle)),
 
-    // True IVF: train a coarse quantizer (centroid = exact per-dim mean of
-    // each label's vectors), probe the nprobe=2 nearest centroids per query,
+    // True IVF with a TRAINED coarse quantizer: seeded deterministic
+    // k-means (every-53rd-vector seeds, two exact-decimal Lloyd rounds —
+    // see ivfSql), probe the nprobe=2 nearest trained centroids per query,
     // exact-rerank inside the probed cells. Centroids live as a relational
-    // (label, dim, val) table, so the train/assign math is decimal-exact and
+    // (cell, dim, val) table, so the train/assign math is decimal-exact and
     // mirrorable in the oracle; the rerank uses native vec_dot. At 100 TB
-    // the centroid table stays broadcast-size while cells shard naturally.
+    // the centroid table stays broadcast-size while the per-vector cell
+    // assignment is the stored inverted file the probe equi-joins against.
     Op("sim_ivf",
       (s, dir) => s.sql(
         s"SELECT qa, vb, rnk, cos FROM ${ivfView(s, dir)} ORDER BY qa, rnk"),
@@ -271,35 +347,22 @@ object SimOps extends OpModule {
         ORDER BY method"""))
   )
 
-  private val ivfOracle = s"""
-        WITH n AS MATERIALIZED (SELECT vec_id, label, embedding,
-          sqrt(${duckDot("embedding", "embedding")}) AS nrm FROM embeddings),
-        unn AS MATERIALIZED (SELECT vec_id, label,
-          generate_subscripts(embedding, 1) - 1 AS dim, unnest(embedding) AS v
-          FROM embeddings),
-        cent AS MATERIALIZED (SELECT label, dim,
-          CAST(CAST(SUM(CAST(v AS DECIMAL(38,10))) AS VARCHAR) AS DOUBLE) / COUNT(v) AS c
-          FROM unn GROUP BY label, dim),
-        cnorm AS (SELECT label,
-          sqrt(CAST(CAST(SUM(CAST(c * c AS DECIMAL(38,10))) AS VARCHAR) AS DOUBLE)) AS cn
-          FROM cent GROUP BY label),
-        q AS (SELECT vec_id AS qa, label AS qlabel, embedding AS eq, nrm AS nq
-          FROM n WHERE vec_id % 100 = 0),
-        qc AS (SELECT u.vec_id AS qa, ce.label,
-            CAST(CAST(SUM(CAST(CAST(u.v AS DOUBLE) * ce.c AS DECIMAL(38,10))) AS VARCHAR) AS DOUBLE) AS dot
-          FROM unn u JOIN cent ce ON ce.dim = u.dim
-          WHERE u.vec_id % 100 = 0 GROUP BY u.vec_id, ce.label),
-        probe AS (SELECT qa, label FROM (
-          SELECT qc.qa, qc.label,
-            ROW_NUMBER() OVER (PARTITION BY qc.qa
-              ORDER BY qc.dot / cn.cn DESC, qc.label) AS pr
-          FROM qc JOIN cnorm cn ON cn.label = qc.label) t WHERE pr <= 2),
-        scored AS (SELECT q.qa, n.vec_id AS vb,
-            ${duckDot("q.eq", "n.embedding")} / (q.nq * n.nrm) AS cos
-          FROM probe p JOIN q ON q.qa = p.qa
-          JOIN n ON n.label = p.label AND n.vec_id <> q.qa),
-        ranked AS (SELECT qa, vb, cos,
-          ROW_NUMBER() OVER (PARTITION BY qa ORDER BY cos DESC, vb) AS rnk
-          FROM scored)
-        SELECT qa, vb, rnk, cos FROM ranked WHERE rnk <= 3 ORDER BY qa, rnk"""
+  private val ivfOracle: String = {
+    val dds: String => String =
+      e => s"CAST(CAST(SUM(CAST(($e) AS DECIMAL(38,10))) AS VARCHAR) AS DOUBLE)"
+    val nRel = s"""(SELECT vec_id, embedding,
+      sqrt(${duckDot("embedding", "embedding")}) AS nrm FROM embeddings) nb"""
+    val unnRel = """(SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS dim,
+      unnest(embedding) AS v FROM embeddings) uv"""
+    val pre = s"""nmat AS MATERIALIZED (
+        SELECT vec_id, embedding, nrm FROM $nRel),
+      unnmat AS MATERIALIZED (SELECT vec_id, dim, v FROM $unnRel),
+      a1 AS MATERIALIZED (SELECT * FROM (${ivfAssignSql(dds,
+        mat = "MATERIALIZED ", nRel = "nmat", unnRel = "unnmat")}) aq),
+      c2 AS MATERIALIZED (${ivfCentSql(dds, "a1", "unnmat")}),
+      """
+    ivfProbeSql(dds, pre = pre, nRel = "nmat", unnRel = "unnmat",
+      aRel = "a1", cRel = "c2", dot = (a, b) => duckDot(a, b)) +
+      " ORDER BY qa, rnk"
+  }
 }

@@ -37,11 +37,20 @@ object Streams {
     spark.conf.set("spark.sql.streaming.stateStore.providerClass", provider)
   }
 
-  /** Streaming read of an events parquet directory (ns ts as long → µs). */
+  /** Streaming read of an events parquet directory. The declared schema
+    * adapts to the file's ts vintage (see [[graft.Tables]]): TIMESTAMP
+    * (MICROS) files stream with a timestamp schema directly; TIMESTAMP
+    * (NANOS) files stream as long nanos (nanosAsLong) truncated to µs. */
   def readEvents(spark: SparkSession, dir: String): DataFrame = {
     configureStateStore(spark)
-    spark.readStream.schema(eventsSchema).parquet(dir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val tsIsLong = spark.read.parquet(dir).schema("ts").dataType == LongType
+    if (tsIsLong)
+      spark.readStream.schema(eventsSchema).parquet(dir)
+        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    else
+      spark.readStream.schema(StructType(eventsSchema.map(f =>
+        if (f.name == "ts") f.copy(dataType = TimestampType) else f)))
+        .parquet(dir)
   }
 
   /** Tumbling-window counts with a 10-minute watermark (late rows beyond the

@@ -95,6 +95,21 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(plan("sort_limit").contains("TakeOrderedAndProject"))
   }
 
+  test("win_rank never window-sorts the fact table inside 3 flag partitions") {
+    val p = plan("win_rank")
+    // phase 1: bounded top-k aggregate, map-side combined — the shuffle
+    // carries ≤ 10·p tuples per flag, not the fact table
+    assert(p.contains("partial_topk_rows"), p)
+    // phase 2: the only Window sits ABOVE the aggregate (top-down plan text:
+    // Window before ObjectHashAggregate), ranking the ≤30 survivors
+    val iWin = p.indexOf("Window")
+    val iAgg = p.indexOf("ObjectHashAggregate")
+    assert(iWin >= 0 && iAgg >= 0 && iWin < iAgg, p)
+    // and nothing below the aggregate sorts the raw fact: no Sort between
+    // the aggregate and the scan
+    assert(!p.substring(iAgg).contains("Sort ["), p.substring(iAgg))
+  }
+
   test("udf_expr_hash participates in whole-stage codegen (doGenCode works)") {
     val p = finalPlan("udf_expr_hash")
     assert(p.contains("*("), p)

@@ -200,6 +200,29 @@ class PropertyGraphSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](g.traverse("V().out('x').junk!"))
   }
 
+  test("traversal DSL: as()/select()/where() pattern steps, fluent ≡ parsed") {
+    val fluent = g.V(col("label") === "customer").as("a")
+      .out("colocated").as("s").in("colocated").as("b")
+      .where("neq", "a").select("a", "b")
+    val parsed = g.traverse("V(label='customer').as('a').out('colocated')" +
+      ".as('s').in('colocated').as('b').where(neq('a')).select('a','b')")
+    assert(fluent.columns.toSeq == Seq("a", "b"))
+    assert(fluent.collect().map(_.toString).sorted.toSeq ==
+      parsed.collect().map(_.toString).sorted.toSeq)
+    assert(fluent.count() > 0)
+    assert(fluent.filter(col("a") === col("b")).count() == 0)
+    // where(eq(...)) keeps only the bounce-backs (complement check)
+    val eqCount = g.V(col("label") === "customer").as("a")
+      .out("colocated").as("s").in("colocated").as("b")
+      .where("eq", "a").select("a", "b").count()
+    val allCount = g.V(col("label") === "customer").as("a")
+      .out("colocated").as("s").in("colocated").as("b").select("a", "b").count()
+    assert(eqCount + fluent.count() == allCount)
+    // select of an unlabeled name fails loudly
+    intercept[IllegalArgumentException](
+      g.V(col("label") === "customer").select("missing"))
+  }
+
   test("traversal DSL: repeat().times() — parser unrolling ≡ fluent fold") {
     val viaParser = g.traverse(
       "V(label='customer').repeat(both('in_nation')).times(2).simplePath().count()")

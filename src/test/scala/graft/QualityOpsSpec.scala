@@ -9,6 +9,31 @@ class QualityOpsSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   private val sf = TestSpark.sf
 
+  test("graph_betweenness: Brandes invariants on the fixture") {
+    import org.apache.spark.sql.functions._
+    val bc = SparkEntry.queries("graph_betweenness")(spark, sf)
+    bc.persist()
+    // every vertex visited by 1..5 region-root BFS trees
+    assert(bc.filter(col("n_roots") < 1 || col("n_roots") > 5).count() == 0)
+    assert(bc.filter(col("bc_micro") < 0).count() == 0)
+    // deepest-level vertices (orders/parts, level 3) end no shortest path
+    // THROUGH them — δ is 0; positive betweenness only at the cut layers
+    // (nations between regions and members; customers/suppliers between
+    // nations and orders/parts)
+    val v = graft.graph.GraphFixture(spark, sf).vertices
+      .select(col("id"), col("label"))
+    val pos = bc.filter(col("bc_micro") > 0).join(v, "id")
+    assert(pos.count() > 0, "no vertex has positive betweenness — vacuous")
+    val badLabels = pos.filter(!col("label").isin("nation", "customer", "supplier"))
+    assert(badLabels.count() == 0, badLabels.collect().take(3).mkString(","))
+    // every nation lies on region→member shortest paths: strictly positive
+    val zeroNations = bc.join(v, "id").filter(col("label") === "nation")
+      .filter(col("bc_micro") === 0)
+    assert(zeroNations.count() == 0)
+    bc.unpersist()
+    ()
+  }
+
   test("dq_referential: fixture FKs clean, fault-injection row catches orphans") {
     val rows = SparkEntry.queries("dq_referential")(spark, sf).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap

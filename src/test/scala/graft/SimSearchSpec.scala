@@ -44,12 +44,14 @@ class SimSearchSpec extends AnyFunSuite {
         (row.getLong(1), row.getLong(2), row.getDouble(3))).toMap
     assert(r.keySet == Set("ivf", "knn", "multitable"))
     // the graded recall contract: the multi-table LSH path must recover
-    // ≥ 90% of exact top-3; IVF scans nprobe/cells = 20% of a corpus whose
-    // cells barely correlate with the near-random embeddings, so its honest
-    // floor is the scan fraction (measured 0.27 at sf0.001, 0.47 at
-    // sf0.01 — the multitable path is the high-recall contract).
+    // ≥ 90% of exact top-3; IVF probes nprobe=2 of the TRAINED k-means
+    // cells (~20% of the corpus) — on these weakly-clustered embeddings the
+    // trained quantizer measured 0.67 recall at sf0.01 (up from 0.47 with
+    // the old label-as-cell stand-in: Lloyd rounds place centroids where
+    // query neighborhoods actually are). Floor 0.4 = scan-fraction ×2
+    // margin; multitable remains the high-recall contract.
     assert(r("multitable")._3 >= 0.9, s"multitable recall ${r("multitable")._3}")
-    assert(r("ivf")._3 >= 0.2, s"ivf recall ${r("ivf")._3}")
+    assert(r("ivf")._3 >= 0.4, s"ivf recall ${r("ivf")._3}")
     // recall is exactly hits / (3 · queries) for every method
     r.values.foreach { case (nq, hits, rec) =>
       assert(rec == hits.toDouble / (3.0 * nq))
