@@ -160,7 +160,14 @@ object ThresholdDistinct {
   * row preceding a global top-k row in the total order is itself a global
   * top-k row (at most k−1 rows precede it), so all strictly-greater `ord`
   * values a rank computation counts are present in the output array. The
-  * array is emitted in total order, so row_number = position + 1. */
+  * array is emitted in total order, so row_number = position + 1.
+  *
+  * DUPLICATE ROWS (identical (ord, key1, key2) — lineitem's
+  * (l_orderkey, l_linenumber) is NOT unique in the fixtures, core.scala)
+  * are first-class: the buffer is a TreeMap entry → multiplicity with the
+  * TOTAL multiplicity capped at k, so a duplicate tuple inside the top-k
+  * is emitted once per source row, exactly as the window row_number()
+  * formulation (and the DuckDB oracle) keeps both rows. */
 case class TopKRows(
     ord: Expression,
     key1: Expression,
@@ -168,8 +175,8 @@ case class TopKRows(
     k: Int,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
-    extends TypedImperativeAggregate[java.util.TreeSet[TopKRows.Entry]] {
-  import TopKRows.Entry
+    extends TypedImperativeAggregate[TopKRows.Buf] {
+  import TopKRows.{Buf, Entry}
 
   override def children: Seq[Expression] = Seq(ord, key1, key2)
   override def nullable: Boolean = false
@@ -185,58 +192,84 @@ case class TopKRows(
         s"topk_rows needs (DOUBLE, BIGINT, INT), got $t")
     }
 
-  override def createAggregationBuffer(): java.util.TreeSet[Entry] =
-    new java.util.TreeSet[Entry]()
+  override def createAggregationBuffer(): Buf = new Buf
 
-  private def add(buf: java.util.TreeSet[Entry], e: Entry): Unit = {
-    buf.add(e)
-    if (buf.size > k) { buf.pollLast(); () } // evict current worst
+  /** Add `c` copies of `e`; trim the worst entries so Σ multiplicity ≤ k. */
+  private def add(buf: Buf, e: Entry, c: Int): Unit = {
+    buf.map.merge(e, c, (x: Integer, y: Integer) => Integer.valueOf(x + y))
+    buf.total += c
+    while (buf.total > k) {
+      val last = buf.map.lastEntry()
+      val over = buf.total - k
+      if (last.getValue <= over) {
+        buf.total -= last.getValue
+        buf.map.remove(last.getKey); ()
+      } else {
+        buf.map.put(last.getKey, last.getValue - over)
+        buf.total = k
+      }
+    }
   }
 
-  override def update(buf: java.util.TreeSet[Entry], input: InternalRow): java.util.TreeSet[Entry] = {
+  override def update(buf: Buf, input: InternalRow): Buf = {
     val o = ord.eval(input)
     val a = key1.eval(input)
     val b = key2.eval(input)
     if (o != null && a != null && b != null)
-      add(buf, Entry(o.asInstanceOf[Double], a.asInstanceOf[Long], b.asInstanceOf[Int]))
+      add(buf, Entry(o.asInstanceOf[Double], a.asInstanceOf[Long], b.asInstanceOf[Int]), 1)
     buf
   }
 
-  override def merge(b1: java.util.TreeSet[Entry], b2: java.util.TreeSet[Entry]): java.util.TreeSet[Entry] = {
-    val it = b2.iterator()
-    while (it.hasNext) add(b1, it.next())
+  override def merge(b1: Buf, b2: Buf): Buf = {
+    val it = b2.map.entrySet().iterator()
+    while (it.hasNext) {
+      val kv = it.next()
+      add(b1, kv.getKey, kv.getValue)
+    }
     b1
   }
 
-  override def eval(buf: java.util.TreeSet[Entry]): Any = {
-    val out = new Array[Any](buf.size)
-    val it = buf.iterator()
+  override def eval(buf: Buf): Any = {
+    val out = new Array[Any](buf.total)
+    val it = buf.map.entrySet().iterator()
     var i = 0
     while (it.hasNext) {
-      val e = it.next()
-      out(i) = InternalRow(e.ord, e.key1, e.key2)
-      i += 1
+      val kv = it.next()
+      val e = kv.getKey
+      var c = kv.getValue.intValue()
+      while (c > 0) {
+        out(i) = InternalRow(e.ord, e.key1, e.key2)
+        i += 1; c -= 1
+      }
     }
     new GenericArrayData(out)
   }
 
-  override def serialize(buf: java.util.TreeSet[Entry]): Array[Byte] = {
-    val bb = java.nio.ByteBuffer.allocate(4 + 20 * buf.size)
-    bb.putInt(buf.size)
-    val it = buf.iterator()
+  override def serialize(buf: Buf): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(4 + 24 * buf.map.size)
+    bb.putInt(buf.map.size)
+    val it = buf.map.entrySet().iterator()
     while (it.hasNext) {
-      val e = it.next()
+      val kv = it.next()
+      val e = kv.getKey
       bb.putDouble(e.ord); bb.putLong(e.key1); bb.putInt(e.key2)
+      bb.putInt(kv.getValue)
     }
     bb.array()
   }
 
-  override def deserialize(bytes: Array[Byte]): java.util.TreeSet[Entry] = {
+  override def deserialize(bytes: Array[Byte]): Buf = {
     val bb = java.nio.ByteBuffer.wrap(bytes)
-    val b = new java.util.TreeSet[Entry]()
+    val b = new Buf
     val n = bb.getInt
     var i = 0
-    while (i < n) { b.add(Entry(bb.getDouble, bb.getLong, bb.getInt)); i += 1 }
+    while (i < n) {
+      val e = Entry(bb.getDouble, bb.getLong, bb.getInt)
+      val c = bb.getInt
+      b.map.put(e, c)
+      b.total += c
+      i += 1
+    }
     b
   }
 
@@ -250,6 +283,13 @@ case class TopKRows(
 }
 
 object TopKRows {
+  /** Entry → multiplicity, ordered by the total order; `total` = Σ counts
+    * (maintained ≤ k by [[TopKRows.add]]). */
+  final class Buf {
+    val map: java.util.TreeMap[Entry, Integer] = new java.util.TreeMap[Entry, Integer]()
+    var total: Int = 0
+  }
+
   /** Total order: ord DESC, then key1 ASC, key2 ASC (deterministic ties). */
   final case class Entry(ord: Double, key1: Long, key2: Int)
       extends Comparable[Entry] {

