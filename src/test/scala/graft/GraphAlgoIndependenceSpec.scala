@@ -1,0 +1,145 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import scala.collection.mutable
+
+/** Independent-algorithm certification for iterative graph keys (VERDICT r7
+  * "What's missing #1"): the driver's DuckDB gate proves cross-engine VALUE
+  * equality, and for most graph keys the two engines already run genuinely
+  * different code (Spark PropertyGraph/GraphX iteration vs an unrolled SQL
+  * chain) — but a mirrored pair can still share a design bug. Each test here
+  * recomputes the key's semantics from the RAW edge list in plain Scala
+  * collections (no Spark SQL, no shared text, no PropertyGraph code) and
+  * requires exact equality. Runs at sf0.001 where in-memory is trivial.
+  * Together with QualityOpsSpec's betweenness/khop recomputations, every
+  * iterative graph family has at least one fully independent check; the
+  * audit table lives in SURVEY.md §2.10a. */
+class GraphAlgoIndependenceSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = TestSpark.sf
+
+  private lazy val g = graft.graph.GraphFixture(spark, sf)
+  /** (src, dst, weight-or-null) rows, duplicates preserved. */
+  private lazy val rawEdges: Seq[(Long, Long, Option[Double])] =
+    g.edges.select("src", "dst", "weight").collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toSeq
+  private lazy val vertexIds: Seq[Long] =
+    g.vertices.select("id").collect().map(_.getLong(0)).toSeq
+
+  test("graph_labelprop: 3-round deterministic LP recomputed independently") {
+    // Semantics under test (PropertyGraph.labelPropagation / lpChain): und
+    // is BOTH directions with multiplicity (UNION ALL); per round each
+    // vertex adopts the most frequent neighbor label, ties to the SMALLEST
+    // label; isolated vertices keep their own.
+    val nbrs = new mutable.HashMap[Long, mutable.ArrayBuffer[Long]]
+    rawEdges.foreach { case (s, d, _) =>
+      nbrs.getOrElseUpdate(s, new mutable.ArrayBuffer) += d
+      nbrs.getOrElseUpdate(d, new mutable.ArrayBuffer) += s
+    }
+    var lbl: Map[Long, Long] = vertexIds.map(v => v -> v).toMap
+    for (_ <- 1 to 3) {
+      lbl = vertexIds.map { v =>
+        val counts = new mutable.HashMap[Long, Int].withDefaultValue(0)
+        nbrs.getOrElse(v, Nil).foreach(n => counts(lbl(n)) += 1)
+        val next =
+          if (counts.isEmpty) lbl(v)
+          else counts.toSeq.minBy { case (l, n) => (-n, l) }._1
+        v -> next
+      }.toMap
+    }
+    val got = SparkEntry.queries("graph_labelprop")(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size == lbl.size, s"${got.size} != ${lbl.size}")
+    val diff = lbl.collect { case (v, l) if got.get(v) != Some(l) =>
+      s"$v: got ${got.get(v)} want $l" }
+    assert(diff.isEmpty, diff.take(5).mkString("; "))
+    assert(lbl.values.toSet.size > 1, "single community — vacuous")
+  }
+
+  test("graph_sssp: reversed BFS to region landmarks recomputed independently") {
+    // min hops FOLLOWING OUT-EDGES to the nearest region, bound 8 — i.e.
+    // BFS from all region vertices over REVERSED edges.
+    val rev = new mutable.HashMap[Long, mutable.ArrayBuffer[Long]]
+    rawEdges.foreach { case (s, d, _) =>
+      rev.getOrElseUpdate(d, new mutable.ArrayBuffer) += s
+    }
+    val regions = g.vertices.where(col("label") === "region")
+      .select("id").collect().map(_.getLong(0))
+    val dist = new mutable.HashMap[Long, Int]
+    regions.foreach(r => dist(r) = 0)
+    var frontier: Seq[Long] = regions.toSeq
+    for (h <- 1 to 8) {
+      frontier = frontier.flatMap(v => rev.getOrElse(v, Nil))
+        .distinct.filterNot(dist.contains)
+      frontier.foreach(v => dist(v) = h)
+    }
+    val got = SparkEntry.queries("graph_sssp")(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getAs[Number](1).longValue()).toMap
+    assert(got == dist.map { case (k, v) => k -> v.toLong }.toMap,
+      s"sizes got=${got.size} want=${dist.size}")
+    assert(dist.valuesIterator.max >= 2, "BFS never left the landmarks — vacuous")
+  }
+
+  test("graph_wsssp: bounded weighted shortest paths recomputed independently") {
+    // min path-weight from order #1 following out-edges, ≤6 hops, null
+    // weight → 1.0. Layered Bellman-Ford DP: best sum over paths of exactly
+    // h hops; every candidate is a left-to-right per-path double sum, the
+    // same value set the engines minimize over, so equality is exact.
+    val out = new mutable.HashMap[Long, mutable.ArrayBuffer[(Long, Double)]]
+    rawEdges.foreach { case (s, d, w) =>
+      out.getOrElseUpdate(s, new mutable.ArrayBuffer) += ((d, w.getOrElse(1.0)))
+    }
+    val src = 6000000000001L
+    val best = new mutable.HashMap[Long, Double]
+    best(src) = 0.0
+    var layer: Map[Long, Double] = Map(src -> 0.0)
+    for (_ <- 1 to 6) {
+      val next = new mutable.HashMap[Long, Double]
+      for ((u, du) <- layer; (v, w) <- out.getOrElse(u, Nil)) {
+        val cand = du + w
+        if (!next.contains(v) || cand < next(v)) next(v) = cand
+      }
+      layer = next.toMap
+      for ((v, d) <- layer)
+        if (!best.contains(v) || d < best(v)) best(v) = d
+    }
+    val got = SparkEntry.queries("graph_wsssp")(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got.keySet == best.keySet,
+      s"reach sets differ: missing=${(best.keySet -- got.keySet).take(3)} " +
+        s"extra=${(got.keySet -- best.keySet).take(3)}")
+    val diff = best.collect { case (v, d) if got(v) != d => s"$v: ${got(v)} != $d" }
+    assert(diff.isEmpty, diff.take(5).mkString("; "))
+    assert(best.size > 1 && best.valuesIterator.max > 1.0, "vacuous")
+  }
+
+  test("graph_pagerank: independent double-loop recomputation matches exactly") {
+    // 5 rounds, d=0.85, uniform init 1/n; per-destination contribs summed
+    // with num.dsum semantics: each double contribution quantized to
+    // DECIMAL(38,10) (HALF_UP — Spark's double→decimal cast), summed
+    // exactly, cast back to double (correctly rounded), then the
+    // fixed-order IEEE base+damping arithmetic.
+    val outdeg = new mutable.HashMap[Long, Int].withDefaultValue(0)
+    rawEdges.foreach { case (s, _, _) => outdeg(s) += 1 }
+    val n = vertexIds.size.toDouble
+    var pr: Map[Long, Double] = vertexIds.map(v => v -> (1.0 / n)).toMap
+    for (_ <- 1 to 5) {
+      val acc = new mutable.HashMap[Long, java.math.BigDecimal]
+      rawEdges.foreach { case (s, d, _) =>
+        val contrib = new java.math.BigDecimal(pr(s) / outdeg(s).toDouble)
+          .setScale(10, java.math.RoundingMode.HALF_UP)
+        acc(d) = acc.get(d).map(_.add(contrib)).getOrElse(contrib)
+      }
+      pr = vertexIds.map { v =>
+        v -> (0.15 / n + 0.85 * acc.get(v).map(_.doubleValue).getOrElse(0.0))
+      }.toMap
+    }
+    val got = SparkEntry.queries("graph_pagerank")(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got.size == pr.size)
+    val diff = pr.collect { case (v, p) if got(v) != p => s"$v: ${got(v)} != $p" }
+    assert(diff.isEmpty, s"${diff.size} mismatches: ${diff.take(5).mkString("; ")}")
+  }
+}

@@ -261,16 +261,41 @@ class QualityOpsSpec extends AnyFunSuite {
     }
   }
 
-  test("graph_khop_sample: fan-out bounds hold, every out-degree customer roots") {
-    val rows = SparkEntry.queries("graph_khop_sample")(spark, sf).collect()
-      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
-    val byRoot = rows.groupBy(_._1)
-    assert(byRoot.nonEmpty)
-    byRoot.foreach { case (root, rs) =>
-      val h1 = rs.filter(_._2 == 1); val h2 = rs.filter(_._2 == 2)
-      assert(h1.nonEmpty && h1.length <= 2, s"root $root h1=${h1.length}")
-      assert(h2.length <= 4, s"root $root h2=${h2.length}")
+  test("graph_khop_sample: independent in-memory recomputation matches exactly") {
+    import scala.collection.mutable
+    // The operator's sampling CTEs are SHARED SQL text across both engines
+    // (khopSampleCtes — only the string type name differs), so the driver's
+    // hash gate proves determinism, not the sampling semantics. This spec
+    // recomputes the GraphSAGE [2,2] fan-out from the raw edge list in
+    // plain Scala — adjacency maps, JDK MessageDigest md5, explicit
+    // (hash, dst) sort — and requires exact set equality.
+    val got = SparkEntry.queries("graph_khop_sample")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+
+    val g = graft.graph.GraphFixture(spark, sf)
+    val edges = g.edges.select("src", "dst").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val out = edges.groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+    val customers = g.vertices
+      .where(org.apache.spark.sql.functions.col("label") === "customer")
+      .select("id").collect().map(_.getLong(0)).toSet
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    // rank src's edge rows by (md5("src_dst"), dst) — mirrors the
+    // ROW_NUMBER total order — and keep the first 2 rows; the final
+    // DISTINCT is the Set insert below
+    def top2(src: Long): Seq[Long] =
+      out.getOrElse(src, Nil).sortBy(d => (md5hex(s"${src}_$d"), d)).take(2)
+    val want = mutable.Set[(Long, Int, Long)]()
+    for (c <- customers if out.contains(c)) {
+      val h1 = top2(c)
+      h1.foreach(d => want += ((c, 1, d)))
+      for (m <- h1; d <- top2(m)) want += ((c, 2, d))
     }
+    assert(want.nonEmpty && got == want,
+      s"got ${got.size} rows, want ${want.size}; " +
+        s"missing=${(want -- got).take(3)} extra=${(got -- want).take(3)}")
   }
 
   test("graph_harmonic: scores consistent with bounded reach") {
