@@ -176,6 +176,71 @@ final case class Traversal(g: PropertyGraph, df: DataFrame, depth: Int,
     (1 to times).foldLeft(this)((t, _) => body(t))
   }
 
+  /** Gremlin union(b1, b2, ...): run every branch from the current
+    * position and merge the resulting walks — the non-linear step a
+    * Gremlin user hits first after as/select. Each branch is a plain
+    * function over this traversal; all branches must extend the walk to
+    * the SAME depth (the walk matrix needs uniform columns — Gremlin's
+    * heterogeneous-length union exists only under a path-erasing fold).
+    * Compiles to a UNION ALL of the branch join trees, so Catalyst plans
+    * each branch independently (broadcast/SMJ per branch) and the merge
+    * is free. The bulk frame survives when every branch preserves it —
+    * per-head counts union and re-aggregate. Step labels added INSIDE a
+    * branch die with the branch (they are branch-local positions); the
+    * parent's labels stay valid. */
+  def union(branches: (Traversal => Traversal)*): Traversal = {
+    require(branches.nonEmpty, "union() needs at least one branch")
+    val rs = branches.map(b => b(this))
+    val d = rs.head.depth
+    require(rs.forall(_.depth == d),
+      s"union branches must reach the same depth, got ${rs.map(_.depth)}")
+    val walkCols = (0 to d).map(i => col(s"v$i"))
+    val u = rs.map(_.df.select(walkCols: _*)).reduce(_ unionAll _)
+    val b =
+      if (rs.forall(_.bulk.isDefined))
+        Some(rs.flatMap(_.bulk).reduce(_ unionAll _)
+          .groupBy("h").agg(sum("cnt").as("cnt")))
+      else None
+    Traversal(g, u, d, b, labels)
+  }
+
+  /** Gremlin choose(pred, onTrue, onFalse): per-walk if/then/else routed
+    * by a HEAD-VERTEX predicate — sugar for
+    * union(has(pred).onTrue, has(!pred).onFalse). Walks whose head
+    * evaluates the predicate to NULL take neither branch (SQL three-valued
+    * logic; both filters reject them), matching has()'s own semantics. */
+  def choose(pred: Column, onTrue: Traversal => Traversal,
+      onFalse: Traversal => Traversal): Traversal =
+    union(t => onTrue(t.has(pred)), t => onFalse(t.has(!pred)))
+
+  /** Gremlin coalesce(b1, b2, ...): per-walk, the results of the FIRST
+    * branch that produces anything — the optional-with-fallback step
+    * (`coalesce(out('primary'), out('fallback'))`). Branch i's walks are
+    * kept only for source walks no earlier branch covered: one LEFT ANTI
+    * join per later branch against the covered walk-prefix set, which is
+    * walk-bounded (never vertex×vertex). All branches must reach the same
+    * depth. Drops the bulk frame — coverage is per-walk-prefix, which
+    * per-head counts cannot express. */
+  def coalesce(branches: (Traversal => Traversal)*): Traversal = {
+    require(branches.nonEmpty, "coalesce() needs at least one branch")
+    val parentCols = (0 to depth).map(i => s"v$i")
+    val rs = branches.map(b => b(this))
+    val d = rs.head.depth
+    require(rs.forall(_.depth == d),
+      s"coalesce branches must reach the same depth, got ${rs.map(_.depth)}")
+    val walkCols = (0 to d).map(i => col(s"v$i"))
+    var covered: Option[DataFrame] = None
+    var acc: Option[DataFrame] = None
+    for (r <- rs) {
+      val rdf = r.df.select(walkCols: _*)
+      val mine = covered.fold(rdf)(c => rdf.join(c, parentCols, "left_anti"))
+      acc = Some(acc.fold(mine)(_ unionAll mine))
+      val cov = rdf.select(parentCols.map(col): _*).distinct()
+      covered = Some(covered.fold(cov)(_ unionAll cov))
+    }
+    Traversal(g, acc.get, d, None, labels)
+  }
+
   /** The walk matrix: one row per surviving walk, columns v0..vK. */
   def path(): DataFrame = df.select((0 to depth).map(i => col(s"v$i")): _*)
 
@@ -194,7 +259,8 @@ final case class Traversal(g: PropertyGraph, df: DataFrame, depth: Int,
     * the vertex-sized bulk frame when the chain preserved it. */
   def count(): DataFrame = bulk match {
     case Some(b) =>
-      b.agg(coalesce(sum("cnt"), lit(0L)).as("n_walks"))
+      b.agg(org.apache.spark.sql.functions.coalesce(sum("cnt"), lit(0L))
+        .as("n_walks"))
     case None =>
       df.agg(org.apache.spark.sql.functions.count(lit(1)).as("n_walks"))
   }
@@ -285,6 +351,54 @@ object Traversal {
 
   private val RepeatPat = """repeat\((\w+\((?:'[^']*')?\))\)\.times\((\d+)\)""".r
 
+  /** Split a step-argument string at TOP-LEVEL commas (commas inside
+    * parentheses or quotes belong to nested steps/predicates) — the
+    * argument-list scanner for the branch steps. */
+  private def splitTop(arg: String): List[String] = {
+    val parts = scala.collection.mutable.ListBuffer[String]()
+    val cur = new StringBuilder
+    var par = 0
+    var quoted = false
+    arg.foreach {
+      case '\'' => quoted = !quoted; cur += '\''
+      case '(' if !quoted => par += 1; cur += '('
+      case ')' if !quoted => par -= 1; cur += ')'
+      case ',' if !quoted && par == 0 => parts += cur.result(); cur.clear()
+      case c => cur += c
+    }
+    parts += cur.result()
+    parts.map(_.trim).filter(_.nonEmpty).toList
+  }
+
+  /** Compile a branch chain (`out('by').has(val>9000)`…) into the
+    * traversal function the fluent branch steps take. Branch bodies are
+    * the traversal-EXTENDING subset — terminals and further branching
+    * belong to the outer chain. */
+  private def branchFn(chain: String): Traversal => Traversal = { t0 =>
+    val steps = StepPat.findAllMatchIn(chain)
+      .map(m => (m.group(1), m.group(2).trim)).toList
+    val matched = steps.map { case (n, a) => s"$n($a)" }.mkString(".")
+    require(steps.nonEmpty &&
+      matched.replaceAll("\\s", "") == chain.trim.replaceAll("\\s", ""),
+      s"bad branch chain: $chain")
+    steps.foldLeft(t0) {
+      case (t, ("out", ""))  => t.out()
+      case (t, ("in", ""))   => t.in()
+      case (t, ("both", "")) => t.both()
+      case (t, ("out", EdgePred(l, p)))  => t.out(l, p)
+      case (t, ("in", EdgePred(l, p)))   => t.in(l, p)
+      case (t, ("both", EdgePred(l, p))) => t.both(l, p)
+      case (t, ("out", a))  => t.out(label(a))
+      case (t, ("in", a))   => t.in(label(a))
+      case (t, ("both", a)) => t.both(label(a))
+      case (t, ("has", a))  => t.has(pred(a))
+      case (t, ("simplePath", "")) => t.simplePath()
+      case (t, ("dedup", ""))      => t.dedup()
+      case (_, (s, a)) =>
+        throw new IllegalArgumentException(s"unsupported step in branch: $s($a)")
+    }
+  }
+
   /** Expand `repeat(step('l')).times(n)` into n inline copies of the step
     * BEFORE flat parsing — textual unrolling is exactly the fluent
     * [[Traversal.repeat]] semantics for single-step bodies. */
@@ -297,10 +411,13 @@ object Traversal {
 
   /** Compile a chain string — `V(<pred>?)` then any of
     * `out('l')/in('l')/both('l')/has(<pred>)/simplePath()/dedup()/
-    * as('x')/where(neq('x'))/repeat(step('l')).times(n)`, optionally
-    * terminated by `path()` (default), `ids()`, `values('attr')`,
-    * `count()`, `select('a','b')`, `groupCount().by('attr')` or
-    * `order().by('attr').limit(n)` — into the traversal's DataFrame. */
+    * as('x')/where(neq('x'))/repeat(step('l')).times(n)/
+    * union(b1, b2, ...)/choose(<pred>, b1, b2)/coalesce(b1, b2, ...)`
+    * (branch bodies are dot-chains of the traversal-extending steps),
+    * optionally terminated by `path()` (default), `ids()`,
+    * `values('attr')`, `count()`, `select('a','b')`,
+    * `groupCount().by('attr')` or `order().by('attr').limit(n)` — into
+    * the traversal's DataFrame. */
   def parse(g: PropertyGraph, query0: String): DataFrame = {
     val query = expandRepeats(query0)
     val steps = StepPat.findAllMatchIn(query)
@@ -331,6 +448,17 @@ object Traversal {
       case ("simplePath", "") :: tl => t = t.simplePath(); loop(tl)
       case ("dedup", "") :: tl      => t = t.dedup(); loop(tl)
       case ("as", a) :: tl          => t = t.as(label(a)); loop(tl)
+      case ("union", a) :: tl =>
+        t = t.union(splitTop(a).map(branchFn): _*); loop(tl)
+      case ("choose", a) :: tl =>
+        splitTop(a) match {
+          case p :: tb :: fb :: Nil =>
+            t = t.choose(pred(p), branchFn(tb), branchFn(fb)); loop(tl)
+          case parts => throw new IllegalArgumentException(
+            s"choose wants (predicate, trueBranch, falseBranch), got ${parts.length} args")
+        }
+      case ("coalesce", a) :: tl =>
+        t = t.coalesce(splitTop(a).map(branchFn): _*); loop(tl)
       case ("where", WherePred(cmp, l)) :: tl => t = t.where(cmp, l); loop(tl)
       case ("select", a) :: tl =>
         result = Some(t.select(a.split(",").map(label).toIndexedSeq: _*)); loop(tl)

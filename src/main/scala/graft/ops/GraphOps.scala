@@ -659,6 +659,64 @@ object GraphOps extends OpModule {
         WHERE s.label = 'supplier'
         ORDER BY p.name, s.id, p.id LIMIT 10"""))),
 
+    // union() branch step (Gremlin's merge of parallel sub-traversals):
+    // upper-balance customers' nations AND colocated suppliers (val>5000
+    // keeps both branches non-empty at every fixture SF), folded
+    // to a label histogram. Compiles to a UNION ALL of the two branch join
+    // trees — each branch planned independently by Catalyst, the bulk
+    // frame preserved through both (counts union + re-aggregate), so the
+    // fold reads vertex-sized frames, never the walks.
+    Op("graph_traversal_union",
+      (s, dir) => GraphFixture(s, dir).traverse(
+        "V(label='customer').has(val>5000).union(out('in_nation'), out('colocated')).groupCount().by('label')"),
+      Some(withGraph("""SELECT m.label, COUNT(*) AS n_walks FROM (
+          SELECT e.dst FROM vertices c
+          JOIN edges e ON e.src = c.id AND e.label = 'in_nation'
+          WHERE c.label = 'customer' AND c.val > 5000
+          UNION ALL
+          SELECT e.dst FROM vertices c
+          JOIN edges e ON e.src = c.id AND e.label = 'colocated'
+          WHERE c.label = 'customer' AND c.val > 5000) w
+        JOIN vertices m ON m.id = w.dst
+        GROUP BY 1 ORDER BY 1"""))),
+
+    // choose() branch step (per-walk if/then/else on a head predicate):
+    // high-value orders route to their customer, the rest to their parts.
+    // Sugar for union(has(p).b1, has(!p).b2) — two predicate-pruned branch
+    // join trees under one UNION ALL.
+    Op("graph_traversal_choose",
+      (s, dir) => GraphFixture(s, dir).traverse(
+        "V(label='order').choose(val>200000, out('by'), out('contains')).groupCount().by('label')"),
+      Some(withGraph("""SELECT m.label, COUNT(*) AS n_walks FROM (
+          SELECT e.dst FROM vertices o
+          JOIN edges e ON e.src = o.id AND e.label = 'by'
+          WHERE o.label = 'order' AND o.val > 200000
+          UNION ALL
+          SELECT e.dst FROM vertices o
+          JOIN edges e ON e.src = o.id AND e.label = 'contains'
+          WHERE o.label = 'order' AND NOT (o.val > 200000)) w
+        JOIN vertices m ON m.id = w.dst
+        GROUP BY 1 ORDER BY 1"""))),
+
+    // coalesce() branch step (first branch with results, per walk): each
+    // customer's colocated suppliers when any exist, else its nation —
+    // the optional-with-fallback pattern. Later branches anti-join the
+    // covered walk-prefix set (walk-bounded, never vertex×vertex).
+    Op("graph_traversal_coalesce",
+      (s, dir) => GraphFixture(s, dir).traverse(
+        "V(label='customer').coalesce(out('colocated'), out('in_nation'))")
+        .orderBy("v0", "v1"),
+      Some(withGraph("""SELECT c.id AS v0, e.dst AS v1 FROM vertices c
+        JOIN edges e ON e.src = c.id AND e.label = 'colocated'
+        WHERE c.label = 'customer'
+        UNION ALL
+        SELECT c.id, e.dst FROM vertices c
+        JOIN edges e ON e.src = c.id AND e.label = 'in_nation'
+        WHERE c.label = 'customer' AND NOT EXISTS (
+          SELECT 1 FROM edges x
+          WHERE x.src = c.id AND x.label = 'colocated')
+        ORDER BY 1, 2"""))),
+
     // Batch CRUD (Blueprints mutation surface re-expressed as dataflow —
     // BASELINE.json scopes OLTP mutation out; writes are new DF versions):
     // UPDATE secret customers (+100 balance), DELETE every 7th supplier

@@ -223,6 +223,62 @@ class PropertyGraphSpec extends AnyFunSuite {
       g.V(col("label") === "customer").select("missing"))
   }
 
+  test("traversal DSL: union()/choose()/coalesce() branch steps, fluent ≡ parsed") {
+    // union: both branches present, fluent ≡ parsed, counts additive
+    val uf = g.V(col("label") === "customer").has(col("val") > 5000)
+      .union(_.out("in_nation"), _.out("colocated")).groupCount("label")
+    val up = g.traverse("V(label='customer').has(val>5000)" +
+      ".union(out('in_nation'), out('colocated')).groupCount().by('label')")
+    assert(uf.collect().map(_.toString).sorted.toSeq ==
+      up.collect().map(_.toString).sorted.toSeq)
+    val byLabel = uf.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byLabel.contains("nation") && byLabel.contains("supplier"),
+      s"union must surface both branches: $byLabel")
+    val nNation = g.V(col("label") === "customer").has(col("val") > 5000)
+      .out("in_nation").count().head.getLong(0)
+    assert(byLabel("nation") == nNation, "union counts must be additive per branch")
+
+    // choose: exactly the predicate-routed union; branches partition walks
+    val cf = g.V(col("label") === "order")
+      .choose(col("val") > 200000, _.out("by"), _.out("contains"))
+      .groupCount("label")
+    val cp = g.traverse("V(label='order')" +
+      ".choose(val>200000, out('by'), out('contains')).groupCount().by('label')")
+    assert(cf.collect().map(_.toString).sorted.toSeq ==
+      cp.collect().map(_.toString).sorted.toSeq)
+    val cMap = cf.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(cMap.contains("customer") && cMap.contains("part"),
+      s"choose must route both ways on the fixture: $cMap")
+
+    // coalesce: first non-empty branch per walk — fallback rows are
+    // exactly the customers with no colocated supplier
+    val co = g.V(col("label") === "customer")
+      .coalesce(_.out("colocated"), _.out("in_nation")).path()
+    val parsedCo = g.traverse(
+      "V(label='customer').coalesce(out('colocated'), out('in_nation'))")
+    assert(co.collect().map(_.toString).sorted.toSeq ==
+      parsedCo.collect().map(_.toString).sorted.toSeq)
+    val coHeads = co.select(col("v1"))
+    val nNationFallback = coHeads
+      .filter(col("v1") >= 2000000000000L && col("v1") < 3000000000000L).count()
+    val nSupplier = coHeads
+      .filter(col("v1") >= 4000000000000L && col("v1") < 5000000000000L).count()
+    assert(nNationFallback > 0, "no customer fell through — fallback unexercised")
+    assert(nSupplier > 0, "no customer took the primary branch")
+    val nUncolocated = g.V(col("label") === "customer").count().head.getLong(0) -
+      g.vertices.filter(col("label") === "customer")
+        .join(g.edges.filter(col("label") === "colocated")
+          .select(col("src").as("id")).distinct(), "id").count()
+    assert(nNationFallback == nUncolocated,
+      "fallback rows must be exactly the uncovered customers")
+
+    // branches must reach equal depth; empty/garbage branches fail loudly
+    intercept[IllegalArgumentException](
+      g.V(col("label") === "customer").union(_.out("in_nation"), identity))
+    intercept[IllegalArgumentException](
+      g.traverse("V().union(out('in_nation'), hop('x'))"))
+  }
+
   test("traversal DSL: repeat().times() — parser unrolling ≡ fluent fold") {
     val viaParser = g.traverse(
       "V(label='customer').repeat(both('in_nation')).times(2).simplePath().count()")
