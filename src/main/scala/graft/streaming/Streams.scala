@@ -37,13 +37,25 @@ object Streams {
     spark.conf.set("spark.sql.streaming.stateStore.providerClass", provider)
   }
 
+  /** Cached per-(session, dir) answer to "is ts physically LONG nanos?" —
+    * one footer-schema read per directory instead of a full batch
+    * `spark.read.parquet` (file listing + schema merge) on every stream
+    * construction. */
+  private val tsVintage = new graft.SessionMemo[String, Boolean]
+
   /** Streaming read of an events parquet directory. The declared schema
     * adapts to the file's ts vintage (see [[graft.Tables]]): TIMESTAMP
     * (MICROS) files stream with a timestamp schema directly; TIMESTAMP
-    * (NANOS) files stream as long nanos (nanosAsLong) truncated to µs. */
+    * (NANOS) files stream as long nanos (nanosAsLong) truncated to µs.
+    * Self-contained: sets nanosAsLong itself (mirroring Tables.load) so
+    * callers outside the harness mains don't need the session builder to
+    * have preset it, and memoizes the vintage sniff per (session, dir). */
   def readEvents(spark: SparkSession, dir: String): DataFrame = {
     configureStateStore(spark)
-    val tsIsLong = spark.read.parquet(dir).schema("ts").dataType == LongType
+    val tsIsLong = tsVintage.getOrElseUpdate(spark, dir) {
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      spark.read.parquet(dir).schema("ts").dataType == LongType
+    }
     if (tsIsLong)
       spark.readStream.schema(eventsSchema).parquet(dir)
         .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
