@@ -65,8 +65,10 @@ object Bench {
       // Stored GraphX CC labeling (lazy val on the memoized graph): shared
       // by graph_cc / graph_cc_sizes / cc-derived keys. Unwarmed, the
       // GraphX fixed point (driver r7: 4.8 s) lands on whichever CC key
-      // map order runs first.
+      // map order runs first. Same for the visible-subgraph twin (its own
+      // GraphX fixed point on the trimmed stored view).
       g.connectedComponents.count()
+      g.visibleView.connectedComponents.count()
       SparkEntry.queries("sim_topk")(spark, sfDir).count() // embeddings views
       // The four ANN pipeline result views (simtopk/simknn/simmt/simivf —
       // including the r7 trained-k-means IVF: Lloyd rounds + assignment

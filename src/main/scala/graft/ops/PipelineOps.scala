@@ -46,6 +46,54 @@ object PipelineOps extends OpModule {
           COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
         FROM h GROUP BY 1 ORDER BY 1""")),
 
+    // CORPUS MIXTURE REBALANCING — the domain/language-balancing step a
+    // training-data pipeline runs between dedup and packing: downsample
+    // every language class to (approximately) the minority class's size
+    // with DETERMINISTIC hash-threshold sampling — keep doc iff
+    // h(doc) · n_lang < k_target · P, h uniform on [0, P) — so the sample
+    // is stable across engines, runs and partitionings, needs no shuffle
+    // beyond a 5-row broadcast of class counts (per-row map + one
+    // aggregate; the same plan shape at 100 TB), and the minority class is
+    // kept in full (h·k < k·P always). Counts are rate-targeted, not
+    // exact-k: exact-k per class is a per-class top-k (see win_rank's
+    // TopKRows) — the rate form is what web-scale pipelines ship because
+    // it composes with sharding. Emits per-class audit rows (original
+    // count, kept count, kept-id checksum), integer-exact cross-engine.
+    Op("corpus_mix",
+      (s, dir) => {
+        view(s, dir, "documents")
+        s.sql(s"""
+          WITH h AS (SELECT doc_id, lang,
+            (${sparkHash("CAST(doc_id AS STRING)")}) AS hv FROM documents),
+          cnt AS (SELECT lang, COUNT(*) AS n FROM h GROUP BY 1),
+          tgt AS (SELECT MIN(n) AS k FROM cnt),
+          kept AS (SELECT h.doc_id, h.lang
+            FROM h JOIN cnt ON cnt.lang = h.lang
+            WHERE h.hv * cnt.n < (SELECT k FROM tgt) * ${textsql.P}),
+          ks AS (SELECT lang, COUNT(*) AS n_kept, SUM(doc_id) AS id_sum
+            FROM kept GROUP BY 1)
+          SELECT c.lang, c.n AS n_orig,
+            COALESCE(ks.n_kept, CAST(0 AS BIGINT)) AS n_kept,
+            COALESCE(ks.id_sum, CAST(0 AS BIGINT)) AS id_sum
+          FROM cnt c LEFT JOIN ks ON ks.lang = c.lang
+          ORDER BY 1""")
+      },
+      Some(s"""
+        WITH h AS (SELECT doc_id, lang,
+          (${duckHash("CAST(doc_id AS VARCHAR)")}) AS hv FROM documents),
+        cnt AS (SELECT lang, COUNT(*) AS n FROM h GROUP BY 1),
+        tgt AS (SELECT MIN(n) AS k FROM cnt),
+        kept AS (SELECT h.doc_id, h.lang
+          FROM h JOIN cnt ON cnt.lang = h.lang
+          WHERE h.hv * cnt.n < (SELECT k FROM tgt) * ${textsql.P}),
+        ks AS (SELECT lang, COUNT(*) AS n_kept, SUM(doc_id) AS id_sum
+          FROM kept GROUP BY 1)
+        SELECT c.lang, c.n AS n_orig,
+          COALESCE(ks.n_kept, CAST(0 AS BIGINT)) AS n_kept,
+          CAST(COALESCE(ks.id_sum, 0) AS BIGINT) AS id_sum
+        FROM cnt c LEFT JOIN ks ON ks.lang = c.lang
+        ORDER BY 1""")),
+
     // Train/eval DECONTAMINATION — the overlap audit every LLM training
     // pipeline runs before shipping a dataset: find training documents that
     // share any 5-word shingle with a held-out benchmark/eval set (here the

@@ -144,6 +144,36 @@ class PipelineOpsSpec extends AnyFunSuite {
       .count() == 0)
   }
 
+  test("corpus_mix: independent in-memory recomputation; minority class kept whole") {
+    val got = SparkEntry.queries("corpus_mix")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+
+    // Independent recomputation from the raw table: JDK md5, the same
+    // 60-bit-prefix-mod-P hash, plain Scala thresholding.
+    val P = 2147483647L
+    def hv(docId: Long): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(docId.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 15)
+      java.lang.Long.parseLong(hex, 16) % P
+    }
+    val docs = Tables(spark, sf, "documents").select("doc_id", "lang")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val byLang = docs.groupBy(_._2)
+    val k = byLang.valuesIterator.map(_.length).min
+    val want = byLang.toSeq.map { case (lang, ds) =>
+      val kept = ds.filter { case (id, _) => hv(id) * ds.length < k * P }
+      (lang, ds.length.toLong, kept.length.toLong, kept.map(_._1).sum)
+    }.sortBy(_._1)
+    assert(got == want, s"got=$got want=$want")
+
+    // semantics: minority class survives in full; nothing is upsampled
+    val minLang = byLang.minBy(_._2.length)._1
+    val gm = got.find(_._1 == minLang).get
+    assert(gm._2 == gm._3, "minority class must be kept whole")
+    assert(got.forall { case (_, o, kk, _) => kk <= o && kk >= 1 })
+  }
+
   test("graph_bipartite histogram accounts for every co-located pair") {
     val h = SparkEntry.queries("graph_bipartite")(spark, sf).collect()
     assert(h.nonEmpty)
