@@ -1,7 +1,7 @@
 package graft.graph
 
 import org.apache.spark.graphx.{Edge, EdgeDirection, Graph, Pregel, lib}
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
@@ -49,6 +49,45 @@ final case class PropertyGraph(vertices: DataFrame, edges: DataFrame) {
     * `graft.graph.pregelPartitions` ≈ total executor cores instead. */
   private def pregelParts: Int =
     spark.conf.getOption("graft.graph.pregelPartitions").map(_.toInt).getOrElse(8)
+
+  // ---- Batch mutation surface (Blueprints addVertex / addEdge /
+  // removeVertex / property set, re-expressed as dataflow): every op
+  // returns a NEW PropertyGraph — writes are new DF versions, exactly how
+  // a Spark deployment mutates a stored graph (BASELINE.json scopes
+  // row-at-a-time OLTP out; these are the batch equivalents a 100 TB
+  // graph actually runs, each a filter/union/semi-join the optimizer
+  // plans like any other query).
+
+  /** Add (or replace, by id — last-wins upsert) a batch of vertices. */
+  def addVertices(vs: DataFrame): PropertyGraph =
+    copy(vertices = vertices
+      .join(vs.select("id"), Seq("id"), "left_anti").unionByName(vs))
+
+  /** Add a batch of edges (parallel edges permitted, as in Blueprints). */
+  def addEdges(es: DataFrame): PropertyGraph =
+    copy(edges = edges.unionByName(es))
+
+  /** Remove vertices matching `pred`; incident edges cascade (two
+    * semi-joins against the surviving id set — never a vertex×edge
+    * product). */
+  def removeVertices(pred: Column): PropertyGraph = {
+    val keep = vertices.filter(!pred)
+    val ids = keep.select("id")
+    copy(vertices = keep, edges = edges
+      .join(ids.withColumnRenamed("id", "src"), Seq("src"), "left_semi")
+      .join(ids.withColumnRenamed("id", "dst"), Seq("dst"), "left_semi"))
+  }
+
+  /** Remove edges matching `pred` (vertices untouched). */
+  def removeEdges(pred: Column): PropertyGraph =
+    copy(edges = edges.filter(!pred))
+
+  /** Set the `val` property to `value` on vertices matching `pred`
+    * (Blueprints element.setProperty over a selection) — a per-row
+    * conditional projection, embarrassingly parallel. */
+  def setVal(pred: Column, value: Column): PropertyGraph =
+    copy(vertices = vertices.withColumn("val",
+      when(pred, value).otherwise(col("val"))))
 
   /** Out-traversal over `elabel` edges with the destination vertex attached
     * (Blueprints `out(label)`). One equi-join; dim side broadcast by AQE when

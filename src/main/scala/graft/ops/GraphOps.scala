@@ -765,6 +765,72 @@ object GraphOps extends OpModule {
           SELECT 9000000000000 + r_regionkey, 'auditor',
             'audit_' || r_name, 'public', CAST(0.5 AS DOUBLE) FROM region)"""))),
 
+    // The METHOD-CHAINED batch mutation API (Blueprints addVertex/addEdge/
+    // removeVertex/setProperty as dataflow — PropertyGraph.addVertices/
+    // addEdges/removeVertices/removeEdges/setVal, each returning a new
+    // graph version): one chain exercising every op incl. the last-wins
+    // upsert path (region #0's row replaced with name 'HQ'), edge cascade
+    // on vertex removal (events take their 'did' edges with them), and a
+    // predicate property update. The audited summary proves each effect:
+    // per-label counts, exact-decimal val sums, min name (shows HQ
+    // replacing AFRICA shifts the region min to AMERICA).
+    Op("graph_mutation_api",
+      (s, dir) => {
+        val g = GraphFixture(s, dir)
+        val B = GraphFixture.B
+        val aud = graft.Tables(s, dir, "region").select(
+          (lit(9 * B) + col("r_regionkey")).as("id"),
+          lit("auditor").as("label"),
+          concat(lit("audit_"), col("r_name")).as("name"),
+          lit("public").as("vis"), lit(0.5).as("val"))
+        val hq = g.vertices.filter(col("id") === B)
+          .withColumn("name", lit("HQ"))
+        val audits = graft.Tables(s, dir, "region").select(
+          (lit(9 * B) + col("r_regionkey")).as("src"),
+          (lit(B) + col("r_regionkey")).as("dst"),
+          lit("audits").as("label"),
+          lit(null).cast("double").as("weight"), lit("public").as("vis"))
+        val g2 = g.addVertices(aud.unionByName(hq))
+          .addEdges(audits)
+          .removeVertices(col("label") === "event")
+          .removeEdges(col("label") === "colocated")
+          .setVal(col("label") === "order" && col("val") > 200000, lit(0.0))
+        g2.vertices.groupBy("label")
+          .agg(count(lit(1)).as("n"),
+            graft.num.dsum(coalesce(col("val"), lit(0.0))).as("sum_val"),
+            min("name").as("min_name"))
+          .withColumn("kind", lit("vertex"))
+          .unionByName(g2.edges.groupBy("label")
+            .agg(count(lit(1)).as("n"), lit(0.0).as("sum_val"),
+              lit("").as("min_name"))
+            .withColumn("kind", lit("edge")))
+          .select("kind", "label", "n", "sum_val", "min_name")
+          .orderBy("kind", "label")
+      },
+      Some(withGraph(
+        s"""SELECT 'vertex' AS kind, label, COUNT(*) AS n,
+          ${graft.num.DSUM("COALESCE(val, 0)")} AS sum_val,
+          MIN(name) AS min_name
+        FROM v2 GROUP BY 2
+        UNION ALL
+        SELECT 'edge', label, COUNT(*), CAST(0 AS DOUBLE), '' FROM e2 GROUP BY 2
+        ORDER BY kind, label""",
+        extra = """v2 AS MATERIALIZED (
+          SELECT id, label,
+            CASE WHEN id = 1000000000000 THEN 'HQ' ELSE name END AS name, vis,
+            CASE WHEN label = 'order' AND val > 200000
+              THEN CAST(0.0 AS DOUBLE) ELSE val END AS val
+          FROM vertices WHERE label <> 'event'
+          UNION ALL
+          SELECT 9000000000000 + r_regionkey, 'auditor',
+            'audit_' || r_name, 'public', CAST(0.5 AS DOUBLE) FROM region),
+          e2 AS (SELECT e.src, e.dst, e.label FROM edges e
+            JOIN v2 a ON a.id = e.src JOIN v2 b ON b.id = e.dst
+            WHERE e.label <> 'colocated'
+          UNION ALL
+          SELECT 9000000000000 + r_regionkey, 1000000000000 + r_regionkey,
+            'audits' FROM region)"""))),
+
     // Bulk export (the GraphML/GraphSON-writer surface of the Blueprints
     // family, re-expressed as partitioned columnar sinks): the whole graph
     // written label-partitioned — downstream consumers read single labels

@@ -134,6 +134,39 @@ class PropertyGraphSpec extends AnyFunSuite {
     assert(empty.find("(a)-[:x]->(b)").count() == 0)
   }
 
+  test("mutation API: upsert replaces by id, vertex removal cascades edges") {
+    import spark.implicits._
+    val B = GraphFixture.B
+    // last-wins upsert: region 0 replaced, total vertex count unchanged
+    val hq = g.vertices.filter(col("id") === B).withColumn("name", lit("HQ"))
+    val g2 = g.addVertices(hq)
+    assert(g2.vertices.count() == g.vertices.count())
+    assert(g2.vertices.filter(col("id") === B).select("name")
+      .head.getString(0) == "HQ")
+    // removeVertices cascades exactly the incident edges
+    val nDid = g.edges.filter(col("label") === "did").count()
+    val g3 = g.removeVertices(col("label") === "event")
+    assert(g3.edges.count() == g.edges.count() - nDid)
+    assert(g3.vertices.filter(col("label") === "event").count() == 0)
+    // removeEdges leaves vertices alone; setVal touches only the selection
+    val g4 = g.removeEdges(col("label") === "colocated")
+    assert(g4.vertices.count() == g.vertices.count())
+    assert(g4.edges.filter(col("label") === "colocated").count() == 0)
+    val g5 = g.setVal(col("label") === "order", lit(0.0))
+    assert(g5.vertices.filter(col("label") === "order" && col("val") =!= 0.0)
+      .count() == 0)
+    val untouched = g5.vertices.filter(col("label") === "customer")
+      .select(sum("val")).head.getDouble(0)
+    val orig = g.vertices.filter(col("label") === "customer")
+      .select(sum("val")).head.getDouble(0)
+    assert(untouched == orig)
+    // addEdges permits parallel edges (Blueprints multigraph semantics)
+    val dup = Seq((B, 2 * B, "x", Option.empty[Double], "public"))
+      .toDF("src", "dst", "label", "weight", "vis")
+    assert(g.addEdges(dup).addEdges(dup).edges.filter(col("label") === "x")
+      .count() == 2)
+  }
+
   test("incrementalCC equals the full recompute for different delta batches") {
     val full = g.connectedComponents.collect()
       .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
