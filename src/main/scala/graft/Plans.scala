@@ -21,7 +21,9 @@ object Plans {
     "graph_khop_sample", "text_chunk", "cdc_scd2", "agg_heavy_hitters",
     "join_bloom_prefilter", "olap_local_supplier", "graph_katz",
     "graph_traversal_order", "ts_autocorr", "graph_resource_alloc",
-    "graph_traversal_groupcount", "dedup_lsh_curve", "text_hashvec")
+    "graph_traversal_groupcount", "dedup_lsh_curve", "text_hashvec",
+    "win_rank", "graph_traversal_union", "graph_traversal_coalesce",
+    "corpus_mix", "graph_mutation_api")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -24,6 +24,13 @@ import org.apache.spark.sql.functions._
   * — their semantics need the walk rows — and the terminals fall back to
   * the walk matrix.
   *
+  * BRANCHING (r8): `union`/`choose`/`coalesce` merge parallel sub-chains
+  * under one UNION ALL; branches must extend the walk to the SAME depth
+  * because the matrix needs uniform columns. Gremlin's heterogeneous-length
+  * constructs (`repeat().emit()`, mixed-depth union) exist only under
+  * path-erasing folds by design — per-depth reachability is graph_var_hop's
+  * flood, which is the scale-correct form of emit().
+  *
   * Two entry points on [[PropertyGraph]]:
   *  - the typed fluent API: `g.V(col("label") === "customer").out("in_nation").path()`
   *  - the string parser: `g.traverse("V(label='customer').out('in_nation').path()")`
