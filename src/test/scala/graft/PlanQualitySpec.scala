@@ -344,4 +344,30 @@ class PlanQualitySpec extends AnyFunSuite {
     assert("HashAggregate".r.findAllIn(p).size >= 2, p)
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("corpus_mix: class-count side broadcasts; no corpus-scale shuffle joins") {
+    val p = finalPlan("corpus_mix")
+    // the 5-row class-count frame must reach the kept-filter as a
+    // broadcast; the corpus side never sort-merge-joins
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("graph_traversal_union keeps the bulk fold and per-branch broadcasts") {
+    val p = finalPlan("graph_traversal_union")
+    // branch merge is a Union of broadcast-joined branches, and the
+    // groupCount fold reads summed bulk counts, not walk rows
+    assert(p.contains("Union"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("sum(cnt"), "bulk fold lost through union():\n" + p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("graph_mutation_api: edge cascade is semi-joins, never a product") {
+    val p = finalPlan("graph_mutation_api")
+    assert(p.contains("LeftSemi"), p)
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+  }
 }
