@@ -115,6 +115,137 @@ class GraphAlgoIndependenceSpec extends AnyFunSuite {
     assert(best.size > 1 && best.valuesIterator.max > 1.0, "vacuous")
   }
 
+  /** num.dsum semantics in plain Scala: each double term quantized to
+    * DECIMAL(38,10) (HALF_UP — Spark's double→decimal cast), summed
+    * exactly, correctly-rounded back to double. */
+  private def qsum(terms: Iterable[Double]): Double =
+    if (terms.isEmpty) 0.0
+    else terms.map(t => new java.math.BigDecimal(t)
+        .setScale(10, java.math.RoundingMode.HALF_UP))
+      .reduce(_ add _).doubleValue
+
+  test("graph_cc: union-find recomputation matches the GraphX labeling exactly") {
+    val parent = new mutable.HashMap[Long, Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent(r)
+      var c = x
+      while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    vertexIds.foreach(v => parent(v) = v)
+    rawEdges.foreach { case (a, b, _) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    // GraphX labels every component by its minimum member id; path-compress
+    // to roots, which ARE the minima because unions always point max→min.
+    val want = vertexIds.map(v => v -> find(v)).toMap
+    val got = SparkEntry.queries("graph_cc")(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == want,
+      s"sizes got=${got.size} want=${want.size}; sample diff=${
+        want.collect { case (k, v) if got.get(k) != Some(v) => (k, got.get(k), v) }.take(3)}")
+    assert(want.values.toSet.size > 1)
+  }
+
+  test("graph_triangles: set-intersection recomputation matches exactly") {
+    val adj = new mutable.HashMap[Long, mutable.HashSet[Long]]
+    rawEdges.foreach { case (a, b, _) => if (a != b) {
+      adj.getOrElseUpdate(a, new mutable.HashSet) += b
+      adj.getOrElseUpdate(b, new mutable.HashSet) += a
+    }}
+    val nTri = new mutable.HashMap[Long, Long].withDefaultValue(0L)
+    for ((a, na) <- adj; b <- na if a < b; c <- adj(b) if b < c && na.contains(c)) {
+      nTri(a) += 1; nTri(b) += 1; nTri(c) += 1
+    }
+    val want = nTri.toMap
+    val got = SparkEntry.queries("graph_triangles")(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == want, s"got=${got.size} want=${want.size}")
+    assert(want.nonEmpty)
+  }
+
+  test("graph_kcore: 3-round peel recomputation matches exactly") {
+    val und = rawEdges.collect { case (a, b, _) if a != b =>
+      (math.min(a, b), math.max(a, b)) }.distinct
+    var live: Set[Long] = und.flatMap(e => Seq(e._1, e._2)).toSet
+    var deg: Map[Long, Long] = Map.empty
+    for (_ <- 1 to 3) {
+      val e = und.filter { case (a, b) => live(a) && live(b) }
+      deg = e.flatMap(p => Seq(p._1, p._2)).groupBy(identity)
+        .map { case (v, o) => v -> o.length.toLong }
+      deg = deg.filter(_._2 >= 2)
+      live = deg.keySet
+    }
+    val got = SparkEntry.queries("graph_kcore")(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == deg, s"got=${got.size} want=${deg.size}")
+    assert(deg.nonEmpty)
+  }
+
+  test("graph_katz: quantized in-degree walk recomputation matches exactly") {
+    var katz: Map[Long, Double] = vertexIds.map(_ -> 1.0).toMap
+    for (_ <- 1 to 4) {
+      val contribs = rawEdges.groupBy(_._2).map { case (dst, es) =>
+        dst -> qsum(es.map { case (src, _, _) => katz(src) * 0.25 })
+      }
+      katz = vertexIds.map(v => v -> (1.0 + contribs.getOrElse(v, 0.0))).toMap
+    }
+    val got = SparkEntry.queries("graph_katz")(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got.size == katz.size)
+    val diff = katz.collect { case (v, x) if got(v) != x => s"$v: ${got(v)} != $x" }
+    assert(diff.isEmpty, diff.take(5).mkString("; "))
+  }
+
+  test("graph_ppr: quantized personalized-teleport recomputation matches exactly") {
+    val seeds = g.vertices.where(col("label") === "customer")
+      .select("id").collect().map(_.getLong(0)).toSet
+    val n = seeds.size.toDouble
+    val outdeg = new mutable.HashMap[Long, Int].withDefaultValue(0)
+    rawEdges.foreach { case (s, _, _) => outdeg(s) += 1 }
+    val base = vertexIds.map(v => v -> (if (seeds(v)) 0.15 / n else 0.0)).toMap
+    var pr: Map[Long, Double] =
+      vertexIds.map(v => v -> (if (seeds(v)) 1.0 / n else 0.0)).toMap
+    for (_ <- 1 to 4) {
+      val contribs = rawEdges.groupBy(_._2).map { case (dst, es) =>
+        dst -> qsum(es.map { case (src, _, _) => pr(src) / outdeg(src).toDouble })
+      }
+      pr = vertexIds.map(v =>
+        v -> (base(v) + 0.85 * contribs.getOrElse(v, 0.0))).toMap
+    }
+    val got = SparkEntry.queries("graph_ppr")(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got.size == pr.size)
+    val diff = pr.collect { case (v, x) if got(v) != x => s"$v: ${got(v)} != $x" }
+    assert(diff.isEmpty, diff.take(5).mkString("; "))
+  }
+
+  test("graph_harmonic: bounded out-BFS recomputation matches exactly") {
+    val out = new mutable.HashMap[Long, mutable.ArrayBuffer[Long]]
+    rawEdges.foreach { case (s, d, _) =>
+      out.getOrElseUpdate(s, new mutable.ArrayBuffer) += d }
+    val roots = g.vertices.where(col("label") === "customer")
+      .select("id").collect().map(_.getLong(0))
+    val want = roots.flatMap { r =>
+      val dist = mutable.HashMap[Long, Int](r -> 0)
+      var frontier = Seq(r)
+      for (d <- 1 to 3) {
+        frontier = frontier.flatMap(v => out.getOrElse(v, Nil))
+          .distinct.filterNot(dist.contains)
+        frontier.foreach(v => dist(v) = d)
+      }
+      val reached = dist.toSeq.filter(_._2 > 0)
+      if (reached.isEmpty) None
+      else Some(r -> ((reached.map(6L / _._2).sum, reached.size.toLong)))
+    }.toMap
+    val got = SparkEntry.queries("graph_harmonic")(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == want, s"got=${got.size} want=${want.size}")
+    assert(want.nonEmpty)
+  }
+
   test("graph_pagerank: independent double-loop recomputation matches exactly") {
     // 5 rounds, d=0.85, uniform init 1/n; per-destination contribs summed
     // with num.dsum semantics: each double contribution quantized to
