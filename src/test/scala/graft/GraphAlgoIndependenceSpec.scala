@@ -246,6 +246,49 @@ class GraphAlgoIndependenceSpec extends AnyFunSuite {
     assert(want.nonEmpty)
   }
 
+  test("graph_pregel (maxFlood): per-component max recomputation matches exactly") {
+    // components via the same union-find as the cc test (independently
+    // recomputed here), then max(coalesce(val, 0)) per component — max is
+    // order-independent, so doubles compare exactly.
+    val parent = new mutable.HashMap[Long, Long]
+    def find(x: Long): Long = {
+      var r = x; while (parent.getOrElse(r, r) != r) r = parent(r)
+      var c = x
+      while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    vertexIds.foreach(v => parent(v) = v)
+    rawEdges.foreach { case (a, b, _) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val vals = g.vertices.select("id", "val").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) 0.0 else r.getDouble(1))).toMap
+    val compMax = vertexIds.groupBy(find).view
+      .mapValues(_.map(vals).max).toMap
+    val want = vertexIds.map(v => v -> compMax(find(v))).toMap
+    val got = SparkEntry.queries("graph_pregel")(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got == want, s"got=${got.size} want=${want.size}")
+  }
+
+  test("graph_var_hop: bounded BFS closure recomputation matches exactly") {
+    val out = new mutable.HashMap[Long, mutable.ArrayBuffer[Long]]
+    rawEdges.foreach { case (s, d, _) =>
+      out.getOrElseUpdate(s, new mutable.ArrayBuffer) += d }
+    val dist = mutable.HashMap[Long, Int](6000000000001L -> 0)
+    var frontier = Seq(6000000000001L)
+    for (h <- 1 to 3) {
+      frontier = frontier.flatMap(v => out.getOrElse(v, Nil))
+        .distinct.filterNot(dist.contains)
+      frontier.foreach(v => dist(v) = h)
+    }
+    val got = SparkEntry.queries("graph_var_hop")(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getAs[Number](1).intValue()).toMap
+    assert(got == dist.toMap, s"got=${got.size} want=${dist.size}")
+    assert(dist.valuesIterator.max == 3)
+  }
+
   test("graph_pagerank: independent double-loop recomputation matches exactly") {
     // 5 rounds, d=0.85, uniform init 1/n; per-destination contribs summed
     // with num.dsum semantics: each double contribution quantized to
