@@ -765,6 +765,52 @@ object GraphOps extends OpModule {
           SELECT 9000000000000 + r_regionkey, 'auditor',
             'audit_' || r_name, 'public', CAST(0.5 AS DOUBLE) FROM region)"""))),
 
+    // Per-root ECCENTRICITY within a hop budget (the diameter diagnostic a
+    // graph deployment runs before choosing traversal/unroll depths — the
+    // r8 betweenness fix started from exactly this measurement: region
+    // roots see eccentricity 6 on this fixture, so a depth-5 unroll
+    // truncates). Multi-source BFS over the simple undirected graph,
+    // (root, vertex) frontier pairs, one equi-join + anti-join per level
+    // with lineage cut — linear in roots × component, the same BSP shape
+    // as betweenness/harmonic. Emits (root, ecc, n_ball) where n_ball
+    // counts the root's ≤8-hop closed ball; BFS first-visit IS min-hop, so
+    // the Spark loop and the oracle's MIN(d)-per-pair recursion agree
+    // exactly.
+    Op("graph_eccentricity",
+      (s, dir) => {
+        val g = GraphFixture(s, dir)
+        val und = g.undirectedEdges
+        val adj = und.unionAll(und.select(col("b").as("a"), col("a").as("b")))
+        var frontier = g.vertices.filter(col("label") === "region")
+          .select(col("id").as("root"), col("id"), lit(0).as("d"))
+        var visited = graft.util.cut(frontier)
+        for (l <- 1 to 8) {
+          frontier = graft.util.cut(frontier
+            .join(adj, frontier("id") === adj("a"))
+            .select(col("root"), col("b").as("id"), lit(l).as("d"))
+            .distinct()
+            .join(visited.select("root", "id"), Seq("root", "id"), "left_anti"))
+          visited = graft.util.cut(visited.unionAll(frontier))
+        }
+        visited.groupBy("root")
+          .agg(max("d").cast("long").as("ecc"), count(lit(1)).as("n_ball"))
+          .select(col("root").as("id"), col("ecc"), col("n_ball"))
+          .orderBy("id")
+      },
+      Some(withGraph(
+        """SELECT root AS id, CAST(MAX(d) AS BIGINT) AS ecc,
+          COUNT(*) AS n_ball
+        FROM (SELECT root, id, MIN(d) AS d FROM reach GROUP BY 1, 2) m
+        GROUP BY 1 ORDER BY 1""",
+        extra = """und AS (SELECT src AS a, dst AS b FROM edges WHERE src <> dst
+            UNION SELECT dst, src FROM edges WHERE src <> dst),
+          reach(root, id, d) AS (
+            SELECT id, id, 0 FROM vertices WHERE label = 'region'
+            UNION
+            SELECT r.root, u.b, r.d + 1 FROM reach r
+            JOIN und u ON u.a = r.id WHERE r.d < 8)""",
+        recursive = true))),
+
     // The METHOD-CHAINED batch mutation API (Blueprints addVertex/addEdge/
     // removeVertex/setProperty as dataflow — PropertyGraph.addVertices/
     // addEdges/removeVertices/removeEdges/setVal, each returning a new

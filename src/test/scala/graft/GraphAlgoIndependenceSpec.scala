@@ -289,6 +289,32 @@ class GraphAlgoIndependenceSpec extends AnyFunSuite {
     assert(dist.valuesIterator.max == 3)
   }
 
+  test("graph_eccentricity: undirected bounded BFS recomputation; fixture ecc is 6") {
+    val adj = new mutable.HashMap[Long, mutable.HashSet[Long]]
+    rawEdges.foreach { case (a, b, _) => if (a != b) {
+      adj.getOrElseUpdate(a, new mutable.HashSet) += b
+      adj.getOrElseUpdate(b, new mutable.HashSet) += a
+    }}
+    val roots = g.vertices.where(col("label") === "region")
+      .select("id").collect().map(_.getLong(0))
+    val want = roots.map { r =>
+      val dist = mutable.HashMap[Long, Int](r -> 0)
+      var frontier = Seq(r)
+      for (d <- 1 to 8) {
+        frontier = frontier.flatMap(v => adj.getOrElse(v, Nil))
+          .toSeq.distinct.filterNot(dist.contains)
+        frontier.foreach(v => dist(v) = d)
+      }
+      r -> ((dist.valuesIterator.max.toLong, dist.size.toLong))
+    }.toMap
+    val got = SparkEntry.queries("graph_eccentricity")(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == want, s"got=$got want=$want")
+    // the geometry the betweenness k=5 contract documents: region-root
+    // eccentricity on the fixture is 6 — beyond the depth-5 unroll
+    assert(want.values.forall(_._1 == 6L), s"fixture geometry moved: $want")
+  }
+
   test("graph_pagerank: independent double-loop recomputation matches exactly") {
     // 5 rounds, d=0.85, uniform init 1/n; per-destination contribs summed
     // with num.dsum semantics: each double contribution quantized to
