@@ -95,13 +95,14 @@ object Bench {
       // landing on whichever consumer ran first, 3.1-3.2 s each).
       SparkEntry.queries("dedup_cluster")(spark, sfDir).count()
       SparkEntry.queries("graph_triangles_incremental")(spark, sfDir).count()
-      // stream_minhash_maintain's first run pays the staged-source write
-      // (repartitionByRange of documents — ingest layout) plus the whole
-      // structured-streaming machinery's first-touch JIT (~6 s of its
-      // 11.5 s first run; steady ~5 s). The maintenance query itself
-      // re-executes fully on every timed run — only source staging and
-      // class-loading are warmed here.
+      // The streaming maintenance keys' first runs pay their staged-source
+      // writes (ingest layout) plus the structured-streaming machinery's
+      // first-touch JIT (~6 s of minhash's 11.5 s first run; cc_maintain
+      // ~4 s of 6.6 s). The maintenance queries themselves re-execute
+      // fully on every timed run — only source staging and class-loading
+      // are warmed here.
       SparkEntry.queries("stream_minhash_maintain")(spark, sfDir).count()
+      SparkEntry.queries("stream_cc_maintain")(spark, sfDir).count()
     } catch { // a broken warmup must not kill the bench, but say so loudly —
       // silently skipping re-charges one-time ingest to the first graph key
       case scala.util.control.NonFatal(e) =>
