@@ -315,6 +315,51 @@ class GraphAlgoIndependenceSpec extends AnyFunSuite {
     assert(want.values.forall(_._1 == 6L), s"fixture geometry moved: $want")
   }
 
+  test("graph_hop_hist: multi-source min-hop histogram recomputation matches exactly") {
+    val out = new mutable.HashMap[Long, mutable.ArrayBuffer[Long]]
+    rawEdges.foreach { case (s, d, _) =>
+      out.getOrElseUpdate(s, new mutable.ArrayBuffer) += d }
+    val orders = g.vertices.where(col("label") === "order")
+      .select("id").collect().map(_.getLong(0))
+    val dist = mutable.HashMap[Long, Int](orders.map(_ -> 0): _*)
+    var frontier: Seq[Long] = orders.toSeq
+    for (h <- 1 to 2) {
+      frontier = frontier.flatMap(v => out.getOrElse(v, Nil))
+        .distinct.filterNot(dist.contains)
+      frontier.foreach(v => dist(v) = h)
+    }
+    val want = dist.valuesIterator.toSeq.groupBy(identity).view
+      .mapValues(_.size.toLong).toMap
+    val got = SparkEntry.queries("graph_hop_hist")(spark, sf).collect()
+      .map(r => r.getAs[Number](0).intValue() -> r.getLong(1)).toMap
+    assert(got == want, s"got=$got want=$want")
+    assert(want.keySet == Set(0, 1, 2))
+  }
+
+  test("graph_shortest_path: path-enumeration recomputation matches exactly") {
+    // nearest region to customer #1 within 4 hops, tie-broken by
+    // (hops, path-string) — replicate the walk enumeration and the
+    // deterministic minimum from the raw out-adjacency.
+    val out = new mutable.HashMap[Long, mutable.ArrayBuffer[Long]]
+    rawEdges.foreach { case (s, d, _) =>
+      out.getOrElseUpdate(s, new mutable.ArrayBuffer) += d }
+    val src = 3000000000001L
+    var walks = Seq(Seq(src))
+    var all = Seq(Seq(src))
+    for (_ <- 1 to 4) {
+      walks = walks.flatMap(w => out.getOrElse(w.last, Nil).map(w :+ _))
+      all ++= walks
+    }
+    val best = all
+      .filter(w => w.last >= 1000000000000L && w.last < 2000000000000L)
+      .map(w => (w.last, (w.length - 1).toLong, w.mkString("->")))
+      .sortBy { case (_, h, p) => (h, p) }.headOption
+    val got = SparkEntry.queries("graph_shortest_path")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).headOption
+    assert(got == best, s"got=$got want=$best")
+    assert(best.nonEmpty, "no region reachable — vacuous")
+  }
+
   test("graph_pagerank: independent double-loop recomputation matches exactly") {
     // 5 rounds, d=0.85, uniform init 1/n; per-destination contribs summed
     // with num.dsum semantics: each double contribution quantized to
