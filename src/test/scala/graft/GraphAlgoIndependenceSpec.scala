@@ -360,6 +360,46 @@ class GraphAlgoIndependenceSpec extends AnyFunSuite {
     assert(best.nonEmpty, "no region reachable — vacuous")
   }
 
+  test("graph_clustering: coefficient recomputation from raw adjacency matches exactly") {
+    val adj = new mutable.HashMap[Long, mutable.HashSet[Long]]
+    rawEdges.foreach { case (a, b, _) => if (a != b) {
+      adj.getOrElseUpdate(a, new mutable.HashSet) += b
+      adj.getOrElseUpdate(b, new mutable.HashSet) += a
+    }}
+    val nTri = new mutable.HashMap[Long, Long].withDefaultValue(0L)
+    for ((a, na) <- adj; b <- na if a < b; c <- adj(b) if b < c && na.contains(c)) {
+      nTri(a) += 1; nTri(b) += 1; nTri(c) += 1
+    }
+    val want = adj.collect { case (v, ns) if ns.size >= 2 =>
+      val d = ns.size.toLong
+      v -> ((d, nTri(v), nTri(v).toDouble * 2 / (d * (d - 1))))
+    }.toMap
+    val got = SparkEntry.queries("graph_clustering")(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got == want, s"got=${got.size} want=${want.size}")
+    assert(want.values.exists(_._3 > 0))
+  }
+
+  test("graph_jaccard: neighbor-overlap recomputation matches exactly") {
+    val byPart = rawEdges.collect {
+      case (p, s, _) if p >= 5000000000000L && p < 6000000000000L &&
+        s >= 4000000000000L && s < 5000000000000L => (p, s)
+    }.groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+    val deg = byPart.values.flatten.groupBy(identity).view
+      .mapValues(_.size.toLong).toMap
+    val common = new mutable.HashMap[(Long, Long), Long].withDefaultValue(0L)
+    for (sups <- byPart.values; x <- sups; y <- sups if x < y)
+      common((x, y)) += 1
+    val want = common.flatMap { case ((s1, s2), c) =>
+      val j = c.toDouble / (deg(s1) + deg(s2) - c)
+      if (j >= 0.2) Some((s1, s2) -> ((c, j))) else None
+    }.toMap
+    val got = SparkEntry.queries("graph_jaccard")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getDouble(3)))).toMap
+    assert(got == want, s"got=${got.size} want=${want.size}")
+    assert(want.nonEmpty)
+  }
+
   test("graph_pagerank: independent double-loop recomputation matches exactly") {
     // 5 rounds, d=0.85, uniform init 1/n; per-destination contribs summed
     // with num.dsum semantics: each double contribution quantized to
