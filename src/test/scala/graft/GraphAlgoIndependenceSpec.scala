@@ -400,6 +400,60 @@ class GraphAlgoIndependenceSpec extends AnyFunSuite {
     assert(want.nonEmpty)
   }
 
+  test("graph_motif: triangle-pattern match recomputation matches exactly") {
+    // (c)-[:in_nation]->(n); (s)-[:in_nation]->(n); (c)-[:colocated]->(s)
+    // with c.val > 5000 — recomputed as nested loops over the typed edge
+    // lists, no joins.
+    val labeled = g.edges.select("src", "dst", "label").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val inNation = labeled.collect { case (s, d, "in_nation") => (s, d) }
+    val nationOf = inNation.toMap // customer/supplier → unique nation
+    val coloc = labeled.collect { case (s, d, "colocated") => (s, d) }
+    val vals = g.vertices.select("id", "val").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) Double.NaN else r.getDouble(1)))
+      .toMap
+    val want = coloc.collect {
+      case (c, sId) if vals(c) > 5000 && nationOf.get(c).exists(n =>
+        nationOf.get(sId).contains(n)) => (c, sId, nationOf(c))
+    }.toSet
+    val got = SparkEntry.queries("graph_motif")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == want, s"got=${got.size} want=${want.size}")
+    assert(want.nonEmpty)
+  }
+
+  test("graph_modularity: integer-term recomputation matches exactly") {
+    // Q from the independently recomputed lp3 labels (certified above),
+    // simple-graph edge/degree integer sums, and the same two-division
+    // IEEE closing formula.
+    val nbrs = new mutable.HashMap[Long, mutable.ArrayBuffer[Long]]
+    rawEdges.foreach { case (s, d, _) =>
+      nbrs.getOrElseUpdate(s, new mutable.ArrayBuffer) += d
+      nbrs.getOrElseUpdate(d, new mutable.ArrayBuffer) += s
+    }
+    var lbl: Map[Long, Long] = vertexIds.map(v => v -> v).toMap
+    for (_ <- 1 to 3) {
+      lbl = vertexIds.map { v =>
+        val counts = new mutable.HashMap[Long, Int].withDefaultValue(0)
+        nbrs.getOrElse(v, Nil).foreach(n => counts(lbl(n)) += 1)
+        v -> (if (counts.isEmpty) lbl(v)
+              else counts.toSeq.minBy { case (l, n) => (-n, l) }._1)
+      }.toMap
+    }
+    val und = rawEdges.collect { case (a, b, _) if a != b =>
+      (math.min(a, b), math.max(a, b)) }.distinct
+    val m = und.size.toLong
+    val intra = und.count { case (a, b) => lbl(a) == lbl(b) }.toLong
+    val deg = und.flatMap(p => Seq(p._1, p._2)).groupBy(identity).view
+      .mapValues(_.size.toLong).toMap
+    val sa2 = deg.toSeq.groupBy { case (v, _) => lbl(v) }.values
+      .map(_.map(_._2).sum).map(ac => ac * ac).sum
+    val q = intra.toDouble / m - sa2.toDouble / (4 * m * m)
+    val got = SparkEntry.queries("graph_modularity")(spark, sf).collect().head
+    assert((got.getLong(0), got.getLong(1), got.getLong(2), got.getDouble(3)) ==
+      ((m, intra, sa2, q)), s"got=$got want=($m,$intra,$sa2,$q)")
+  }
+
   test("graph_pagerank: independent double-loop recomputation matches exactly") {
     // 5 rounds, d=0.85, uniform init 1/n; per-destination contribs summed
     // with num.dsum semantics: each double contribution quantized to
