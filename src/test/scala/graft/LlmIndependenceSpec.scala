@@ -1,0 +1,90 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import scala.collection.mutable
+
+/** Independent-algorithm certification for the LLM-pipeline flagship keys
+  * (the §2.10a/§2.11 audit extended to the similarity/dedup families):
+  * plain-Scala recomputations from the raw tables — JDK md5, explicit
+  * left-to-right double folds, Scala collections — matched EXACTLY against
+  * the operators, including every double-valued score. The DuckDB gate
+  * proves cross-engine equality; these prove the algorithms. */
+class LlmIndependenceSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = TestSpark.sf
+
+  private val P = 2147483647L
+  private def md5hash(s: String): Long = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString.substring(0, 15)
+    java.lang.Long.parseLong(hex, 16) % P
+  }
+
+  test("sim_topk: brute-force cosine top-5 recomputation matches exactly") {
+    val vecs = Tables(spark, sf, "embeddings").select("vec_id", "embedding")
+      .collect().map(r => r.getAs[Number](0).longValue() ->
+        r.getSeq[Float](1).toArray).toMap
+    // the operator's exact fold orders: left-to-right double dot, then
+    // sqrt; cos = dot / (nq * nrm)
+    def dot(a: Array[Float], b: Array[Float]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { acc += a(i).toDouble * b(i).toDouble; i += 1 }
+      acc
+    }
+    val nrm = vecs.map { case (id, v) => id -> math.sqrt(dot(v, v)) }
+    val queries = vecs.keys.filter(_ % 100 == 0).toSeq
+    val want = queries.flatMap { qa =>
+      vecs.keys.filter(_ != qa).toSeq
+        .map(vb => (vb, dot(vecs(qa), vecs(vb)) / (nrm(qa) * nrm(vb))))
+        .sortBy { case (vb, cos) => (-cos, vb) }
+        .take(5).zipWithIndex
+        .map { case ((vb, cos), i) => (qa, vb, (i + 1).toLong, cos) }
+    }.toSet
+    val got = SparkEntry.queries("sim_topk")(spark, sf).collect()
+      .map(r => (r.getAs[Number](0).longValue(), r.getAs[Number](1).longValue(),
+        r.getAs[Number](2).longValue(), r.getDouble(3))).toSet
+    assert(got == want, s"got=${got.size} want=${want.size}; " +
+      s"missing=${(want -- got).take(2)} extra=${(got -- want).take(2)}")
+    assert(want.nonEmpty)
+  }
+
+  test("dedup_minhash: full LSH pipeline recomputation matches exactly") {
+    // shingle → 8-permutation affine minhash → 2×4 bands → candidate
+    // pairs → exact Jaccard ≥ 0.5, rebuilt with Scala collections and
+    // JDK md5 against the textsql hash family (a_i·h + (i+1) mod P).
+    val A = Seq(2L, 3L, 5L, 7L, 11L, 13L, 17L, 19L)
+    val docs = Tables(spark, sf, "documents").select("doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val shingles: Map[Long, Set[String]] = docs.flatMap { case (id, text) =>
+      val toks = text.split(" ", -1)
+      if (toks.length < 3) None
+      else Some(id -> toks.sliding(3).map(_.mkString(" ")).toSet)
+    }.toMap
+    val bands: Map[Long, (String, String)] = shingles.map { case (id, sh) =>
+      val hs = sh.toSeq.map(md5hash)
+      val sig = A.zipWithIndex.map { case (a, i) =>
+        hs.map(h => (a * h + (i + 1)) % P).min }
+      id -> ((sig.take(4).mkString("_"), sig.drop(4).mkString("_")))
+    }
+    val cand = mutable.Set[(Long, Long)]()
+    for (b <- 0 to 1) {
+      bands.toSeq.groupBy(kv => if (b == 0) kv._2._1 else kv._2._2)
+        .values.foreach { grp =>
+          val ids = grp.map(_._1).sorted
+          for (i <- ids.indices; j <- (i + 1) until ids.length)
+            cand += ((ids(i), ids(j)))
+        }
+    }
+    val want = cand.toSeq.flatMap { case (da, db) =>
+      val (sa, sb) = (shingles(da), shingles(db))
+      val i = (sa & sb).size
+      val j = i.toDouble / (sa.size + sb.size - i).toDouble
+      if (j >= 0.5) Some((da, db, i.toLong, j)) else None
+    }.toSet
+    val got = SparkEntry.queries("dedup_minhash")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(got == want, s"got=${got.size} want=${want.size}; " +
+      s"missing=${(want -- got).take(2)} extra=${(got -- want).take(2)}")
+    assert(want.nonEmpty, "no near-dup pairs at this SF — vacuous")
+  }
+}
