@@ -48,6 +48,52 @@ class LlmIndependenceSpec extends AnyFunSuite {
     assert(want.nonEmpty)
   }
 
+  test("dedup_simhash: 32-bit fingerprint recomputation matches exactly") {
+    // tokens WITH multiplicity, md5-prefix hash, ±1 per bit, majority sign.
+    val docs = Tables(spark, sf, "documents").select("doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val want = docs.map { case (id, text) =>
+      val hs = text.split(" ", -1).toSeq.map(md5hash)
+      val fp = (0 until 32).map { b =>
+        val s = hs.map(h => if (((h >> b) & 1L) == 1L) 1 else -1).sum
+        if (s > 0) 1L << b else 0L
+      }.sum
+      id -> fp
+    }.toMap
+    val got = SparkEntry.queries("dedup_simhash")(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == want, s"got=${got.size} want=${want.size}")
+    assert(want.values.toSet.size > 1)
+  }
+
+  test("sim_knn_join: sign-LSH bucketed k-NN recomputation matches exactly") {
+    val vecs = Tables(spark, sf, "embeddings").select("vec_id", "embedding")
+      .collect().map(r => r.getAs[Number](0).longValue() ->
+        r.getSeq[Float](1).toArray).toMap
+    def dot(a: Array[Float], b: Array[Float]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { acc += a(i).toDouble * b(i).toDouble; i += 1 }
+      acc
+    }
+    val nrm = vecs.map { case (id, v) => id -> math.sqrt(dot(v, v)) }
+    def bucket(v: Array[Float]): Long =
+      (0 until 8).map(d => if (v(d) > 0) 1L << d else 0L).sum
+    val bkt = vecs.map { case (id, v) => id -> bucket(v) }
+    val want = vecs.keys.filter(_ % 10 == 0).toSeq.flatMap { va =>
+      vecs.keys.filter(vb => vb != va && bkt(vb) == bkt(va)).toSeq
+        .map(vb => (vb, dot(vecs(va), vecs(vb)) / (nrm(va) * nrm(vb))))
+        .sortBy { case (vb, cos) => (-cos, vb) }
+        .take(3).zipWithIndex
+        .map { case ((vb, cos), i) => (va, vb, (i + 1).toLong, cos) }
+    }.toSet
+    val got = SparkEntry.queries("sim_knn_join")(spark, sf).collect()
+      .map(r => (r.getAs[Number](0).longValue(), r.getAs[Number](1).longValue(),
+        r.getAs[Number](2).longValue(), r.getDouble(3))).toSet
+    assert(got == want, s"got=${got.size} want=${want.size}; " +
+      s"missing=${(want -- got).take(2)} extra=${(got -- want).take(2)}")
+    assert(want.nonEmpty)
+  }
+
   test("dedup_minhash: full LSH pipeline recomputation matches exactly") {
     // shingle → 8-permutation affine minhash → 2×4 bands → candidate
     // pairs → exact Jaccard ≥ 0.5, rebuilt with Scala collections and
