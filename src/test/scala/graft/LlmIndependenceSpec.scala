@@ -94,6 +94,44 @@ class LlmIndependenceSpec extends AnyFunSuite {
     assert(want.nonEmpty)
   }
 
+  test("text_langid: stopword-vote recomputation matches exactly") {
+    val langSets = Seq(
+      "de" -> Set("der", "die", "und", "das"),
+      "en" -> Set("the", "a", "of", "to"),
+      "es" -> Set("el", "los", "y", "una"),
+      "fr" -> Set("le", "la", "et", "les"))
+    val docs = Tables(spark, sf, "documents").select("doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val want = docs.map { case (id, text) =>
+      val toks = text.split(" ", -1).toSeq
+      val hits = langSets.map { case (l, ws) => l -> toks.count(ws).toLong }
+      val hitMap = hits.toMap
+      val pred = hits.collectFirst {
+        case (l, h) if h > 0 && hits.forall(h >= _._2) => l
+      }.getOrElse("unknown")
+      id -> ((pred, hitMap("de"), hitMap("en"), hitMap("es"), hitMap("fr")))
+    }.toMap
+    val got = SparkEntry.queries("text_langid")(spark, sf).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(got == want, s"got=${got.size} want=${want.size}")
+    assert(want.values.map(_._1).toSet.size > 1, "single language — vacuous")
+  }
+
+  test("text_fingerprint: rolling-hash recomputation matches exactly") {
+    val docs = Tables(spark, sf, "documents").select("doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val want = docs.map { case (id, text) =>
+      var acc = 0L
+      text.codePoints().forEach(c => acc = (acc * 131 + c) % 1000000007L)
+      id -> acc
+    }.toMap
+    val got = SparkEntry.queries("text_fingerprint")(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == want, s"got=${got.size} want=${want.size}")
+    assert(want.values.toSet.size > 1)
+  }
+
   test("dedup_minhash: full LSH pipeline recomputation matches exactly") {
     // shingle → 8-permutation affine minhash → 2×4 bands → candidate
     // pairs → exact Jaccard ≥ 0.5, rebuilt with Scala collections and
