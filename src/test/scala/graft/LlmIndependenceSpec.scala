@@ -132,6 +132,86 @@ class LlmIndependenceSpec extends AnyFunSuite {
     assert(want.values.toSet.size > 1)
   }
 
+  test("dedup_embed: label-blocked sign-LSH cosine pairs recomputed exactly") {
+    val rows = Tables(spark, sf, "embeddings").select("vec_id", "label", "embedding")
+      .collect().map(r => (r.getAs[Number](0).longValue(), String.valueOf(r.get(1)),
+        r.getSeq[Float](2).toArray))
+    def dot(a: Array[Float], b: Array[Float]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { acc += a(i).toDouble * b(i).toDouble; i += 1 }
+      acc
+    }
+    def bucket(v: Array[Float]): Long =
+      (0 until 6).map(d => if (v(d) > 0) 1L << d else 0L).sum
+    val want = (for {
+      (va, la, ea) <- rows
+      (vb, lb, eb) <- rows
+      if va < vb && la == lb && bucket(ea) == bucket(eb)
+      cos = dot(ea, eb) / (math.sqrt(dot(ea, ea)) * math.sqrt(dot(eb, eb)))
+      if cos >= 0.35
+    } yield (va, vb, cos)).toSet
+    val got = SparkEntry.queries("dedup_embed")(spark, sf).collect()
+      .map(r => (r.getAs[Number](0).longValue(), r.getAs[Number](1).longValue(),
+        r.getDouble(2))).toSet
+    assert(got == want, s"got=${got.size} want=${want.size}; " +
+      s"missing=${(want -- got).take(2)} extra=${(got -- want).take(2)}")
+    assert(want.nonEmpty)
+  }
+
+  test("dedup_cluster: pairs→components→canonical chain recomputed exactly") {
+    // Rebuild the minhash pair set with the SAME recomputation as the
+    // dedup_minhash test, then union-find the pairs and label every member
+    // doc by its component minimum — the canonical-representative chain.
+    val A = Seq(2L, 3L, 5L, 7L, 11L, 13L, 17L, 19L)
+    val docs = Tables(spark, sf, "documents").select("doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val shingles: Map[Long, Set[String]] = docs.flatMap { case (id, text) =>
+      val toks = text.split(" ", -1)
+      if (toks.length < 3) None
+      else Some(id -> toks.sliding(3).map(_.mkString(" ")).toSet)
+    }.toMap
+    val bands: Map[Long, (String, String)] = shingles.map { case (id, sh) =>
+      val hs = sh.toSeq.map(md5hash)
+      val sig = A.zipWithIndex.map { case (a, i) =>
+        hs.map(h => (a * h + (i + 1)) % P).min }
+      id -> ((sig.take(4).mkString("_"), sig.drop(4).mkString("_")))
+    }
+    val cand = mutable.Set[(Long, Long)]()
+    for (b <- 0 to 1)
+      bands.toSeq.groupBy(kv => if (b == 0) kv._2._1 else kv._2._2)
+        .values.foreach { grp =>
+          val ids = grp.map(_._1).sorted
+          for (i <- ids.indices; j <- (i + 1) until ids.length)
+            cand += ((ids(i), ids(j)))
+        }
+    val pairs = cand.toSeq.filter { case (da, db) =>
+      val (sa, sb) = (shingles(da), shingles(db))
+      val i = (sa & sb).size
+      i.toDouble / (sa.size + sb.size - i).toDouble >= 0.5
+    }
+    val parent = new mutable.HashMap[Long, Long]
+    def find(x: Long): Long = {
+      var r = x; while (parent.getOrElse(r, r) != r) r = parent(r)
+      var c = x
+      while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val members = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+    val byComp = members.groupBy(find)
+    val want = byComp.flatMap { case (rep, ms) =>
+      ms.map(m => (rep, m, ms.size.toLong))
+    }.toSet
+    val got = SparkEntry.queries("dedup_cluster")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == want, s"got=${got.size} want=${want.size}; " +
+      s"missing=${(want -- got).take(2)} extra=${(got -- want).take(2)}")
+    assert(want.nonEmpty)
+  }
+
   test("dedup_minhash: full LSH pipeline recomputation matches exactly") {
     // shingle → 8-permutation affine minhash → 2×4 bands → candidate
     // pairs → exact Jaccard ≥ 0.5, rebuilt with Scala collections and
