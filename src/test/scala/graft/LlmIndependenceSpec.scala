@@ -212,6 +212,41 @@ class LlmIndependenceSpec extends AnyFunSuite {
     assert(want.nonEmpty)
   }
 
+  test("text_quality: TTR/length-credit recomputation matches exactly") {
+    val docs = Tables(spark, sf, "documents").select("doc_id", "text", "n_chars")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val want = docs.map { case (id, text, nChars) =>
+      val toks = text.split(" ", -1)
+      val nt = toks.length
+      val nd = toks.distinct.length
+      val ttr = nd.toDouble / nt.toDouble
+      val mtl = (nChars - (nt - 1)).toDouble / nt.toDouble
+      val q = 0.5 * ttr + 0.5 * math.min(1.0, nt.toDouble / 200.0)
+      id -> ((nt.toLong, ttr, mtl, q))
+    }.toMap
+    val got = SparkEntry.queries("text_quality")(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getAs[Number](1).longValue(),
+        r.getDouble(2), r.getDouble(3), r.getDouble(4)))).toMap
+    assert(got == want, s"got=${got.size} want=${want.size}")
+    assert(want.values.map(_._2).toSet.size > 1)
+  }
+
+  test("text_tokens: whitespace + regex token counts recomputed exactly") {
+    val docs = Tables(spark, sf, "documents").select("doc_id", "text", "n_chars")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val re = "[a-z]+|[0-9]+|[^a-z0-9 ]".r
+    val want = docs.map { case (id, text, nChars) =>
+      val nws = text.split(" ", -1).length
+      val nre = re.findAllIn(text).size
+      id -> ((nws.toLong, nre.toLong, nChars.toDouble / nws.toDouble))
+    }.toMap
+    val got = SparkEntry.queries("text_tokens")(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getAs[Number](1).longValue(),
+        r.getAs[Number](2).longValue(), r.getDouble(3)))).toMap
+    assert(got == want, s"got=${got.size} want=${want.size}")
+    assert(want.nonEmpty)
+  }
+
   test("dedup_minhash: full LSH pipeline recomputation matches exactly") {
     // shingle → 8-permutation affine minhash → 2×4 bands → candidate
     // pairs → exact Jaccard ≥ 0.5, rebuilt with Scala collections and
