@@ -23,7 +23,8 @@ object Plans {
     "graph_traversal_order", "ts_autocorr", "graph_resource_alloc",
     "graph_traversal_groupcount", "dedup_lsh_curve", "text_hashvec",
     "win_rank", "graph_traversal_union", "graph_traversal_coalesce",
-    "corpus_mix", "graph_mutation_api", "graph_eccentricity")
+    "graph_traversal_choose", "corpus_mix", "graph_mutation_api",
+    "graph_eccentricity")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -58,10 +58,22 @@ final case class PropertyGraph(vertices: DataFrame, edges: DataFrame) {
   // graph actually runs, each a filter/union/semi-join the optimizer
   // plans like any other query).
 
-  /** Add (or replace, by id — last-wins upsert) a batch of vertices. */
-  def addVertices(vs: DataFrame): PropertyGraph =
+  /** Add (or replace, by id — last-wins upsert) a batch of vertices. Ids
+    * duplicated WITHIN the batch are collapsed to the last occurrence
+    * (monotonically_increasing_id is ascending within each partition in
+    * arrival order, so max-seq = last row) — without this, one call could
+    * introduce duplicate vertex ids. */
+  def addVertices(vs: DataFrame): PropertyGraph = {
+    val seq = vs.withColumn("_seq", monotonically_increasing_id())
+    val lastPerId = seq
+      .withColumn("_rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("id").orderBy(col("_seq").desc)))
+      .filter(col("_rn") === 1).drop("_seq", "_rn")
     copy(vertices = vertices
-      .join(vs.select("id"), Seq("id"), "left_anti").unionByName(vs))
+      .join(lastPerId.select("id"), Seq("id"), "left_anti")
+      .unionByName(lastPerId))
+  }
 
   /** Add a batch of edges (parallel edges permitted, as in Blueprints). */
   def addEdges(es: DataFrame): PropertyGraph =
@@ -71,16 +83,20 @@ final case class PropertyGraph(vertices: DataFrame, edges: DataFrame) {
     * semi-joins against the surviving id set — never a vertex×edge
     * product). */
   def removeVertices(pred: Column): PropertyGraph = {
-    val keep = vertices.filter(!pred)
+    // NULL-pred rows do NOT match (SQL 3VL: !NULL is NULL, which filter
+    // would drop) — keep them explicitly so e.g. `val > 100` on a NULL
+    // val never deletes the vertex.
+    val keep = vertices.filter(!coalesce(pred, lit(false)))
     val ids = keep.select("id")
     copy(vertices = keep, edges = edges
       .join(ids.withColumnRenamed("id", "src"), Seq("src"), "left_semi")
       .join(ids.withColumnRenamed("id", "dst"), Seq("dst"), "left_semi"))
   }
 
-  /** Remove edges matching `pred` (vertices untouched). */
+  /** Remove edges matching `pred` (vertices untouched). NULL-pred rows are
+    * kept (see [[removeVertices]]). */
   def removeEdges(pred: Column): PropertyGraph =
-    copy(edges = edges.filter(!pred))
+    copy(edges = edges.filter(!coalesce(pred, lit(false))))
 
   /** Set the `val` property to `value` on vertices matching `pred`
     * (Blueprints element.setProperty over a selection) — a per-row

@@ -69,7 +69,8 @@ object PipelineOps extends OpModule {
           tgt AS (SELECT MIN(n) AS k FROM cnt),
           kept AS (SELECT h.doc_id, h.lang
             FROM h JOIN cnt ON cnt.lang = h.lang
-            WHERE h.hv * cnt.n < (SELECT k FROM tgt) * ${textsql.P}),
+            WHERE CAST(h.hv AS DECIMAL(38,0)) * cnt.n
+              < CAST((SELECT k FROM tgt) AS DECIMAL(38,0)) * ${textsql.P}),
           ks AS (SELECT lang, COUNT(*) AS n_kept, SUM(doc_id) AS id_sum
             FROM kept GROUP BY 1)
           SELECT c.lang, c.n AS n_orig,
@@ -85,7 +86,8 @@ object PipelineOps extends OpModule {
         tgt AS (SELECT MIN(n) AS k FROM cnt),
         kept AS (SELECT h.doc_id, h.lang
           FROM h JOIN cnt ON cnt.lang = h.lang
-          WHERE h.hv * cnt.n < (SELECT k FROM tgt) * ${textsql.P}),
+          WHERE CAST(h.hv AS DECIMAL(38,0)) * cnt.n
+              < CAST((SELECT k FROM tgt) AS DECIMAL(38,0)) * ${textsql.P}),
         ks AS (SELECT lang, COUNT(*) AS n_kept, SUM(doc_id) AS id_sum
           FROM kept GROUP BY 1)
         SELECT c.lang, c.n AS n_orig,

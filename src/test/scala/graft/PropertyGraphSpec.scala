@@ -167,6 +167,33 @@ class PropertyGraphSpec extends AnyFunSuite {
       .count() == 2)
   }
 
+  test("mutation API: NULL predicates never match; batch-internal upsert dedup") {
+    import spark.implicits._
+    // NULL-pred rows must survive removal (SQL 3VL: pred NULL ⇒ !pred NULL
+    // ⇒ a bare filter(!pred) would drop the row). Fixture edges carry NULL
+    // weights; none may be removed by a weight predicate they don't match.
+    val nullW = g.edges.filter(col("weight").isNull).count()
+    assert(nullW > 0, "fixture must carry NULL-weight edges for this test")
+    val gE = g.removeEdges(col("weight") > 1e18) // matches nothing real
+    assert(gE.edges.count() == g.edges.count())
+    // Same for vertices: a val predicate must not delete NULL-val vertices.
+    val nullV = g.vertices.filter(col("val").isNull).count()
+    assert(nullV > 0, "fixture must carry NULL-val vertices for this test")
+    val gV = g.removeVertices(col("val") > 1e18)
+    assert(gV.vertices.count() == g.vertices.count())
+    assert(gV.edges.count() == g.edges.count())
+    // One addVertices call with a duplicated id keeps only the LAST row.
+    val B = GraphFixture.B
+    val batch = Seq(
+      (B, "region", "first", "public", Option.empty[Double]),
+      (B, "region", "last", "public", Option.empty[Double]))
+      .toDF("id", "label", "name", "vis", "val")
+    val g2 = g.addVertices(batch)
+    val rows = g2.vertices.filter(col("id") === B).collect()
+    assert(rows.length == 1)
+    assert(rows.head.getAs[String]("name") == "last")
+  }
+
   test("incrementalCC equals the full recompute for different delta batches") {
     val full = g.connectedComponents.collect()
       .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
