@@ -69,6 +69,11 @@ object Bench {
       // GraphX fixed point on the trimmed stored view).
       g.connectedComponents.count()
       g.visibleView.connectedComponents.count()
+      // Stored SCC labeling on the symmetrized directed view (its own
+      // GraphX build + peel loop — the condensation index a deployment
+      // stores next to the undirected CC labeling).
+      graft.graph.GraphFixture.sccView(spark, sfDir)
+        .stronglyConnectedComponents.count()
       SparkEntry.queries("sim_topk")(spark, sfDir).count() // embeddings views
       // The four ANN pipeline result views (simtopk/simknn/simmt/simivf —
       // including the r7 trained-k-means IVF: Lloyd rounds + assignment

@@ -44,6 +44,28 @@ object GraphFixture {
   def apply(s: SparkSession, dir: String): PropertyGraph =
     memo.getOrElseUpdate(s, dir)(build(s, dir))
 
+  private val sccMemo = new graft.SessionMemo[String, PropertyGraph]
+
+  /** Directed view for SCC analytics: 'colocated' edges expanded to BOTH
+    * directions — the label encodes "customer and supplier share a nation
+    * (and key mod 10)", an undirected relation the fixture stores
+    * single-direction — while every other label keeps its natural
+    * direction. This is what makes SCC non-degenerate here: the base edge
+    * set is a DAG (order→customer→nation→region, order→part→supplier), so
+    * without the symmetric expansion every SCC is a singleton; with it,
+    * each colocated customer/supplier cluster becomes one multi-vertex SCC
+    * reachable from (but not returning to) the DAG tails. Memoized per
+    * (session, dir) like the base graph so the GraphX view is shared
+    * across keys. */
+  def sccView(s: SparkSession, dir: String): PropertyGraph =
+    sccMemo.getOrElseUpdate(s, dir) {
+      val g = apply(s, dir)
+      val sym = g.edges.filter(col("label") === "colocated")
+        .select(col("dst").as("src"), col("src").as("dst"), col("label"),
+          col("weight"), col("vis"))
+      PropertyGraph(g.vertices, g.edges.unionByName(sym))
+    }
+
   private def build(s: SparkSession, dir: String): PropertyGraph = {
     def t(n: String) = Tables(s, dir, n)
     val nullD = lit(null).cast("double")

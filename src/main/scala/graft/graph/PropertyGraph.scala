@@ -495,6 +495,7 @@ final case class PropertyGraph(vertices: DataFrame, edges: DataFrame) {
     if (undBuilt) { undByA.unpersist(); () }
     if (nbrBuilt) { neighborLists.unpersist(); () }
     if (ccBuilt) { connectedComponents.unpersist(); () }
+    if (sccBuilt) { stronglyConnectedComponents.unpersist(); () }
     ()
   }
 
@@ -526,6 +527,33 @@ final case class PropertyGraph(vertices: DataFrame, edges: DataFrame) {
       .persist(StorageLevel.MEMORY_AND_DISK)
   }
   @volatile private var ccBuilt = false
+
+  /** Directed strongly-connected components: each vertex labeled with the
+    * LOWEST vertex id in its SCC (GraphX `lib.StronglyConnectedComponents`
+    * — the trim / forward-color / backward-confirm peeling algorithm).
+    * Deterministic: labels are integer min-ids, no floating point anywhere.
+    *
+    * numIter=8 bounds the OUTER peel loop; each iteration (a) trims
+    * DAG-tail vertices to a fixpoint (every trimmed vertex is its own
+    * SCC), (b) forward-floods min-id colors, (c) backward-confirms which
+    * colored vertices reach their color root — those form finalized SCCs
+    * and leave the working graph. Layered almost-DAG graphs (this fixture)
+    * finish in 1-2 peels; `numIter` is margin, not a precision knob.
+    *
+    * Scale shape: every step is a Pregel flood or degree filter over the
+    * shared [[toGraphX]] view — no driver-side collection, no transitive
+    * closure; the working graph only shrinks.
+    * Like [[connectedComponents]] the labeling is a stored analytics
+    * artifact (persisted lazy val): condensation-scoped queries reuse it
+    * instead of re-running the peel loop. */
+  lazy val stronglyConnectedComponents: DataFrame = {
+    val sp = spark; import sp.implicits._
+    sccBuilt = true
+    lib.StronglyConnectedComponents.run(toGraphX, numIter = 8)
+      .vertices.toDF("id", "component")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+  }
+  @volatile private var sccBuilt = false
 
   /** INCREMENTAL connected-components maintenance: treat the edges matching
     * `deltaPred` as a freshly-ingested batch and fold them into the stored

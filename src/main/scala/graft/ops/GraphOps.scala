@@ -242,6 +242,30 @@ object GraphOps extends OpModule {
         "SELECT id, lbl AS component FROM l16 ORDER BY id",
         extra = GraphSql.ccChain(16)))),
 
+    // Directed STRONGLY-connected components over the symmetrized view
+    // (GraphFixture.sccView: 'colocated' expanded to both directions —
+    // without it the fixture is a DAG and every SCC is a singleton).
+    // Spark side: GraphX trim/forward-color/backward-confirm peeling
+    // (PropertyGraph.stronglyConnectedComponents). Oracle: the textbook
+    // definition — mutual bounded reachability over the directed edge set
+    // (fixpoint recursive closure; feasible at oracle SF because reach
+    // sets are colocated-cluster-sized, NOT an approach the Spark side
+    // could ship at 100 TB). Labels are SCC-minimum vertex ids in both.
+    Op("graph_scc",
+      (s, dir) => GraphFixture.sccView(s, dir)
+        .stronglyConnectedComponents.orderBy("id"),
+      Some(withGraph(
+        """SELECT v.id, LEAST(v.id, COALESCE(mm.mn, v.id)) AS component
+          FROM vertices v LEFT JOIN mm ON mm.id = v.id ORDER BY v.id""",
+        extra = """de AS MATERIALIZED (SELECT src, dst FROM edges
+            UNION SELECT dst, src FROM edges WHERE label = 'colocated'),
+          reach(a, b) AS (SELECT src, dst FROM de
+            UNION SELECT r.a, e.dst FROM reach r JOIN de e ON e.src = r.b),
+          mut AS (SELECT r.a, r.b FROM reach r
+            JOIN reach s ON s.a = r.b AND s.b = r.a),
+          mm AS (SELECT a AS id, MIN(b) AS mn FROM mut GROUP BY 1)""",
+        recursive = true))),
+
     // INCREMENTAL CC maintenance: the 'did' edges (user→event — the
     // fixture's streaming-ingest analog batch, cf. stream_graph_ingest)
     // are folded into the BASE graph's stored labeling via delta-bounded

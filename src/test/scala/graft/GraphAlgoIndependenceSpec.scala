@@ -481,4 +481,67 @@ class GraphAlgoIndependenceSpec extends AnyFunSuite {
     val diff = pr.collect { case (v, p) if got(v) != p => s"$v: ${got(v)} != $p" }
     assert(diff.isEmpty, s"${diff.size} mismatches: ${diff.take(5).mkString("; ")}")
   }
+
+  test("graph_scc: iterative Tarjan recomputed independently") {
+    // Semantics under test (PropertyGraph.stronglyConnectedComponents over
+    // GraphFixture.sccView): directed SCC with 'colocated' edges expanded
+    // to both directions, each vertex labeled by the MINIMUM id in its SCC.
+    // Recomputed here with textbook Tarjan (iterative, explicit DFS stack)
+    // over the raw symmetrized edge list — no GraphX, no SQL.
+    val lab = g.edges.select("src", "dst", "label").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
+    val dEdges = lab.map { case (s, d, _) => (s, d) } ++
+      lab.collect { case (s, d, "colocated") => (d, s) }
+    val adj = dEdges.groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toArray }
+    val index = new mutable.HashMap[Long, Int]
+    val low = new mutable.HashMap[Long, Int]
+    val onStack = new mutable.HashSet[Long]
+    val tstack = new mutable.ArrayBuffer[Long]
+    var counter = 0
+    val comp = new mutable.HashMap[Long, Long]
+    for (root <- vertexIds if !index.contains(root)) {
+      val work = new mutable.ArrayBuffer[(Long, Int)]
+      def open(v: Long): Unit = {
+        index(v) = counter; low(v) = counter; counter += 1
+        tstack += v; onStack += v; work += ((v, 0)); ()
+      }
+      open(root)
+      while (work.nonEmpty) {
+        val (v, i) = work.last
+        val ns = adj.getOrElse(v, Array.empty[Long])
+        if (i < ns.length) {
+          work(work.length - 1) = (v, i + 1)
+          val w = ns(i)
+          if (!index.contains(w)) open(w)
+          else if (onStack(w)) low(v) = math.min(low(v), index(w))
+        } else {
+          work.remove(work.length - 1)
+          if (work.nonEmpty) {
+            val (p, _) = work.last
+            low(p) = math.min(low(p), low(v))
+          }
+          if (low(v) == index(v)) {
+            val members = new mutable.ArrayBuffer[Long]
+            var done = false
+            while (!done) {
+              val w = tstack.remove(tstack.length - 1)
+              onStack -= w; members += w
+              if (w == v) done = true
+            }
+            val m = members.min
+            members.foreach(w => comp(w) = m)
+          }
+        }
+      }
+    }
+    val got = SparkEntry.queries("graph_scc")(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size == comp.size, s"${got.size} != ${comp.size}")
+    val diff = comp.collect { case (v, c) if got.get(v) != Some(c) =>
+      s"$v: got ${got.get(v)} want $c" }
+    assert(diff.isEmpty, s"${diff.size} mismatches: ${diff.take(5).mkString("; ")}")
+    // non-vacuous: the symmetric expansion must yield multi-vertex SCCs
+    assert(comp.groupBy(_._2).exists(_._2.size > 1),
+      "all SCCs singleton — symmetrized view is degenerate")
+  }
 }
