@@ -24,7 +24,8 @@ object Plans {
     "graph_traversal_groupcount", "dedup_lsh_curve", "text_hashvec",
     "win_rank", "graph_traversal_union", "graph_traversal_coalesce",
     "graph_traversal_choose", "corpus_mix", "graph_mutation_api",
-    "graph_eccentricity")
+    "graph_eccentricity", "graph_scc", "graph_traversal_until",
+    "graph_traversal_emit")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -27,9 +27,11 @@ import org.apache.spark.sql.functions._
   * BRANCHING (r8): `union`/`choose`/`coalesce` merge parallel sub-chains
   * under one UNION ALL; branches must extend the walk to the SAME depth
   * because the matrix needs uniform columns. Gremlin's heterogeneous-length
-  * constructs (`repeat().emit()`, mixed-depth union) exist only under
-  * path-erasing folds by design — per-depth reachability is graph_var_hop's
-  * flood, which is the scale-correct form of emit().
+  * constructs exist only under path-erasing folds by design: `repeat(b)
+  * .until(p).times(n)` and `repeat(b).emit().times(n)` (r9) run the loop
+  * over per-head (h, cnt) bulk frames — graph_var_hop's flood shape with
+  * walk multiplicities — and hand the folded frame to the aggregating
+  * terminals; the walk matrix (and step labels) end at the loop.
   *
   * Two entry points on [[PropertyGraph]]:
   *  - the typed fluent API: `g.V(col("label") === "customer").out("in_nation").path()`
@@ -181,6 +183,74 @@ final case class Traversal(g: PropertyGraph, df: DataFrame, depth: Int,
   def repeat(body: Traversal => Traversal, times: Int): Traversal = {
     require(times >= 0 && times <= 16, s"times out of range: $times")
     (1 to times).foldLeft(this)((t, _) => body(t))
+  }
+
+  /** The per-head walk-count frame at the current position: the bulk frame
+    * when the chain preserved it, else a groupBy over the walk matrix. */
+  private def headFrame: DataFrame = bulk.getOrElse(
+    df.groupBy(col(head).as("h"))
+      .agg(org.apache.spark.sql.functions.count(lit(1)).as("cnt")))
+
+  /** Run a repeat body against a bare (h, cnt) frame and return the frame
+    * after the body's steps. The body must be BULK-PRESERVING
+    * (out/in/both/has — the traversal-extending steps that fold counts);
+    * simplePath/dedup/where need walk prefixes the loop fold has erased. */
+  private def foldBody(frame: DataFrame, body: Traversal => Traversal): DataFrame =
+    body(Traversal(g, frame.select(col("h").as("v0")), 0, Some(frame), Map.empty))
+      .bulk.getOrElse(throw new IllegalArgumentException(
+        "repeat body must be bulk-preserving (out/in/both/has)"))
+
+  /** Gremlin repeat(body).until(pred).times(maxLoops): condition-driven
+    * loop — after each body application, walks whose HEAD satisfies `pred`
+    * exit and continue downstream; the rest loop again. `maxLoops` is the
+    * times() guard Gremlin composes with until() (loop exits on whichever
+    * fires first; walks cut off by the guard also continue downstream,
+    * matching TinkerPop). NULL-pred heads keep looping (has() semantics).
+    *
+    * PATH-ERASING by design (the class comment's rule: heterogeneous-length
+    * constructs exist only under path-erasing folds — exited walks have
+    * different depths, so there is no uniform walk matrix). The fold runs
+    * on per-head (h, cnt) frames: each level is one join against the edge
+    * set + one vertex-attribute split, all vertex-sized — the same BSP
+    * shape as graph_var_hop's flood, never walk-materializing. Terminals
+    * (count/groupCount/ids) read the folded frame with exact walk
+    * multiplicities; step labels die with the path. */
+  def repeatUntil(body: Traversal => Traversal, pred: Column,
+      maxLoops: Int): Traversal = {
+    require(maxLoops >= 1 && maxLoops <= 16, s"until guard out of range: $maxLoops")
+    var active = headFrame
+    var emitted: Option[DataFrame] = None
+    for (_ <- 1 to maxLoops) {
+      val nxt = foldBody(active, body)
+      val withV = nxt.join(g.vertices.withColumnRenamed("id", "h"), "h")
+      val stop = withV.filter(pred).select("h", "cnt")
+      emitted = Some(emitted.fold(stop)(_ unionAll stop))
+      active = withV.filter(!org.apache.spark.sql.functions
+        .coalesce(pred, lit(false))).select("h", "cnt")
+    }
+    val folded = (emitted.get unionAll active)
+      .groupBy("h").agg(sum("cnt").as("cnt"))
+    Traversal(g, folded.select(col("h").as("v0")), 0, Some(folded), Map.empty)
+  }
+
+  /** Gremlin repeat(body).emit().times(n): emit the traverser after EVERY
+    * loop iteration — per-depth reachability accumulated across levels
+    * 1..n (emit() placed after repeat(), so the start position is not
+    * emitted; Gremlin's emit().repeat() variant would include it).
+    * Path-erasing like [[repeatUntil]] and for the same reason: emitted
+    * walks have different lengths. Each level is one edge join over a
+    * vertex-sized (h, cnt) frame; the accumulate is a UNION ALL +
+    * re-aggregate — graph_var_hop's flood shape with multiplicities. */
+  def repeatEmit(body: Traversal => Traversal, times: Int): Traversal = {
+    require(times >= 1 && times <= 16, s"times out of range: $times")
+    var active = headFrame
+    var emitted: Option[DataFrame] = None
+    for (_ <- 1 to times) {
+      active = foldBody(active, body)
+      emitted = Some(emitted.fold(active)(_ unionAll active))
+    }
+    val folded = emitted.get.groupBy("h").agg(sum("cnt").as("cnt"))
+    Traversal(g, folded.select(col("h").as("v0")), 0, Some(folded), Map.empty)
   }
 
   /** Gremlin union(b1, b2, ...): run every branch from the current
@@ -419,6 +489,7 @@ object Traversal {
   /** Compile a chain string — `V(<pred>?)` then any of
     * `out('l')/in('l')/both('l')/has(<pred>)/simplePath()/dedup()/
     * as('x')/where(neq('x'))/repeat(step('l')).times(n)/
+    * repeat(body).until(<pred>).times(n)/repeat(body).emit().times(n)/
     * union(b1, b2, ...)/choose(<pred>, b1, b2)/coalesce(b1, b2, ...)`
     * (branch bodies are dot-chains of the traversal-extending steps),
     * optionally terminated by `path()` (default), `ids()`,
@@ -455,6 +526,12 @@ object Traversal {
       case ("simplePath", "") :: tl => t = t.simplePath(); loop(tl)
       case ("dedup", "") :: tl      => t = t.dedup(); loop(tl)
       case ("as", a) :: tl          => t = t.as(label(a)); loop(tl)
+      case ("repeat", b) :: ("until", p) :: ("times", n) :: tl
+          if n.matches("\\d+") =>
+        t = t.repeatUntil(branchFn(b), pred(p), n.toInt); loop(tl)
+      case ("repeat", b) :: ("emit", "") :: ("times", n) :: tl
+          if n.matches("\\d+") =>
+        t = t.repeatEmit(branchFn(b), n.toInt); loop(tl)
       case ("union", a) :: tl =>
         t = t.union(splitTop(a).map(branchFn): _*); loop(tl)
       case ("choose", a) :: tl =>

@@ -722,6 +722,71 @@ object GraphOps extends OpModule {
         JOIN vertices m ON m.id = w.dst
         GROUP BY 1 ORDER BY 1"""))),
 
+    // repeat().until() loop step (Gremlin's condition-driven traversal
+    // loop, with the times() guard TinkerPop composes with it): walks from
+    // every order follow out() until the head is a region (first reached
+    // at loop 3 via order→customer→nation), guard 3 — so the graded
+    // output exercises BOTH loop exits: pred-stopped region walks AND the
+    // supplier-detour walks the guard cuts off (which continue downstream,
+    // matching TinkerPop). The fold is path-erasing: per-head (h, cnt)
+    // frames through each level — one edge join + one vertex-predicate
+    // split per loop, all vertex-sized (the var_hop flood shape with walk
+    // multiplicities), never a walk matrix. The oracle unrolls the
+    // identical stop/continue split per level.
+    Op("graph_traversal_until",
+      (s, dir) => GraphFixture(s, dir).traverse(
+        "V(label='order').repeat(out()).until(label='region').times(3).groupCount().by('label')"),
+      Some(withGraph("""SELECT v.label, CAST(SUM(f.cnt) AS BIGINT) AS n_walks
+          FROM folded f JOIN vertices v ON v.id = f.h
+          GROUP BY 1 ORDER BY 1""",
+        extra = """f0 AS (SELECT id AS h, CAST(1 AS BIGINT) AS cnt
+            FROM vertices WHERE label = 'order'),
+          n1 AS (SELECT e.dst AS h, SUM(f.cnt) AS cnt FROM f0 f
+            JOIN edges e ON e.src = f.h GROUP BY 1),
+          s1 AS (SELECT n.h, n.cnt FROM n1 n JOIN vertices v ON v.id = n.h
+            WHERE v.label = 'region'),
+          c1 AS (SELECT n.h, n.cnt FROM n1 n JOIN vertices v ON v.id = n.h
+            WHERE NOT v.label = 'region'),
+          n2 AS (SELECT e.dst AS h, SUM(f.cnt) AS cnt FROM c1 f
+            JOIN edges e ON e.src = f.h GROUP BY 1),
+          s2 AS (SELECT n.h, n.cnt FROM n2 n JOIN vertices v ON v.id = n.h
+            WHERE v.label = 'region'),
+          c2 AS (SELECT n.h, n.cnt FROM n2 n JOIN vertices v ON v.id = n.h
+            WHERE NOT v.label = 'region'),
+          n3 AS (SELECT e.dst AS h, SUM(f.cnt) AS cnt FROM c2 f
+            JOIN edges e ON e.src = f.h GROUP BY 1),
+          s3 AS (SELECT n.h, n.cnt FROM n3 n JOIN vertices v ON v.id = n.h
+            WHERE v.label = 'region'),
+          c3 AS (SELECT n.h, n.cnt FROM n3 n JOIN vertices v ON v.id = n.h
+            WHERE NOT v.label = 'region'),
+          folded AS (SELECT h, SUM(cnt) AS cnt FROM (
+            SELECT * FROM s1 UNION ALL SELECT * FROM s2
+            UNION ALL SELECT * FROM s3 UNION ALL SELECT * FROM c3) em
+            GROUP BY 1)"""))),
+
+    // repeat().emit() loop step (emit after every iteration): per-depth
+    // reachability from customers over bare out(), levels 1..3, folded to
+    // a label histogram with exact walk multiplicities. Same path-erasing
+    // (h, cnt) fold as until() minus the split; the oracle unrolls the
+    // three levels and unions them.
+    Op("graph_traversal_emit",
+      (s, dir) => GraphFixture(s, dir).traverse(
+        "V(label='customer').repeat(out()).emit().times(3).groupCount().by('label')"),
+      Some(withGraph("""SELECT v.label, CAST(SUM(f.cnt) AS BIGINT) AS n_walks
+          FROM folded f JOIN vertices v ON v.id = f.h
+          GROUP BY 1 ORDER BY 1""",
+        extra = """f0 AS (SELECT id AS h, CAST(1 AS BIGINT) AS cnt
+            FROM vertices WHERE label = 'customer'),
+          n1 AS (SELECT e.dst AS h, SUM(f.cnt) AS cnt FROM f0 f
+            JOIN edges e ON e.src = f.h GROUP BY 1),
+          n2 AS (SELECT e.dst AS h, SUM(f.cnt) AS cnt FROM n1 f
+            JOIN edges e ON e.src = f.h GROUP BY 1),
+          n3 AS (SELECT e.dst AS h, SUM(f.cnt) AS cnt FROM n2 f
+            JOIN edges e ON e.src = f.h GROUP BY 1),
+          folded AS (SELECT h, SUM(cnt) AS cnt FROM (
+            SELECT * FROM n1 UNION ALL SELECT * FROM n2
+            UNION ALL SELECT * FROM n3) em GROUP BY 1)"""))),
+
     // coalesce() branch step (first branch with results, per walk): each
     // customer's colocated suppliers when any exist, else its nation —
     // the optional-with-fallback pattern. Later branches anti-join the

@@ -339,6 +339,54 @@ class PropertyGraphSpec extends AnyFunSuite {
       g.traverse("V().union(out('in_nation'), hop('x'))"))
   }
 
+  test("traversal DSL: repeat().until()/emit() loop steps, fluent ≡ parsed") {
+    // until: orders flood out() until a region head, guard 4 — fluent and
+    // parsed agree, and region walks actually stopped (both loop exits hit)
+    val uf = g.V(col("label") === "order")
+      .repeatUntil(_.out(), col("label") === "region", 4).groupCount("label")
+    val up = g.traverse("V(label='order').repeat(out())" +
+      ".until(label='region').times(4).groupCount().by('label')")
+    assert(uf.collect().map(_.toString).sorted.toSeq ==
+      up.collect().map(_.toString).sorted.toSeq)
+    val uMap = uf.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(uMap.contains("region"), s"no walk reached a region: $uMap")
+    // a pred that never fires ≡ plain repeat().times(k)
+    val nf = g.V(col("label") === "order")
+      .repeatUntil(_.out(), col("label") === "no_such_label", 2)
+      .groupCount("label")
+    val plain = g.V(col("label") === "order").repeat(_.out(), 2)
+      .groupCount("label")
+    assert(nf.collect().map(_.toString).sorted.toSeq ==
+      plain.collect().map(_.toString).sorted.toSeq)
+    // a pred that always fires ≡ exactly one body application
+    val af = g.V(col("label") === "order")
+      .repeatUntil(_.out(), lit(true), 4).groupCount("label")
+    val one = g.V(col("label") === "order").repeat(_.out(), 1)
+      .groupCount("label")
+    assert(af.collect().map(_.toString).sorted.toSeq ==
+      one.collect().map(_.toString).sorted.toSeq)
+
+    // emit: per-depth accumulate — fluent ≡ parsed, and the total walk
+    // count is exactly the sum of the per-depth repeat().times(i) counts
+    val ef = g.V(col("label") === "customer").repeatEmit(_.out(), 3)
+    val ep = g.traverse("V(label='customer').repeat(out())" +
+      ".emit().times(3).groupCount().by('label')")
+    assert(ef.groupCount("label").collect().map(_.toString).sorted.toSeq ==
+      ep.collect().map(_.toString).sorted.toSeq)
+    val total = ef.count().head.getLong(0)
+    val sumDepths = (1 to 3).map(i =>
+      g.V(col("label") === "customer").repeat(_.out(), i)
+        .count().head.getLong(0)).sum
+    assert(total == sumDepths && total > 0,
+      s"emit total $total != per-depth sum $sumDepths")
+
+    // loop bodies must be bulk-preserving — walk-prefix steps fail loudly
+    intercept[IllegalArgumentException](
+      g.V(lit(true)).repeatUntil(_.dedup(), lit(true), 2))
+    intercept[IllegalArgumentException](
+      g.V(lit(true)).repeatEmit(_.out().simplePath(), 2))
+  }
+
   test("traversal DSL: repeat().times() — parser unrolling ≡ fluent fold") {
     val viaParser = g.traverse(
       "V(label='customer').repeat(both('in_nation')).times(2).simplePath().count()")
