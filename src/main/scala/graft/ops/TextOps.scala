@@ -292,50 +292,67 @@ object TextOps extends OpModule {
         FROM m ORDER BY doc_id""")),
 
     // Typed batched decode pipeline (graft.multimodal): Dataset[Asset] →
-    // mapPartitions-in-batches → Dataset[Features]. The stub decoder is pure
-    // byte arithmetic, so the WHOLE pipeline — including the "decode" — is
-    // oracle-checkable; a real codec slots into the same plumbing.
+    // mapPartitions-in-batches → Dataset[Features]. REAL decode (r9): the
+    // payloads are valid PGM / WAV / Y4M files (document bytes as media
+    // content, cycled to each asset's natural size) and MediaCodec fully
+    // parses them — uncompressed formats, so header parse + raw sample
+    // stats IS the complete decode. The oracle recomputes every feature
+    // from the documents table and the deterministic encoding parameters:
+    // cycled-content sums via bsum·⌊k/n⌋ + prefix-sum(k mod n). Video
+    // mean uses S(256)/256 where the decoder computes (nf·S)/(nf·256) —
+    // equal rationals, so the correctly-rounded doubles are identical.
     Op("multimodal_decode",
       (s, dir) => {
         import graft.multimodal.Multimodal
-        Multimodal.extractFeatures(Multimodal.assets(s, dir),
-            Multimodal.FakeDecoder)
+        Multimodal.extractFeatures(Multimodal.assets(s, dir))
           .toDF().orderBy("asset_id")
       },
       Some("""
         WITH b AS (SELECT doc_id AS asset_id,
           (['image', 'audio', 'video'])[CAST(doc_id % 3 + 1 AS INTEGER)] AS kind,
           octet_length(encode(text)) AS n,
-          list_reduce(list_prepend(CAST(0 AS BIGINT),
-            list_transform(generate_series(1, length(text)),
-              i -> CAST(ascii(substr(text, i, 1)) AS BIGINT))),
-            (a, c) -> a + c) AS bsum
-        FROM documents)
+          list_transform(generate_series(1, length(text)),
+            i -> CAST(ascii(substr(text, i, 1)) AS BIGINT)) AS lb,
+          CAST(16 + doc_id % 32 AS INTEGER) AS iw,
+          CAST(16 + doc_id % 24 AS INTEGER) AS ih,
+          CAST(4 + doc_id % 9 AS INTEGER) AS vf
+        FROM documents),
+        s AS (SELECT *,
+          list_reduce(list_prepend(CAST(0 AS BIGINT), lb), (a, x) -> a + x) AS bsum,
+          CASE WHEN kind = 'image' THEN iw * ih
+               WHEN kind = 'video' THEN 256 ELSE 0 END AS k
+        FROM b),
+        cyc AS (SELECT *, CASE WHEN k > 0 THEN bsum * (k // n) +
+            list_reduce(list_prepend(CAST(0 AS BIGINT),
+              list_slice(lb, 1, k % n)), (a, x) -> a + x)
+          ELSE CAST(0 AS BIGINT) END AS csum
+        FROM s)
         SELECT asset_id, kind,
-          CAST(16 + n % 64 AS INTEGER) AS width,
-          CAST(16 + bsum % 64 AS INTEGER) AS height,
-          CAST(CASE WHEN kind = 'video' THEN 1 + n % 30 ELSE 1 END AS INTEGER) AS n_frames,
-          CAST(bsum AS DOUBLE) / CAST(n AS DOUBLE) AS mean_intensity
-        FROM b ORDER BY asset_id""")),
+          CAST(CASE kind WHEN 'image' THEN iw WHEN 'audio' THEN 8000
+            ELSE 16 END AS INTEGER) AS width,
+          CAST(CASE kind WHEN 'image' THEN ih WHEN 'audio' THEN 8
+            ELSE 16 END AS INTEGER) AS height,
+          CAST(CASE kind WHEN 'image' THEN 1 WHEN 'audio' THEN n
+            ELSE vf END AS INTEGER) AS n_frames,
+          CASE kind WHEN 'audio' THEN CAST(bsum AS DOUBLE) / CAST(n AS DOUBLE)
+            ELSE CAST(csum AS DOUBLE) / CAST(k AS DOUBLE) END AS mean_intensity
+        FROM cyc ORDER BY asset_id""")),
 
-    // Frame sampling over the video assets: decode (stubbed codec, real
-    // typed-Dataset plumbing) → every-5th-frame index per video — the
-    // one-to-many flatMap stage of real frame extraction, exercised
-    // end-to-end through the batched pipeline. The oracle recomputes the
-    // deterministic fake-decoder frame count from the payload bytes.
+    // Frame sampling over the video assets: real Y4M decode (FRAME-marker
+    // walk) → every-5th-frame index per video — the one-to-many flatMap
+    // stage of real frame extraction, exercised end-to-end through the
+    // batched pipeline. The oracle recomputes the encoder's deterministic
+    // frame count (4 + id mod 9) that the decoder recovers by parsing.
     Op("multimodal_framesample",
       (s, dir) => {
         import graft.multimodal.Multimodal
-        val feats = Multimodal.extractFeatures(Multimodal.assets(s, dir),
-          Multimodal.FakeDecoder)
+        val feats = Multimodal.extractFeatures(Multimodal.assets(s, dir))
         Multimodal.sampleFrames(feats.filter("kind = 'video'"), 5)
           .orderBy("asset_id", "frame_idx")
       },
       Some("""
-        WITH b AS (SELECT doc_id AS asset_id,
-          octet_length(encode(text)) AS n
-        FROM documents WHERE doc_id % 3 = 2),
-        f AS (SELECT asset_id, 1 + n % 30 AS nf FROM b)
+        WITH f AS (SELECT doc_id AS asset_id, 4 + doc_id % 9 AS nf
+          FROM documents WHERE doc_id % 3 = 2)
         SELECT asset_id, CAST(fi AS INTEGER) AS frame_idx FROM (
           SELECT asset_id, unnest(generate_series(0, nf - 1, 5)) AS fi FROM f) t
         ORDER BY 1, 2"""))
