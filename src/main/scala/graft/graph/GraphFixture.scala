@@ -235,6 +235,29 @@ object GraphSql {
     (Seq(und, kc0) ++ steps).mkString(", ")
   }
 
+  /** Unrolled k-truss peel kt1..kt<rounds>, mirroring PropertyGraph.kTruss
+    * round for round: tr_i enumerates each live triangle once (x<y<z — the
+    * same value orientation), sp_i counts per-edge support, kt_i keeps
+    * edges with support ≥ k−2 carrying that support. */
+  def ktChain(k: Int, rounds: Int): String = {
+    val und = """und AS MATERIALIZED (SELECT DISTINCT LEAST(src, dst) AS a,
+      GREATEST(src, dst) AS b FROM edges WHERE src <> dst)"""
+    val kt0 = "kt0 AS (SELECT a, b FROM und)"
+    val steps = (1 to rounds).map { i =>
+      s"""tr$i AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+           FROM kt${i - 1} e1 JOIN kt${i - 1} e2 ON e2.a = e1.b
+           JOIN kt${i - 1} e3 ON e3.a = e1.a AND e3.b = e2.b),
+         sp$i AS (SELECT a, b, COUNT(*) AS support FROM (
+           SELECT x AS a, y AS b FROM tr$i
+           UNION ALL SELECT y, z FROM tr$i
+           UNION ALL SELECT x, z FROM tr$i) t GROUP BY 1, 2),
+         kt$i AS MATERIALIZED (SELECT t.a, t.b, s.support FROM kt${i - 1} t
+           JOIN sp$i s ON s.a = t.a AND s.b = t.b
+           WHERE s.support >= ${k - 2})"""
+    }
+    (Seq(und, kt0) ++ steps).mkString(", ")
+  }
+
   /** Unrolled PageRank p0..p<iters> mirroring PropertyGraph.pageRank
     * bit-for-bit: same double ops per row, same exact decimal sum (num.DSUM)
     * per destination. */

@@ -948,6 +948,49 @@ final case class PropertyGraph(vertices: DataFrame, edges: DataFrame) {
       .filter(col("deg") >= k)
   }
 
+  /** Bounded k-truss peeling (fixed `rounds`, deterministic and
+    * oracle-checkable exactly like [[kCore]] — the oracle unrolls the SAME
+    * rounds, so convergence is certified, not assumed): repeatedly drop
+    * undirected edges whose support — the number of triangles the edge
+    * closes in the CURRENT live edge set — is < k−2, returning survivors
+    * with the support that qualified them in the final round. Each round
+    * is one triangle enumeration over the live value-oriented edge list
+    * (x<y<z via two wedge equi-joins — never all-pairs), a one-pass
+    * 3-corner explode, and a map-side-combined count; the edge set shrinks
+    * monotonically so round cost tracks surviving triangle mass. At 100 TB
+    * the first round dominates and costs what the stored triangle index
+    * build costs; later rounds run over the (much smaller) truss core.
+    * Per-round lineage is cut for the same re-planning reason as kCore. */
+  def kTruss(k: Int, rounds: Int): DataFrame = {
+    var t = undirectedEdges.select("a", "b")
+    var out: DataFrame = t.withColumn("support", lit(0L))
+    for (_ <- 1 to rounds) {
+      out = graft.util.cut(t.join(trussSupport(t), Seq("a", "b"))
+        .filter(col("support") >= k - 2))
+      t = out.select("a", "b")
+    }
+    out
+  }
+
+  /** Per-edge triangle support over a value-oriented (a<b) simple edge
+    * set. Orientation stays value-based (not degree-based like
+    * [[orientedEdges]]) because it must remain STABLE as edges peel —
+    * degrees change every round, and a shifting orientation would make
+    * rounds incomparable with the unrolled oracle. Exposed package-private
+    * so PlanQualitySpec can pin the real round's join shape. */
+  private[graft] def trussSupport(t: DataFrame): DataFrame = {
+    val tri = t.select(col("a").as("x"), col("b").as("y"))
+      .join(t.select(col("a").as("y"), col("b").as("z")), "y")
+      .join(t.select(col("a").as("x"), col("b").as("z")), Seq("x", "z"))
+    // credit all three edges of each triangle in ONE pass over the stream
+    tri.select(explode(array(
+        struct(col("x").as("a"), col("y").as("b")),
+        struct(col("y").as("a"), col("z").as("b")),
+        struct(col("x").as("a"), col("z").as("b")))).as("e"))
+      .select(col("e.a").as("a"), col("e.b").as("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("support"))
+  }
+
   /** DataFrame label propagation, fixed iterations, DETERMINISTIC tie-break
     * (max neighbor-label count, then min label) — unlike GraphX's
     * implementation-defined ties, this is oracle-checkable and avoids the

@@ -1052,6 +1052,21 @@ object GraphOps extends OpModule {
         "SELECT id, deg FROM kc3 ORDER BY id",
         extra = GraphSql.kcChain(2, 3)))),
 
+    // Bounded 3-truss peel, 3 rounds: edges closing no triangle peel each
+    // round, support recomputed over survivors (the 4-truss is EMPTY on
+    // this fixture at every SF — the colocated clusters are dense in
+    // triangles but no edge sits in 2 surviving triangles after one peel —
+    // so k=3 is the tightest non-vacuous rung). The cohesive-subgraph
+    // ladder next to k-core — truss bounds TRIANGLE density where core
+    // bounds degree, and the peel is edge-wise, so it exercises the
+    // per-round triangle re-enumeration kCore never needs. Oracle unrolls
+    // identical rounds (GraphSql.ktChain); see PropertyGraph.kTruss.
+    Op("graph_ktruss",
+      (s, dir) => GraphFixture(s, dir).kTruss(3, 3).orderBy("a", "b"),
+      Some(withGraph(
+        "SELECT a, b, support FROM kt3 ORDER BY a, b",
+        extra = GraphSql.ktChain(3, 3)))),
+
     // Bipartite projection: customers sharing a colocated supplier →
     // co-occurrence pair counts, summarized as a histogram (pair list is
     // quadratic per supplier; the projection is generated per-supplier —

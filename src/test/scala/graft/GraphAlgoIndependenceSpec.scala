@@ -544,4 +544,38 @@ class GraphAlgoIndependenceSpec extends AnyFunSuite {
     assert(comp.groupBy(_._2).exists(_._2.size > 1),
       "all SCCs singleton — symmetrized view is degenerate")
   }
+
+  test("graph_ktruss: 3-round edge-peel recomputation matches exactly") {
+    // Semantics under test (PropertyGraph.kTruss(3, 3) / ktChain): simple
+    // undirected edge set (a<b, dedup, no loops); per round each live edge
+    // keeps iff its endpoints share ≥ k−2 = 1 common neighbor WITHIN the
+    // live set; survivors carry the final round's qualifying support.
+    var live: Set[(Long, Long)] = rawEdges.collect {
+      case (s, d, _) if s != d => (math.min(s, d), math.max(s, d))
+    }.toSet
+    var support: Map[(Long, Long), Long] = Map.empty
+    for (_ <- 1 to 3) {
+      val adj = new mutable.HashMap[Long, mutable.HashSet[Long]]
+      live.foreach { case (a, b) =>
+        adj.getOrElseUpdate(a, new mutable.HashSet) += b
+        adj.getOrElseUpdate(b, new mutable.HashSet) += a
+      }
+      support = live.iterator.map { case (a, b) =>
+        (a, b) -> (adj(a) & adj(b)).size.toLong
+      }.toMap
+      live = live.filter(e => support(e) >= 1)
+    }
+    val got = SparkEntry.queries("graph_ktruss")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val want = live.map(e => e -> support(e)).toMap
+    assert(got.size == want.size, s"${got.size} edges != ${want.size}")
+    val diff = want.collect { case (e, s) if got.get(e) != Some(s) =>
+      s"$e: got ${got.get(e)} want $s" }
+    assert(diff.isEmpty, diff.take(5).mkString("; "))
+    assert(want.nonEmpty, "3-truss empty — vacuous")
+    // the peel must actually remove something, or the rounds are inert
+    val all = rawEdges.collect {
+      case (s, d, _) if s != d => (math.min(s, d), math.max(s, d)) }.toSet
+    assert(want.size < all.size, "no edge peeled — vacuous rounds")
+  }
 }

@@ -217,6 +217,22 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("graph_ktruss support rounds are equi-join wedge enumerations") {
+    // the per-round triangle enumeration must stay two equi-joins over the
+    // oriented edge list with a map-side-combined support count — never a
+    // nested loop, and the 3-corner credit is ONE Generate (explode), not
+    // three re-executions of the wedge join.
+    val g = graph.GraphFixture(spark, TestSpark.sf)
+    val sup = g.trussSupport(g.undirectedEdges.select("a", "b"))
+    sup.collect()
+    val p = sup.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"), p)
+    assert(p.contains("partial_"), p)
+    assert(p.contains("Generate"), p)
+  }
+
   test("unpivot_melt executes as a single Expand, no extra shuffle") {
     val p = finalPlan("unpivot_melt")
     assert(p.contains("Expand"), p)
