@@ -258,6 +258,26 @@ object GraphSql {
     (Seq(und, kt0) ++ steps).mkString(", ")
   }
 
+  /** Unrolled deterministic random walks w0..w<len>, mirroring
+    * PropertyGraph.randomWalks: at step i pick the neighbor minimizing
+    * (md5(walkId#i#nbr), nbr). BIGINT→VARCHAR concat renders identically
+    * in both engines, so the md5 ranks agree bit-for-bit. */
+  def rwChain(len: Int, seedPred: String): String = {
+    val und = """und AS MATERIALIZED (SELECT DISTINCT LEAST(src, dst) AS a,
+      GREATEST(src, dst) AS b FROM edges WHERE src <> dst)"""
+    val adj = """adj AS MATERIALIZED (SELECT a AS cur, b AS nxt FROM und
+      UNION ALL SELECT b, a FROM und)"""
+    val w0 = s"w0 AS (SELECT id AS walk_id, id AS v0 FROM vertices WHERE $seedPred)"
+    val steps = (1 to len).map { i =>
+      val prev = (0 until i).map(j => s"v$j").mkString(", ")
+      s"""w$i AS MATERIALIZED (SELECT walk_id, $prev, nxt AS v$i FROM (
+           SELECT w.*, a.nxt, ROW_NUMBER() OVER (PARTITION BY w.walk_id
+             ORDER BY md5(w.walk_id || '#' || $i || '#' || a.nxt), a.nxt) AS rn
+           FROM w${i - 1} w JOIN adj a ON a.cur = w.v${i - 1}) t WHERE rn = 1)"""
+    }
+    (Seq(und, adj, w0) ++ steps).mkString(", ")
+  }
+
   /** Unrolled PageRank p0..p<iters> mirroring PropertyGraph.pageRank
     * bit-for-bit: same double ops per row, same exact decimal sum (num.DSUM)
     * per destination. */

@@ -1048,4 +1048,37 @@ final case class PropertyGraph(vertices: DataFrame, edges: DataFrame) {
     // lifecycle, released by [[uncache]]), not per-call scratch.
     lbl.select(col("id"), col("lbl").as("lp_label")).localCheckpoint()
   }
+
+  /** Deterministic pseudo-random walks (the DeepWalk/node2vec corpus
+    * generator — the graph-embedding training-data op): one walk per seed,
+    * `len` steps over the undirected adjacency; at step i the walk at head
+    * u moves to the neighbor v minimizing (md5(walkId#i#v), v) — a
+    * hash-seeded uniform choice both engines can replay exactly, unlike
+    * rand(). Per step: one equi-join of the walk frontier against the
+    * adjacency (fan-out = deg(head) — the standard walk-sampling cost) and
+    * one per-walk top-1 window (partitions are walk-sized, never skewed:
+    * the window key is the walk id, not the vertex). Seeds are a DF — the
+    * walk set shards across executors and nothing is driver-side; at
+    * 100 TB the only big operand is the adjacency, which shuffles once per
+    * step on the head key exactly like any frontier BFS. Walks at a vertex
+    * with no neighbor would stop; callers pick seed labels with guaranteed
+    * degree ≥ 1 (an inner join drops them otherwise — documented, and the
+    * fixture seeds always have an in_nation edge). */
+  def randomWalks(seeds: DataFrame, len: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val und = undirectedEdges
+    val adj = und.select(col("a").as("cur"), col("b").as("nxt"))
+      .unionAll(und.select(col("b").as("cur"), col("a").as("nxt")))
+    var walks = seeds.select(col("id").as("walk_id"), col("id").as("v0"))
+    for (i <- 1 to len) {
+      val w = Window.partitionBy("walk_id").orderBy(col("h"), col("nxt"))
+      walks = walks.join(adj, col(s"v${i - 1}") === col("cur"))
+        .withColumn("h", md5(concat_ws("#", col("walk_id"), lit(i), col("nxt"))))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .withColumnRenamed("nxt", s"v$i")
+        .drop("cur", "h", "rn")
+    }
+    walks
+  }
 }

@@ -1067,6 +1067,21 @@ object GraphOps extends OpModule {
         "SELECT a, b, support FROM kt3 ORDER BY a, b",
         extra = GraphSql.ktChain(3, 3)))),
 
+    // Deterministic random-walk corpus (DeepWalk/node2vec sampling as a
+    // batch op — the graph-embedding training-data generator): 4-step
+    // walks from every 100th customer, next hop = hash-minimizing
+    // neighbor, replayed exactly by the oracle's unrolled window chain.
+    // See PropertyGraph.randomWalks for the per-step join/window shape.
+    Op("graph_random_walk",
+      (s, dir) => {
+        val g = GraphFixture(s, dir)
+        g.randomWalks(g.vertices.filter(col("label") === "customer" &&
+          col("id") % 100 === 0), 4).orderBy("walk_id")
+      },
+      Some(withGraph(
+        "SELECT walk_id, v0, v1, v2, v3, v4 FROM w4 ORDER BY walk_id",
+        extra = GraphSql.rwChain(4, "label = 'customer' AND id % 100 = 0")))),
+
     // Bipartite projection: customers sharing a colocated supplier →
     // co-occurrence pair counts, summarized as a histogram (pair list is
     // quadratic per supplier; the projection is generated per-supplier —

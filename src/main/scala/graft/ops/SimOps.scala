@@ -153,9 +153,17 @@ object SimOps extends OpModule {
     * product.
     *
     * The coarse quantizer is TRAINED, not taken from the fixture's label
-    * column: seeded deterministic k-means — seeds are every 53rd vector in
-    * vec_id order (k = ⌈N/53⌉, spread through the corpus, no RNG), then
-    * two full Lloyd rounds (assign to argmin ‖v−c‖² ≡ argmax v·c − ‖c‖²/2,
+    * column: seeded deterministic k-means — seeds are the vectors with
+    * vec_id ≡ 0 (mod stride) where stride = ⌈N/⌈√N⌉⌉, giving the
+    * canonical IVF cell count k ≈ √N (no RNG, no global sort: the seed
+    * rule is a per-row modulo and the cell numbering is a window over the
+    * k seed rows only). k MUST NOT grow linearly with N: the assign step
+    * is an (N·D)×(k·D) dim-join, so k ∝ N makes training O(N²·D) — the
+    * 10× ScaleBench blow-up measured exactly that (the r8 every-53rd rule
+    * turned a 4 s warmup artifact into a 100×, quarter-hour build). With
+    * k = √N assign work grows as N^1.5 — the textbook IVF trade — and the
+    * 10× run completes it at 10^1.5 ≈ 32× the base cost. Then two full
+    * Lloyd rounds (assign to argmin ‖v−c‖² ≡ argmax v·c − ‖c‖²/2,
     * re-estimate centroids as per-dim means). Every sum is decimal-exact
     * and every comparison breaks ties on the cell id, so train/assign is
     * bit-reproducible cross-engine — the property that makes a TRAINED ANN
@@ -176,10 +184,11 @@ object SimOps extends OpModule {
       unnRel: String): String = s"""
       WITH unn AS $mat(SELECT vec_id, CAST(v AS DOUBLE) AS v, dim
         FROM $unnRel),
+      st AS (SELECT GREATEST(1, CAST(ceil(CAST(COUNT(*) AS DOUBLE) /
+          ceil(sqrt(CAST(COUNT(*) AS DOUBLE)))) AS BIGINT)) AS stride
+        FROM $nRel),
       sinit AS (SELECT vec_id, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cell
-        FROM (SELECT vec_id, ROW_NUMBER() OVER (ORDER BY vec_id) AS rn
-              FROM $nRel) sr
-        WHERE rn % 53 = 1),
+        FROM $nRel WHERE vec_id % (SELECT stride FROM st) = 0),
       c0 AS $mat(SELECT s.cell, u.dim, u.v AS c
         FROM sinit s JOIN unn u ON u.vec_id = s.vec_id),
       n0 AS (SELECT cell, ${ds("c * c")} AS cc FROM c0 GROUP BY cell),

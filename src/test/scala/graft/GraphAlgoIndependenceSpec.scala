@@ -578,4 +578,41 @@ class GraphAlgoIndependenceSpec extends AnyFunSuite {
       case (s, d, _) if s != d => (math.min(s, d), math.max(s, d)) }.toSet
     assert(want.size < all.size, "no edge peeled — vacuous rounds")
   }
+
+  test("graph_random_walk: hash-seeded walk recomputation matches exactly") {
+    // Semantics under test (PropertyGraph.randomWalks / rwChain): from each
+    // seed, 4 steps over the simple undirected adjacency; step i picks the
+    // neighbor minimizing (md5("walkId#i#nbr"), nbr). Recomputed here with
+    // java.security.MessageDigest — no Spark expressions, no SQL.
+    val adj = new mutable.HashMap[Long, mutable.TreeSet[Long]]
+    rawEdges.foreach { case (s, d, _) => if (s != d) {
+      adj.getOrElseUpdate(s, new mutable.TreeSet) += d
+      adj.getOrElseUpdate(d, new mutable.TreeSet) += s
+    }}
+    def md5hex(s: String): String = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+      d.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    }
+    val seedIds = g.vertices
+      .filter(col("label") === "customer" && col("id") % 100 === 0)
+      .select("id").collect().map(_.getLong(0)).sorted
+    val want = seedIds.map { s0 =>
+      var walk = Vector(s0)
+      for (i <- 1 to 4) {
+        val cur = walk.last
+        val next = adj(cur).minBy(v => (md5hex(s"$s0#$i#$v"), v))
+        walk :+= next
+      }
+      s0 -> walk
+    }.toMap
+    val got = SparkEntry.queries("graph_random_walk")(spark, sf).collect()
+      .map(r => r.getLong(0) -> (1 to 5).map(r.getLong).toVector).toMap
+    assert(got.size == want.size, s"${got.size} walks != ${want.size}")
+    val diff = want.collect { case (w, vs) if got.get(w) != Some(vs) =>
+      s"$w: got ${got.get(w)} want $vs" }
+    assert(diff.isEmpty, diff.take(3).mkString("; "))
+    // non-vacuous: at least one walk must leave its start's 1-hop ball
+    assert(want.values.exists(w => w.toSet.size >= 3),
+      "all walks bounce on one edge — degenerate adjacency")
+  }
 }
