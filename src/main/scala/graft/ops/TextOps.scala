@@ -19,6 +19,66 @@ object TextOps extends OpModule {
     "es" -> Seq("el", "los", "y", "una"),
     "fr" -> Seq("le", "la", "et", "les"))
 
+  /** Shared BPE trainer (see text_bpe_train's registration comment for the
+    * algorithm and scale shape): returns the 3 learned merges and the
+    * symbol-stream DataFrame AFTER applying them — text_bpe_train grades
+    * the merge table, text_bpe_apply the retokenized corpus. Memoized per
+    * (session, dir): the trainer collects one argmax row per round, and
+    * its consumers would otherwise re-run the 3 counting rounds each. */
+  private val bpeMemo =
+    new graft.SessionMemo[String, (Seq[(Int, String, String, String, Long)],
+      org.apache.spark.sql.DataFrame)]
+
+  private def bpeChain(s: org.apache.spark.sql.SparkSession, dir: String)
+      : (Seq[(Int, String, String, String, Long)],
+         org.apache.spark.sql.DataFrame) =
+    bpeMemo.getOrElseUpdate(s, dir) {
+      import org.apache.spark.sql.functions._
+      var cur = Tables(s, dir, "documents")
+        .select(col("doc_id"),
+          translate(substring(lower(col("text")), 1, 64), " ", "_").as("c"))
+        .filter(length(col("c")) >= 2)
+        .select(col("doc_id"), concat(lit(" "),
+          concat_ws(" ", transform(sequence(lit(1), length(col("c"))),
+            i => col("c").substr(i, lit(1)))), lit(" ")).as("s"))
+      val merges = (1 to 3).map { r =>
+        val tok = split(trim(col("s")), " ")
+        val top = cur
+          .select(explode(transform(sequence(lit(1), size(tok) - 1),
+            i => struct(element_at(tok, i).as("l"),
+              element_at(tok, i + 1).as("r")))).as("p"))
+          .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+          .agg(count(lit(1)).as("cnt"))
+          .orderBy(desc("cnt"), col("l"), col("r")).limit(1).collect()(0)
+        val (l, rr, cnt) = (top.getString(0), top.getString(1), top.getLong(2))
+        cur = cur.withColumn("s",
+          replace(col("s"), lit(s" $l $rr "), lit(s" $l$rr ")))
+        (r, l, rr, l + rr, cnt)
+      }
+      (merges, cur.persist())
+    }
+
+  /** DuckDB twin of [[bpeChain]]: CTEs d0..d3 (symbol streams) and t1..t3
+    * (per-round winning pairs), identical round semantics. */
+  private def bpeSqlChain: String = {
+    def round(i: Int) = s"""
+      p$i AS (SELECT l, r, COUNT(*) AS cnt FROM (
+          SELECT tok[j] AS l, tok[j + 1] AS r
+          FROM (SELECT string_split(trim(s), ' ') AS tok FROM d${i - 1}) t,
+               unnest(generate_series(1, len(tok) - 1)) AS u(j)
+        ) z GROUP BY 1, 2),
+      t$i AS (SELECT l, r, cnt FROM p$i ORDER BY cnt DESC, l, r LIMIT 1),
+      d$i AS (SELECT doc_id, replace(s,
+          (SELECT ' ' || l || ' ' || r || ' ' FROM t$i),
+          (SELECT ' ' || l || r || ' ' FROM t$i)) AS s FROM d${i - 1})"""
+    s"""d0 AS (SELECT doc_id,
+        ' ' || array_to_string(list_transform(generate_series(1, length(c)),
+          i -> substr(c, i, 1)), ' ') || ' ' AS s
+      FROM (SELECT doc_id, replace(substr(lower(text), 1, 64), ' ', '_') AS c
+            FROM documents) t
+      WHERE length(c) >= 2),${Seq(1, 2, 3).map(round).mkString(",")}"""
+  }
+
   def ops: Seq[Op] = Seq(
 
     Op("text_stats",
@@ -169,6 +229,48 @@ object TextOps extends OpModule {
                  ELSE 'keep' END AS verdict
           FROM j ORDER BY doc_id"""
       }),
+
+    // BPE tokenizer TRAINING as a batch op (Sennrich-style: iteratively
+    // merge the globally most frequent adjacent symbol pair) — the
+    // training-data-pipeline step that turns a corpus into a tokenizer.
+    // 3 merge rounds over character streams of the first 64 chars of each
+    // doc (space→'_'). Per round: pair counting is one explode + map-side-
+    // combined groupBy whose group count is bounded by vocab² (never
+    // corpus-sized); the argmax pair is the ONLY thing the driver sees
+    // (one row — metadata-scale, like PageRank's vertex count); the merge
+    // applies as a per-row codegen'd string replace. Greedy left-to-right
+    // non-overlapping replace semantics are identical in Spark and DuckDB,
+    // so the oracle (same rounds unrolled as CTEs) retrains bit-for-bit.
+    // At 100 TB one trains on a sample; the plan shape is unchanged.
+    Op("text_bpe_train",
+      (s, dir) => {
+        import s.implicits._
+        bpeChain(s, dir)._1
+          .toDF("round", "l", "r", "merged", "cnt").orderBy("round")
+      },
+      Some(s"""WITH $bpeSqlChain
+        SELECT * FROM (
+          SELECT 1 AS round, l, r, l || r AS merged, cnt FROM t1
+          UNION ALL SELECT 2, l, r, l || r, cnt FROM t2
+          UNION ALL SELECT 3, l, r, l || r, cnt FROM t3) f ORDER BY round""")),
+
+    // Tokenize the corpus with the trained merges (the apply side of BPE):
+    // vocabulary summary — top-10 tokens by corpus frequency after the 3
+    // merges, ties to the smaller token. One explode + map-side-combined
+    // count over the retokenized streams; the stored merge table is what a
+    // deployment ships to its tokenizer workers.
+    Op("text_bpe_apply",
+      (s, dir) => {
+        import org.apache.spark.sql.functions._
+        bpeChain(s, dir)._2
+          .select(explode(split(trim(col("s")), " ")).as("token"))
+          .groupBy("token").agg(count(lit(1)).as("n"))
+          .orderBy(desc("n"), col("token")).limit(10)
+      },
+      Some(s"""WITH $bpeSqlChain
+        SELECT token, COUNT(*) AS n FROM (
+          SELECT unnest(string_split(trim(s), ' ')) AS token FROM d3) z
+        GROUP BY 1 ORDER BY n DESC, token LIMIT 10""")),
 
     Op("text_tfidf",
       (s, dir) => {

@@ -286,4 +286,47 @@ class LlmIndependenceSpec extends AnyFunSuite {
       s"missing=${(want -- got).take(2)} extra=${(got -- want).take(2)}")
     assert(want.nonEmpty, "no near-dup pairs at this SF — vacuous")
   }
+
+  test("text_bpe_train: greedy pair-merge recomputation matches exactly") {
+    // Semantics under test (TextOps text_bpe_train): symbols = chars of the
+    // first 64 chars of lower(text) with ' '→'_' (docs shorter than 2
+    // chars dropped); 3 rounds of (count adjacent pairs incl. overlaps,
+    // merge the (count DESC, l, r)-first pair greedily left-to-right
+    // non-overlapping). Recomputed here on Scala Lists — no string
+    // replace, no SQL: the merge walks each token list directly, which
+    // also certifies the sentinel-space replace trick's non-overlapping
+    // semantics against a structural implementation.
+    val docs = Tables(spark, sf, "documents").select("text").collect()
+      .map(_.getString(0).toLowerCase.replace(' ', '_').take(64))
+      .filter(_.length >= 2)
+    var toks: Array[List[String]] = docs.map(_.map(_.toString).toList)
+    val want = (1 to 3).map { round =>
+      val cnt = new mutable.HashMap[(String, String), Long].withDefaultValue(0L)
+      toks.foreach { t =>
+        t.zip(t.tail).foreach(p => cnt(p) += 1L)
+      }
+      val ((l, r), c) = cnt.toSeq.minBy { case ((l, r), c) => (-c, l, r) }
+      toks = toks.map { t =>
+        val out = mutable.ListBuffer[String]()
+        var rest = t
+        while (rest.nonEmpty) rest match {
+          case a :: b :: tl if a == l && b == r => out += (l + r); rest = tl
+          case a :: tl => out += a; rest = tl
+          case Nil => ()
+        }
+        out.toList
+      }
+      (round, l, r, l + r, c)
+    }
+    val got = SparkEntry.queries("text_bpe_train")(spark, sf).collect()
+      .map(row => (row.getInt(0), row.getString(1), row.getString(2),
+        row.getString(3), row.getLong(4))).toSeq
+    assert(got == want, s"got $got want $want")
+    // non-vacuous: round-3's winning pair must involve a round-1/2 merge
+    // OR have a strictly smaller count than round 1 (the merges must
+    // actually reshape the pair distribution)
+    assert(want(2)._5 < want(0)._5 ||
+      want(2)._2.length > 1 || want(2)._3.length > 1,
+      s"rounds look inert: $want")
+  }
 }
