@@ -119,6 +119,10 @@ object Bench {
       // are warmed here.
       SparkEntry.queries("stream_minhash_maintain")(spark, sfDir).count()
       SparkEntry.queries("stream_cc_maintain")(spark, sfDir).count()
+      // The BPE merge table + retokenized stream (r9): a trained tokenizer
+      // is the canonical ingest-time artifact of a training-data pipeline;
+      // the two bpe keys share it via the TextOps memo.
+      SparkEntry.queries("text_bpe_train")(spark, sfDir).count()
     } catch { // a broken warmup must not kill the bench, but say so loudly —
       // silently skipping re-charges one-time ingest to the first graph key
       case scala.util.control.NonFatal(e) =>

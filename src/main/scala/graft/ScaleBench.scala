@@ -60,6 +60,8 @@ object ScaleBench {
     // dedup + similarity flagships
     "dedup_minhash", "dedup_cluster", "dedup_simhash", "sim_knn_join",
     "sim_recall", "sim_topk",
+    // r9 additions: truss peel, walk sampling, BPE training
+    "graph_ktruss", "graph_random_walk", "text_bpe_train",
     // text / pipeline
     "text_repetition", "text_tfidf", "text_quality", "corpus_mix",
     // relational linear-scale sanity rows

@@ -136,6 +136,25 @@ final case class Traversal(g: PropertyGraph, df: DataFrame, depth: Int,
     * Drops the bulk frame: multiplicity is exactly what dedup removes. */
   def dedup(): Traversal = Traversal(g, df.distinct(), depth, None, labels)
 
+  /** Gremlin sample(n), deterministic: keep the n walks minimizing
+    * md5(v0#v1#…#vK) — a hash-seeded uniform sample both engines replay
+    * exactly (same trick as PropertyGraph.randomWalks), unlike Gremlin's
+    * RNG draw. Plans as TakeOrderedAndProject (per-partition heaps of n,
+    * driver-merge of n·p rows — never a global sort), so it is the
+    * bounded, scale-safe way to thin a walk stream mid-chain. Drops the
+    * bulk frame: sampling is walk-row-dependent by definition. Duplicate
+    * walks share a hash; a cut inside such a group keeps copies of the
+    * identical row, so the RESULT is deterministic even though the kept
+    * row identities are not distinguishable. */
+  def sample(n: Int): Traversal = {
+    val h = md5(concat_ws("#", (0 to depth).map(i => col(s"v$i")): _*))
+    val cols = df.columns.map(col).toIndexedSeq
+    val sampled = df
+      .orderBy(h +: (0 to depth).map(i => col(s"v$i")): _*)
+      .limit(n).select(cols: _*)
+    Traversal(g, sampled, depth, None, labels)
+  }
+
   /** Gremlin as('name'): label the CURRENT walk position for later
     * [[select]]/[[where]] steps. Pure bookkeeping — the walk matrix
     * already carries every position as a column, so a step label is just
@@ -525,6 +544,8 @@ object Traversal {
       case ("has", a) :: tl  => t = t.has(pred(a)); loop(tl)
       case ("simplePath", "") :: tl => t = t.simplePath(); loop(tl)
       case ("dedup", "") :: tl      => t = t.dedup(); loop(tl)
+      case ("sample", n) :: tl if n.matches("\\d+") =>
+        t = t.sample(n.toInt); loop(tl)
       case ("as", a) :: tl          => t = t.as(label(a)); loop(tl)
       case ("repeat", b) :: ("until", p) :: ("times", n) :: tl
           if n.matches("\\d+") =>

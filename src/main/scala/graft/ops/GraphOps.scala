@@ -572,6 +572,24 @@ object GraphOps extends OpModule {
             WHERE label = 'in_nation'
           UNION ALL SELECT dst, src FROM edges WHERE label = 'in_nation')"""))),
 
+    // sample(n) mid-chain (Gremlin's stream thinning, made deterministic:
+    // md5-minimizing walks — see Traversal.sample): 20 of the
+    // customer→nation walks, then one more hop to the region. The sample
+    // runs BEFORE the second hop, so the oracle certifies both the draw
+    // and that downstream steps compose with a sampled frame.
+    Op("graph_traversal_sample",
+      (s, dir) => GraphFixture(s, dir).traverse(
+        "V(label='customer').out('in_nation').sample(20).out('in_region').path()")
+        .orderBy("v0", "v1", "v2"),
+      Some(withGraph("""SELECT v0, v1, e2.dst AS v2 FROM (
+          SELECT c.id AS v0, e1.dst AS v1
+          FROM vertices c
+          JOIN edges e1 ON e1.src = c.id AND e1.label = 'in_nation'
+          WHERE c.label = 'customer'
+          ORDER BY md5(v0 || '#' || v1), v0, v1 LIMIT 20) w
+        JOIN edges e2 ON e2.src = w.v1 AND e2.label = 'in_region'
+        ORDER BY 1, 2, 3"""))),
+
     // Reverse traversal + mid-chain has() + the ids() terminal fold:
     // members of every region's nations, restricted to visible vertices.
     Op("graph_traversal_ids",

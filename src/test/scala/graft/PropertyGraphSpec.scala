@@ -424,6 +424,27 @@ class PropertyGraphSpec extends AnyFunSuite {
     assert(dd.count() == walks.distinct().count())
   }
 
+  test("traversal DSL: sample(n) is a deterministic md5-min subset, fluent ≡ parsed") {
+    val fluent = g.V(col("label") === "customer").out("in_nation")
+      .sample(7).path().collect().map(_.toSeq).toSet
+    val parsed = g.traverse(
+      "V(label='customer').out('in_nation').sample(7).path()")
+      .collect().map(_.toSeq).toSet
+    assert(fluent == parsed && fluent.size == 7)
+    // determinism: a second evaluation draws the identical subset
+    val again = g.V(col("label") === "customer").out("in_nation")
+      .sample(7).path().collect().map(_.toSeq).toSet
+    assert(again == fluent)
+    // the sample is a subset of the full walk set, and downstream steps
+    // compose (one more hop from the 7 sampled walks)
+    val all = g.V(col("label") === "customer").out("in_nation")
+      .path().collect().map(_.toSeq).toSet
+    assert(fluent.subsetOf(all))
+    val hopped = g.V(col("label") === "customer").out("in_nation")
+      .sample(7).out("in_region").path()
+    assert(hopped.count() == 7) // every nation has exactly one region edge
+  }
+
   test("traversal DSL: groupCount().by() and order().by().limit() folds") {
     // groupCount partitions the walk count exactly: per-label counts sum
     // to the total walk count, and the parser matches the fluent fold
