@@ -25,7 +25,8 @@ object Plans {
     "win_rank", "graph_traversal_union", "graph_traversal_coalesce",
     "graph_traversal_choose", "corpus_mix", "graph_mutation_api",
     "graph_eccentricity", "graph_scc", "graph_traversal_until",
-    "graph_traversal_emit")
+    "graph_traversal_emit", "graph_ktruss", "graph_random_walk",
+    "text_bpe_train", "text_bpe_apply", "graph_traversal_sample")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -167,8 +167,12 @@ object SimOps extends OpModule {
     * re-estimate centroids as per-dim means). Every sum is decimal-exact
     * and every comparison breaks ties on the cell id, so train/assign is
     * bit-reproducible cross-engine — the property that makes a TRAINED ANN
-    * index oracle-able at all. Queries probe the nprobe=2 nearest final
-    * centroids and exact-rerank inside the probed cells' members.
+    * index oracle-able at all. Queries probe the nprobe = max(2, ⌈√k⌉)
+    * nearest final centroids (nprobe must GROW with the cell count or
+    * recall decays as 1/k — the fixed nprobe=2 shipped with the r7 4-cell
+    * quantizer measured 0.27 recall once k became √N-sized) and
+    * exact-rerank inside the probed cells' members; scan fraction is then
+    * ~1/√k — the classic IVF recall/latency dial.
     *
     * 100 TB read: training here runs over the full corpus because the
     * fixture is small; production trains the quantizer on a sample (the
@@ -221,6 +225,8 @@ object SimOps extends OpModule {
       dot: (String, String) => String): String = s"""
       WITH ${pre}cn2 AS (SELECT cell, sqrt(${ds("c * c")}) AS cn
         FROM $cRel GROUP BY cell),
+      np AS (SELECT GREATEST(2, CAST(ceil(sqrt(
+          CAST(COUNT(*) AS DOUBLE))) AS BIGINT)) AS v FROM cn2),
       qc AS (SELECT u.vec_id AS qa, ce.cell,
           ${ds("CAST(u.v AS DOUBLE) * ce.c")} AS dot
         FROM $unnRel u JOIN $cRel ce ON ce.dim = u.dim
@@ -229,7 +235,8 @@ object SimOps extends OpModule {
         SELECT qc.qa, qc.cell,
           ROW_NUMBER() OVER (PARTITION BY qc.qa
             ORDER BY qc.dot / cn.cn DESC, qc.cell) AS pr
-        FROM qc JOIN cn2 cn ON cn.cell = qc.cell) t WHERE pr <= 2),
+        FROM qc JOIN cn2 cn ON cn.cell = qc.cell) t
+        WHERE pr <= (SELECT v FROM np)),
       q AS (SELECT vec_id AS qa, embedding AS eq, nrm AS nq
         FROM $nRel WHERE vec_id % 100 = 0),
       scored AS (SELECT q.qa, n.vec_id AS vb,

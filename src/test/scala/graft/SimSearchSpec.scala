@@ -44,12 +44,13 @@ class SimSearchSpec extends AnyFunSuite {
         (row.getLong(1), row.getLong(2), row.getDouble(3))).toMap
     assert(r.keySet == Set("ivf", "knn", "multitable"))
     // the graded recall contract: the multi-table LSH path must recover
-    // ≥ 90% of exact top-3; IVF probes nprobe=2 of the TRAINED k-means
-    // cells (~20% of the corpus) — on these weakly-clustered embeddings the
-    // trained quantizer measured 0.67 recall at sf0.01 (up from 0.47 with
-    // the old label-as-cell stand-in: Lloyd rounds place centroids where
-    // query neighborhoods actually are). Floor 0.4 = scan-fraction ×2
-    // margin; multitable remains the high-recall contract.
+    // ≥ 90% of exact top-3; IVF probes nprobe = max(2, ⌈√k⌉) of the
+    // TRAINED k ≈ √N k-means cells (the r9 scale fix: k and nprobe both
+    // count-derived — a fixed nprobe over a growing cell count decays
+    // recall as 1/k, measured 0.67→0.27 when k went 4→15 at sf0.01; √k
+    // probing restored 0.6 at a ~1/√k scan fraction). Floor 0.4 keeps
+    // margin under the ~26% scan; multitable remains the high-recall
+    // contract.
     assert(r("multitable")._3 >= 0.9, s"multitable recall ${r("multitable")._3}")
     assert(r("ivf")._3 >= 0.4, s"ivf recall ${r("ivf")._3}")
     // recall is exactly hits / (3 · queries) for every method
