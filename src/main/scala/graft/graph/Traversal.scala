@@ -241,7 +241,13 @@ final case class Traversal(g: PropertyGraph, df: DataFrame, depth: Int,
     var emitted: Option[DataFrame] = None
     for (_ <- 1 to maxLoops) {
       val nxt = foldBody(active, body)
-      val withV = nxt.join(g.vertices.withColumnRenamed("id", "h"), "h")
+      // cut() per level (kCore's lesson): the frame is vertex-sized, and
+      // without lineage truncation level k's plan nests every previous
+      // level — re-planned superlinearly — while the two filters below
+      // would each re-execute the join. One materialized level, two
+      // codegen'd filters over it.
+      val withV = graft.util.cut(
+        nxt.join(g.vertices.withColumnRenamed("id", "h"), "h"))
       val stop = withV.filter(pred).select("h", "cnt")
       emitted = Some(emitted.fold(stop)(_ unionAll stop))
       active = withV.filter(!org.apache.spark.sql.functions
@@ -265,7 +271,10 @@ final case class Traversal(g: PropertyGraph, df: DataFrame, depth: Int,
     var active = headFrame
     var emitted: Option[DataFrame] = None
     for (_ <- 1 to times) {
-      active = foldBody(active, body)
+      // cut() per level: same lineage-truncation reason as repeatUntil —
+      // and each level is read twice (as the next fold's input and inside
+      // the emitted union).
+      active = graft.util.cut(foldBody(active, body))
       emitted = Some(emitted.fold(active)(_ unionAll active))
     }
     val folded = emitted.get.groupBy("h").agg(sum("cnt").as("cnt"))
