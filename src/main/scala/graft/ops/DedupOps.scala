@@ -179,6 +179,75 @@ object DedupOps extends OpModule {
       Some("""SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_copies,
         md5(text) AS fp FROM documents GROUP BY md5(text) ORDER BY keep_id""")),
 
+    // CONTENT-DEFINED CHUNKING dedup (the FastCDC/rsync family): chunk
+    // boundaries fall where a w=8-char window hash ≡ 0 (mod 32), so a
+    // shifted or locally-edited duplicate re-synchronizes on the same
+    // boundaries and its unchanged chunks dedupe — the property
+    // fixed-width chunking (text_chunk) fundamentally lacks, and the
+    // standard storage/corpus trick for catching INSERTED-prefix
+    // duplicates that whole-doc hashing (dedup_exact) misses. Per row:
+    // one explode over window positions + a per-doc boundary fold (list
+    // ops, no shuffle) → chunks; then ONE map-side-combined count on the
+    // chunk hash. Expected chunk ≈ 32 chars (the modulus — the only
+    // tuning constant, corpus-size-independent BY CONSTRUCTION, cf. the
+    // k=⌈N/53⌉ lesson in SCALE.md). Output: corpus-level chunk-dedup
+    // accounting — the report a dedup pipeline publishes before deciding
+    // chunk-level vs doc-level removal.
+    Op("dedup_cdc",
+      (s, dir) => {
+        Tables(s, dir, "documents").createOrReplaceTempView("documents")
+        s.sql(s"""
+          WITH d AS (SELECT doc_id, substring(lower(text), 1, 256) AS s
+            FROM documents WHERE length(text) >= 8),
+          bnd AS (SELECT doc_id, collect_list(i) AS bs FROM (
+              SELECT doc_id, explode(sequence(8, length(s))) AS i, s FROM d) p
+            WHERE ${sparkHash("substring(s, i - 7, 8)")} % 32 = 0
+            GROUP BY doc_id),
+          cuts AS (SELECT d.doc_id, d.s,
+              array_sort(array_distinct(concat(array(0, length(d.s)),
+                coalesce(bs, array())))) AS ps
+            FROM d LEFT JOIN bnd ON bnd.doc_id = d.doc_id),
+          ch AS (SELECT doc_id,
+              substring(s, p.a + 1, p.b - p.a) AS chunk FROM (
+              SELECT doc_id, s, explode(transform(sequence(1, size(ps) - 1),
+                i -> named_struct('a', element_at(ps, i),
+                  'b', element_at(ps, i + 1)))) AS p FROM cuts) t
+            WHERE p.b > p.a),
+          h AS (SELECT md5(chunk) AS fp, COUNT(*) AS n FROM ch GROUP BY 1)
+          SELECT CAST(COUNT(*) AS BIGINT) AS distinct_chunks,
+            CAST(SUM(n) AS BIGINT) AS total_chunks,
+            CAST(SUM(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS BIGINT) AS dup_contents,
+            CAST(SUM(CASE WHEN n > 1 THEN n - 1 ELSE 0 END) AS BIGINT) AS removable,
+            CAST(MAX(n) AS BIGINT) AS max_dup
+          FROM h""")
+      },
+      Some(s"""
+        WITH d AS (SELECT doc_id, substr(lower(text), 1, 256) AS s
+          FROM documents WHERE length(text) >= 8),
+        bnd AS (SELECT doc_id, list(i) AS bs FROM (
+            SELECT doc_id, u.i AS i, s FROM d,
+              unnest(generate_series(8, length(s))) AS u(i)) p
+          WHERE ${duckHash("substr(s, i - 7, 8)")} % 32 = 0
+          GROUP BY doc_id),
+        cuts AS (SELECT d.doc_id, d.s,
+            list_sort(list_distinct(list_concat(
+              [CAST(0 AS BIGINT), CAST(length(d.s) AS BIGINT)],
+              COALESCE(bs, [])))) AS ps
+          FROM d LEFT JOIN bnd ON bnd.doc_id = d.doc_id),
+        ch AS (SELECT doc_id,
+            substr(s, CAST(a AS INTEGER) + 1, CAST(b - a AS INTEGER)) AS chunk
+          FROM (
+            SELECT doc_id, s, ps[i] AS a, ps[i + 1] AS b
+            FROM cuts, unnest(generate_series(1, len(ps) - 1)) AS u(i)) t
+          WHERE b > a),
+        h AS (SELECT md5(chunk) AS fp, COUNT(*) AS n FROM ch GROUP BY 1)
+        SELECT CAST(COUNT(*) AS BIGINT) AS distinct_chunks,
+          CAST(SUM(n) AS BIGINT) AS total_chunks,
+          CAST(SUM(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS BIGINT) AS dup_contents,
+          CAST(SUM(CASE WHEN n > 1 THEN n - 1 ELSE 0 END) AS BIGINT) AS removable,
+          CAST(MAX(n) AS BIGINT) AS max_dup
+        FROM h""")),
+
     // MinHash + LSH near-dup pairs, exact-Jaccard verified ≥ 0.5.
     Op("dedup_minhash",
       (s, dir) => {

@@ -287,6 +287,44 @@ class LlmIndependenceSpec extends AnyFunSuite {
     assert(want.nonEmpty, "no near-dup pairs at this SF — vacuous")
   }
 
+  test("dedup_cdc: content-defined chunking recomputed exactly; boundaries re-sync") {
+    // Semantics under test (DedupOps dedup_cdc): s = first 256 chars of
+    // lower(text), docs shorter than 8 dropped; boundary after position i
+    // (8 ≤ i ≤ len) iff md5-hash(substr(s, i-7, 8)) ≡ 0 (mod 32) under the
+    // textsql 60-bit md5 fold; cut set = {0, boundaries, len}; chunks =
+    // substrings between consecutive cuts; summary over md5(chunk) counts.
+    val docs = Tables(spark, sf, "documents").select("text").collect()
+      .map(_.getString(0)).filter(_.length >= 8)
+      .map(_.toLowerCase.take(256))
+    def chunks(s: String): Seq[String] = {
+      val bs = (8 to s.length).filter { i =>
+        md5hash(s.substring(i - 8, i)) % 32 == 0
+      }
+      val cuts = (Seq(0, s.length) ++ bs).distinct.sorted
+      cuts.zip(cuts.tail).collect { case (a, b) if b > a => s.substring(a, b) }
+    }
+    val all = docs.flatMap(chunks)
+    val byContent = all.groupBy(identity).map { case (_, g) => g.size.toLong }
+    val want = (byContent.size.toLong, all.size.toLong,
+      byContent.count(_ > 1).toLong, byContent.filter(_ > 1).map(_ - 1).sum,
+      byContent.max)
+    val r = SparkEntry.queries("dedup_cdc")(spark, sf).collect()(0)
+    val got = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+    assert(got == want, s"got $got want $want")
+    // the defining CDC property, proven on real fixture content: chunking
+    // a PREFIX-SHIFTED copy re-synchronizes — the shifted doc shares a
+    // suffix of chunks with the original (fixed-width chunking shares
+    // none). Pick the longest doc so there are interior boundaries.
+    val base = docs.maxBy(_.length)
+    val shifted = ("zqj7 " + base).take(256)
+    val cb = chunks(base)
+    val cs = chunks(shifted)
+    assert(cb.size >= 3, s"longest doc produced only ${cb.size} chunks")
+    val shared = cb.toSet.intersect(cs.toSet)
+    assert(shared.nonEmpty,
+      s"shifted copy shares no chunks: base ${cb.size} chunks, shifted ${cs.size}")
+  }
+
   test("text_bpe_train: greedy pair-merge recomputation matches exactly") {
     // Semantics under test (TextOps text_bpe_train): symbols = chars of the
     // first 64 chars of lower(text) with ' '→'_' (docs shorter than 2
