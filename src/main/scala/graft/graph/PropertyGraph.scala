@@ -966,7 +966,13 @@ final case class PropertyGraph(vertices: DataFrame, edges: DataFrame) {
     var out: DataFrame = t.withColumn("support", lit(0L))
     var prevN = -1L
     var done = false
-    for (_ <- 1 to rounds if !done) {
+    // k = 3 converges in EXACTLY one round, by construction: the round
+    // removes only support-0 edges — edges in NO triangle — so no
+    // surviving edge's triangle set (hence support) changes, and round 2
+    // could only re-prove the fixpoint. One enumeration instead of two;
+    // the fixed-round oracle still lands on the identical table.
+    val cap = if (k <= 3) 1 else rounds
+    for (_ <- 1 to cap if !done) {
       out = graft.util.cut(t.join(trussSupport(t), Seq("a", "b"))
         .filter(col("support") >= k - 2))
       // EXACT early exit: the peel is monotone (each round only removes
