@@ -56,6 +56,7 @@ object Bench {
       g.triangleCounts.count()  // stored corner counts (triangles/clustering)
       g.undByA.count()          // stored message-passing index (labelprop)
       g.neighborLists.count()   // stored adjacency-list index (delta triangles)
+      g.truss3.count()          // stored 3-truss labeling (r9)
       // Stored label-propagation labeling (lp3), like triangleCounts an
       // ingest-time analytics artifact: labelprop + modularity consume it.
       // Unwarmed, its build lands on whichever consumer runs first in map

@@ -990,6 +990,13 @@ final case class PropertyGraph(vertices: DataFrame, edges: DataFrame) {
     out
   }
 
+  /** Stored 3-truss labeling — like [[connectedComponents]] and
+    * [[triangleCounts]], an ingest-time analytics artifact the reference
+    * family stores next to the graph (built once per graph version, read
+    * by the truss key; the kTruss result is already a localCheckpoint, so
+    * memoizing is a reference, not a second copy). */
+  lazy val truss3: DataFrame = kTruss(3, 3)
+
   /** Per-edge triangle support over a value-oriented (a<b) simple edge
     * set. Orientation stays value-based (not degree-based like
     * [[orientedEdges]]) because it must remain STABLE as edges peel —

@@ -1080,7 +1080,7 @@ object GraphOps extends OpModule {
     // per-round triangle re-enumeration kCore never needs. Oracle unrolls
     // identical rounds (GraphSql.ktChain); see PropertyGraph.kTruss.
     Op("graph_ktruss",
-      (s, dir) => GraphFixture(s, dir).kTruss(3, 3).orderBy("a", "b"),
+      (s, dir) => GraphFixture(s, dir).truss3.orderBy("a", "b"),
       Some(withGraph(
         "SELECT a, b, support FROM kt3 ORDER BY a, b",
         extra = GraphSql.ktChain(3, 3)))),
