@@ -49,8 +49,11 @@ object TextOps extends OpModule {
               element_at(tok, i + 1).as("r")))).as("p"))
           .groupBy(col("p.l").as("l"), col("p.r").as("r"))
           .agg(count(lit(1)).as("cnt"))
-          .orderBy(desc("cnt"), col("l"), col("r")).limit(1).collect()(0)
-        val (l, rr, cnt) = (top.getString(0), top.getString(1), top.getLong(2))
+          .orderBy(desc("cnt"), col("l"), col("r")).limit(1).collect()
+        require(top.nonEmpty,
+          s"BPE round $r: no adjacent symbol pairs (corpus has no doc with ≥2 chars)")
+        val (l, rr, cnt) =
+          (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
         cur = cur.withColumn("s",
           replace(col("s"), lit(s" $l $rr "), lit(s" $l$rr ")))
         (r, l, rr, l + rr, cnt)
