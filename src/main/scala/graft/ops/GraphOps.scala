@@ -266,6 +266,52 @@ object GraphOps extends OpModule {
           mm AS (SELECT a AS id, MIN(b) AS mn FROM mut GROUP BY 1)""",
         recursive = true))),
 
+    // SCC CONDENSATION: the component-level DAG — what SCC exists to
+    // produce (collapse each strongly-connected cluster to one node; the
+    // remaining edges are by construction acyclic, the form topological
+    // analyses run on). Two broadcast-size joins of the stored SCC
+    // labeling onto the edge ends + one distinct — the labeling is the
+    // expensive part and it is the stored artifact graph_scc certifies;
+    // this key certifies the collapse. Output: condensed edges with
+    // member/edge multiplicities (how many vertices each super-node
+    // swallowed is part of the answer a condensation consumer needs).
+    Op("graph_condensation",
+      (s, dir) => {
+        val g = GraphFixture.sccView(s, dir)
+        val lbl = g.stronglyConnectedComponents
+        val e = g.edges
+          .join(lbl.select(col("id").as("src"), col("component").as("ca")), "src")
+          .join(lbl.select(col("id").as("dst"), col("component").as("cb")), "dst")
+          .filter(col("ca") =!= col("cb"))
+          .groupBy("ca", "cb").agg(count(lit(1)).as("n_edges"))
+        val sizes = lbl.groupBy(col("component").as("ca"))
+          .agg(count(lit(1)).as("n_members"))
+        e.join(sizes, "ca")
+          .select("ca", "cb", "n_edges", "n_members")
+          .orderBy("ca", "cb")
+      },
+      Some(withGraph(
+        """SELECT ca, cb, n_edges, n_members FROM (
+          SELECT l1.c AS ca, l2.c AS cb, COUNT(*) AS n_edges
+          FROM ed e JOIN lbl l1 ON l1.id = e.src
+          JOIN lbl l2 ON l2.id = e.dst
+          WHERE l1.c <> l2.c GROUP BY 1, 2) ce
+        JOIN (SELECT c AS ca, COUNT(*) AS n_members FROM lbl GROUP BY 1) sz
+          USING (ca)
+        ORDER BY ca, cb""",
+        extra = """de AS MATERIALIZED (SELECT src, dst FROM edges
+            UNION SELECT dst, src FROM edges WHERE label = 'colocated'),
+          ed AS MATERIALIZED (SELECT src, dst FROM edges
+            UNION ALL SELECT dst, src FROM edges WHERE label = 'colocated'),
+          reach(a, b) AS (SELECT src, dst FROM de
+            UNION SELECT r.a, e.dst FROM reach r JOIN de e ON e.src = r.b),
+          mut AS (SELECT r.a, r.b FROM reach r
+            JOIN reach s ON s.a = r.b AND s.b = r.a),
+          mm AS (SELECT a AS id, MIN(b) AS mn FROM mut GROUP BY 1),
+          lbl AS (SELECT v.id, LEAST(v.id, COALESCE(mm.mn, v.id)) AS c
+            FROM vertices v LEFT JOIN mm ON mm.id = v.id)""",
+        recursive = true))),
+
     // INCREMENTAL CC maintenance: the 'did' edges (user→event — the
     // fixture's streaming-ingest analog batch, cf. stream_graph_ingest)
     // are folded into the BASE graph's stored labeling via delta-bounded
