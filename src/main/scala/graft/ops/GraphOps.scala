@@ -312,6 +312,54 @@ object GraphOps extends OpModule {
             FROM vertices v LEFT JOIN mm ON mm.id = v.id)""",
         recursive = true))),
 
+    // TOPOLOGICAL LAYERING (Kahn by layers) over the base edge set —
+    // which IS a DAG (see graph_scc: cycles only appear under the
+    // symmetrized view). layer(v) = length of the longest path reaching v
+    // from any source; the peel is one BSP round per layer (distinct
+    // dst-set + anti-join), depth-bounded (fixture depth ≤ ~6), with a
+    // per-round progress check so a cycle fails loudly instead of
+    // spinning. The oracle is the textbook recursive longest-path-depth
+    // closure. Layer histograms are what scheduling/lineage consumers of
+    // the condensation DAG actually read, so the key emits per-vertex
+    // layers (histogram folds are one groupBy away).
+    Op("graph_topo_layers",
+      (s, dir) => {
+        val g = GraphFixture(s, dir)
+        val e = g.edges.select("src", "dst").distinct().persist()
+        var todo = graft.util.cut(g.vertices.select("id"))
+        var remaining = e
+        var out: Seq[org.apache.spark.sql.DataFrame] = Nil
+        var layer = 0
+        var n = todo.count()
+        while (n > 0) {
+          require(layer <= 32, "cycle detected: topo peel made no progress")
+          val blocked = remaining.select(col("dst").as("id")).distinct()
+          val ready = graft.util.cut(
+            todo.join(blocked, Seq("id"), "left_anti")
+              .withColumn("layer", lit(layer)))
+          out = out :+ ready
+          todo = graft.util.cut(
+            todo.join(ready.select("id"), Seq("id"), "left_anti"))
+          remaining = graft.util.cut(
+            remaining.join(broadcast(ready.select(col("id").as("src"))),
+              Seq("src"), "left_anti"))
+          val left = todo.count()
+          require(left < n, "cycle detected: topo peel made no progress")
+          n = left
+          layer += 1
+        }
+        out.reduce(_ unionAll _).orderBy("id")
+      },
+      Some(withGraph(
+        """SELECT id, CAST(MAX(d) AS INTEGER) AS layer
+          FROM lp GROUP BY 1 ORDER BY 1""",
+        extra = """lp(id, d) AS (
+            SELECT id, 0 FROM vertices
+            WHERE id NOT IN (SELECT dst FROM edges)
+            UNION
+            SELECT e.dst, lp.d + 1 FROM lp JOIN edges e ON e.src = lp.id)""",
+        recursive = true))),
+
     // INCREMENTAL CC maintenance: the 'did' edges (user→event — the
     // fixture's streaming-ingest analog batch, cf. stream_graph_ingest)
     // are folded into the BASE graph's stored labeling via delta-bounded
