@@ -327,27 +327,34 @@ object GraphOps extends OpModule {
         val g = GraphFixture(s, dir)
         val e = g.edges.select("src", "dst").distinct().persist()
         var todo = graft.util.cut(g.vertices.select("id"))
-        var remaining = e
         var out: Seq[org.apache.spark.sql.DataFrame] = Nil
         var layer = 0
         var n = todo.count()
         while (n > 0) {
           require(layer <= 32, "cycle detected: topo peel made no progress")
-          val blocked = remaining.select(col("dst").as("id")).distinct()
+          // an edge blocks its dst iff its src is still unlayered — so
+          // the STATIC edge list semi-joined against the shrinking todo
+          // set replaces any per-round edge-set materialization (the
+          // first cut of this key checkpointed the surviving edges every
+          // round: 7 edge-sized writes for a vertex-sized answer, 8.9 s
+          // at sf0.1). todo is vertex-sized and
+          // broadcast-hinted; a graph whose unlayered set outgrows
+          // broadcast drops the hint and takes the shuffle.
+          val blocked = e.join(broadcast(todo.withColumnRenamed("id", "src")),
+              Seq("src"), "left_semi")
+            .select(col("dst").as("id")).distinct()
           val ready = graft.util.cut(
             todo.join(blocked, Seq("id"), "left_anti")
               .withColumn("layer", lit(layer)))
           out = out :+ ready
           todo = graft.util.cut(
             todo.join(ready.select("id"), Seq("id"), "left_anti"))
-          remaining = graft.util.cut(
-            remaining.join(broadcast(ready.select(col("id").as("src"))),
-              Seq("src"), "left_anti"))
           val left = todo.count()
           require(left < n, "cycle detected: topo peel made no progress")
           n = left
           layer += 1
         }
+        e.unpersist()
         out.reduce(_ unionAll _).orderBy("id")
       },
       Some(withGraph(
