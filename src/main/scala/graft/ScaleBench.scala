@@ -72,8 +72,18 @@ object ScaleBench {
 
   /** Per-replica transform of one base table (r = 0 is the identity). */
   def replica(df: DataFrame, table: String, r: Int): DataFrame = {
-    def shl(c: String, by: Long): DataFrame => DataFrame =
-      _.withColumn(c, (col(c) + lit(by * r)).cast(df.schema(c).dataType))
+    def shl(c: String, by: Long): DataFrame => DataFrame = { in =>
+      // Replica disjointness rests on base keys being < the shift unit
+      // (true of TPC-H keys at bench SFs). For int-typed key columns the
+      // non-ANSI cast back would silently WRAP once by*r + maxKey exceeds
+      // Int.MaxValue (r ≳ 214 at Shift=10^7), producing colliding
+      // replicas that still pass the row-count check — fail loudly first.
+      if (df.schema(c).dataType == org.apache.spark.sql.types.IntegerType)
+        require(by * r + by - 1 <= Int.MaxValue,
+          s"replica shift overflows INT column $c at r=$r (shift unit $by);" +
+            " widen the column to BIGINT or lower the replica count")
+      in.withColumn(c, (col(c) + lit(by * r)).cast(df.schema(c).dataType))
+    }
     val lower = "abcdefghijklmnopqrstuvwxyz"
     def rot(s: String) = s.drop(r % 26) + s.take(r % 26)
     val rotText: DataFrame => DataFrame =

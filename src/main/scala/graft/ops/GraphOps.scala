@@ -331,7 +331,9 @@ object GraphOps extends OpModule {
         var layer = 0
         var n = todo.count()
         while (n > 0) {
-          require(layer <= 32, "cycle detected: topo peel made no progress")
+          require(layer <= 32,
+            s"topo depth cap: DAG deeper than 32 layers (raise the cap); " +
+              "an actual cycle is caught by the no-progress check below")
           // an edge blocks its dst iff its src is still unlayered — so
           // the STATIC edge list semi-joined against the shrinking todo
           // set replaces any per-round edge-set materialization (the

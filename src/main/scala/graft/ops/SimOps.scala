@@ -153,11 +153,13 @@ object SimOps extends OpModule {
     * product.
     *
     * The coarse quantizer is TRAINED, not taken from the fixture's label
-    * column: seeded deterministic k-means — seeds are the vectors with
-    * vec_id ≡ 0 (mod stride) where stride = ⌈N/⌈√N⌉⌉, giving the
-    * canonical IVF cell count k ≈ √N (no RNG, no global sort: the seed
-    * rule is a per-row modulo and the cell numbering is a window over the
-    * k seed rows only). k MUST NOT grow linearly with N: the assign step
+    * column: seeded deterministic k-means — seeds are every stride-th
+    * vector by ROW_NUMBER() OVER (ORDER BY vec_id) where
+    * stride = ⌈N/⌈√N⌉⌉, giving the canonical IVF cell count k ≈ √N for
+    * ANY id distribution (a raw `vec_id % stride` rule would tie the seed
+    * count to the id VALUES — offset or sparse ids could train an empty
+    * quantizer; rank-based selection is distribution-independent and
+    * still deterministic). k MUST NOT grow linearly with N: the assign step
     * is an (N·D)×(k·D) dim-join, so k ∝ N makes training O(N²·D) — the
     * 10× ScaleBench blow-up measured exactly that (the r8 every-53rd rule
     * turned a 4 s warmup artifact into a 100×, quarter-hour build). With
@@ -192,7 +194,9 @@ object SimOps extends OpModule {
           ceil(sqrt(CAST(COUNT(*) AS DOUBLE)))) AS BIGINT)) AS stride
         FROM $nRel),
       sinit AS (SELECT vec_id, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cell
-        FROM $nRel WHERE vec_id % (SELECT stride FROM st) = 0),
+        FROM (SELECT vec_id, ROW_NUMBER() OVER (ORDER BY vec_id) AS rn
+              FROM $nRel) sr
+        WHERE (rn - 1) % (SELECT stride FROM st) = 0),
       c0 AS $mat(SELECT s.cell, u.dim, u.v AS c
         FROM sinit s JOIN unn u ON u.vec_id = s.vec_id),
       n0 AS (SELECT cell, ${ds("c * c")} AS cc FROM c0 GROUP BY cell),
@@ -294,8 +298,8 @@ object SimOps extends OpModule {
       Some(mtOracle)),
 
     // True IVF with a TRAINED coarse quantizer: seeded deterministic
-    // k-means (every-53rd-vector seeds, two exact-decimal Lloyd rounds —
-    // see ivfSql), probe the nprobe=2 nearest trained centroids per query,
+    // k-means (k ≈ √N rank-based seeds, two exact-decimal Lloyd rounds —
+    // see ivfAssignSql), probe the √k nearest trained centroids per query,
     // exact-rerank inside the probed cells. Centroids live as a relational
     // (cell, dim, val) table, so the train/assign math is decimal-exact and
     // mirrorable in the oracle; the rerank uses native vec_dot. At 100 TB

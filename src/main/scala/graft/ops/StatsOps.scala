@@ -210,56 +210,61 @@ object StatsOps extends OpModule {
           "OVER (PARTITION BY o_orderstatus)")} AS share
         FROM orders ORDER BY o_orderkey""")),
 
-    // Single-pass column profiler — the data-quality summary a pipeline
-    // runs before training: per column count / nulls / distincts / min /
-    // max. One aggregate over the table (Spark plans the multi-distinct
-    // with one Expand), then constant-width restructuring to one row per
-    // column; numeric and string extrema stay in typed columns (no
-    // double→string casts, whose formatting differs across engines).
+    // Column profiler — the data-quality summary a pipeline runs before
+    // training: per column count / nulls / distincts / min / max. One
+    // SMALL aggregate per column, union'd (numeric and string extrema in
+    // typed columns — no double→string casts, whose formatting differs
+    // across engines). This was originally one table-wide aggregate with
+    // three COUNT(DISTINCT)s: Spark plans that as a single Expand that
+    // quadruples the row stream AND emits one enormous whole-stage-codegen
+    // class — BENCH_r09 measured its FIRST run at 23.5 s (1.8 s warm) on a
+    // loaded host, i.e. ~21 s of Janino compile for a 0.3 s query. Three
+    // per-column aggregates read one pruned parquet column each, skip the
+    // 4× Expand, and compile three small classes — the better shape at
+    // both ends of the scale axis.
     Op("profile_columns",
       (s, dir) => {
         Tables(s, dir, "orders").createOrReplaceTempView("orders")
-        s.sql("""WITH m AS (SELECT
-            COUNT(*) AS n,
-            COUNT(o_custkey) AS nn_key, COUNT(DISTINCT o_custkey) AS nd_key,
-              MIN(o_custkey) AS min_key, MAX(o_custkey) AS max_key,
-            COUNT(o_totalprice) AS nn_price, COUNT(DISTINCT o_totalprice) AS nd_price,
-              MIN(o_totalprice) AS min_price, MAX(o_totalprice) AS max_price,
-            COUNT(o_orderstatus) AS nn_st, COUNT(DISTINCT o_orderstatus) AS nd_st,
-              MIN(o_orderstatus) AS min_st, MAX(o_orderstatus) AS max_st
-          FROM orders)
+        s.sql("""WITH pk AS (SELECT COUNT(*) AS n, COUNT(o_custkey) AS nn,
+            COUNT(DISTINCT o_custkey) AS nd,
+            MIN(o_custkey) AS mn, MAX(o_custkey) AS mx FROM orders),
+          pp AS (SELECT COUNT(*) AS n, COUNT(o_totalprice) AS nn,
+            COUNT(DISTINCT o_totalprice) AS nd,
+            MIN(o_totalprice) AS mn, MAX(o_totalprice) AS mx FROM orders),
+          ps AS (SELECT COUNT(*) AS n, COUNT(o_orderstatus) AS nn,
+            COUNT(DISTINCT o_orderstatus) AS nd,
+            MIN(o_orderstatus) AS mn, MAX(o_orderstatus) AS mx FROM orders)
           SELECT col, n, n_null, n_distinct, min_num, max_num, min_str, max_str
-          FROM (SELECT n,
-            STACK(3,
-              'o_custkey', n - nn_key, nd_key,
-                CAST(min_key AS DOUBLE), CAST(max_key AS DOUBLE),
-                CAST(NULL AS STRING), CAST(NULL AS STRING),
-              'o_totalprice', n - nn_price, nd_price, min_price, max_price,
-                CAST(NULL AS STRING), CAST(NULL AS STRING),
-              'o_orderstatus', n - nn_st, nd_st,
-                CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), min_st, max_st)
-            AS (col, n_null, n_distinct, min_num, max_num, min_str, max_str)
-            FROM m)
+          FROM (
+            SELECT 'o_custkey' AS col, n, n - nn AS n_null, nd AS n_distinct,
+              CAST(mn AS DOUBLE) AS min_num, CAST(mx AS DOUBLE) AS max_num,
+              CAST(NULL AS STRING) AS min_str, CAST(NULL AS STRING) AS max_str
+            FROM pk
+            UNION ALL SELECT 'o_totalprice', n, n - nn, nd, mn, mx,
+              CAST(NULL AS STRING), CAST(NULL AS STRING) FROM pp
+            UNION ALL SELECT 'o_orderstatus', n, n - nn, nd,
+              CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), mn, mx FROM ps)
           ORDER BY col""")
       },
-      Some("""WITH m AS (SELECT
-          COUNT(*) AS n,
-          COUNT(o_custkey) AS nn_key, COUNT(DISTINCT o_custkey) AS nd_key,
-            MIN(o_custkey) AS min_key, MAX(o_custkey) AS max_key,
-          COUNT(o_totalprice) AS nn_price, COUNT(DISTINCT o_totalprice) AS nd_price,
-            MIN(o_totalprice) AS min_price, MAX(o_totalprice) AS max_price,
-          COUNT(o_orderstatus) AS nn_st, COUNT(DISTINCT o_orderstatus) AS nd_st,
-            MIN(o_orderstatus) AS min_st, MAX(o_orderstatus) AS max_st
-        FROM orders)
-        SELECT u.* FROM m, LATERAL (
-          SELECT 'o_custkey' AS col, n, n - nn_key AS n_null,
-            nd_key AS n_distinct, CAST(min_key AS DOUBLE) AS min_num,
-            CAST(max_key AS DOUBLE) AS max_num,
+      Some("""WITH pk AS (SELECT COUNT(*) AS n, COUNT(o_custkey) AS nn,
+          COUNT(DISTINCT o_custkey) AS nd,
+          MIN(o_custkey) AS mn, MAX(o_custkey) AS mx FROM orders),
+        pp AS (SELECT COUNT(*) AS n, COUNT(o_totalprice) AS nn,
+          COUNT(DISTINCT o_totalprice) AS nd,
+          MIN(o_totalprice) AS mn, MAX(o_totalprice) AS mx FROM orders),
+        ps AS (SELECT COUNT(*) AS n, COUNT(o_orderstatus) AS nn,
+          COUNT(DISTINCT o_orderstatus) AS nd,
+          MIN(o_orderstatus) AS mn, MAX(o_orderstatus) AS mx FROM orders)
+        SELECT col, n, n_null, n_distinct, min_num, max_num, min_str, max_str
+        FROM (
+          SELECT 'o_custkey' AS col, n, n - nn AS n_null, nd AS n_distinct,
+            CAST(mn AS DOUBLE) AS min_num, CAST(mx AS DOUBLE) AS max_num,
             CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str
-          UNION ALL SELECT 'o_totalprice', n, n - nn_price, nd_price,
-            min_price, max_price, NULL, NULL
-          UNION ALL SELECT 'o_orderstatus', n, n - nn_st, nd_st,
-            NULL, NULL, min_st, max_st) u
+          FROM pk
+          UNION ALL SELECT 'o_totalprice', n, n - nn, nd, mn, mx,
+            CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR) FROM pp
+          UNION ALL SELECT 'o_orderstatus', n, n - nn, nd,
+            CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), mn, mx FROM ps)
         ORDER BY col""")),
 
     // Rolling mean over a 7-row frame: the windowed sum goes through

@@ -29,6 +29,25 @@ object TextOps extends OpModule {
     new graft.SessionMemo[String, (Seq[(Int, String, String, String, Long)],
       org.apache.spark.sql.DataFrame)]
 
+  /** Greedy left-to-right non-overlapping merge of pair (l, r) on a
+    * single-space-delimited symbol stream. A naive replace(" l r "→" lr ")
+    * SKIPS back-to-back occurrences ("… l r l r …"): the first match
+    * consumes the shared boundary space, so the scanner can't see the
+    * second occurrence's leading space. Fix: double every space first, so
+    * each boundary owns TWO spaces and the pattern " l  r " consumes one
+    * from each side while the replacement " lr " re-contributes one —
+    * flanking doubles survive, adjacent matches never contend, and a
+    * final "  "→" " collapse restores the canonical form. This makes the
+    * replace semantics exactly Sennrich greedy left-to-right (certified
+    * structurally in LlmIndependenceSpec and on an adjacent-repeat
+    * fixture in LlmOpsSpec). */
+  private[graft] def applyMerge(s: org.apache.spark.sql.Column, l: String,
+      r: String): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{replace, lit}
+    replace(replace(replace(s, lit(" "), lit("  ")),
+      lit(s" $l  $r "), lit(s" $l$r ")), lit("  "), lit(" "))
+  }
+
   private def bpeChain(s: org.apache.spark.sql.SparkSession, dir: String)
       : (Seq[(Int, String, String, String, Long)],
          org.apache.spark.sql.DataFrame) =
@@ -54,8 +73,7 @@ object TextOps extends OpModule {
           s"BPE round $r: no adjacent symbol pairs (corpus has no doc with ≥2 chars)")
         val (l, rr, cnt) =
           (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
-        cur = cur.withColumn("s",
-          replace(col("s"), lit(s" $l $rr "), lit(s" $l$rr ")))
+        cur = cur.withColumn("s", applyMerge(col("s"), l, rr))
         (r, l, rr, l + rr, cnt)
       }
       (merges, cur.persist())
@@ -71,9 +89,10 @@ object TextOps extends OpModule {
                unnest(generate_series(1, len(tok) - 1)) AS u(j)
         ) z GROUP BY 1, 2),
       t$i AS (SELECT l, r, cnt FROM p$i ORDER BY cnt DESC, l, r LIMIT 1),
-      d$i AS (SELECT doc_id, replace(s,
-          (SELECT ' ' || l || ' ' || r || ' ' FROM t$i),
-          (SELECT ' ' || l || r || ' ' FROM t$i)) AS s FROM d${i - 1})"""
+      d$i AS (SELECT doc_id, replace(replace(replace(s, ' ', '  '),
+          (SELECT ' ' || l || '  ' || r || ' ' FROM t$i),
+          (SELECT ' ' || l || r || ' ' FROM t$i)), '  ', ' ') AS s
+        FROM d${i - 1})"""
     s"""d0 AS (SELECT doc_id,
         ' ' || array_to_string(list_transform(generate_series(1, length(c)),
           i -> substr(c, i, 1)), ' ') || ' ' AS s

@@ -332,8 +332,10 @@ class LlmIndependenceSpec extends AnyFunSuite {
     // merge the (count DESC, l, r)-first pair greedily left-to-right
     // non-overlapping). Recomputed here on Scala Lists — no string
     // replace, no SQL: the merge walks each token list directly, which
-    // also certifies the sentinel-space replace trick's non-overlapping
-    // semantics against a structural implementation.
+    // also certifies the space-doubling replace trick (TextOps.applyMerge)
+    // against a structural greedy implementation — including back-to-back
+    // occurrences of the winning pair, which a plain single-space replace
+    // would skip every other one of.
     val docs = Tables(spark, sf, "documents").select("text").collect()
       .map(_.getString(0).toLowerCase.replace(' ', '_').take(64))
       .filter(_.length >= 2)

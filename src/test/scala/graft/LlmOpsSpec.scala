@@ -17,6 +17,28 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(both.filter(col("fast") =!= col("slow")).count() == 0)
   }
 
+  test("BPE applyMerge handles back-to-back pair occurrences (greedy L2R)") {
+    // A plain replace(" l r "→" lr ") merges only alternate occurrences of
+    // adjacent repeats (the shared boundary space is consumed by the first
+    // match). The space-doubling merge must match Sennrich greedy exactly:
+    //   "a b a b a b"  + (a,b) → "ab ab ab"   (all three merge)
+    //   "a a a a a"    + (a,a) → "aa aa a"    (non-overlapping L2R)
+    //   "x a b y"      + (a,b) → "x ab y"     (plain case unchanged)
+    import spark.implicits._
+    val rows = Seq(
+      (" a b a b a b ", "a", "b", " ab ab ab "),
+      (" a a a a a ",   "a", "a", " aa aa a "),
+      (" a a a a ",     "a", "a", " aa aa "),
+      (" x a b y ",     "a", "b", " x ab y "),
+      (" b a ",         "a", "b", " b a "))
+    rows.foreach { case (in, l, r, want) =>
+      val got = Seq(in).toDF("s")
+        .select(ops.TextOps.applyMerge(col("s"), l, r).as("m"))
+        .head().getString(0)
+      assert(got == want, s"merge($in, $l+$r): got '$got' want '$want'")
+    }
+  }
+
   test("minhash LSH finds the planted near-duplicate pairs") {
     val pairs = SparkEntry.queries("dedup_minhash")(spark, sf).collect()
     assert(pairs.nonEmpty) // fixture plants ~0.98-Jaccard pairs
