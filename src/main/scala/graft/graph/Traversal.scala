@@ -261,7 +261,7 @@ final case class Traversal(g: PropertyGraph, df: DataFrame, depth: Int,
   /** Gremlin repeat(body).emit().times(n): emit the traverser after EVERY
     * loop iteration — per-depth reachability accumulated across levels
     * 1..n (emit() placed after repeat(), so the start position is not
-    * emitted; Gremlin's emit().repeat() variant would include it).
+    * emitted; [[emitRepeat]] is the pre-emit placement that includes it).
     * Path-erasing like [[repeatUntil]] and for the same reason: emitted
     * walks have different lengths. Each level is one edge join over a
     * vertex-sized (h, cnt) frame; the accumulate is a UNION ALL +
@@ -276,6 +276,54 @@ final case class Traversal(g: PropertyGraph, df: DataFrame, depth: Int,
       // the emitted union).
       active = graft.util.cut(foldBody(active, body))
       emitted = Some(emitted.fold(active)(_ unionAll active))
+    }
+    val folded = emitted.get.groupBy("h").agg(sum("cnt").as("cnt"))
+    Traversal(g, folded.select(col("h").as("v0")), 0, Some(folded), Map.empty)
+  }
+
+  /** Gremlin emit().repeat(body).times(n) — the PRE-emit placement: the
+    * emit check runs at the TOP of each iteration, so the START position
+    * is released too, and the final traverser exits the loop normally —
+    * results are depths 0..n, vs [[repeatEmit]]'s 1..n (TinkerPop's
+    * RepeatStep applies emit-first before the body and until-last after
+    * it; with only times() as the guard the two placements differ by
+    * exactly the depth-0 frame). Same path-erasing (h, cnt) BSP fold. */
+  def emitRepeat(body: Traversal => Traversal, times: Int): Traversal = {
+    require(times >= 1 && times <= 16, s"times out of range: $times")
+    var active = graft.util.cut(headFrame)
+    var emitted = active // depth 0: the pre-emit release of the start frame
+    for (_ <- 1 to times) {
+      active = graft.util.cut(foldBody(active, body))
+      emitted = emitted unionAll active
+    }
+    val folded = emitted.groupBy("h").agg(sum("cnt").as("cnt"))
+    Traversal(g, folded.select(col("h").as("v0")), 0, Some(folded), Map.empty)
+  }
+
+  /** Gremlin repeat(body).until(pred).emit().times(maxLoops) — the
+    * combined form: walks whose head satisfies `pred` exit the loop (as in
+    * [[repeatUntil]]), AND every position a still-looping walk passes
+    * through is released (as in [[repeatEmit]]). Since per level the
+    * exit set ∪ continue set = the whole post-body frame, the accumulate
+    * is simply EVERY level's full frame, with only the continue side fed
+    * forward — each walk contributes once per level it reached, exiting
+    * walks stop contributing past their exit level, and guard-cut walks
+    * are already represented at their final position (TinkerPop's
+    * until-fires-before-emit ordering: no double release on exit). */
+  def repeatUntilEmit(body: Traversal => Traversal, pred: Column,
+      maxLoops: Int): Traversal = {
+    require(maxLoops >= 1 && maxLoops <= 16, s"until guard out of range: $maxLoops")
+    var active = headFrame
+    var emitted: Option[DataFrame] = None
+    for (_ <- 1 to maxLoops) {
+      val nxt = foldBody(active, body)
+      // cut() per level — same lineage-truncation reason as repeatUntil
+      val withV = graft.util.cut(
+        nxt.join(g.vertices.withColumnRenamed("id", "h"), "h"))
+      val all = withV.select("h", "cnt")
+      emitted = Some(emitted.fold(all)(_ unionAll all))
+      active = withV.filter(!org.apache.spark.sql.functions
+        .coalesce(pred, lit(false))).select("h", "cnt")
     }
     val folded = emitted.get.groupBy("h").agg(sum("cnt").as("cnt"))
     Traversal(g, folded.select(col("h").as("v0")), 0, Some(folded), Map.empty)
@@ -454,7 +502,11 @@ object Traversal {
     a.substring(1, a.length - 1)
   }
 
-  private val RepeatPat = """repeat\((\w+\((?:'[^']*')?\))\)\.times\((\d+)\)""".r
+  // Negative lookbehind: `emit().repeat(b).times(n)` is the PRE-emit loop
+  // step (handled by the parser's emit/repeat/times case), not a plain
+  // unrollable repeat — textual expansion would silently drop the emits.
+  private val RepeatPat =
+    """(?<!emit\(\)\.)repeat\((\w+\((?:'[^']*')?\))\)\.times\((\d+)\)""".r
 
   /** Split a step-argument string at TOP-LEVEL commas (commas inside
     * parentheses or quotes belong to nested steps/predicates) — the
@@ -518,6 +570,7 @@ object Traversal {
     * `out('l')/in('l')/both('l')/has(<pred>)/simplePath()/dedup()/
     * as('x')/where(neq('x'))/repeat(step('l')).times(n)/
     * repeat(body).until(<pred>).times(n)/repeat(body).emit().times(n)/
+    * emit().repeat(body).times(n)/repeat(body).until(<pred>).emit().times(n)/
     * union(b1, b2, ...)/choose(<pred>, b1, b2)/coalesce(b1, b2, ...)`
     * (branch bodies are dot-chains of the traversal-extending steps),
     * optionally terminated by `path()` (default), `ids()`,
@@ -556,12 +609,18 @@ object Traversal {
       case ("sample", n) :: tl if n.matches("\\d+") =>
         t = t.sample(n.toInt); loop(tl)
       case ("as", a) :: tl          => t = t.as(label(a)); loop(tl)
+      case ("repeat", b) :: ("until", p) :: ("emit", "") :: ("times", n) :: tl
+          if n.matches("\\d+") =>
+        t = t.repeatUntilEmit(branchFn(b), pred(p), n.toInt); loop(tl)
       case ("repeat", b) :: ("until", p) :: ("times", n) :: tl
           if n.matches("\\d+") =>
         t = t.repeatUntil(branchFn(b), pred(p), n.toInt); loop(tl)
       case ("repeat", b) :: ("emit", "") :: ("times", n) :: tl
           if n.matches("\\d+") =>
         t = t.repeatEmit(branchFn(b), n.toInt); loop(tl)
+      case ("emit", "") :: ("repeat", b) :: ("times", n) :: tl
+          if n.matches("\\d+") =>
+        t = t.emitRepeat(branchFn(b), n.toInt); loop(tl)
       case ("union", a) :: tl =>
         t = t.union(splitTop(a).map(branchFn): _*); loop(tl)
       case ("choose", a) :: tl =>

@@ -14,6 +14,63 @@ import org.apache.spark.sql.functions._
 object GraphOps extends OpModule {
   import GraphSql.withGraph
 
+  /** One-region robustness subgraph shared by the biconnectivity keys:
+    * region 3, its nations, and their customers/suppliers, over the
+    * in_region/in_nation/colocated labels — connected by construction
+    * (every member reaches the region through its hierarchy), cyclic
+    * through the customer–supplier–nation colocated triangles, and the
+    * natural SHARD for cut-vertex/bridge analysis (robustness questions
+    * are per-component; at 100 TB each region/CC shard runs this
+    * independently). Returns canonical undirected pairs (a < b). */
+  private def robustPairs(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    val g = GraphFixture(s, dir)
+    val nations = g.edges
+      .filter(col("label") === "in_region" && col("dst") === RobustRoot)
+      .select(col("src").as("id"))
+    val members = g.edges.filter(col("label") === "in_nation")
+      .join(nations.withColumnRenamed("id", "dst"), Seq("dst"), "left_semi")
+      .select(col("src").as("id"))
+    val vs = g.vertices.filter(col("id") === RobustRoot).select("id")
+      .unionAll(nations).unionAll(members)
+    g.edges.filter(col("label").isin("in_region", "in_nation", "colocated"))
+      .join(vs.withColumnRenamed("id", "src"), Seq("src"), "left_semi")
+      .join(vs.withColumnRenamed("id", "dst"), Seq("dst"), "left_semi")
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .distinct()
+  }
+
+  // Region key 3: the one region whose colocated triangles exist at EVERY
+  // fixture SF (sf0.001 has colocated edges only in regions 3 and 4), so
+  // the subgraph always carries both cut and non-cut structure.
+  private val RobustRoot = GraphFixture.B + 3
+
+  // Biconnectivity runs once per (session, dir): both keys read the same
+  // Tarjan–Vishkin pass (graph/Biconnect.scala), so memoize the pair.
+  private val biconnMemo = new graft.SessionMemo[String,
+    (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame)]
+  private def biconn(s: org.apache.spark.sql.SparkSession, dir: String) =
+    biconnMemo.getOrElseUpdate(s, dir) {
+      graft.graph.Biconnect(robustPairs(s, dir), RobustRoot)
+    }
+
+  /** Shared oracle CTEs for the robustness subgraph: vsub/esub/usub mirror
+    * [[robustPairs]] exactly (esub canonical a < b, usub both directions). */
+  private val robustSql = s"""nat AS (SELECT src AS id FROM edges
+      WHERE label = 'in_region' AND dst = $RobustRoot),
+    mem AS (SELECT e.src AS id FROM edges e JOIN nat n ON n.id = e.dst
+      WHERE e.label = 'in_nation'),
+    vsub AS MATERIALIZED (SELECT CAST($RobustRoot AS BIGINT) AS id
+      UNION ALL SELECT id FROM nat UNION ALL SELECT id FROM mem),
+    esub AS MATERIALIZED (SELECT LEAST(e.src, e.dst) AS a,
+        GREATEST(e.src, e.dst) AS b
+      FROM edges e JOIN vsub x ON x.id = e.src JOIN vsub y ON y.id = e.dst
+      WHERE e.label IN ('in_region', 'in_nation', 'colocated')
+      GROUP BY 1, 2),
+    usub AS MATERIALIZED (SELECT a, b FROM esub
+      UNION ALL SELECT b, a FROM esub)"""
+
   def ops: Seq[Op] = Seq(
 
     // Construction summary: counts per label over both element kinds —
@@ -367,6 +424,62 @@ object GraphOps extends OpModule {
             WHERE id NOT IN (SELECT dst FROM edges)
             UNION
             SELECT e.dst, lp.d + 1 FROM lp JOIN edges e ON e.src = lp.id)""",
+        recursive = true))),
+
+    // BRIDGES of the one-region robustness subgraph (see robustPairs):
+    // cut edges whose removal disconnects the component — the edge half of
+    // biconnectivity, next to graph_scc/graph_condensation in the
+    // robustness family. Spark side is the Tarjan–Vishkin BSP machinery
+    // (graph/Biconnect.scala): BFS tree + preorder-interval low/high — a
+    // tree edge is a bridge iff no non-tree edge leaves its subtree. The
+    // oracle is DEFINITIONAL and algorithm-independent: per edge, flood
+    // from one endpoint in G − that edge and test whether the other
+    // endpoint is reached (state is |esub|·|vsub|, fine at oracle SF and
+    // exactly the kind of check the distributed side could never ship).
+    Op("graph_bridges",
+      (s, dir) => biconn(s, dir)._1.orderBy("a", "b"),
+      Some(withGraph(
+        """SELECT e.a, e.b FROM esub e WHERE NOT EXISTS (
+            SELECT 1 FROM br r WHERE r.ea = e.a AND r.eb = e.b AND r.v = e.b)
+          ORDER BY 1, 2""",
+        extra = robustSql + """,
+          br(ea, eb, v) AS (
+            SELECT a, b, a FROM esub
+            UNION
+            SELECT r.ea, r.eb, u.b FROM br r JOIN usub u ON u.a = r.v
+            WHERE NOT (LEAST(u.a, u.b) = r.ea
+              AND GREATEST(u.a, u.b) = r.eb))""",
+        recursive = true))),
+
+    // ARTICULATION POINTS of the same subgraph — the vertex half: cut
+    // vertices whose removal disconnects the component. Spark side reads
+    // the same Tarjan–Vishkin pass: biconnected components are the CCs of
+    // the auxiliary graph on tree edges, and v is a cut vertex iff its
+    // tree edge and some child's tree edge land in different components
+    // (root: ≥ 2 children's components). Oracle again definitional: per
+    // vertex w, flood from w's least neighbor in G − w; w is articulation
+    // iff the flood covers fewer than |vsub| − 1 vertices.
+    Op("graph_articulation",
+      (s, dir) => {
+        val g = GraphFixture(s, dir)
+        biconn(s, dir)._2
+          .join(g.vertices.select("id", "label"), "id")
+          .orderBy("id")
+      },
+      Some(withGraph(
+        """SELECT d.id, v.label FROM deg d
+          JOIN cnt c ON c.w = d.id
+          JOIN vertices v ON v.id = d.id
+          WHERE c.n < (SELECT COUNT(*) FROM vsub) - 1
+          ORDER BY 1""",
+        extra = robustSql + """,
+          deg AS (SELECT a AS id, MIN(b) AS seed FROM usub GROUP BY 1),
+          ra(w, v) AS (
+            SELECT id, seed FROM deg
+            UNION
+            SELECT r.w, u.b FROM ra r JOIN usub u ON u.a = r.v
+            WHERE u.b <> r.w),
+          cnt AS (SELECT w, COUNT(*) AS n FROM ra GROUP BY 1)""",
         recursive = true))),
 
     // INCREMENTAL CC maintenance: the 'did' edges (user→event — the
@@ -903,6 +1016,60 @@ object GraphOps extends OpModule {
           n2 AS (SELECT e.dst AS h, SUM(f.cnt) AS cnt FROM n1 f
             JOIN edges e ON e.src = f.h GROUP BY 1),
           n3 AS (SELECT e.dst AS h, SUM(f.cnt) AS cnt FROM n2 f
+            JOIN edges e ON e.src = f.h GROUP BY 1),
+          folded AS (SELECT h, SUM(cnt) AS cnt FROM (
+            SELECT * FROM n1 UNION ALL SELECT * FROM n2
+            UNION ALL SELECT * FROM n3) em GROUP BY 1)"""))),
+
+    // emit().repeat() loop step — the PRE-emit placement TinkerPop users
+    // reach for when the start position belongs in the result: emit fires
+    // at the top of each iteration, so results span depths 0..3 (the
+    // post-emit key above spans 1..3; with a bare times() guard the two
+    // differ by exactly the depth-0 frame, and the oracle says so: same
+    // unrolled levels plus f0 in the union).
+    Op("graph_traversal_emit_pre",
+      (s, dir) => GraphFixture(s, dir).traverse(
+        "V(label='customer').emit().repeat(out()).times(3).groupCount().by('label')"),
+      Some(withGraph("""SELECT v.label, CAST(SUM(f.cnt) AS BIGINT) AS n_walks
+          FROM folded f JOIN vertices v ON v.id = f.h
+          GROUP BY 1 ORDER BY 1""",
+        extra = """f0 AS (SELECT id AS h, CAST(1 AS BIGINT) AS cnt
+            FROM vertices WHERE label = 'customer'),
+          n1 AS (SELECT e.dst AS h, SUM(f.cnt) AS cnt FROM f0 f
+            JOIN edges e ON e.src = f.h GROUP BY 1),
+          n2 AS (SELECT e.dst AS h, SUM(f.cnt) AS cnt FROM n1 f
+            JOIN edges e ON e.src = f.h GROUP BY 1),
+          n3 AS (SELECT e.dst AS h, SUM(f.cnt) AS cnt FROM n2 f
+            JOIN edges e ON e.src = f.h GROUP BY 1),
+          folded AS (SELECT h, SUM(cnt) AS cnt FROM (
+            SELECT * FROM f0 UNION ALL SELECT * FROM n1
+            UNION ALL SELECT * FROM n2
+            UNION ALL SELECT * FROM n3) em GROUP BY 1)"""))),
+
+    // repeat().until().emit() — the combined loop form: region heads EXIT
+    // the loop (until), and every position a still-looping walk passes
+    // through is also released (emit). Per level the exit set ∪ continue
+    // set is the whole post-body frame, so the oracle unions each level's
+    // FULL frame while feeding only the non-region side forward — walks
+    // contribute once per level reached, exits stop contributing past
+    // their exit level (until fires before emit: no double release).
+    Op("graph_traversal_until_emit",
+      (s, dir) => GraphFixture(s, dir).traverse(
+        "V(label='order').repeat(out()).until(label='region').emit().times(3).groupCount().by('label')"),
+      Some(withGraph("""SELECT v.label, CAST(SUM(f.cnt) AS BIGINT) AS n_walks
+          FROM folded f JOIN vertices v ON v.id = f.h
+          GROUP BY 1 ORDER BY 1""",
+        extra = """f0 AS (SELECT id AS h, CAST(1 AS BIGINT) AS cnt
+            FROM vertices WHERE label = 'order'),
+          n1 AS (SELECT e.dst AS h, SUM(f.cnt) AS cnt FROM f0 f
+            JOIN edges e ON e.src = f.h GROUP BY 1),
+          c1 AS (SELECT n.h, n.cnt FROM n1 n JOIN vertices v ON v.id = n.h
+            WHERE NOT v.label = 'region'),
+          n2 AS (SELECT e.dst AS h, SUM(f.cnt) AS cnt FROM c1 f
+            JOIN edges e ON e.src = f.h GROUP BY 1),
+          c2 AS (SELECT n.h, n.cnt FROM n2 n JOIN vertices v ON v.id = n.h
+            WHERE NOT v.label = 'region'),
+          n3 AS (SELECT e.dst AS h, SUM(f.cnt) AS cnt FROM c2 f
             JOIN edges e ON e.src = f.h GROUP BY 1),
           folded AS (SELECT h, SUM(cnt) AS cnt FROM (
             SELECT * FROM n1 UNION ALL SELECT * FROM n2

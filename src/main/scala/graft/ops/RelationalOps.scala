@@ -40,6 +40,20 @@ object RelationalOps extends OpModule {
       (lt, ot)
     }
 
+  /** The sink_parquet write path (factored so ContractSpec can certify the
+    * in-file sort order, which isn't oracle-able): orders clustered by the
+    * partition column, key-sorted within writer tasks, written
+    * status-partitioned. Returns the output directory. */
+  private[graft] def sinkOrders(s: org.apache.spark.sql.SparkSession,
+      dir: String): String = {
+    val out = graft.Staging.fresh("sink-parquet")
+    Tables(s, dir, "orders")
+      .repartition(col("o_orderstatus"))
+      .sortWithinPartitions("o_orderkey")
+      .write.mode("overwrite").partitionBy("o_orderstatus").parquet(out)
+    out
+  }
+
   def ops: Seq[Op] = Seq(
 
     Op("scan_parquet",
@@ -53,6 +67,40 @@ object RelationalOps extends OpModule {
       Some("""SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
         WHERE l_shipdate < TIMESTAMP '1996-01-01'
         ORDER BY ALL""")),
+
+    // The write side of the source/sink pair: a partitioned, clustered,
+    // sorted parquet sink, then certified by reading the files back.
+    // Layout choices are the ones a 100 TB curation job needs: repartition
+    // BY the partition column before partitionBy (otherwise every task
+    // holds every status and the sink emits tasks × statuses small files —
+    // the graph_export round-4 lesson), and sortWithinPartitions on the
+    // scan key so parquet row-group min/max statistics make downstream
+    // key-range scans prunable. With the clustering, each status lands
+    // wholly in one writer task → exactly ONE file per partition
+    // directory; n_files (distinct input_file_name per status on the
+    // read-back) certifies that layout, and the decimal-exact per-status
+    // checksums certify round-trip fidelity. In-file sort order is
+    // certified separately in ContractSpec (scan order isn't part of the
+    // oracle-able result).
+    Op("sink_parquet",
+      (s, dir) => {
+        val out = sinkOrders(s, dir)
+        s.read.parquet(out)
+          // nondeterministic exprs can't sit inside an aggregate — bind
+          // the file name as a projected attribute first
+          .withColumn("fname", input_file_name())
+          .groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("n"),
+            graft.num.dsum(col("o_totalprice")).as("sum_price"),
+            min("o_orderkey").as("min_key"), max("o_orderkey").as("max_key"),
+            countDistinct(col("fname")).as("n_files"))
+          .orderBy("o_orderstatus")
+      },
+      Some(s"""SELECT o_orderstatus, COUNT(*) AS n,
+        ${graft.num.DSUM("o_totalprice")} AS sum_price,
+        MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key,
+        CAST(1 AS BIGINT) AS n_files
+        FROM orders GROUP BY 1 ORDER BY 1""")),
 
     Op("project_rename",
       (s, dir) => Tables(s, dir, "part")

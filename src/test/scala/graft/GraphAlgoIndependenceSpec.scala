@@ -615,4 +615,81 @@ class GraphAlgoIndependenceSpec extends AnyFunSuite {
     assert(want.values.exists(w => w.toSet.size >= 3),
       "all walks bounce on one edge — degenerate adjacency")
   }
+
+  test("graph_bridges/graph_articulation: Hopcroft–Tarjan recomputation") {
+    // Semantics under test (GraphOps.robustPairs + graph/Biconnect.scala's
+    // Tarjan–Vishkin pass): the one-region robustness subgraph's cut edges
+    // and cut vertices. Recomputed here with the CLASSIC sequential
+    // algorithm the distributed side deliberately avoids — an iterative
+    // Hopcroft–Tarjan DFS (disc/low arrays) over the subgraph rebuilt from
+    // the raw labeled edge rows. Three independent computations must now
+    // agree: BFS-tree interval algebra (Spark), per-removal flooding
+    // (DuckDB oracle), and DFS low-link (here).
+    val root = 1000000000003L // region key 3 (colocated cycles at every SF)
+    val labeled = g.edges.select("src", "dst", "label").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
+    val nations = labeled.collect {
+      case (s, d, "in_region") if d == root => s }.toSet
+    val memb = labeled.collect {
+      case (s, d, "in_nation") if nations(d) => s }.toSet
+    val vs = memb ++ nations + root
+    val keep = Set("in_region", "in_nation", "colocated")
+    val pairs = labeled.collect {
+      case (s, d, l) if keep(l) && vs(s) && vs(d) =>
+        (math.min(s, d), math.max(s, d)) }.toSet
+    val adj = new mutable.HashMap[Long, mutable.ArrayBuffer[Long]]
+    pairs.foreach { case (a, b) =>
+      adj.getOrElseUpdate(a, new mutable.ArrayBuffer) += b
+      adj.getOrElseUpdate(b, new mutable.ArrayBuffer) += a
+    }
+    val disc = new mutable.HashMap[Long, Int]
+    val low = new mutable.HashMap[Long, Int]
+    var timer = 0
+    val artic = new mutable.HashSet[Long]
+    val bridges = new mutable.HashSet[(Long, Long)]
+    var rootChildren = 0
+    disc(root) = timer; low(root) = timer; timer += 1
+    val stack = new mutable.Stack[(Long, Long, Iterator[Long])]
+    stack.push((root, -1L, adj(root).iterator))
+    while (stack.nonEmpty) {
+      val (v, p, it) = stack.top
+      if (it.hasNext) {
+        val w = it.next()
+        if (w != p) {
+          if (disc.contains(w)) low(v) = math.min(low(v), disc(w))
+          else {
+            disc(w) = timer; low(w) = timer; timer += 1
+            if (v == root) rootChildren += 1
+            stack.push((w, v, adj(w).iterator))
+          }
+        }
+      } else {
+        stack.pop()
+        if (p != -1L) {
+          low(p) = math.min(low(p), low(v))
+          if (low(v) > disc(p))
+            bridges += ((math.min(v, p), math.max(v, p)))
+          if (p != root && low(v) >= disc(p)) artic += p
+        }
+      }
+    }
+    if (rootChildren >= 2) artic += root
+    assert(disc.size == vs.size,
+      s"subgraph not connected: DFS saw ${disc.size} of ${vs.size}")
+
+    val gotBridges = SparkEntry.queries("graph_bridges")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val gotArtic = SparkEntry.queries("graph_articulation")(spark, sf)
+      .collect().map(_.getLong(0)).toSet
+    assert(gotBridges == bridges,
+      s"bridges differ: extra=${gotBridges -- bridges} missing=${bridges -- gotBridges}")
+    assert(gotArtic == artic,
+      s"articulation differs: extra=${gotArtic -- artic} missing=${artic -- gotArtic}")
+    // non-vacuous: both cut kinds present, and both NON-cut kinds too
+    // (some edge on a cycle; some degree-≥2 vertex that isn't a cut)
+    assert(bridges.nonEmpty && artic.nonEmpty, "degenerate: no cuts found")
+    assert((pairs -- bridges).nonEmpty, "every edge is a bridge — no cycles")
+    val deg2NonArt = vs.filter(v => adj(v).size >= 2 && !artic(v))
+    assert(deg2NonArt.nonEmpty, "every internal vertex is an articulation")
+  }
 }

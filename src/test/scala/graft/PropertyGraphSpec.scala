@@ -387,6 +387,50 @@ class PropertyGraphSpec extends AnyFunSuite {
       g.V(lit(true)).repeatEmit(_.out().simplePath(), 2))
   }
 
+  test("traversal DSL: emit().repeat() pre-emit and until().emit(), fluent ≡ parsed") {
+    // pre-emit: fluent ≡ parsed (and the parser must NOT textually unroll
+    // the repeat — that would silently drop the per-depth emits)
+    val pf = g.V(col("label") === "customer").emitRepeat(_.out(), 3)
+      .groupCount("label")
+    val pp = g.traverse("V(label='customer').emit().repeat(out())" +
+      ".times(3).groupCount().by('label')")
+    assert(pf.collect().map(_.toString).sorted.toSeq ==
+      pp.collect().map(_.toString).sorted.toSeq)
+    // pre-emit ≡ post-emit + the depth-0 start frame (times-only guard)
+    val preTotal = g.V(col("label") === "customer").emitRepeat(_.out(), 3)
+      .count().head.getLong(0)
+    val postTotal = g.V(col("label") === "customer").repeatEmit(_.out(), 3)
+      .count().head.getLong(0)
+    val starts = g.V(col("label") === "customer").count().head.getLong(0)
+    assert(preTotal == postTotal + starts && starts > 0,
+      s"pre-emit $preTotal != post-emit $postTotal + starts $starts")
+
+    // until().emit(): fluent ≡ parsed
+    val uef = g.V(col("label") === "order")
+      .repeatUntilEmit(_.out(), col("label") === "region", 3)
+      .groupCount("label")
+    val uep = g.traverse("V(label='order').repeat(out())" +
+      ".until(label='region').emit().times(3).groupCount().by('label')")
+    assert(uef.collect().map(_.toString).sorted.toSeq ==
+      uep.collect().map(_.toString).sorted.toSeq)
+    // a pred that never fires ≡ plain post-emit accumulate
+    val nf = g.V(col("label") === "order")
+      .repeatUntilEmit(_.out(), col("label") === "no_such_label", 3)
+      .groupCount("label")
+    val plainEmit = g.V(col("label") === "order").repeatEmit(_.out(), 3)
+      .groupCount("label")
+    assert(nf.collect().map(_.toString).sorted.toSeq ==
+      plainEmit.collect().map(_.toString).sorted.toSeq)
+    // a pred that always fires ≡ exactly one body application (every walk
+    // exits at level 1; nothing loops, nothing further is emitted)
+    val af = g.V(col("label") === "order")
+      .repeatUntilEmit(_.out(), lit(true), 3).groupCount("label")
+    val one = g.V(col("label") === "order").repeat(_.out(), 1)
+      .groupCount("label")
+    assert(af.collect().map(_.toString).sorted.toSeq ==
+      one.collect().map(_.toString).sorted.toSeq)
+  }
+
   test("traversal DSL: repeat().times() — parser unrolling ≡ fluent fold") {
     val viaParser = g.traverse(
       "V(label='customer').repeat(both('in_nation')).times(2).simplePath().count()")
