@@ -32,7 +32,17 @@ object Bench {
     * consumer key in map order. Shared by Bench and ScaleBench (where the
     * warmup itself is TIMED: at 10× these builds are the ingest cost a
     * deployment pays once per load, and measuring them is half the point). */
-  def warmup(spark: SparkSession, sfDir: String): Unit = {
+  def warmup(spark: SparkSession, sfDir: String,
+      log: (String, Double) => Unit = (_, _) => ()): Unit = {
+    // `log` receives (artifact-stage name, seconds) per ingest artifact —
+    // ScaleBench's skew mode reports the breakdown (artifact builds are
+    // where data-shape pathologies land first; the bench keys then read
+    // stored state and can look deceptively flat).
+    def stage(name: String)(body: => Any): Unit = {
+      val t0 = System.nanoTime()
+      body
+      log(name, (System.nanoTime() - t0) / 1e9)
+    }
     spark.read.parquet(s"$sfDir/region.parquet").count()
     // Ingest-time artifacts, built before the timing loop: the property
     // graph (vertex/edge caches + the GraphX view) and the shared
@@ -43,20 +53,27 @@ object Bench {
     // map ordering happens to run first.
     try {
       val g = graft.graph.GraphFixture(spark, sfDir)
-      g.vertices.count(); g.edges.count()
-      g.toGraphX.edges.count()
+      stage("graph_build") {
+        g.vertices.count(); g.edges.count()
+        g.toGraphX.edges.count()
+      }
       // One tiny Pregel round: edges.count() alone materializes the edge RDD
       // but NOT the vertex routing tables GraphX builds lazily on first
       // message exchange — without this the first Pregel-backed key in map
       // order pays routing-table build + Pregel JIT (driver round-2 run:
       // graph_pregel 37.6 s vs 2.5 s steady-state).
-      g.varHop(g.vertices.limit(1), 1).count()
-      g.undirectedEdges.count() // shared by triangles / k-core
-      g.orientedEdges.count()   // stored triangle/wedge index
-      g.triangleCounts.count()  // stored corner counts (triangles/clustering)
-      g.undByA.count()          // stored message-passing index (labelprop)
-      g.neighborLists.count()   // stored adjacency-list index (delta triangles)
-      g.truss3.count()          // stored 3-truss labeling (r9)
+      stage("pregel_routing") { g.varHop(g.vertices.limit(1), 1).count() }
+      stage("und_oriented_edges") {
+        g.undirectedEdges.count() // shared by triangles / k-core
+        g.orientedEdges.count()   // stored triangle/wedge index
+      }
+      // stored corner counts (triangles/clustering)
+      stage("triangle_counts") { g.triangleCounts.count() }
+      // stored message-passing index (labelprop)
+      stage("und_by_a") { g.undByA.count() }
+      // stored adjacency-list index (delta triangles)
+      stage("neighbor_lists") { g.neighborLists.count() }
+      stage("truss3") { g.truss3.count() } // stored 3-truss labeling (r9)
       // Stored label-propagation labeling (lp3), like triangleCounts an
       // ingest-time analytics artifact: labelprop + modularity consume it.
       // Unwarmed, its build lands on whichever consumer runs first in map
@@ -64,7 +81,7 @@ object Bench {
       // variance (measured 5 s typical, 43-93 s when a G1 storm lands on
       // the 3-iteration checkpoint chain; graph_modularity's first run hit
       // 93.5 s in the round-6 local bench while its steady state is 2.5 s).
-      g.lp3.count()
+      stage("lp3") { g.lp3.count() }
       // JIT-warm the GraphX ConnectedComponents code path on a 2-edge toy
       // graph (it is distinct from Pregel's and cost ~3 s of first-touch
       // class-loading on whichever CC-backed key ran first).
@@ -79,51 +96,74 @@ object Bench {
       // GraphX fixed point (driver r7: 4.8 s) lands on whichever CC key
       // map order runs first. Same for the visible-subgraph twin (its own
       // GraphX fixed point on the trimmed stored view).
-      g.connectedComponents.count()
-      g.visibleView.connectedComponents.count()
+      stage("cc_labeling") {
+        g.connectedComponents.count()
+        g.visibleView.connectedComponents.count()
+      }
       // Stored SCC labeling on the symmetrized directed view (its own
       // GraphX build + peel loop — the condensation index a deployment
       // stores next to the undirected CC labeling).
-      graft.graph.GraphFixture.sccView(spark, sfDir)
-        .stronglyConnectedComponents.count()
-      SparkEntry.queries("sim_topk")(spark, sfDir).count() // embeddings views
+      stage("scc_labeling") {
+        graft.graph.GraphFixture.sccView(spark, sfDir)
+          .stronglyConnectedComponents.count()
+      }
+      // embeddings views
+      stage("ann_views") { SparkEntry.queries("sim_topk")(spark, sfDir).count() }
       // The four ANN pipeline result views (simtopk/simknn/simmt/simivf —
       // including the r7 trained-k-means IVF: Lloyd rounds + assignment
       // table are ingest-time artifacts). sim_recall reads all four, so one
       // warmup call builds every ANN artifact (driver r7: sim_recall
       // 6.3 s first / 1.4 s steady, sim_ivf 0.14 s once trained).
-      SparkEntry.queries("sim_recall")(spark, sfDir).count()
+      stage("ann_recall_views") {
+        SparkEntry.queries("sim_recall")(spark, sfDir).count()
+      }
       // Betweenness BFS/backward level chain and the eccentricity level
       // chain (Views.checkpointed per (session, dir) — stored multi-source
       // BSP levels).
-      SparkEntry.queries("graph_betweenness")(spark, sfDir).count()
-      SparkEntry.queries("graph_eccentricity")(spark, sfDir).count()
+      stage("betweenness_levels") {
+        SparkEntry.queries("graph_betweenness")(spark, sfDir).count()
+      }
+      stage("eccentricity_levels") {
+        SparkEntry.queries("graph_eccentricity")(spark, sfDir).count()
+      }
       // Documents-table scan + the nested higher-order-function codegen
       // text_repetition compiles (driver r7: 21.5 s first / 2.0 s steady —
       // cold parquet + whole-stage compile of transform/slice chains).
-      SparkEntry.queries("text_repetition")(spark, sfDir).count()
+      stage("text_repetition_codegen") {
+        SparkEntry.queries("text_repetition")(spark, sfDir).count()
+      }
       // Constructing join_bucketed writes the bucketed fact tables (the
       // ingest-time layout); counting it also JIT-warms the zero-exchange
       // join path.
-      SparkEntry.queries("join_bucketed")(spark, sfDir).count()
+      stage("bucketed_layout") {
+        SparkEntry.queries("join_bucketed")(spark, sfDir).count()
+      }
       // The memoized LSH pair index (shared by dedup_minhash/cluster/
       // lsh_curve/stats) and the incremental-triangles delta memo — both
       // session artifacts a deployment stores (r8: their builds were
       // landing on whichever consumer ran first, 3.1-3.2 s each).
-      SparkEntry.queries("dedup_cluster")(spark, sfDir).count()
-      SparkEntry.queries("graph_triangles_incremental")(spark, sfDir).count()
+      stage("lsh_pair_index") {
+        SparkEntry.queries("dedup_cluster")(spark, sfDir).count()
+      }
+      stage("delta_triangle_memo") {
+        SparkEntry.queries("graph_triangles_incremental")(spark, sfDir).count()
+      }
       // The streaming maintenance keys' first runs pay their staged-source
       // writes (ingest layout) plus the structured-streaming machinery's
       // first-touch JIT (~6 s of minhash's 11.5 s first run; cc_maintain
       // ~4 s of 6.6 s). The maintenance queries themselves re-execute
       // fully on every timed run — only source staging and class-loading
       // are warmed here.
-      SparkEntry.queries("stream_minhash_maintain")(spark, sfDir).count()
-      SparkEntry.queries("stream_cc_maintain")(spark, sfDir).count()
+      stage("stream_staging") {
+        SparkEntry.queries("stream_minhash_maintain")(spark, sfDir).count()
+        SparkEntry.queries("stream_cc_maintain")(spark, sfDir).count()
+      }
       // The BPE merge table + retokenized stream (r9): a trained tokenizer
       // is the canonical ingest-time artifact of a training-data pipeline;
       // the two bpe keys share it via the TextOps memo.
-      SparkEntry.queries("text_bpe_train")(spark, sfDir).count()
+      stage("bpe_train") {
+        SparkEntry.queries("text_bpe_train")(spark, sfDir).count()
+      }
     } catch { // a broken warmup must not kill the bench, but say so loudly —
       // silently skipping re-charges one-time ingest to the first graph key
       case scala.util.control.NonFatal(e) =>

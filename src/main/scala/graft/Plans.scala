@@ -26,7 +26,9 @@ object Plans {
     "graph_traversal_choose", "corpus_mix", "graph_mutation_api",
     "graph_eccentricity", "graph_scc", "graph_traversal_until",
     "graph_traversal_emit", "graph_ktruss", "graph_random_walk",
-    "text_bpe_train", "text_bpe_apply", "graph_traversal_sample")
+    "text_bpe_train", "text_bpe_apply", "graph_traversal_sample",
+    "sink_parquet", "graph_traversal_emit_pre", "graph_traversal_until_emit",
+    "graph_bridges", "graph_articulation")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -68,6 +68,85 @@ object ScaleBench {
     "agg_group", "join_inner", "join_broadcast", "win_rank",
     "topk_per_group")
 
+  /** Keys re-measured under the SKEW overlay (r9 verdict "next #1"): the
+    * skew-sensitive families — wedge/intersection analytics, traversal
+    * folds, LSH/candidate dedup, per-key windows, hot-group aggregation —
+    * plus linear sanity rows. Ratio reported is skew/uniform at the SAME
+    * volume, so 1.0 = the key is distribution-indifferent. */
+  val SkewKeys: Seq[String] = Seq(
+    "graph_triangles", "graph_motif", "graph_ktruss", "graph_kcore",
+    "graph_degree", "graph_traversal_until", "graph_traversal_emit",
+    "graph_cc", "graph_pagerank",
+    "dedup_minhash", "dedup_cluster", "stream_minhash_maintain",
+    "sim_knn_join", "corpus_mix", "text_stats", "win_sessionize",
+    "agg_group", "join_inner", "join_salted")
+
+  /** Canonical planted-duplicate text for the skew overlay (dedup keys):
+    * long enough to shingle, constant so every planted doc lands in the
+    * same LSH band buckets — the classic giant-bucket skew bomb, bounded
+    * at 2% of the corpus. */
+  private val DupText: String =
+    Seq.fill(12)("the quick onyx goblin jumps over the lazy dwarf")
+      .mkString(" ")
+
+  /** Power-law overlay applied AFTER the replica union (1:1 row-for-row,
+    * schema-preserving, deterministic — a hash coin per row). The uniform
+    * blow-up is K disjoint near-identical shards; real 100 TB corpora are
+    * power-law, so this mode rewires a fraction of foreign keys onto a
+    * 1%-sized hub set and concentrates documents onto one hot language:
+    *   - orders: 15% of o_custkey onto customer 1 (the Zipf head) + 35%
+    *     onto customers 1..150 (the 1% hub tail) — 'by'-edge hubs
+    *     CROSSING replicas (hubs ignore shard boundaries);
+    *   - lineitem: 10% of l_partkey onto part 1 + 40% onto parts 1..200 —
+    *     'contains'/'supplied_by' hubs, the wedge stressor for
+    *     triangles/truss;
+    *   - events: 15% of user_id onto user 1 + 35% onto users 1..100 —
+    *     hot session/window partitions and 'did'-edge hubs;
+    *   - documents: ~90% lang → 'en' (one hot aggregation group), and 2%
+    *     of texts replaced by one canonical paragraph (one giant minhash
+    *     bucket / exact-dup clique);
+    *   - embeddings: 2% of vectors set identical (one dense ANN cell).
+    * Hub keys are replica-0 keys, which exist in every blown-up dim. */
+  def skewize(df: DataFrame, table: String): DataFrame = {
+    def coin(seed: Int, cols: Column*): Column =
+      pmod(hash((cols :+ lit(seed)): _*), lit(100))
+    // Zipf head + hub tail: a TRUE power law has a dominant first key, and
+    // partition-level skew (what AQE's skew split and salting exist for)
+    // only materializes when one key dwarfs the hash-partition median —
+    // 150 equal hubs spread ~5 per shuffle partition and cancel out.
+    def hubbed(seed: Int, coinCols: Seq[Column], key: Column, hubs: Int,
+        headPct: Int, tailPct: Int): Column =
+      when(coin(seed, coinCols: _*) < headPct, lit(1))
+        .when(coin(seed, coinCols: _*) < headPct + tailPct,
+          pmod(key, lit(hubs)) + 1)
+        .otherwise(key)
+    table match {
+      case "orders" => df.withColumn("o_custkey",
+        hubbed(1, Seq(col("o_orderkey")), col("o_custkey"), 150, 15, 35)
+          .cast(df.schema("o_custkey").dataType))
+      case "lineitem" => df.withColumn("l_partkey",
+        hubbed(2, Seq(col("l_orderkey"), col("l_linenumber")),
+          col("l_partkey"), 200, 10, 40)
+          .cast(df.schema("l_partkey").dataType))
+      case "events" => df.withColumn("user_id",
+        hubbed(3, Seq(col("event_id")), col("user_id"), 100, 15, 35)
+          .cast(df.schema("user_id").dataType))
+      case "documents" =>
+        val dup = coin(5, col("doc_id")) < 2
+        df.withColumn("lang",
+            when(coin(4, col("doc_id")) < 90, lit("en"))
+              .otherwise(col("lang")))
+          .withColumn("text", when(dup, lit(DupText)).otherwise(col("text")))
+          .withColumn("n_chars", when(dup, lit(DupText.length.toLong))
+            .otherwise(col("n_chars")))
+      case "embeddings" => df.withColumn("embedding",
+        when(coin(6, col("vec_id")) < 2,
+          transform(col("embedding"), _ => lit(0.25f)))
+          .otherwise(col("embedding")))
+      case _ => df
+    }
+  }
+
   private val Shift = 10000000L // per-replica entity-key shift (≡ 0 mod 10)
 
   /** Per-replica transform of one base table (r = 0 is the identity). */
@@ -110,17 +189,73 @@ object ScaleBench {
     steps.foldLeft(df)((d, f) => f(d))
   }
 
-  /** Write the K× blow-up of `base` into `out`; returns seconds spent. */
-  def build(spark: SparkSession, base: String, out: String, k: Int): Double = {
+  /** Write the K× blow-up of `base` into `out` (each table optionally
+    * post-mapped through `xform`, e.g. [[skewize]]); returns seconds. */
+  def build(spark: SparkSession, base: String, out: String, k: Int,
+      xform: (DataFrame, String) => DataFrame = (d, _) => d): Double = {
     val t0 = System.nanoTime()
     for (t <- Tables.names) {
       val b = Tables(spark, base, t)
-      val big = (0 until k).map(replica(b, t, _)).reduce(_ unionByName _)
+      val big = xform(
+        (0 until k).map(replica(b, t, _)).reduce(_ unionByName _), t)
       big.write.mode("overwrite").parquet(s"$out/$t.parquet")
       val (nb, ns) = (b.count(), spark.read.parquet(s"$out/$t.parquet").count())
       require(ns == k * nb, s"$t: scaled rows $ns != $k x $nb")
     }
     (System.nanoTime() - t0) / 1e9
+  }
+
+  /** Does Spark's AQE skew-join split actually ENGAGE on the overlay's hot
+    * keys? Under default thresholds (256 MB skewed-partition floor) an
+    * MB-scale bench can never trip it, so this probe answers the design
+    * question at bench scale by lowering the thresholds to it: run the
+    * hub-skewed orders⨝customer as a shuffle join (broadcast off — the
+    * dim would otherwise broadcast and dodge the skew entirely) and read
+    * the executed plan for the `skew=true` marker AQE stamps on split
+    * SMJs. Configs are restored afterward. Returns (engaged, inflation):
+    * whether the marker appeared, and the hot key's partition-row share
+    * that justified it. */
+  def aqeSkewProbe(spark: SparkSession, dir: String): (Boolean, Double) = {
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.forceOptimizeSkewedJoin",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes")
+      .map(k => k -> conf.getOption(k)).toMap
+    try {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      conf.set(
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16KB")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2.0")
+      // the split repartitions the join output; AQE vetoes that when a
+      // downstream stage wants the join's partitioning unless forced
+      conf.set("spark.sql.adaptive.forceOptimizeSkewedJoin", "true")
+      conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8KB")
+      val o = spark.read.parquet(s"$dir/orders.parquet")
+      val c = spark.read.parquet(s"$dir/customer.parquet")
+      // Two probe-shape lessons baked in: (a) carry PAYLOAD columns — a
+      // hot partition holding 18k copies of one pruned join key
+      // lz4-compresses to almost nothing, and AQE's skew detection reads
+      // COMPRESSED map-output bytes, so a payload-free probe measures 0
+      // skewed partitions over visibly skewed rows; (b) drive the action
+      // through THIS Dataset (collect(), not count(), which executes a
+      // separate QueryExecution) or executedPlan stays isFinalPlan=false
+      // and never shows AQE's decision.
+      val j = o.select("o_custkey", "o_orderkey", "o_totalprice",
+          "o_orderdate")
+        .join(c, o("o_custkey") === c("c_custkey")).groupBy("c_nationkey")
+        .agg(sum("o_totalprice").as("s"), count(lit(1)).as("n"))
+      j.collect()
+      val engaged = j.queryExecution.executedPlan.toString.contains("skew=true")
+      // hot-share evidence: fraction of join-side rows on the 1% hub set
+      val hot = o.filter(col("o_custkey") <= 150).count().toDouble /
+        o.count().toDouble
+      (engaged, hot)
+    } finally saved.foreach { case (k, v) =>
+      v.fold(conf.unset(k))(conf.set(k, _))
+    }
   }
 
   private def once(spark: SparkSession, dir: String, key: String): Double = {
@@ -163,7 +298,72 @@ object ScaleBench {
       "agg_group_partial_agg" -> agg.contains("partial"))
   }
 
+  /** Skew mode: `ScaleBench skew [baseDir] [K] [keys...]` — build the
+    * UNIFORM K× blow-up and the SKEWED one (same volume, [[skewize]]
+    * overlay), time the skew-sensitive keys on both in the same JVM, and
+    * report per-key skew/uniform inflation plus the AQE skew-split probe.
+    * Uniform runs first (same conservative-warmth argument as main). */
+  def skewMain(args: Array[String]): Unit = {
+    val base = args.headOption.getOrElse(
+      sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+    val k = args.drop(1).headOption.map(_.toInt).getOrElse(3)
+    val keys = if (args.length > 2) args.drop(2).toSeq else SkewKeys
+    val spark = Bench.session(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+    val outU = Staging.dir(s"scale-x$k")
+    val outS = Staging.dir(s"skew-x$k")
+    val tBuildU = build(spark, base, outU, k)
+    val tBuildS = build(spark, base, outS, k, skewize)
+    // INGEST is where data-shape pathologies land first (the stored
+    // artifacts — triangle counts, truss peel, LSH index — absorb the
+    // wedge/bucket explosions; the bench keys then read stored state and
+    // can look deceptively flat), so both warmups are TIMED with a
+    // per-artifact breakdown. The first run of this mode proved the
+    // point: the skew-side warmup ground silently for ~12 minutes while
+    // every per-key ratio came out under 1.
+    def timedWarm(dir: String): (Double, Seq[(String, Double)]) = {
+      val stages = scala.collection.mutable.ArrayBuffer[(String, Double)]()
+      val t0 = System.nanoTime()
+      Bench.warmup(spark, dir, (n, s) => stages += ((n, s)))
+      ((System.nanoTime() - t0) / 1e9, stages.toSeq)
+    }
+    val (ingestU, stagesU) = timedWarm(outU)
+    val (ingestS, stagesS) = timedWarm(outS)
+    // Kill phase-order bias before timing: the first run of this mode
+    // timed ALL uniform keys before ALL skew keys and global JVM warmth
+    // made most skew ratios come out < 1 on identical volume. One untimed
+    // pass per key per side first, then min-of-2 timing INTERLEAVED per
+    // key, so both sides see the same warmth.
+    keys.foreach { q => once(spark, outU, q); once(spark, outS, q) }
+    val paired = keys.map { q =>
+      val u = math.min(once(spark, outU, q), once(spark, outU, q))
+      val s = math.min(once(spark, outS, q), once(spark, outS, q))
+      (q, u, s)
+    }
+    val tU = paired.map(p => p._1 -> p._2).toMap
+    val tS = paired.map(p => p._1 -> p._3).toMap
+    val (aqe, hotShare) = aqeSkewProbe(spark, outS)
+    val ratio = keys.map(q =>
+      q -> (if (tU(q) > 0) tS(q) / tU(q) else -1.0)).toMap
+    def j(m: Map[String, Double]) = keys.map(q =>
+      "\"" + q + "\":" + f"${m(q)}%.3f").mkString("{", ",", "}")
+    def js(st: Seq[(String, Double)]) = st.map { case (n, s) =>
+      "\"" + n + "\":" + f"$s%.3f" }.mkString("{", ",", "}")
+    spark.stop()
+    println(s"""{"metric":"scale_skew","k":$k,"base_dir":"$base",""" +
+      s""""build_uniform_sec":${f"$tBuildU%.1f"},""" +
+      s""""build_skew_sec":${f"$tBuildS%.1f"},""" +
+      s""""ingest_uniform_sec":${f"$ingestU%.1f"},""" +
+      s""""ingest_skew_sec":${f"$ingestS%.1f"},""" +
+      s""""ingest_stages_uniform":${js(stagesU)},""" +
+      s""""ingest_stages_skew":${js(stagesS)},""" +
+      s""""queries_uniform":${j(tU)},"queries_skew":${j(tS)},""" +
+      s""""ratio":${j(ratio)},"aqe_skew_split_engaged":$aqe,""" +
+      s""""hub_share_orders":${f"$hotShare%.3f"}}""")
+    System.out.flush()
+  }
+
   def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("skew")) return skewMain(args.drop(1))
     val base = args.headOption.getOrElse(
       sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
     val k = args.drop(1).headOption.map(_.toInt).getOrElse(10)

@@ -28,7 +28,9 @@ import org.apache.spark.sql.functions._
   * under one UNION ALL; branches must extend the walk to the SAME depth
   * because the matrix needs uniform columns. Gremlin's heterogeneous-length
   * constructs exist only under path-erasing folds by design: `repeat(b)
-  * .until(p).times(n)` and `repeat(b).emit().times(n)` (r9) run the loop
+  * .until(p).times(n)` and `repeat(b).emit().times(n)` (r9), plus the
+  * pre-emit `emit().repeat(b).times(n)` and combined
+  * `repeat(b).until(p).emit().times(n)` placements (r10), run the loop
   * over per-head (h, cnt) bulk frames — graph_var_hop's flood shape with
   * walk multiplicities — and hand the folded frame to the aggregating
   * terminals; the walk matrix (and step labels) end at the loop.
