@@ -28,7 +28,8 @@ object Plans {
     "graph_traversal_emit", "graph_ktruss", "graph_random_walk",
     "text_bpe_train", "text_bpe_apply", "graph_traversal_sample",
     "sink_parquet", "graph_traversal_emit_pre", "graph_traversal_until_emit",
-    "graph_bridges", "graph_articulation")
+    "graph_bridges", "graph_articulation", "source_csv", "source_json",
+    "graph_traversal_emit_pred", "graph_traversal_until_path")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

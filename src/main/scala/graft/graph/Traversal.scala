@@ -283,6 +283,31 @@ final case class Traversal(g: PropertyGraph, df: DataFrame, depth: Int,
     Traversal(g, folded.select(col("h").as("v0")), 0, Some(folded), Map.empty)
   }
 
+  /** Gremlin repeat(body).emit(pred).times(n) — FILTERED emission: after
+    * each non-final iteration, only walks whose head satisfies `pred` are
+    * released (a copy; everything keeps looping). The FINAL iteration
+    * exits via the times() guard before the emit check runs, so depth n
+    * contributes ALL walks, unfiltered — exactly [[repeatEmit]]'s
+    * semantics when pred ≡ true (locked by a spec). NULL-pred heads are
+    * not emitted (has() three-valued logic). Same path-erasing (h, cnt)
+    * BSP fold; the filter adds one vertex join per non-final level. */
+  def repeatEmit(body: Traversal => Traversal, times: Int,
+      emitPred: Column): Traversal = {
+    require(times >= 1 && times <= 16, s"times out of range: $times")
+    var active = headFrame
+    var emitted: Option[DataFrame] = None
+    for (i <- 1 to times) {
+      active = graft.util.cut(foldBody(active, body))
+      val release =
+        if (i == times) active
+        else active.join(g.vertices.withColumnRenamed("id", "h"), "h")
+          .filter(emitPred).select("h", "cnt")
+      emitted = Some(emitted.fold(release)(_ unionAll release))
+    }
+    val folded = emitted.get.groupBy("h").agg(sum("cnt").as("cnt"))
+    Traversal(g, folded.select(col("h").as("v0")), 0, Some(folded), Map.empty)
+  }
+
   /** Gremlin emit().repeat(body).times(n) — the PRE-emit placement: the
     * emit check runs at the TOP of each iteration, so the START position
     * is released too, and the final traverser exits the loop normally —
@@ -558,6 +583,26 @@ object Traversal {
     }
   }
 
+  /** Single-step body of a path-tracking loop → its expanded (src, dst)
+    * adjacency (out/in/both, optional edge label), duplicates preserved
+    * (parallel edges are distinct walks, like the fold's bulk counts). */
+  private def stepAdj(g: PropertyGraph, body: String): DataFrame = {
+    val StepRe = """(out|in|both)\((?:'([^']*)')?\)""".r
+    body.trim match {
+      case StepRe(d, l) =>
+        val es = Option(l).fold(g.edges)(x =>
+          g.edges.filter(col("label") === x)).select("src", "dst")
+        d match {
+          case "out" => es
+          case "in"  => es.select(col("dst").as("src"), col("src").as("dst"))
+          case _ => es.unionAll(
+            es.select(col("dst").as("src"), col("src").as("dst")))
+        }
+      case _ => throw new IllegalArgumentException(
+        s"path-tracking loop body must be a single out/in/both step: $body")
+    }
+  }
+
   /** Expand `repeat(step('l')).times(n)` into n inline copies of the step
     * BEFORE flat parsing — textual unrolling is exactly the fluent
     * [[Traversal.repeat]] semantics for single-step bodies. */
@@ -614,12 +659,28 @@ object Traversal {
       case ("repeat", b) :: ("until", p) :: ("emit", "") :: ("times", n) :: tl
           if n.matches("\\d+") =>
         t = t.repeatUntilEmit(branchFn(b), pred(p), n.toInt); loop(tl)
+      // repeat(step).until(pred).times(n).path() — the WALK-MATERIALIZING
+      // loop (heterogeneous-length paths as one array column): routed to
+      // PropertyGraph.pathsUntil, which the path-erasing fold can't
+      // express. Only valid as the whole chain (the array walk has no
+      // prefix to splice) with a single-step body (each level is one
+      // adjacency join + array_append).
+      case ("repeat", b) :: ("until", p) :: ("times", n) :: ("path", "") :: Nil
+          if n.matches("\\d+") =>
+        require(t.depth == 0 && t.labels.isEmpty,
+          "path-tracking loops must start the chain: V(...).repeat(...)" +
+            ".until(...).times(n).path()")
+        result = Some(g.pathsUntil(t.df.select(col("v0").as("id")),
+          stepAdj(g, b), pred(p), n.toInt)); loop(Nil)
       case ("repeat", b) :: ("until", p) :: ("times", n) :: tl
           if n.matches("\\d+") =>
         t = t.repeatUntil(branchFn(b), pred(p), n.toInt); loop(tl)
       case ("repeat", b) :: ("emit", "") :: ("times", n) :: tl
           if n.matches("\\d+") =>
         t = t.repeatEmit(branchFn(b), n.toInt); loop(tl)
+      case ("repeat", b) :: ("emit", ep) :: ("times", n) :: tl
+          if n.matches("\\d+") =>
+        t = t.repeatEmit(branchFn(b), n.toInt, pred(ep)); loop(tl)
       case ("emit", "") :: ("repeat", b) :: ("times", n) :: tl
           if n.matches("\\d+") =>
         t = t.emitRepeat(branchFn(b), n.toInt); loop(tl)

@@ -1075,6 +1075,75 @@ object GraphOps extends OpModule {
             SELECT * FROM n1 UNION ALL SELECT * FROM n2
             UNION ALL SELECT * FROM n3) em GROUP BY 1)"""))),
 
+    // emit(pred) — FILTERED emission: non-final depths release only
+    // nation heads; the final depth exits via the times() guard before
+    // the emit check and contributes everything (TinkerPop's check
+    // order). The oracle filters the unrolled non-final levels and
+    // unions the last whole.
+    Op("graph_traversal_emit_pred",
+      (s, dir) => GraphFixture(s, dir).traverse(
+        "V(label='customer').repeat(out()).emit(label='nation').times(3).groupCount().by('label')"),
+      Some(withGraph("""SELECT v.label, CAST(SUM(f.cnt) AS BIGINT) AS n_walks
+          FROM folded f JOIN vertices v ON v.id = f.h
+          GROUP BY 1 ORDER BY 1""",
+        extra = """f0 AS (SELECT id AS h, CAST(1 AS BIGINT) AS cnt
+            FROM vertices WHERE label = 'customer'),
+          n1 AS (SELECT e.dst AS h, SUM(f.cnt) AS cnt FROM f0 f
+            JOIN edges e ON e.src = f.h GROUP BY 1),
+          e1 AS (SELECT n.h, n.cnt FROM n1 n JOIN vertices v ON v.id = n.h
+            WHERE v.label = 'nation'),
+          n2 AS (SELECT e.dst AS h, SUM(f.cnt) AS cnt FROM n1 f
+            JOIN edges e ON e.src = f.h GROUP BY 1),
+          e2 AS (SELECT n.h, n.cnt FROM n2 n JOIN vertices v ON v.id = n.h
+            WHERE v.label = 'nation'),
+          n3 AS (SELECT e.dst AS h, SUM(f.cnt) AS cnt FROM n2 f
+            JOIN edges e ON e.src = f.h GROUP BY 1),
+          folded AS (SELECT h, SUM(cnt) AS cnt FROM (
+            SELECT * FROM e1 UNION ALL SELECT * FROM e2
+            UNION ALL SELECT * FROM n3) em GROUP BY 1)"""))),
+
+    // repeat().until().times(n).path() — the WALK-MATERIALIZING loop the
+    // path-erasing folds refuse (VERDICT r9 "missing #3"): every
+    // heterogeneous-length walk carries its full vertex array
+    // (PropertyGraph.pathsUntil; live walks per level are cap-bounded
+    // with a loud error — the (h,cnt) fold remains the scale path when
+    // only head counts are consumed). High-value orders flood out()
+    // until a region head, guard 3; both exits' walks are emitted with
+    // their paths. Head-count equivalence with the fold is certified in
+    // PropertyGraphSpec; the oracle unrolls the same stop/continue split
+    // with list_append arrays.
+    Op("graph_traversal_until_path",
+      (s, dir) => GraphFixture(s, dir).traverse(
+        "V(label='order').has(val>490000).repeat(out())" +
+          ".until(label='region').times(3).path()")
+        .select((size(col("path")) - 1).as("hops"), col("path"))
+        .orderBy("path"),
+      Some(withGraph(
+        """SELECT CAST(len(path) - 1 AS INTEGER) AS hops, path
+          FROM allw ORDER BY path""",
+        extra = """p0 AS (SELECT id, [id] AS path FROM vertices
+            WHERE label = 'order' AND val > 490000),
+          w1 AS (SELECT e.dst AS id, list_append(p.path, e.dst) AS path
+            FROM p0 p JOIN edges e ON e.src = p.id),
+          s1 AS (SELECT n.id, n.path FROM w1 n JOIN vertices v ON v.id = n.id
+            WHERE v.label = 'region'),
+          k1 AS (SELECT n.id, n.path FROM w1 n JOIN vertices v ON v.id = n.id
+            WHERE NOT v.label = 'region'),
+          w2 AS (SELECT e.dst AS id, list_append(p.path, e.dst) AS path
+            FROM k1 p JOIN edges e ON e.src = p.id),
+          s2 AS (SELECT n.id, n.path FROM w2 n JOIN vertices v ON v.id = n.id
+            WHERE v.label = 'region'),
+          k2 AS (SELECT n.id, n.path FROM w2 n JOIN vertices v ON v.id = n.id
+            WHERE NOT v.label = 'region'),
+          w3 AS (SELECT e.dst AS id, list_append(p.path, e.dst) AS path
+            FROM k2 p JOIN edges e ON e.src = p.id),
+          s3 AS (SELECT n.id, n.path FROM w3 n JOIN vertices v ON v.id = n.id
+            WHERE v.label = 'region'),
+          k3 AS (SELECT n.id, n.path FROM w3 n JOIN vertices v ON v.id = n.id
+            WHERE NOT v.label = 'region'),
+          allw AS (SELECT path FROM s1 UNION ALL SELECT path FROM s2
+            UNION ALL SELECT path FROM s3 UNION ALL SELECT path FROM k3)"""))),
+
     // coalesce() branch step (first branch with results, per walk): each
     // customer's colocated suppliers when any exist, else its nation —
     // the optional-with-fallback pattern. Later branches anti-join the

@@ -102,6 +102,38 @@ object RelationalOps extends OpModule {
         CAST(1 AS BIGINT) AS n_files
         FROM orders GROUP BY 1 ORDER BY 1""")),
 
+    // Secondary bulk-ingest formats (§2.1's "(csv/json sources)" row —
+    // the reference family reads delimited and JSON dumps, not just
+    // columnar): no CSV/JSON fixtures exist, so each key STAGES one from
+    // the parquet table and grades the read-back against the parquet
+    // original — certifying the full serialize→parse round trip (quoting,
+    // header handling, explicit schema application). Explicit schemas,
+    // never inference: at 100 TB schema inference is an extra full pass
+    // and a correctness hazard (a column of digit-strings silently turns
+    // numeric).
+    Op("source_csv",
+      (s, dir) => {
+        val src = Tables(s, dir, "nation")
+        val out = graft.Staging.fresh("src-csv")
+        src.coalesce(1).write.mode("overwrite")
+          .option("header", "true").csv(out)
+        s.read.schema(src.schema).option("header", "true").csv(out)
+          .orderBy("n_nationkey")
+      },
+      Some("SELECT * FROM nation ORDER BY n_nationkey")),
+
+    Op("source_json",
+      (s, dir) => {
+        val src = Tables(s, dir, "orders")
+          .select("o_orderkey", "o_orderstatus", "o_totalprice",
+            "o_orderdate")
+        val out = graft.Staging.fresh("src-json")
+        src.write.mode("overwrite").json(out)
+        s.read.schema(src.schema).json(out).orderBy("o_orderkey")
+      },
+      Some("""SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderdate
+        FROM orders ORDER BY o_orderkey""")),
+
     Op("project_rename",
       (s, dir) => Tables(s, dir, "part")
         .select(col("p_partkey").as("part_id"), col("p_name").as("part_name"),

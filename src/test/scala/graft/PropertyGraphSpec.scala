@@ -431,6 +431,58 @@ class PropertyGraphSpec extends AnyFunSuite {
       one.collect().map(_.toString).sorted.toSeq)
   }
 
+  test("traversal DSL: emit(pred) filtered emission and until().path() walks") {
+    // emit(pred ≡ true) must equal the unfiltered emit() exactly
+    val all = g.V(col("label") === "customer")
+      .repeatEmit(_.out(), 3, lit(true)).groupCount("label")
+    val plain = g.V(col("label") === "customer")
+      .repeatEmit(_.out(), 3).groupCount("label")
+    assert(all.collect().map(_.toString).sorted.toSeq ==
+      plain.collect().map(_.toString).sorted.toSeq)
+    // fluent ≡ parsed, and the filter actually filters: non-final depths
+    // keep only nation heads, the final depth everything (guard exits
+    // before the emit check)
+    val ff = g.V(col("label") === "customer")
+      .repeatEmit(_.out(), 3, col("label") === "nation").groupCount("label")
+    val fp = g.traverse("V(label='customer').repeat(out())" +
+      ".emit(label='nation').times(3).groupCount().by('label')")
+    assert(ff.collect().map(_.toString).sorted.toSeq ==
+      fp.collect().map(_.toString).sorted.toSeq)
+    val labels = ff.collect().map(_.getString(0)).toSet
+    assert(labels.contains("nation") && labels != Set("nation"),
+      s"filtered emit degenerate: $labels")
+
+    // until().path(): walk-materializing loop — grouping the emitted
+    // walks by HEAD must reproduce the path-erasing fold's (h, cnt)
+    // multiplicities exactly (two different machineries, same loop)
+    val walks = g.traverse("V(label='order').repeat(out())" +
+      ".until(label='region').times(3).path()")
+    val byHead = walks.groupBy("id").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val folded = g.V(col("label") === "order")
+      .repeatUntil(_.out(), col("label") === "region", 3)
+      .bulk.get.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(byHead == folded,
+      s"path walks disagree with the fold on ${
+        (byHead.keySet ++ folded.keySet).count(k =>
+          byHead.get(k) != folded.get(k))} heads")
+    // every emitted walk starts at an order and is region-terminated OR
+    // guard-cut at depth 3
+    val rows = walks.limit(50).collect()
+    rows.foreach { r =>
+      val p = r.getSeq[Long](r.fieldIndex("path"))
+      assert(p.length >= 2 && p.length <= 4, s"bad walk length: $p")
+    }
+    // the walk cap fails loudly, and mid-chain path loops are refused
+    intercept[IllegalArgumentException](
+      g.pathsUntil(g.vertices.select("id"),
+        g.edges.select("src", "dst"), col("label") === "region", 3,
+        cap = 10L).count())
+    intercept[IllegalArgumentException](
+      g.traverse("V(label='order').out('by').repeat(out())" +
+        ".until(label='region').times(3).path()"))
+  }
+
   test("traversal DSL: repeat().times() — parser unrolling ≡ fluent fold") {
     val viaParser = g.traverse(
       "V(label='customer').repeat(both('in_nation')).times(2).simplePath().count()")
