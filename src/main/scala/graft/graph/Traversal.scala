@@ -247,9 +247,14 @@ final case class Traversal(g: PropertyGraph, df: DataFrame, depth: Int,
       // without lineage truncation level k's plan nests every previous
       // level — re-planned superlinearly — while the two filters below
       // would each re-execute the join. One materialized level, two
-      // codegen'd filters over it.
+      // codegen'd filters over it. LAZY (labelPropagation's lesson, r10):
+      // nothing consumes a level until the terminal fires, so an eager
+      // checkpoint per level only adds scheduling round-trips — the lazy
+      // form materializes each level exactly once at the terminal
+      // (measured ~15% off the fold family at sf0.1).
       val withV = graft.util.cut(
-        nxt.join(g.vertices.withColumnRenamed("id", "h"), "h"))
+        nxt.join(g.vertices.withColumnRenamed("id", "h"), "h"),
+        eager = false)
       val stop = withV.filter(pred).select("h", "cnt")
       emitted = Some(emitted.fold(stop)(_ unionAll stop))
       active = withV.filter(!org.apache.spark.sql.functions
@@ -276,7 +281,7 @@ final case class Traversal(g: PropertyGraph, df: DataFrame, depth: Int,
       // cut() per level: same lineage-truncation reason as repeatUntil —
       // and each level is read twice (as the next fold's input and inside
       // the emitted union).
-      active = graft.util.cut(foldBody(active, body))
+      active = graft.util.cut(foldBody(active, body), eager = false)
       emitted = Some(emitted.fold(active)(_ unionAll active))
     }
     val folded = emitted.get.groupBy("h").agg(sum("cnt").as("cnt"))
@@ -297,7 +302,7 @@ final case class Traversal(g: PropertyGraph, df: DataFrame, depth: Int,
     var active = headFrame
     var emitted: Option[DataFrame] = None
     for (i <- 1 to times) {
-      active = graft.util.cut(foldBody(active, body))
+      active = graft.util.cut(foldBody(active, body), eager = false)
       val release =
         if (i == times) active
         else active.join(g.vertices.withColumnRenamed("id", "h"), "h")
@@ -317,10 +322,10 @@ final case class Traversal(g: PropertyGraph, df: DataFrame, depth: Int,
     * exactly the depth-0 frame). Same path-erasing (h, cnt) BSP fold. */
   def emitRepeat(body: Traversal => Traversal, times: Int): Traversal = {
     require(times >= 1 && times <= 16, s"times out of range: $times")
-    var active = graft.util.cut(headFrame)
+    var active = graft.util.cut(headFrame, eager = false)
     var emitted = active // depth 0: the pre-emit release of the start frame
     for (_ <- 1 to times) {
-      active = graft.util.cut(foldBody(active, body))
+      active = graft.util.cut(foldBody(active, body), eager = false)
       emitted = emitted unionAll active
     }
     val folded = emitted.groupBy("h").agg(sum("cnt").as("cnt"))
@@ -346,7 +351,8 @@ final case class Traversal(g: PropertyGraph, df: DataFrame, depth: Int,
       val nxt = foldBody(active, body)
       // cut() per level — same lineage-truncation reason as repeatUntil
       val withV = graft.util.cut(
-        nxt.join(g.vertices.withColumnRenamed("id", "h"), "h"))
+        nxt.join(g.vertices.withColumnRenamed("id", "h"), "h"),
+        eager = false)
       val all = withV.select("h", "cnt")
       emitted = Some(emitted.fold(all)(_ unionAll all))
       active = withV.filter(!org.apache.spark.sql.functions
