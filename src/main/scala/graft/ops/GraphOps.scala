@@ -1116,10 +1116,16 @@ object GraphOps extends OpModule {
       (s, dir) => GraphFixture(s, dir).traverse(
         "V(label='order').has(val>490000).repeat(out())" +
           ".until(label='region').times(3).path()")
-        .select((size(col("path")) - 1).as("hops"), col("path"))
+        .select((size(col("path")) - 1).as("hops"),
+          // House rule (SURVEY §5): no ARRAY-typed columns in registered
+          // outputs — the driver's sort/hash grader can't sort array
+          // cells. Same stringification as graph_paths (see :253).
+          array_join(transform(col("path"), _.cast("string")), "->")
+            .as("path"))
         .orderBy("path"),
       Some(withGraph(
-        """SELECT CAST(len(path) - 1 AS INTEGER) AS hops, path
+        """SELECT CAST(len(path) - 1 AS INTEGER) AS hops,
+            array_to_string(path, '->') AS path
           FROM allw ORDER BY path""",
         extra = """p0 AS (SELECT id, [id] AS path FROM vertices
             WHERE label = 'order' AND val > 490000),

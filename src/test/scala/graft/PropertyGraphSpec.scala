@@ -238,6 +238,48 @@ class PropertyGraphSpec extends AnyFunSuite {
     }
   }
 
+  test("neighborLists: hub-sharded rows are cap-bounded and reconstruct the adjacency") {
+    // Force a tiny shard cap so sharding ENGAGES at fixture scale (real
+    // default 8192 only splits skew-overlay hubs); fresh instance so the
+    // memoized fixture graph's default-cap artifact is untouched.
+    spark.conf.set("graft.nbr.shardCap", "4")
+    try {
+      val g2 = graft.graph.PropertyGraph(g.vertices, g.edges)
+      val lists = g2.neighborLists
+      // every stored row is bounded by the cap, whatever the hub degree
+      assert(lists.filter(size(col("nbrs")) > 4).count() == 0)
+      // sharding actually engages: some vertex spans several shard rows
+      assert(lists.groupBy("u").count().filter(col("count") > 1).count() > 0)
+      // shards are rank-ordered: each shard's ids all precede the next's
+      val rng = lists.select(col("u"), col("shard"),
+        array_min(col("nbrs")).as("lo"), array_max(col("nbrs")).as("hi"))
+      val overlap = rng.as("x").join(rng.as("y"),
+        col("x.u") === col("y.u") && col("x.shard") + 1 === col("y.shard") &&
+          col("x.hi") >= col("y.lo"))
+      assert(overlap.count() == 0)
+      // exploded shards reconstruct the exact simple-graph adjacency, and
+      // the carried deg equals the true simple degree on every shard row
+      val rebuilt = lists.select(col("u"), explode(col("nbrs")).as("b"))
+      val truth = g2.edges.filter(col("src") =!= col("dst"))
+        .select(col("src").as("u"), col("dst").as("b"))
+        .unionAll(g2.edges.filter(col("src") =!= col("dst"))
+          .select(col("dst").as("u"), col("src").as("b")))
+        .distinct()
+      assert(rebuilt.count() == truth.count())
+      assert(rebuilt.join(truth, Seq("u", "b"), "left_anti").count() == 0)
+      val badDeg = lists.join(
+        g2.undDegrees.withColumnRenamed("id", "u"), "u")
+        .filter(col("deg") =!= col("d"))
+      assert(badDeg.count() == 0)
+      // the sharded consumer stays exact: delta triangles ≡ full recount
+      val full = g2.triangleCounts.agg(sum("n_tri")).head.getLong(0) / 3
+      val r = g2.incrementalTriangles(col("label") === "colocated").head
+      assert(r.getLong(0) + r.getLong(1) == r.getLong(2))
+      assert(r.getLong(2) == full)
+      g2.uncache()
+    } finally spark.conf.unset("graft.nbr.shardCap")
+  }
+
   test("traversal DSL: fluent API and string parser compile to the same result") {
     val fluent = g.V(col("label") === "customer").has(col("val") > 9000)
       .out("in_nation").out("in_region").path()
