@@ -154,6 +154,7 @@ object Bench {
       // first-run landing on graph_articulation).
       stage("biconn") {
         SparkEntry.queries("graph_articulation")(spark, sfDir).count()
+        SparkEntry.queries("graph_articulation_forest")(spark, sfDir).count()
       }
       // The streaming maintenance keys' first runs pay their staged-source
       // writes (ingest layout) plus the structured-streaming machinery's

@@ -40,35 +40,56 @@ import org.apache.spark.sql.functions._
   *
   * Work is O((V+E)·depth) with every frame vertex- or edge-sized — at
   * 100 TB the sweeps are plain shuffles on the id key and H is at most
-  * edge-sized; nothing is quadratic and nothing walks pairs. Requires the
-  * input to be one connected component containing `root` (callers hand it
-  * one component, e.g. per-region/per-CC shards — the natural unit for
-  * robustness analysis).
+  * edge-sized; nothing is quadratic and nothing walks pairs. [[apply]]
+  * takes one connected component and its root; [[forest]] takes an
+  * ARBITRARY disconnected graph plus one root per component (from a
+  * stored CC labeling) and runs every component in the same batched
+  * sweeps — no per-component driver loop.
   */
 object Biconnect {
 
-  /** @param pairs undirected edge list, columns (a, b) with a < b, no
-    *              duplicates, all vertices reachable from `root`
-    * @param root  BFS root vertex id
+  /** Single-component convenience form: one BFS root, the input must be
+    * one connected component reachable from it (checked loudly).
+    * @param pairs0 undirected edge list, columns (a, b) with a < b, no
+    *               duplicates, all vertices reachable from `root`
+    * @param root   BFS root vertex id
     * @param maxDepth loud-failure cap on the BFS depth (tree sweeps are
     *                 O(depth) driver rounds; raise for high-diameter input)
     * @return (bridges (a, b) canonical order, articulation vertex ids (id))
     */
   def apply(pairs0: DataFrame, root: Long, maxDepth: Int = 16)
       : (DataFrame, DataFrame) = {
+    val spark = pairs0.sparkSession
+    import spark.implicits._
+    forest(pairs0, Seq(root).toDF("id"), maxDepth)
+  }
+
+  /** Whole-graph form over an ARBITRARY (possibly disconnected) graph:
+    * `roots0` names ONE root per connected component (column `id` — the
+    * natural source is a stored CC labeling's distinct component labels,
+    * which are per-component min ids). All component BFS trees grow in the
+    * SAME vertex-sized sweeps — one forest, no per-component driver loop —
+    * and every downstream step (subtree sizes, per-tree preorder, low/high,
+    * H-edges, auxiliary CC) is per-tree arithmetic that never compares
+    * across trees, because non-tree edges cannot cross components. Both
+    * preconditions are checked LOUDLY after the BFS: every edge-named
+    * vertex must be reached (missing root), and no edge may join two
+    * different roots' trees (two roots in one component would silently
+    * split its biconnected structure). */
+  def forest(pairs0: DataFrame, roots0: DataFrame, maxDepth: Int = 16)
+      : (DataFrame, DataFrame) = {
     val cut = graft.util.cut(_: DataFrame)
     val pairs = cut(pairs0.select("a", "b"))
     val und = cut(pairs.unionAll(
       pairs.select(col("b").as("a"), col("a").as("b"))))
 
-    // 1. BFS tree: vis(id, parent, lvl); parent = min lower-level neighbor.
-    val spark = pairs0.sparkSession
-    import spark.implicits._
-    var vis = cut(Seq((root, Option.empty[Long], 0))
-      .toDF("id", "parent", "lvl"))
-    var frontier = vis.select("id")
+    // 1. BFS forest: vis(id, parent, lvl, rt); parent = min lower-level
+    // neighbor; rt = owning root, inherited from the claiming parent.
+    var vis = cut(roots0.select(col("id"),
+      lit(null).cast("long").as("parent"), lit(0).as("lvl"),
+      col("id").as("rt")))
+    var frontier = vis.select("id", "rt")
     var lvl = 0
-    var reached = 1L
     while (frontier.limit(1).count() > 0) {
       require(lvl <= maxDepth,
         s"BFS depth exceeded $maxDepth; raise maxDepth for this graph")
@@ -76,20 +97,28 @@ object Biconnect {
       val nxt = cut(und
         .join(frontier.withColumnRenamed("id", "a"), "a")
         .join(vis.select(col("id").as("b")), Seq("b"), "left_anti")
-        .groupBy(col("b").as("id")).agg(min("a").as("parent"))
+        .groupBy(col("b").as("id"))
+        .agg(min("a").as("parent"), min("rt").as("rt"))
         .withColumn("lvl", lit(lvl)))
-      frontier = nxt.select("id")
-      vis = cut(vis.unionAll(nxt.select("id", "parent", "lvl")))
-      reached += nxt.count()
+      frontier = nxt.select("id", "rt")
+      vis = cut(vis.unionAll(nxt.select("id", "parent", "lvl", "rt")))
     }
     val maxLvl = lvl - 1
-    // Connectivity precondition, checked loudly: every vertex named by an
-    // edge must be in the BFS tree (disconnected input would silently
-    // misclassify the unreached part).
-    val named = pairs.select(col("a").as("id"))
-      .unionAll(pairs.select(col("b").as("id"))).distinct().count()
-    require(reached == named || (named == 0 && reached == 1),
-      s"input not connected from root $root: reached $reached of $named")
+    // Preconditions, checked loudly (disconnected-from-roots input or
+    // doubled roots would silently misclassify):
+    val unreached = pairs.select(col("a").as("id"))
+      .unionAll(pairs.select(col("b").as("id"))).distinct()
+      .join(vis, Seq("id"), "left_anti").count()
+    require(unreached == 0,
+      s"$unreached edge vertices unreachable from the given roots — " +
+        "pass one root per connected component")
+    val crossRoot = pairs
+      .join(vis.select(col("id").as("a"), col("rt").as("rta")), "a")
+      .join(vis.select(col("id").as("b"), col("rt").as("rtb")), "b")
+      .filter(col("rta") =!= col("rtb")).count()
+    require(crossRoot == 0,
+      s"$crossRoot edges join two different roots' trees — " +
+        "roots must be one per component")
 
     // 2. Subtree sizes: bottom-up level sweep.
     var sz = vis.withColumn("sz", lit(1L))
@@ -171,18 +200,26 @@ object Biconnect {
       .filter(unrelated)
       .select(col("a").as("da"), col("b").as("db"))
 
-    // 7. CC over H; isolated tree edges keep their own label.
-    val hcc = PairCC.labels(cut(r1.unionAll(r2)), rounds = 8)
+    // 7. CC over H, iterated to a FIXPOINT (r10 ADVICE: H's diameter grows
+    // with BFS tree depth via R2 chains, so a static round budget would
+    // silently split components on deep trees; the hard cap still fails
+    // loudly). Isolated tree edges keep their own label.
+    val hcc = PairCC.labelsConverged(cut(r1.unionAll(r2)),
+      maxRounds = 8 + 2 * (64 - java.lang.Long
+        .numberOfLeadingZeros(2L * (maxLvl.max(1)))))
     val lbl = vis.filter(col("parent").isNotNull).select("id", "parent")
       .join(hcc, Seq("id"), "left")
       .select(col("id"), col("parent"),
         coalesce(col("lbl"), col("id")).as("lbl"))
 
-    // Articulation: root iff its children span ≥ 2 H-components; non-root
-    // v iff some child's component differs from v's own tree edge's.
-    val rootArt = lbl.filter(col("parent") === root)
-      .agg(countDistinct("lbl").as("k"))
-      .filter(col("k") >= 2).select(lit(root).as("id"))
+    // Articulation: a root iff ITS children span ≥ 2 H-components;
+    // non-root v iff some child's component differs from v's own tree
+    // edge's.
+    val rootArt = lbl
+      .join(vis.filter(col("lvl") === 0)
+        .select(col("id").as("parent")), "parent")
+      .groupBy("parent").agg(countDistinct("lbl").as("k"))
+      .filter(col("k") >= 2).select(col("parent").as("id"))
     val innerArt = lbl.select(col("parent").as("id"), col("lbl").as("clbl"))
       .join(lbl.select(col("id"), col("lbl").as("vlbl")), "id")
       .filter(col("clbl") =!= col("vlbl"))

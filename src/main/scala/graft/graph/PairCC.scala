@@ -29,9 +29,26 @@ object PairCC {
   val partitionedRuns = new java.util.concurrent.atomic.AtomicLong(0)
 
   /** Label every id appearing in `pairs` with its component's minimum id.
-    * Mirrors DedupOps.clusterChain's algebra exactly, so the DuckDB oracle
-    * stays valid for every knob combination. */
-  def labels(pairs0: DataFrame, rounds: Int): DataFrame = {
+    * Runs EXACTLY `rounds` hook+jump rounds — mirrors DedupOps
+    * .clusterChain's algebra, so the DuckDB oracle (which replays the same
+    * fixed round count) stays valid for every knob combination. */
+  def labels(pairs0: DataFrame, rounds: Int): DataFrame =
+    run(pairs0, rounds, converge = false)
+
+  /** [[labels]], iterated to a FIXPOINT: rounds run until one full
+    * hook+jump pass changes no label, hard-capped at `maxRounds` with a
+    * LOUD failure (r10 ADVICE: a fixed round count past which one
+    * biconnected component silently splits is a correctness trap — the
+    * auxiliary graph's diameter grows with BFS tree depth, so callers that
+    * raise maxDepth would otherwise outrun a static budget). Costs one
+    * changed-row probe per round (limit-1 early-out), so use it where the
+    * input diameter is unknown; the dedup callers keep the fixed-round
+    * form their oracles replay. */
+  def labelsConverged(pairs0: DataFrame, maxRounds: Int = 32): DataFrame =
+    run(pairs0, maxRounds, converge = true)
+
+  private def run(pairs0: DataFrame, rounds: Int,
+      converge: Boolean): DataFrame = {
     val s = pairs0.sparkSession
     val reliable =
       s.conf.getOption("graft.dedup.reliableCheckpoint").exists(_.toBoolean)

@@ -55,6 +55,34 @@ object GraphOps extends OpModule {
       graft.graph.Biconnect(robustPairs(s, dir), RobustRoot)
     }
 
+  /** ALL-regions robustness subgraph — the genuinely DISCONNECTED input
+    * (one component per region hierarchy) for the forest biconnectivity
+    * keys: same edge labels as [[robustPairs]], no region restriction. */
+  private def robustPairsAll(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame =
+    GraphFixture(s, dir).edges
+      .filter(col("label").isin("in_region", "in_nation", "colocated"))
+      .filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .distinct()
+
+  // Forest biconnectivity: the COMPOSITION the single-component pass
+  // refuses to fake (Biconnect's loud connectivity require) — component
+  // roots come from the CC machinery (converged hook+jump labels are each
+  // component's min id), then ALL components' BFS trees and sweeps run
+  // batched in one forest pass. Memoized like the one-region pair.
+  private val biconnAllMemo = new graft.SessionMemo[String,
+    (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame)]
+  private def biconnAll(s: org.apache.spark.sql.SparkSession, dir: String) =
+    biconnAllMemo.getOrElseUpdate(s, dir) {
+      val pairs = robustPairsAll(s, dir)
+      val roots = graft.graph.PairCC.labelsConverged(
+        pairs.select(col("a").as("da"), col("b").as("db")))
+        .select(col("lbl").as("id")).distinct()
+      graft.graph.Biconnect.forest(pairs, roots)
+    }
+
   /** Shared oracle CTEs for the robustness subgraph: vsub/esub/usub mirror
     * [[robustPairs]] exactly (esub canonical a < b, usub both directions). */
   private val robustSql = s"""nat AS (SELECT src AS id FROM edges
@@ -70,6 +98,15 @@ object GraphOps extends OpModule {
       GROUP BY 1, 2),
     usub AS MATERIALIZED (SELECT a, b FROM esub
       UNION ALL SELECT b, a FROM esub)"""
+
+  /** Oracle CTEs for the ALL-regions robustness subgraph — the SQL twin of
+    * [[robustPairsAll]] (canonical a < b, both directions in usubf). */
+  private val robustAllSql = """esubf AS MATERIALIZED (
+      SELECT LEAST(src, dst) AS a, GREATEST(src, dst) AS b FROM edges
+      WHERE label IN ('in_region', 'in_nation', 'colocated') AND src <> dst
+      GROUP BY 1, 2),
+    usubf AS MATERIALIZED (SELECT a, b FROM esubf
+      UNION ALL SELECT b, a FROM esubf)"""
 
   def ops: Seq[Op] = Seq(
 
@@ -480,6 +517,61 @@ object GraphOps extends OpModule {
             SELECT r.w, u.b FROM ra r JOIN usub u ON u.a = r.v
             WHERE u.b <> r.w),
           cnt AS (SELECT w, COUNT(*) AS n FROM ra GROUP BY 1)""",
+        recursive = true))),
+
+    // FOREST bridges: the same Tarjan–Vishkin pass over the ALL-regions
+    // robustness subgraph — a genuinely DISCONNECTED graph (one component
+    // per region hierarchy), roots composed from the CC machinery
+    // (biconnAll). The oracle stays DEFINITIONAL and per-component-free:
+    // per edge, flood from one endpoint in G − that edge; the flood
+    // naturally stays inside the edge's own component.
+    Op("graph_bridges_forest",
+      (s, dir) => biconnAll(s, dir)._1.orderBy("a", "b"),
+      Some(withGraph(
+        """SELECT e.a, e.b FROM esubf e WHERE NOT EXISTS (
+            SELECT 1 FROM br r WHERE r.ea = e.a AND r.eb = e.b AND r.v = e.b)
+          ORDER BY 1, 2""",
+        extra = robustAllSql + """,
+          br(ea, eb, v) AS (
+            SELECT a, b, a FROM esubf
+            UNION
+            SELECT r.ea, r.eb, u.b FROM br r JOIN usubf u ON u.a = r.v
+            WHERE NOT (LEAST(u.a, u.b) = r.ea
+              AND GREATEST(u.a, u.b) = r.eb))""",
+        recursive = true))),
+
+    // FOREST articulation points over the same disconnected input. The
+    // single-component oracle compared each removal flood against the
+    // GLOBAL vertex count; with several components the yardstick is the
+    // removed vertex's OWN component size, measured by a second
+    // definitional flood (rc) from the vertex itself with nothing removed.
+    Op("graph_articulation_forest",
+      (s, dir) => {
+        val g = GraphFixture(s, dir)
+        biconnAll(s, dir)._2
+          .join(g.vertices.select("id", "label"), "id")
+          .orderBy("id")
+      },
+      Some(withGraph(
+        """SELECT d.id, v.label FROM deg d
+          JOIN cnt c ON c.w = d.id
+          JOIN csz s ON s.w = d.id
+          JOIN vertices v ON v.id = d.id
+          WHERE c.n < s.n - 1
+          ORDER BY 1""",
+        extra = robustAllSql + """,
+          deg AS (SELECT a AS id, MIN(b) AS seed FROM usubf GROUP BY 1),
+          ra(w, v) AS (
+            SELECT id, seed FROM deg
+            UNION
+            SELECT r.w, u.b FROM ra r JOIN usubf u ON u.a = r.v
+            WHERE u.b <> r.w),
+          rc(w, v) AS (
+            SELECT id, id FROM deg
+            UNION
+            SELECT r.w, u.b FROM rc r JOIN usubf u ON u.a = r.v),
+          cnt AS (SELECT w, COUNT(*) AS n FROM ra GROUP BY 1),
+          csz AS (SELECT w, COUNT(*) AS n FROM rc GROUP BY 1)""",
         recursive = true))),
 
     // INCREMENTAL CC maintenance: the 'did' edges (user→event — the

@@ -692,4 +692,90 @@ class GraphAlgoIndependenceSpec extends AnyFunSuite {
     val deg2NonArt = vs.filter(v => adj(v).size >= 2 && !artic(v))
     assert(deg2NonArt.nonEmpty, "every internal vertex is an articulation")
   }
+
+  test("forest biconnectivity over the FULL fixture graph ≡ per-component Hopcroft–Tarjan") {
+    // Semantics under test (Biconnect.forest, the r11 composition): bridges
+    // and articulation points of the WHOLE fixture graph — every label,
+    // every component (region hierarchies, user/event islands, whatever the
+    // SF provides) — batched through one forest pass whose roots come from
+    // a CC labeling. Recomputed here with iterative Hopcroft–Tarjan run
+    // per component, the classic sequential algorithm the distributed side
+    // avoids. (The driver-graded twin keys run the all-regions subgraph,
+    // where the per-removal flood oracle stays tractable; this test covers
+    // the full graph, where it wouldn't.)
+    val pairs = rawEdges.collect { case (s, d, _) if s != d =>
+      (math.min(s, d), math.max(s, d)) }.toSet
+    val adj = new mutable.HashMap[Long, mutable.ArrayBuffer[Long]]
+    pairs.foreach { case (a, b) =>
+      adj.getOrElseUpdate(a, new mutable.ArrayBuffer) += b
+      adj.getOrElseUpdate(b, new mutable.ArrayBuffer) += a
+    }
+    // Component roots = min member id: scanning ids ascending, the first
+    // unvisited vertex of each component is its minimum.
+    val disc = new mutable.HashMap[Long, Int]
+    val low = new mutable.HashMap[Long, Int]
+    val artic = new mutable.HashSet[Long]
+    val bridges = new mutable.HashSet[(Long, Long)]
+    val roots = new mutable.ArrayBuffer[Long]
+    var timer = 0
+    for (root <- adj.keys.toSeq.sorted if !disc.contains(root)) {
+      roots += root
+      var rootChildren = 0
+      disc(root) = timer; low(root) = timer; timer += 1
+      val stack = new mutable.Stack[(Long, Long, Iterator[Long])]
+      stack.push((root, -1L, adj(root).iterator))
+      while (stack.nonEmpty) {
+        val (v, p, it) = stack.top
+        if (it.hasNext) {
+          val w = it.next()
+          if (w != p) {
+            if (disc.contains(w)) low(v) = math.min(low(v), disc(w))
+            else {
+              disc(w) = timer; low(w) = timer; timer += 1
+              if (v == root) rootChildren += 1
+              stack.push((w, v, adj(w).iterator))
+            }
+          }
+        } else {
+          stack.pop()
+          if (p != -1L) {
+            low(p) = math.min(low(p), low(v))
+            if (low(v) > disc(p))
+              bridges += ((math.min(v, p), math.max(v, p)))
+            if (p != root && low(v) >= disc(p)) artic += p
+          }
+        }
+      }
+      if (rootChildren >= 2) artic += root
+    }
+    assert(roots.size >= 2, "fixture graph unexpectedly connected — " +
+      "forest test would be vacuous")
+
+    import spark.implicits._
+    val pairsDf = pairs.toSeq.toDF("a", "b")
+    val rootsDf = roots.toSeq.toDF("id")
+    val (gotBridgesDf, gotArticDf) =
+      graft.graph.Biconnect.forest(pairsDf, rootsDf, maxDepth = 24)
+    val gotBridges = gotBridgesDf.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val gotArtic = gotArticDf.collect().map(_.getLong(0)).toSet
+    assert(gotBridges == bridges,
+      s"bridges differ: extra=${gotBridges -- bridges} missing=${bridges -- gotBridges}")
+    assert(gotArtic == artic,
+      s"articulation differs: extra=${gotArtic -- artic} missing=${artic -- gotArtic}")
+    assert(bridges.nonEmpty && artic.nonEmpty, "degenerate: no cuts found")
+    assert((pairs -- bridges).nonEmpty, "every edge is a bridge — no cycles")
+
+    // The preconditions fail LOUDLY, not silently: a missing root leaves
+    // its component unreached; a doubled root splits one component's tree.
+    intercept[IllegalArgumentException] {
+      graft.graph.Biconnect.forest(pairsDf,
+        rootsDf.limit(1), maxDepth = 24)
+    }
+    intercept[IllegalArgumentException] {
+      val second = adj(roots.head).min // a non-root vertex of component 1
+      graft.graph.Biconnect.forest(pairsDf,
+        rootsDf.unionAll(Seq(second).toDF("id")), maxDepth = 24)
+    }
+  }
 }
