@@ -83,15 +83,54 @@ object DedupOps extends OpModule {
     s"($sparkShingleSql) q"
   }
 
+  /** Giant-band-bucket candidate cap (shared by both SQL dialects; the
+    * oracle replays the same rule, so the gate stays exact for ANY input):
+    * a band bucket of n docs normally contributes all C(n,2) candidate
+    * pairs; past this size it contributes the n−1 STAR pairs to its min
+    * doc_id instead. Connectivity for clustering is preserved (a true
+    * dup clique's star edges all pass the exact-Jaccard verify, so
+    * union-find still joins the whole clique); what's bounded is the
+    * QUADRATIC candidate mass a pathological bucket would otherwise feed
+    * the verify join — the r10 skew overlay's planted 2% clique put one
+    * ~4× blowup into the pair-index ingest. Standard LSH-at-scale
+    * degradation: recall within an oversized bucket drops to the star
+    * (each true pair still has every OTHER band to collide in), loudly
+    * logged per build rather than silently quadratic. */
+  private val BandBucketCap = 32
+
+  /** Band signatures (doc_id, b0, b1) materialized once per (session,
+    * dir): the capped candidate step references the band relation six
+    * times (two self-join sides + bucket-size windows per band), and
+    * Spark inlines CTE references — uncached, each reference would re-run
+    * the whole shingle→minhash pipeline. Doc-count-sized (two short
+    * strings per doc), so unlike the shingle view (see above) caching it
+    * cannot perturb the verify joins' broadcast planning. */
+  private def bandsView(s: org.apache.spark.sql.SparkSession, dir: String): String =
+    graft.Views.materialize(s, dir, "mhbands",
+      s"""WITH ${minhashCtes(spark = true, shingleFrom(s, dir),
+          bandsOnly = true)}
+        SELECT doc_id, b0, b1 FROM bands""")
+
   /** The verified near-dup PAIR SET, materialized once per (session, dir)
     * and shared by dedup_minhash and dedup_cluster — the full MinHash
     * pipeline ran twice otherwise (~2.5 s each at sf0.1). Unlike the
     * shingle view (see above), this is the tiny END product (hundreds of
     * rows), so caching it cannot perturb upstream join planning. */
-  private def pairsView(s: org.apache.spark.sql.SparkSession, dir: String): String =
+  private def pairsView(s: org.apache.spark.sql.SparkSession, dir: String): String = {
+    val bands = bandsView(s, dir)
+    // Loud degradation: name the oversized buckets the star cap engages on.
+    val giants = s.sql(s"""SELECT n FROM (
+        SELECT b0 AS b, COUNT(*) AS n FROM $bands GROUP BY 1
+        UNION ALL SELECT b1, COUNT(*) FROM $bands GROUP BY 1) t
+      WHERE n > $BandBucketCap""").count()
+    if (giants > 0) System.err.println(
+      s"[dedup] $giants band buckets exceed $BandBucketCap docs — " +
+        "candidate generation star-capped for those buckets")
     graft.Views.materialize(s, dir, "mhpairs",
-      s"""WITH ${minhashCtes(spark = true, shingleFrom(s, dir))}
+      s"""WITH ${minhashCtes(spark = true, shingleFrom(s, dir),
+          sparkBands = Some(bands))}
         SELECT da, db, n_common, jaccard FROM pairs""")
+  }
 
   /** WITH-clause prefix ending in `pairs(da, db, n_common, jaccard)` — the
     * MinHash→LSH-band→exact-verify near-dup pairs, emitted in either SQL
@@ -104,23 +143,47 @@ object DedupOps extends OpModule {
     .map { case (a, i) => s"MIN(($a * h + ${i + 1}) % $P) AS m$i" }
     .mkString(", ")
 
-  private def minhashCtes(spark: Boolean, shFrom: String): String = {
+  /** CTE chain of the MinHash pipeline. `bandsOnly` stops after `bands`
+    * (for materializing the band view); `sparkBands` splices a
+    * pre-materialized band relation in place of recomputing the pipeline
+    * per reference (Spark inlines CTEs; DuckDB's MATERIALIZED doesn't
+    * need it). Candidate generation is [[BandBucketCap]]-capped in BOTH
+    * dialects: small buckets emit all pairs, oversized buckets emit star
+    * pairs to the bucket's min doc_id — the self-join sides are filtered
+    * to small buckets BEFORE joining, so the quadratic intermediate never
+    * materializes. */
+  private def minhashCtes(spark: Boolean, shFrom: String,
+      sparkBands: Option[String] = None, bandsOnly: Boolean = false): String = {
     val mat = if (spark) "" else "MATERIALIZED "
     val str = if (spark) "STRING" else "VARCHAR"
     val hash = if (spark) sparkHash("s") else duckHash("s")
-    s"""sh AS ${mat}(SELECT doc_id, s FROM $shFrom),
+    val head = s"""sh AS ${mat}(SELECT doc_id, s FROM $shFrom),
       hs AS (SELECT doc_id, $hash AS h FROM sh),
       sig AS ${mat}(SELECT doc_id, $minCols FROM hs GROUP BY doc_id),
       bands AS ${mat}(SELECT doc_id,
         concat_ws('_', CAST(m0 AS $str), CAST(m1 AS $str), CAST(m2 AS $str), CAST(m3 AS $str)) AS b0,
         concat_ws('_', CAST(m4 AS $str), CAST(m5 AS $str), CAST(m6 AS $str), CAST(m7 AS $str)) AS b1
-        FROM sig),
+        FROM sig)"""
+    if (bandsOnly) return head
+    val bsrc = sparkBands.getOrElse("bands")
+    val cap = BandBucketCap
+    head + s""",
+      bstat AS ${mat}(SELECT doc_id, b0, b1,
+        COUNT(*) OVER (PARTITION BY b0) AS n0,
+        MIN(doc_id) OVER (PARTITION BY b0) AS a0,
+        COUNT(*) OVER (PARTITION BY b1) AS n1,
+        MIN(doc_id) OVER (PARTITION BY b1) AS a1
+        FROM $bsrc),
       cand AS (
-        SELECT a.doc_id AS da, b.doc_id AS db FROM bands a JOIN bands b
-          ON a.b0 = b.b0 AND a.doc_id < b.doc_id
+        SELECT a.doc_id AS da, b.doc_id AS db FROM bstat a JOIN bstat b
+          ON a.b0 = b.b0 AND a.doc_id < b.doc_id WHERE a.n0 <= $cap
         UNION
-        SELECT a.doc_id, b.doc_id FROM bands a JOIN bands b
-          ON a.b1 = b.b1 AND a.doc_id < b.doc_id),
+        SELECT a0, doc_id FROM bstat WHERE n0 > $cap AND doc_id > a0
+        UNION
+        SELECT a.doc_id, b.doc_id FROM bstat a JOIN bstat b
+          ON a.b1 = b.b1 AND a.doc_id < b.doc_id WHERE a.n1 <= $cap
+        UNION
+        SELECT a1, doc_id FROM bstat WHERE n1 > $cap AND doc_id > a1),
       sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
       inter AS (SELECT c.da, c.db, COUNT(*) AS i FROM cand c
         JOIN sh sa ON sa.doc_id = c.da

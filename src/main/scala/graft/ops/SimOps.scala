@@ -176,38 +176,51 @@ object SimOps extends OpModule {
     * exact-rerank inside the probed cells' members; scan fraction is then
     * ~1/√k — the classic IVF recall/latency dial.
     *
-    * 100 TB read: training here runs over the full corpus because the
-    * fixture is small; production trains the quantizer on a sample (the
-    * assign/update joins are linear in N·D·k), stores the centroid table
-    * (broadcast-size), and the per-vector cell assignment becomes the
+    * 100 TB read: training runs on a DETERMINISTIC SAMPLE (r11, the
+    * production IVF shape): the Lloyd assign/update joins see only the
+    * 32·k vectors with the smallest md5(vec_id) rank — a uniform,
+    * id-distribution-independent, cross-engine-identical draw (both
+    * dialects md5 the same decimal string), so training work is O(k²·D)
+    * ≈ O(N·D) instead of O(N^1.5·D), while the FINAL assignment step
+    * still places every corpus vector into its trained cell (that IS the
+    * inverted file — it must be corpus-sized). The stored centroid table
+    * stays broadcast-size and the per-vector cell assignment becomes the
     * stored inverted file the probe equi-joins against — exactly the
-    * artifact shape these views materialize. The pipeline is STAGED into
+    * artifact shape these views materialize. Recall is protected by the
+    * SimSearchSpec floor (ivf ≥ 0.4) and pinned cross-engine by
+    * sim_recall. The pipeline is STAGED into
     * three bodies (assignment → centroids → probe/rerank): Spark
     * materializes each as a persisted view (multi-referenced CTEs would
     * inline-recompute the whole training tree per reference); DuckDB
     * composes the same texts as MATERIALIZED CTEs. */
   private def ivfAssignSql(ds: String => String, mat: String, nRel: String,
-      unnRel: String): String = s"""
+      unnRel: String, str: String, mult: Int = 32): String = s"""
       WITH unn AS $mat(SELECT vec_id, CAST(v AS DOUBLE) AS v, dim
         FROM $unnRel),
-      st AS (SELECT GREATEST(1, CAST(ceil(CAST(COUNT(*) AS DOUBLE) /
-          ceil(sqrt(CAST(COUNT(*) AS DOUBLE)))) AS BIGINT)) AS stride
+      kk AS (SELECT CAST(ceil(sqrt(CAST(COUNT(*) AS DOUBLE))) AS BIGINT) AS k
         FROM $nRel),
-      sinit AS (SELECT vec_id, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cell
-        FROM (SELECT vec_id, ROW_NUMBER() OVER (ORDER BY vec_id) AS rn
-              FROM $nRel) sr
-        WHERE (rn - 1) % (SELECT stride FROM st) = 0),
+      samp AS $mat(SELECT vec_id, mr FROM (
+          SELECT vec_id, ROW_NUMBER() OVER (
+            ORDER BY md5(CAST(vec_id AS $str)), vec_id) AS mr
+          FROM $nRel) smr
+        WHERE mr <= $mult * (SELECT k FROM kk)),
+      unns AS $mat(SELECT u.vec_id, u.v, u.dim
+        FROM unn u JOIN samp sm ON sm.vec_id = u.vec_id),
+      st AS (SELECT GREATEST(1, CAST(ceil(CAST(COUNT(*) AS DOUBLE) /
+          (SELECT k FROM kk)) AS BIGINT)) AS stride FROM samp),
+      sinit AS (SELECT vec_id, ROW_NUMBER() OVER (ORDER BY mr) - 1 AS cell
+        FROM samp WHERE (mr - 1) % (SELECT stride FROM st) = 0),
       c0 AS $mat(SELECT s.cell, u.dim, u.v AS c
         FROM sinit s JOIN unn u ON u.vec_id = s.vec_id),
       n0 AS (SELECT cell, ${ds("c * c")} AS cc FROM c0 GROUP BY cell),
       d0 AS (SELECT u.vec_id, c.cell, ${ds("u.v * c.c")} AS dot
-        FROM unn u JOIN c0 c ON c.dim = u.dim GROUP BY u.vec_id, c.cell),
+        FROM unns u JOIN c0 c ON c.dim = u.dim GROUP BY u.vec_id, c.cell),
       a0 AS $mat(SELECT vec_id, cell FROM (
         SELECT d.vec_id, d.cell, ROW_NUMBER() OVER (PARTITION BY d.vec_id
           ORDER BY d.dot - 0.5 * x.cc DESC, d.cell) AS rn
         FROM d0 d JOIN n0 x ON x.cell = d.cell) t WHERE rn = 1),
       c1 AS $mat(SELECT a.cell, u.dim, ${ds("u.v")} / COUNT(*) AS c
-        FROM a0 a JOIN unn u ON u.vec_id = a.vec_id GROUP BY a.cell, u.dim),
+        FROM a0 a JOIN unns u ON u.vec_id = a.vec_id GROUP BY a.cell, u.dim),
       n1 AS (SELECT cell, ${ds("c * c")} AS cc FROM c1 GROUP BY cell),
       d1 AS (SELECT u.vec_id, c.cell, ${ds("u.v * c.c")} AS dot
         FROM unn u JOIN c1 c ON c.dim = u.dim GROUP BY u.vec_id, c.cell)
@@ -261,10 +274,29 @@ object SimOps extends OpModule {
     val unn = unnView(s, dir)
     val a1 = graft.Views.checkpointed(s, dir, "simivf_a1",
       ivfAssignSql(sparkDs, mat = "", nRel = n,
-        unnRel = s"(SELECT vec_id, dim, v FROM $unn) uv"))
+        unnRel = s"(SELECT vec_id, dim, v FROM $unn) uv", str = "STRING"))
     val c2 = graft.Views.checkpointed(s, dir, "simivf_c2",
       ivfCentSql(sparkDs, a1, unn))
     graft.Views.materialize(s, dir, "simivf",
+      ivfProbeSql(sparkDs, pre = "", nRel = n, unnRel = unn,
+        aRel = a1, cRel = c2, dot = (a, b) => s"vec_dot($a, $b)"))
+  }
+
+  /** Test hook (SimSearchSpec): the same Spark IVF pipeline with a custom
+    * sample multiplier, so specs can force the training sample STRICTLY
+    * below the fixture corpus (the graded keys' 32·k covers all 500
+    * fixture vectors) and assert recall still clears the floor. */
+  private[graft] def ivfViewSampled(s: org.apache.spark.sql.SparkSession,
+      dir: String, mult: Int): String = {
+    val n = normView(s, dir)
+    val unn = unnView(s, dir)
+    val a1 = graft.Views.checkpointed(s, dir, s"simivf_a1_m$mult",
+      ivfAssignSql(sparkDs, mat = "", nRel = n,
+        unnRel = s"(SELECT vec_id, dim, v FROM $unn) uv", str = "STRING",
+        mult = mult))
+    val c2 = graft.Views.checkpointed(s, dir, s"simivf_c2_m$mult",
+      ivfCentSql(sparkDs, a1, unn))
+    graft.Views.materialize(s, dir, s"simivf_m$mult",
       ivfProbeSql(sparkDs, pre = "", nRel = n, unnRel = unn,
         aRel = a1, cRel = c2, dot = (a, b) => s"vec_dot($a, $b)"))
   }
@@ -378,7 +410,8 @@ object SimOps extends OpModule {
         SELECT vec_id, embedding, nrm FROM $nRel),
       unnmat AS MATERIALIZED (SELECT vec_id, dim, v FROM $unnRel),
       a1 AS MATERIALIZED (SELECT * FROM (${ivfAssignSql(dds,
-        mat = "MATERIALIZED ", nRel = "nmat", unnRel = "unnmat")}) aq),
+        mat = "MATERIALIZED ", nRel = "nmat", unnRel = "unnmat",
+        str = "VARCHAR")}) aq),
       c2 AS MATERIALIZED (${ivfCentSql(dds, "a1", "unnmat")}),
       """
     ivfProbeSql(dds, pre = pre, nRel = "nmat", unnRel = "unnmat",

@@ -91,6 +91,36 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(q.filter(col("ttr") <= 0 || col("ttr") > 1).count() == 0)
   }
 
+  test("band-bucket star cap: planted giant clique stays ONE cluster, linear pairs") {
+    // The r10 skew overlay's pathological shape: one LSH band bucket far
+    // past DedupOps.BandBucketCap (32). The capped candidate step must
+    // (a) keep the clique fully connected through the star pairs, and
+    // (b) emit LINEARLY many pairs for it, not C(n,2).
+    import spark.implicits._
+    val base = Tables(spark, sf, "documents")
+    val maxId = base.agg(max("doc_id")).head.getLong(0)
+    val dupText = Seq.fill(12)(
+      "the quick onyx goblin jumps over the lazy dwarf").mkString(" ")
+    val n = 48L
+    val planted = spark.range(1, n + 1).select(
+      (col("id") + maxId).as("doc_id"), lit(dupText).as("text"),
+      lit("en").as("lang"), lit("planted").as("source"),
+      lit(dupText.length.toLong).as("n_chars"))
+    val dir = graft.Staging.fresh("starcap-docs")
+    base.unionByName(planted).write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    val clusters = SparkEntry.queries("dedup_cluster")(spark, dir)
+      .filter(col("doc_id") > maxId).collect()
+    assert(clusters.length == n,
+      s"expected all $n planted docs clustered, got ${clusters.length}")
+    val labels = clusters.map(_.getLong(0)).toSet // cluster_rep column
+    assert(labels.size == 1, s"clique split across clusters: $labels")
+    val cliquePairs = SparkEntry.queries("dedup_minhash")(spark, dir)
+      .filter(col("doc_a") > maxId && col("doc_b") > maxId).count()
+    assert(cliquePairs < 3 * n,
+      s"quadratic pair mass survived the cap: $cliquePairs pairs")
+  }
+
   test("dedup_cluster is a fixpoint consistent with the pair graph") {
     val cl = SparkEntry.queries("dedup_cluster")(spark, sf)
       .select(col("doc_id"), col("cluster_rep"))

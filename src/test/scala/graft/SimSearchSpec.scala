@@ -60,6 +60,27 @@ class SimSearchSpec extends AnyFunSuite {
     }
   }
 
+  test("IVF with a STRICT training sample keeps recall at the floor") {
+    // The graded pipeline's 32·k sample covers all 500 fixture vectors, so
+    // force mult=4 (4·k ≈ 92 vectors — a real sample) and re-measure
+    // recall against exact top-3: sampled training must not collapse the
+    // quantizer (the r11 production path trains on a sample ALWAYS; this
+    // pins its quality at a scale where we can afford the exact answer).
+    val v = ops.SimOps.ivfViewSampled(spark, sf, 4)
+    val sampled = spark.sql(s"SELECT qa, vb FROM $v").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = SparkEntry.queries("sim_topk")(spark, sf)
+      .filter(col("rnk") <= 3).select("qa", "vb").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty)
+    val recall = (sampled intersect exact).size.toDouble / exact.size
+    assert(recall >= 0.4, s"sampled-training ivf recall $recall < 0.4")
+    // and the sample really was strict: ≈ 4·⌈√500⌉ = 92 trained vectors
+    val n = Tables(spark, sf, "embeddings").count()
+    assert(4 * math.ceil(math.sqrt(n.toDouble)).toLong < n,
+      "sample not strict at this fixture size — raise corpus or lower mult")
+  }
+
   test("graph_upsert: auditors inserted, every 7th supplier deleted") {
     val up = SparkEntry.queries("graph_upsert")(spark, sf).collect()
       .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
