@@ -362,8 +362,58 @@ object ScaleBench {
     System.out.flush()
   }
 
+  /** BFS-lean probe (r10 verdict #7): the multi-source BFS level chains
+    * (betweenness, eccentricity) leaned 2-4× under skew in 2 of 3 r10
+    * runs — but those numbers came from ONE ingest-warmup pass per side,
+    * the noisiest possible protocol on a virtualized host. This mode
+    * re-measures JUST those two level-chain builds with an INTERLEAVED
+    * min-of-3: per repetition, a FRESH `spark.newSession()` per side
+    * busts every SessionMemo/Views cache (the chains are per-(session,
+    * dir) artifacts) while keeping JVM/codegen warmth shared, the graph
+    * build itself is pre-warmed untimed in that session so only the level
+    * chains are timed, and uniform/skew alternate so host drift hits both
+    * sides equally. `ScaleBench bfslean [baseDir] [K]`. */
+  def bfsLeanMain(args: Array[String]): Unit = {
+    val base = args.headOption.getOrElse(
+      sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+    val k = args.drop(1).headOption.map(_.toInt).getOrElse(3)
+    val spark = Bench.session(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+    val outU = Staging.dir(s"scale-x$k")
+    val outS = Staging.dir(s"skew-x$k")
+    build(spark, base, outU, k)
+    build(spark, base, outS, k, skewize)
+    val keys = Seq("graph_betweenness", "graph_eccentricity")
+    // one untimed JIT pass per side
+    Seq(outU, outS).foreach { d =>
+      val s0 = spark.newSession()
+      keys.foreach(q => SparkEntry.queries(q)(s0, d).count())
+    }
+    val runs = scala.collection.mutable.Map[(String, String),
+      List[Double]]().withDefaultValue(Nil)
+    for (_ <- 1 to 3; (side, d) <- Seq("uniform" -> outU, "skew" -> outS)) {
+      val s2 = spark.newSession()
+      graft.graph.GraphFixture(s2, d).edges.count() // graph build untimed
+      for (q <- keys) {
+        val t0 = System.nanoTime()
+        SparkEntry.queries(q)(s2, d).count()
+        val sec = (System.nanoTime() - t0) / 1e9
+        runs((q, side)) = runs((q, side)) :+ sec
+      }
+    }
+    spark.stop()
+    def fmt(l: List[Double]) = l.map(v => f"$v%.2f").mkString("[", ",", "]")
+    val body = keys.map { q =>
+      val u = runs((q, "uniform")); val s = runs((q, "skew"))
+      s""""$q":{"uniform":${fmt(u)},"skew":${fmt(s)},""" +
+        s""""min_ratio":${f"${s.min / u.min}%.3f"}}"""
+    }.mkString(",")
+    println(s"""{"metric":"bfs_lean","k":$k,$body}""")
+    System.out.flush()
+  }
+
   def main(args: Array[String]): Unit = {
     if (args.headOption.contains("skew")) return skewMain(args.drop(1))
+    if (args.headOption.contains("bfslean")) return bfsLeanMain(args.drop(1))
     val base = args.headOption.getOrElse(
       sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
     val k = args.drop(1).headOption.map(_.toInt).getOrElse(10)

@@ -75,18 +75,34 @@ object PairCC {
     // often as per-step checkpoints.
     var lbl = und.select(col("a").as("id")).distinct()
       .select(col("id"), col("id").as("lbl"))
-    for (_ <- 1 to rounds) {
+    var moving = true
+    var r = 0
+    while (moving && r < rounds) {
+      r += 1
       val nl = und.join(lbl.select(col("id").as("b"), col("lbl").as("l")), "b")
         .groupBy(col("a").as("id")).agg(min("l").as("nl"))
       val hooked = lbl.join(nl, Seq("id"), "left")
         .select(col("id"),
           least(col("lbl"), coalesce(col("nl"), col("lbl"))).as("lbl"))
-      lbl = ckpt(hooked.join(
+      val next = ckpt(hooked.join(
           hooked.select(col("id").as("lbl"), col("lbl").as("ll")),
           Seq("lbl"), "left")
         .select(col("id"),
           least(col("lbl"), coalesce(col("ll"), col("lbl"))).as("lbl")),
-        eager = false)
+        // converge mode materializes each round anyway (the changed-row
+        // probe would otherwise recompute it); fixed-round mode keeps the
+        // half-cost lazy cut.
+        eager = converge)
+      if (converge) {
+        // limit-1 early-out: we only need moved-or-not, not how many.
+        moving = next.join(lbl.select(col("id"), col("lbl").as("prev")), "id")
+          .filter(col("lbl") =!= col("prev")).limit(1).count() > 0
+        require(!(moving && r == rounds),
+          s"PairCC: labels still moving after $rounds hook+jump rounds — " +
+            "the pair graph's diameter exceeds the round budget; " +
+            "raise maxRounds")
+      }
+      lbl = next
     }
     lbl
   }

@@ -238,6 +238,21 @@ class PropertyGraphSpec extends AnyFunSuite {
     }
   }
 
+  test("PairCC.labelsConverged: fixpoint on a chain, loud failure past the cap") {
+    // A 40-vertex path needs ~log2(diameter) hook+jump rounds — well
+    // under the default cap, far over a 2-round budget. Converged labels
+    // must all be the component min; an insufficient cap must fail LOUDLY
+    // (the r10 ADVICE trap: a fixed round count silently splits one
+    // component into several).
+    import spark.implicits._
+    val chain = (1L until 40L).map(i => (i, i + 1)).toDF("da", "db")
+    val lbl = graft.graph.PairCC.labelsConverged(chain)
+    assert(lbl.count() == 40)
+    assert(lbl.filter(col("lbl") =!= 1L).count() == 0)
+    intercept[IllegalArgumentException](
+      graft.graph.PairCC.labelsConverged(chain, maxRounds = 2))
+  }
+
   test("neighborLists: hub-sharded rows are cap-bounded and reconstruct the adjacency") {
     // Force a tiny shard cap so sharding ENGAGES at fixture scale (real
     // default 8192 only splits skew-overlay hubs); fresh instance so the
