@@ -177,13 +177,18 @@ object SimOps extends OpModule {
     * ~1/√k — the classic IVF recall/latency dial.
     *
     * 100 TB read: training runs on a DETERMINISTIC SAMPLE (r11, the
-    * production IVF shape): the Lloyd assign/update joins see only the
-    * 32·k vectors with the smallest md5(vec_id) rank — a uniform,
-    * id-distribution-independent, cross-engine-identical draw (both
-    * dialects md5 the same decimal string), so training work is O(k²·D)
-    * ≈ O(N·D) instead of O(N^1.5·D), while the FINAL assignment step
-    * still places every corpus vector into its trained cell (that IS the
-    * inverted file — it must be corpus-sized). The stored centroid table
+    * production IVF shape): per 2-hex-digit md5(vec_id) bucket (256
+    * uniform shards), the ⌈32·k/256⌉ member vectors with the smallest
+    * md5 — a uniform, id-distribution-independent, cross-engine-identical
+    * draw (both dialects md5 the same decimal string), selected with a
+    * BUCKET-PARTITIONED rank so the whole-corpus pass parallelizes; the
+    * only single-partition window left is the seed ordering over the
+    * o(√N)-sized sample itself (the first cut ranked the full corpus
+    * through one global ROW_NUMBER — a single-task corpus sort, exactly
+    * the WindowExec warning Spark emits for it). Training work is
+    * O(k²·D) ≈ O(N·D) instead of O(N^1.5·D), while the FINAL assignment
+    * step still places every corpus vector into its trained cell (that
+    * IS the inverted file — it must be corpus-sized). The stored centroid table
     * stays broadcast-size and the per-vector cell assignment becomes the
     * stored inverted file the probe equi-joins against — exactly the
     * artifact shape these views materialize. Recall is protected by the
@@ -199,11 +204,14 @@ object SimOps extends OpModule {
         FROM $unnRel),
       kk AS (SELECT CAST(ceil(sqrt(CAST(COUNT(*) AS DOUBLE))) AS BIGINT) AS k
         FROM $nRel),
-      samp AS $mat(SELECT vec_id, mr FROM (
-          SELECT vec_id, ROW_NUMBER() OVER (
-            ORDER BY md5(CAST(vec_id AS $str)), vec_id) AS mr
-          FROM $nRel) smr
-        WHERE mr <= $mult * (SELECT k FROM kk)),
+      qq AS (SELECT CAST(ceil($mult.0 * k / 256.0) AS BIGINT) AS q FROM kk),
+      sb AS (SELECT vec_id, md5(CAST(vec_id AS $str)) AS mk FROM $nRel),
+      sr AS (SELECT vec_id, mk, ROW_NUMBER() OVER (
+          PARTITION BY substring(mk, 1, 2) ORDER BY mk, vec_id) AS br
+        FROM sb),
+      samp AS $mat(SELECT vec_id, ROW_NUMBER() OVER (ORDER BY mk, vec_id)
+          AS mr
+        FROM sr WHERE br <= (SELECT q FROM qq)),
       unns AS $mat(SELECT u.vec_id, u.v, u.dim
         FROM unn u JOIN samp sm ON sm.vec_id = u.vec_id),
       st AS (SELECT GREATEST(1, CAST(ceil(CAST(COUNT(*) AS DOUBLE) /
