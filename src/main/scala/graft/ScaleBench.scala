@@ -411,9 +411,39 @@ object ScaleBench {
     System.out.flush()
   }
 
+  /** Targeted key probe: `ScaleBench probe [baseDir] [K] keys...` —
+    * builds the K× blow-up, warms ONLY the graph build (not the full
+    * artifact suite: a single-key A/B should not pay 18 minutes of
+    * unrelated warmup), and times the given keys min-of-2 paired
+    * base-vs-scaled. For spot-checking one operator's scaling after a
+    * change without re-running the whole curve. */
+  def probeMain(args: Array[String]): Unit = {
+    val base = args.headOption.getOrElse(
+      sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+    val k = args.drop(1).headOption.map(_.toInt).getOrElse(10)
+    val keys = args.drop(2).toSeq
+    require(keys.nonEmpty, "probe mode needs explicit keys")
+    val spark = Bench.session(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+    val out = Staging.dir(s"scale-x$k")
+    build(spark, base, out, k)
+    Seq(base, out).foreach(d =>
+      graft.graph.GraphFixture(spark, d).edges.count())
+    keys.foreach { q => once(spark, base, q); once(spark, out, q) } // JIT
+    val rows = keys.map { q =>
+      val b = math.min(once(spark, base, q), once(spark, base, q))
+      val s = math.min(once(spark, out, q), once(spark, out, q))
+      s""""$q":{"base":${f"$b%.2f"},"scaled":${f"$s%.2f"},""" +
+        s""""ratio":${f"${s / b}%.2f"}}"""
+    }.mkString(",")
+    spark.stop()
+    println(s"""{"metric":"scale_probe","k":$k,$rows}""")
+    System.out.flush()
+  }
+
   def main(args: Array[String]): Unit = {
     if (args.headOption.contains("skew")) return skewMain(args.drop(1))
     if (args.headOption.contains("bfslean")) return bfsLeanMain(args.drop(1))
+    if (args.headOption.contains("probe")) return probeMain(args.drop(1))
     val base = args.headOption.getOrElse(
       sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
     val k = args.drop(1).headOption.map(_.toInt).getOrElse(10)

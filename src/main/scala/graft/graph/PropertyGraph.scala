@@ -398,34 +398,104 @@ final case class PropertyGraph(vertices: DataFrame, edges: DataFrame) {
     * `g.traverse("V(label='customer').out('in_nation').path()")`. */
   def traverse(query: String): DataFrame = Traversal.parse(this, query)
 
+  /** Per-label edge statistics — (rows, distinct src, distinct dst), one
+    * metadata-scale aggregation per graph — used by [[find]]'s join
+    * ordering; the engine analog of a graph store's label cardinality
+    * catalog. The `None` entry covers unlabeled pattern terms (whole
+    * edge table). Distinct ENDPOINT counts matter, not just sizes: the
+    * output of a hop join is current × (rows / distinct-bound-endpoint)
+    * — a big-but-flat relation (colocated: 4 edges per customer) is a
+    * far better next join than a smaller hub-keyed one (in_nation: 640
+    * edges per nation at 10×). */
+  lazy val edgeLabelStats: Map[Option[String], (Long, Long, Long)] = {
+    val per = edges.groupBy("label").agg(
+        count(lit(1)).as("n"),
+        countDistinct(col("src")).as("ds"),
+        countDistinct(col("dst")).as("dd")).collect()
+      .map(r => (Option(r.getString(0)): Option[String]) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    per + (None -> ((per.values.map(_._1).sum,
+      per.values.map(_._2).max, per.values.map(_._3).max)))
+  }
+
   /** GraphFrames-style motif finding: compile a pattern string into the
     * equivalent join pipeline. Pattern syntax: `(a)-[:label]->(b)` terms
     * separated by `;` — vertex variables join on reuse, the optional edge
     * label filters that hop, and every variable's vertex attributes come
     * back as `<var>_id/_label/_name/_val` columns. This is the traversal
     * DSL of the Blueprints family re-expressed declaratively: Catalyst
-    * plans the joins (broadcast/SMJ/AQE) instead of element iteration. */
+    * plans the PHYSICAL joins (broadcast/SMJ/AQE); the JOIN ORDER is
+    * chosen here, connectivity-greedy (r11) — textual pattern order
+    * turned adversarial at scale: `(c)-[:in_nation]->(n);
+    * (s)-[:in_nation]->(n); (c)-[:colocated]->(s)` in pattern order
+    * builds the customers×suppliers-per-nation wedge BEFORE the flat
+    * colocated term prunes it (measured 16× at the 10× blow-up — the
+    * intermediate is quadratic in nation fan-in). Greedy rule, the
+    * GraphFrames/Neo4j planning heuristic at its core: anchor on the
+    * first term (deterministic), then repeatedly take the term with the
+    * SMALLEST estimated output multiplier from [[edgeLabelStats]] —
+    * rows/distinct(bound endpoint) for a one-endpoint hop,
+    * rows/(distinct src · distinct dst) when both endpoints are bound
+    * (a filter-grade join), unbound terms deferred to the end (cross
+    * join only when forced). Input SIZE alone is the wrong statistic:
+    * the colocated relation is 4× bigger than in_nation here but 160×
+    * flatter per endpoint. Result set is join-order-independent;
+    * `e<i>_weight` columns keep their ORIGINAL pattern indices. */
   def find(motif: String): DataFrame = {
     val Pat = """\((\w+)\)-\[(?::(\w+))?\]->\((\w+)\)""".r
     val pats = motif.split(";").map(_.trim).filter(_.nonEmpty).map {
       case Pat(s, l, d) => (s, Option(l), d)
       case other => throw new IllegalArgumentException(s"bad motif term: $other")
+    }.zipWithIndex.toBuffer
+    def fanout(t: (String, Option[String], String), bound: Set[String])
+        : Double = {
+      val (s, l, d) = t
+      val (n, dsrc, ddst) = edgeLabelStats.getOrElse(l, (0L, 1L, 1L))
+      val nn = math.max(n, 1L).toDouble
+      (bound(s), bound(d)) match {
+        case (true, true)  => nn / (math.max(dsrc, 1L).toDouble *
+          math.max(ddst, 1L).toDouble)
+        case (true, false) => nn / math.max(dsrc, 1L).toDouble
+        case (false, true) => nn / math.max(ddst, 1L).toDouble
+        case (false, false) => Double.MaxValue // cross join: last resort
+      }
     }
     var bound = Set.empty[String]
     var df: DataFrame = null
-    pats.zipWithIndex.foreach { case ((s, l, d), i) =>
+    while (pats.nonEmpty) {
+      val next =
+        if (df == null) pats.head
+        else pats.minBy { case (t, _) => fanout(t, bound) }
+      pats -= next
+      val ((s, l, d), i) = next
       val e = l.foldLeft(edges)((e, lbl) => e.filter(col("label") === lbl))
         .select(col("src").as(s"${s}_id"), col("dst").as(s"${d}_id"),
           col("weight").as(s"e${i}_weight"))
       df = if (df == null) e
       else {
-        val shared = Seq(s, d).filter(bound).map(v => s"${v}_id")
-        if (shared.isEmpty) df.crossJoin(e) else df.join(e, shared)
+        val shared = Seq(s, d).distinct.filter(bound).map(v => s"${v}_id")
+        // The repartition is an OPTIMIZER BARRIER, not (only) a layout
+        // choice: Catalyst's ReorderJoin flattens consecutive inner joins
+        // and re-picks its own order, which resurrects exactly the
+        // wedge-first plan the greedy ordering avoids (measured: the
+        // flattened plan ran the in_nation⋈in_nation wedge innermost —
+        // ~100M intermediate rows at the 10× blow-up, 21 s — while the
+        // barriered greedy chain runs it last, <1 s edges-side).
+        // RepartitionByExpression is opaque to the flattener, and the
+        // exchange it adds is the one the next sort-merge join needs
+        // anyway, so the barrier is ~free.
+        if (shared.isEmpty) df.crossJoin(e)
+        else df.repartition(shared.map(col): _*).join(e, shared)
       }
       bound ++= Seq(s, d)
     }
-    bound.toSeq.sorted.foldLeft(df) { (d, v) =>
-      d.join(vertices.select(col("id").as(s"${v}_id"),
+    val vars = bound.toSeq.sorted
+    vars.zipWithIndex.foldLeft(df) { case (d, (v, i)) =>
+      // same barrier before the first hydration join: without it the
+      // flattener can merge the last term join into the hydration chain
+      // and reorder across the boundary.
+      val left = if (i == 0) d.repartition(col(s"${v}_id")) else d
+      left.join(vertices.select(col("id").as(s"${v}_id"),
         col("label").as(s"${v}_label"), col("name").as(s"${v}_name"),
         col("val").as(s"${v}_val")), s"${v}_id")
     }

@@ -93,6 +93,29 @@ class PropertyGraphSpec extends AnyFunSuite {
     assert(m.count() > 0)
   }
 
+  test("motif join reorder: adversarial pattern order returns the identical set") {
+    // The r11 connectivity-greedy ordering must be a pure EXECUTION
+    // choice: the wedge-first writing (both in_nation terms before the
+    // sparse colocated pruner — the 16×-at-10× shape) and the pruner-first
+    // writing must return the same rows with the same columns, e-weight
+    // indices tracking the ORIGINAL pattern positions.
+    val wedgeFirst = g.find(
+      "(c)-[:in_nation]->(n); (s)-[:in_nation]->(n); (c)-[:colocated]->(s)")
+    val prunerFirst = g.find(
+      "(c)-[:colocated]->(s); (c)-[:in_nation]->(n); (s)-[:in_nation]->(n)")
+    assert(wedgeFirst.columns.sorted.toSeq.filterNot(_.startsWith("e")) ==
+      prunerFirst.columns.sorted.toSeq.filterNot(_.startsWith("e")))
+    val a = wedgeFirst.select("c_id", "s_id", "n_id").collect()
+      .map(_.toString).sorted.toSeq
+    val b = prunerFirst.select("c_id", "s_id", "n_id").collect()
+      .map(_.toString).sorted.toSeq
+    assert(a == b && a.nonEmpty)
+    // weight columns keep original indices in both writings
+    assert(wedgeFirst.columns.count(_.endsWith("_weight")) == 3)
+    assert(prunerFirst.columns.toSet.intersect(
+      Set("e0_weight", "e1_weight", "e2_weight")).size == 3)
+  }
+
   test("visibility view removes secret elements and their edges") {
     val vis = g.visible
     assert(vis.vertices.filter(col("vis") === "secret").count() == 0)
