@@ -752,15 +752,22 @@ final case class PropertyGraph(vertices: DataFrame, edges: DataFrame) {
       .select("da", "db").distinct()
     // The merge graph's nodes are TOUCHED COMPONENTS (≤ 2·|batch| of them,
     // graph-size-independent), so under a size cap the exact component
-    // merge is a driver union-find — one job instead of a 6-round
-    // distributed label loop (the loop cost 6 small jobs × every
-    // micro-batch; at 3 streamed folds that was most of
-    // stream_cc_maintain's wall clock). Past the cap — ingest batches
-    // touching >100k components — the SAME semantics run distributed via
-    // PairCC. Identical labels either way: both assign each touched
-    // component the minimum component id in its merged set.
+    // merge is a driver union-find — one job instead of a multi-round
+    // distributed label loop (the loop cost ~3 small jobs per round ×
+    // every micro-batch; at 3 streamed folds that was most of
+    // stream_cc_maintain's wall clock). Past the cap the SAME semantics
+    // run distributed via PairCC (fixpoint form). Identical labels either
+    // way: both assign each touched component the minimum component id in
+    // its merged set. Cap default 1M pairs ≈ 16 MB collected (r11, was
+    // 100k): a driver that runs this harness holds 48 g — the 10× blow-up
+    // measured the distributed loop at 330k pairs costing ~6 s/batch
+    // where the collect costs well under one, and a real deployment draws
+    // the line where ITS driver heap does, not at a round number. The
+    // cutover stays conf-tunable and the distributed path stays
+    // spec-forced (graft.cc.unionFindPairLimit=0) — this knob picks the
+    // boundary, it doesn't remove the scale path.
     val cap = spark.conf.getOption("graft.cc.unionFindPairLimit")
-      .map(_.toInt).getOrElse(100000)
+      .map(_.toInt).getOrElse(1000000)
     val head = pairs.limit(cap + 1).collect()
     val merged =
       if (head.length <= cap) {
@@ -781,7 +788,15 @@ final case class PropertyGraph(vertices: DataFrame, edges: DataFrame) {
         val ids = head.flatMap(r => Seq(r.getLong(0), r.getLong(1))).distinct
         val sp = spark; import sp.implicits._
         ids.map(i => (i, find(i))).toSeq.toDF("component", "mergedc")
-      } else PairCC.labels(pairs, rounds)
+      } else PairCC.labelsConverged(pairs, maxRounds = math.max(rounds, 32))
+        // FIXPOINT, not a fixed `rounds` budget (r11): a component-merge
+        // graph usually converges in 2-3 hook+jump rounds (star-shaped
+        // unions), so the probe-per-round converged loop is cheaper than
+        // 6 unconditional rounds — and LOUD if an adversarial batch's
+        // merge chain ever outruns the budget, where the fixed count
+        // would silently mislabel. The oracle (full ccChain recompute)
+        // checks the fixpoint, not a round count, so this is the
+        // strictly-safer form.
         .select(col("id").as("component"), col("lbl").as("mergedc"))
     lbl.join(broadcast(merged), Seq("component"), "left")
       .select(col("id"), coalesce(col("mergedc"), col("component")).as("component"))
