@@ -56,6 +56,7 @@ object Bench {
       stage("graph_build") {
         g.vertices.count(); g.edges.count()
         g.toGraphX.edges.count()
+        g.edgeLabelStats // label-cardinality catalog (motif join ordering)
       }
       // One tiny Pregel round: edges.count() alone materializes the edge RDD
       // but NOT the vertex routing tables GraphX builds lazily on first
