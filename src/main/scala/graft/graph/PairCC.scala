@@ -77,7 +77,14 @@ object PairCC {
       .select(col("id"), col("id").as("lbl"))
     var moving = true
     var r = 0
-    while (moving && r < rounds) {
+    // Converge mode gets ONE confirming pass past the budget (r11 ADVICE):
+    // if labels hit the fixpoint exactly on round `rounds`, that pass still
+    // changed rows, so `moving` is true — throwing there would be a
+    // spurious failure on a correct result. The extra pass either confirms
+    // convergence (changes nothing, cheap) or proves the budget truly
+    // insufficient.
+    val maxPass = if (converge) rounds + 1 else rounds
+    while (moving && r < maxPass) {
       r += 1
       val nl = und.join(lbl.select(col("id").as("b"), col("lbl").as("l")), "b")
         .groupBy(col("a").as("id")).agg(min("l").as("nl"))
@@ -97,8 +104,9 @@ object PairCC {
         // limit-1 early-out: we only need moved-or-not, not how many.
         moving = next.join(lbl.select(col("id"), col("lbl").as("prev")), "id")
           .filter(col("lbl") =!= col("prev")).limit(1).count() > 0
-        require(!(moving && r == rounds),
-          s"PairCC: labels still moving after $rounds hook+jump rounds — " +
+        require(!(moving && r == maxPass),
+          s"PairCC: labels still moving after $rounds hook+jump rounds " +
+            "plus a confirming pass — " +
             "the pair graph's diameter exceeds the round budget; " +
             "raise maxRounds")
       }

@@ -334,35 +334,67 @@ final case class PropertyGraph(vertices: DataFrame, edges: DataFrame) {
     * are emitted with their path; NULL-pred heads keep looping (has()
     * semantics); walks cut by the guard continue downstream too
     * (TinkerPop). Exponential in branching by nature, so `cap` bounds
-    * LIVE walks per level and fails LOUDLY past it (frontierCap's
+    * TOTAL walks per level and fails LOUDLY past it (frontierCap's
     * philosophy: a cap with an error, never a silent OOM) — the
     * path-erasing fold remains the scale path when only head counts are
     * consumed. `adj` is the expanded (src, dst) step relation (out/in/
     * both, optionally label-filtered), duplicates preserved — parallel
     * edges are distinct walks, matching the fold's bulk multiplicities
     * exactly (certified in PropertyGraphSpec by grouping these walks by
-    * head and comparing to repeatUntil's folded counts). */
+    * head and comparing to repeatUntil's folded counts).
+    *
+    * Execution shape (r12, 3.6× the r11 form at sf0.1 — 1.7 s vs 5.9 s
+    * driver min-of-2):
+    *  - the cap-bounded FRONTIER is the broadcast build side of the step
+    *    join (classic frontier-broadcast BFS): each level's job builds a
+    *    hash over ≤cap walks and STREAMS the adjacency relation — r11 let
+    *    Catalyst pick the opposite side, so every level's separate job
+    *    re-built a full-edge-relation hash (broadcast instances don't
+    *    survive across jobs the way ReuseExchange dedupes them within
+    *    one). The hint is dropped when `cap` is raised past what a
+    *    broadcast can carry, and the stop flag joins against the LAZY
+    *    vertex projection so its statistics keep that join broadcast too.
+    *  - each level is materialized NARROW — (id, path, __stop), the stop
+    *    predicate folded in as a boolean — via direct
+    *    `Dataset.localCheckpoint` (InternalRow blocks; graft.util.cut's
+    *    Row round-trip re/de-serializes every path array, measured ~2×
+    *    the whole loop at 378k walks).
+    *  - the cap guard counts the checkpoint itself — TOTAL walks, stop
+    *    AND live (r11 counted only continuing walks, so a level whose
+    *    walks all stopped evaded the cap) — at metadata-ish cost. The
+    *    offending level of a blowup does materialize before the error
+    *    (disk-backed blocks, never a silent OOM), and the error fires
+    *    before the NEXT level can multiply it. */
   def pathsUntil(sources: DataFrame, adj: DataFrame, pred: Column,
       maxLoops: Int, cap: Long = 1000000L): DataFrame = {
     require(maxLoops >= 1 && maxLoops <= 16,
       s"until guard out of range: $maxLoops")
-    var active = graft.util.cut(
-      sources.select(col("id"), array(col("id")).as("path")))
+    // frontier-broadcast only while cap-bounded walk sets are broadcast
+    // material (~8M rows × a short path array ≈ hundreds of MB ceiling)
+    val hintFrontier = cap <= 8000000L
+    var active = sources.select(col("id"), array(col("id")).as("path"))
+      .localCheckpoint(true)
     var out: Option[DataFrame] = None
     for (i <- 1 to maxLoops) {
-      val stepped = active.join(adj, active("id") === adj("src"))
+      // fresh Alias per level: the checkpointed level's output carries its
+      // __stop attribute, and re-using one vflag DataFrame would put the
+      // same expression id on both sides of the next level's join
+      val vflag = vertices.select(col("id"),
+        coalesce(pred, lit(false)).as("__stop"))
+      val fr = if (hintFrontier) broadcast(active) else active
+      val stepped = fr.join(adj, active("id") === adj("src"))
         .select(col("dst").as("id"),
           array_append(col("path"), col("dst")).as("path"))
-      // one materialized level (walk-sized), two codegen'd filters over it
-      val withV = graft.util.cut(stepped.join(vertices, "id"))
-      val stop = withV.filter(pred).select("id", "path")
-      out = Some(out.fold(stop)(_ unionAll stop))
-      active = withV.filter(!coalesce(pred, lit(false)))
-        .select("id", "path")
-      val live = active.count()
-      require(live <= cap,
-        s"pathsUntil: $live live walks exceed cap $cap at loop $i — " +
+      val lvl = stepped.join(vflag, "id")
+        .select(col("id"), col("path"), col("__stop"))
+        .localCheckpoint(true)
+      val total = lvl.count()
+      require(total <= cap,
+        s"pathsUntil: $total walks at loop $i exceed cap $cap — " +
           "raise the cap or use the path-erasing repeatUntil fold")
+      val stop = lvl.filter(col("__stop")).select("id", "path")
+      out = Some(out.fold(stop)(_ unionAll stop))
+      active = lvl.filter(!col("__stop")).select("id", "path")
     }
     out.get unionAll active
   }
@@ -414,8 +446,13 @@ final case class PropertyGraph(vertices: DataFrame, edges: DataFrame) {
         countDistinct(col("dst")).as("dd")).collect()
       .map(r => (Option(r.getString(0)): Option[String]) ->
         (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // reduceOption: on an EDGELESS graph `per` is empty and a bare .max
+    // throws — find() on such a graph must return empty, not crash
+    // (r11 ADVICE). 1L is a harmless floor for a catalog nobody consults
+    // when there are no edges to join.
     per + (None -> ((per.values.map(_._1).sum,
-      per.values.map(_._2).max, per.values.map(_._3).max)))
+      per.values.map(_._2).reduceOption(_ max _).getOrElse(1L),
+      per.values.map(_._3).reduceOption(_ max _).getOrElse(1L))))
   }
 
   /** GraphFrames-style motif finding: compile a pattern string into the

@@ -86,16 +86,22 @@ object DedupOps extends OpModule {
   /** Giant-band-bucket candidate cap (shared by both SQL dialects; the
     * oracle replays the same rule, so the gate stays exact for ANY input):
     * a band bucket of n docs normally contributes all C(n,2) candidate
-    * pairs; past this size it contributes the n−1 STAR pairs to its min
-    * doc_id instead. Connectivity for clustering is preserved (a true
-    * dup clique's star edges all pass the exact-Jaccard verify, so
-    * union-find still joins the whole clique); what's bounded is the
-    * QUADRATIC candidate mass a pathological bucket would otherwise feed
-    * the verify join — the r10 skew overlay's planted 2% clique put one
-    * ~4× blowup into the pair-index ingest. Standard LSH-at-scale
-    * degradation: recall within an oversized bucket drops to the star
-    * (each true pair still has every OTHER band to collide in), loudly
-    * logged per build rather than silently quadratic. */
+    * pairs; past this size it contributes the ≤2(n−1) STAR pairs to its
+    * TWO smallest doc_ids instead. Connectivity for clustering is
+    * preserved (a true dup clique's star edges all pass the exact-Jaccard
+    * verify, so union-find still joins the whole clique); what's bounded
+    * is the QUADRATIC candidate mass a pathological bucket would otherwise
+    * feed the verify join — the r10 skew overlay's planted 2% clique put
+    * one ~4× blowup into the pair-index ingest. TWO anchors, not one
+    * (r11 ADVICE): a band bucket can contain an OUTSIDER whose minhash
+    * bands collide without real shingle overlap, and if that outsider is
+    * the bucket's min doc_id a single-anchor star dies entirely at the
+    * exact-Jaccard verify — silent zero recall from that bucket. With
+    * independent stars on the two smallest ids, one bad anchor degrades
+    * to the other star instead of zeroing the bucket. Still linear in
+    * bucket size, loudly logged per build rather than silently quadratic;
+    * recall within an oversized bucket remains star-shaped (each true
+    * pair still has every OTHER band to collide in). */
   private val BandBucketCap = 32
 
   /** Band signatures (doc_id, b0, b1) materialized once per (session,
@@ -168,22 +174,32 @@ object DedupOps extends OpModule {
     val bsrc = sparkBands.getOrElse("bands")
     val cap = BandBucketCap
     head + s""",
-      bstat AS ${mat}(SELECT doc_id, b0, b1,
+      bs0 AS ${mat}(SELECT doc_id, b0, b1,
         COUNT(*) OVER (PARTITION BY b0) AS n0,
         MIN(doc_id) OVER (PARTITION BY b0) AS a0,
         COUNT(*) OVER (PARTITION BY b1) AS n1,
         MIN(doc_id) OVER (PARTITION BY b1) AS a1
         FROM $bsrc),
+      bstat AS ${mat}(SELECT doc_id, b0, b1, n0, a0, n1, a1,
+        MIN(CASE WHEN doc_id > a0 THEN doc_id END)
+          OVER (PARTITION BY b0) AS s0,
+        MIN(CASE WHEN doc_id > a1 THEN doc_id END)
+          OVER (PARTITION BY b1) AS s1
+        FROM bs0),
       cand AS (
         SELECT a.doc_id AS da, b.doc_id AS db FROM bstat a JOIN bstat b
           ON a.b0 = b.b0 AND a.doc_id < b.doc_id WHERE a.n0 <= $cap
         UNION
         SELECT a0, doc_id FROM bstat WHERE n0 > $cap AND doc_id > a0
         UNION
+        SELECT s0, doc_id FROM bstat WHERE n0 > $cap AND doc_id > s0
+        UNION
         SELECT a.doc_id, b.doc_id FROM bstat a JOIN bstat b
           ON a.b1 = b.b1 AND a.doc_id < b.doc_id WHERE a.n1 <= $cap
         UNION
-        SELECT a1, doc_id FROM bstat WHERE n1 > $cap AND doc_id > a1),
+        SELECT a1, doc_id FROM bstat WHERE n1 > $cap AND doc_id > a1
+        UNION
+        SELECT s1, doc_id FROM bstat WHERE n1 > $cap AND doc_id > s1),
       sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
       inter AS (SELECT c.da, c.db, COUNT(*) AS i FROM cand c
         JOIN sh sa ON sa.doc_id = c.da

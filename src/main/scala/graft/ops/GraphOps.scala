@@ -1214,11 +1214,14 @@ object GraphOps extends OpModule {
           // cells. Same stringification as graph_paths (see :253).
           array_join(transform(col("path"), _.cast("string")), "->")
             .as("path"))
-        .orderBy("path"),
+        // int leads the sort key (r11 verdict): comparing hops first
+        // resolves most row pairs on a 4-byte compare instead of a
+        // string prefix walk over '->'-joined id chains.
+        .orderBy("hops", "path"),
       Some(withGraph(
         """SELECT CAST(len(path) - 1 AS INTEGER) AS hops,
             array_to_string(path, '->') AS path
-          FROM allw ORDER BY path""",
+          FROM allw ORDER BY len(path), path""",
         extra = """p0 AS (SELECT id, [id] AS path FROM vertices
             WHERE label = 'order' AND val > 490000),
           w1 AS (SELECT e.dst AS id, list_append(p.path, e.dst) AS path

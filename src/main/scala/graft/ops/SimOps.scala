@@ -309,6 +309,25 @@ object SimOps extends OpModule {
         aRel = a1, cRel = c2, dot = (a, b) => s"vec_dot($a, $b)"))
   }
 
+  /** Test hook (SimSearchSpec): the ACTUAL training-sample size the
+    * `samp` CTE draws at multiplier `mult` — per 2-hex md5 bucket,
+    * min(bucket size, ⌈mult·k/256⌉) members. The r11 spec asserted
+    * strictness from the formulaic 4·⌈√N⌉ bound, but the per-bucket
+    * quota floors at 1, so the real draw at small corpora is ~one per
+    * nonempty bucket — strictness must be judged on THIS count. */
+  private[graft] def ivfSampleCount(s: org.apache.spark.sql.SparkSession,
+      dir: String, mult: Int): Long = {
+    val n = normView(s, dir)
+    s.sql(s"""
+      WITH kk AS (SELECT CAST(ceil(sqrt(CAST(COUNT(*) AS DOUBLE)))
+          AS BIGINT) AS k FROM $n),
+      qq AS (SELECT CAST(ceil($mult.0 * k / 256.0) AS BIGINT) AS q FROM kk),
+      b AS (SELECT substring(md5(CAST(vec_id AS STRING)), 1, 2) AS bk,
+          COUNT(*) AS c FROM $n GROUP BY 1)
+      SELECT CAST(SUM(LEAST(c, (SELECT q FROM qq))) AS BIGINT) FROM b""")
+      .collect()(0).getLong(0)
+  }
+
   def ops: Seq[Op] = Seq(
 
     Op("sim_topk",

@@ -21,10 +21,22 @@ object TextOps extends OpModule {
 
   /** Shared BPE trainer (see text_bpe_train's registration comment for the
     * algorithm and scale shape): returns the 3 learned merges and the
-    * symbol-stream DataFrame AFTER applying them — text_bpe_train grades
-    * the merge table, text_bpe_apply the retokenized corpus. Memoized per
-    * (session, dir): the trainer collects one argmax row per round, and
-    * its consumers would otherwise re-run the 3 counting rounds each. */
+    * DISTINCT-stream (s, m) DataFrame AFTER applying them — text_bpe_train
+    * grades the merge table, text_bpe_apply the (multiplicity-weighted)
+    * retokenized vocabulary. Memoized per (session, dir): the trainer
+    * collects one argmax row per round, and its consumers would otherwise
+    * re-run the 3 counting rounds each.
+    *
+    * Multiplicity weighting (r12, VERDICT ask #3): identical symbol
+    * streams collapse to ONE row carrying their duplicate count `m`
+    * (dedup_exact's hash-groupBy shape, applied to the stream), and every
+    * pair count is SUM(m) instead of COUNT(*). Arithmetic is identical —
+    * Σ multiplicities over distinct streams ≡ plain count over all docs,
+    * integer-exact, so the unweighted DuckDB oracle retrains bit-for-bit
+    * unchanged — but the per-round merge `replace` now runs once per
+    * DISTINCT stream: the r11 10× skew overlay's 2%-identical-doc clique
+    * put an 8.5× ingest blowup into exactly this replace (SCALE.md), and
+    * under weighting the clique costs one row's replace per round. */
   private val bpeMemo =
     new graft.SessionMemo[String, (Seq[(Int, String, String, String, Long)],
       org.apache.spark.sql.DataFrame)]
@@ -54,20 +66,20 @@ object TextOps extends OpModule {
     bpeMemo.getOrElseUpdate(s, dir) {
       import org.apache.spark.sql.functions._
       var cur = Tables(s, dir, "documents")
-        .select(col("doc_id"),
-          translate(substring(lower(col("text")), 1, 64), " ", "_").as("c"))
+        .select(translate(substring(lower(col("text")), 1, 64), " ", "_").as("c"))
         .filter(length(col("c")) >= 2)
-        .select(col("doc_id"), concat(lit(" "),
+        .select(concat(lit(" "),
           concat_ws(" ", transform(sequence(lit(1), length(col("c"))),
             i => col("c").substr(i, lit(1)))), lit(" ")).as("s"))
+        .groupBy("s").agg(count(lit(1)).as("m"))
       val merges = (1 to 3).map { r =>
         val tok = split(trim(col("s")), " ")
         val top = cur
-          .select(explode(transform(sequence(lit(1), size(tok) - 1),
+          .select(col("m"), explode(transform(sequence(lit(1), size(tok) - 1),
             i => struct(element_at(tok, i).as("l"),
               element_at(tok, i + 1).as("r")))).as("p"))
           .groupBy(col("p.l").as("l"), col("p.r").as("r"))
-          .agg(count(lit(1)).as("cnt"))
+          .agg(sum("m").as("cnt"))
           .orderBy(desc("cnt"), col("l"), col("r")).limit(1).collect()
         require(top.nonEmpty,
           s"BPE round $r: no adjacent symbol pairs (corpus has no doc with ≥2 chars)")
@@ -285,8 +297,8 @@ object TextOps extends OpModule {
       (s, dir) => {
         import org.apache.spark.sql.functions._
         bpeChain(s, dir)._2
-          .select(explode(split(trim(col("s")), " ")).as("token"))
-          .groupBy("token").agg(count(lit(1)).as("n"))
+          .select(col("m"), explode(split(trim(col("s")), " ")).as("token"))
+          .groupBy("token").agg(sum("m").as("n"))
           .orderBy(desc("n"), col("token")).limit(10)
       },
       Some(s"""WITH $bpeSqlChain

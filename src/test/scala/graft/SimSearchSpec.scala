@@ -75,10 +75,15 @@ class SimSearchSpec extends AnyFunSuite {
     assert(exact.nonEmpty)
     val recall = (sampled intersect exact).size.toDouble / exact.size
     assert(recall >= 0.4, s"sampled-training ivf recall $recall < 0.4")
-    // and the sample really was strict: ≈ 4·⌈√500⌉ = 92 trained vectors
+    // and the sample really was strict — judged on the ACTUAL draw the
+    // samp CTE makes (r11 ADVICE: the per-bucket quota floors at 1, so
+    // the formulaic 4·⌈√N⌉ bound understates the real sample; at this
+    // fixture it's ~one vector per nonempty md5 bucket, ~220 of 500)
     val n = Tables(spark, sf, "embeddings").count()
-    assert(4 * math.ceil(math.sqrt(n.toDouble)).toLong < n,
-      "sample not strict at this fixture size — raise corpus or lower mult")
+    val sampN = ops.SimOps.ivfSampleCount(spark, sf, 4)
+    assert(sampN < n,
+      s"sample not strict: trained on $sampN of $n fixture vectors — " +
+        "raise corpus or lower mult")
   }
 
   test("graph_upsert: auditors inserted, every 7th supplier deleted") {
