@@ -863,6 +863,32 @@ object GraphOps extends OpModule {
         WHERE c.label = 'customer' AND e2.src <> c.id
         ORDER BY 1, 2"""))),
 
+    // where() INSIDE a loop body (VERDICT r11 ask #5 — the walk-prefix
+    // step the path-erasing folds cannot carry): a times()-bounded
+    // repeat() unrolls TEXTUALLY onto the walk matrix, so the as('a')
+    // label set before the loop stays addressable and each iteration's
+    // where(neq('a')) is one codegen'd column-vs-column filter — no join,
+    // no state (see Traversal.expandRepeats). The chain: each customer's
+    // 2-hop undirected colocation walks, every intermediate head ≠ the
+    // start (the neq inside the loop kills supplier→start bounce-backs),
+    // final head > start (an ORDERING P predicate outside the loop, so
+    // both comparator families are graded). Oracle = the unrolled 2-join
+    // SQL with both predicates inlined.
+    Op("graph_traversal_where",
+      (s, dir) => GraphFixture(s, dir).traverse(
+        "V(label='customer').as('a').repeat(both('colocated').where(neq('a'))).times(2).where(gt('a')).path()")
+        .orderBy("v0", "v1", "v2"),
+      Some(withGraph("""SELECT c.id AS v0, u1.b AS v1, u2.b AS v2
+        FROM vertices c
+        JOIN u u1 ON u1.a = c.id
+        JOIN u u2 ON u2.a = u1.b
+        WHERE c.label = 'customer' AND u1.b <> c.id
+          AND u2.b <> c.id AND u2.b > c.id
+        ORDER BY 1, 2, 3""",
+        extra = """u AS (SELECT src AS a, dst AS b FROM edges
+            WHERE label = 'colocated'
+          UNION ALL SELECT dst, src FROM edges WHERE label = 'colocated')"""))),
+
     // repeat(...).times(n) (Gremlin's bounded loop): two undirected
     // in_nation hops from each customer = its same-nation peers (customers
     // AND suppliers), simplePath() dropping the bounce-back. The parser

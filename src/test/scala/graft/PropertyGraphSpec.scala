@@ -363,6 +363,35 @@ class PropertyGraphSpec extends AnyFunSuite {
       g.V(col("label") === "customer").select("missing"))
   }
 
+  test("traversal DSL: where() inside a times() loop body, fluent ≡ parsed") {
+    // Multi-step repeat bodies unroll textually onto the walk matrix
+    // (Traversal.expandRepeats), so the pre-loop as('a') label stays
+    // addressable inside every iteration — the walk-matrix fallback for
+    // where() in loops (r11 ask #5).
+    val fluent = g.V(col("label") === "customer").as("a")
+      .repeat(t => t.both("colocated").where("neq", "a"), 2)
+      .where("gt", "a").path()
+    val parsed = g.traverse("V(label='customer').as('a')" +
+      ".repeat(both('colocated').where(neq('a'))).times(2).where(gt('a')).path()")
+    assert(fluent.columns.toSeq == Seq("v0", "v1", "v2"))
+    assert(fluent.collect().map(_.toString).sorted.toSeq ==
+      parsed.collect().map(_.toString).sorted.toSeq)
+    assert(parsed.count() > 0)
+    // the inside-loop neq kills bounce-backs; the final gt orders heads
+    assert(parsed.filter(col("v2") === col("v0")).count() == 0)
+    assert(parsed.filter(col("v2") <= col("v0")).count() == 0)
+    // unrolled in-loop where() ≡ post-hoc filter over the unfiltered matrix
+    val unfiltered = g.traverse(
+      "V(label='customer').as('a').repeat(both('colocated')).times(2).path()")
+      .filter(col("v1") =!= col("v0") && col("v2") =!= col("v0") &&
+        col("v2") > col("v0"))
+    assert(parsed.count() == unfiltered.count())
+    // where() inside a PATH-ERASING fold has no walk prefix to read — the
+    // parser/fold must reject it loudly, never silently drop the filter
+    intercept[IllegalArgumentException](g.traverse("V(label='order')" +
+      ".repeat(out().where(neq('a'))).until(label='region').times(3).count()"))
+  }
+
   test("traversal DSL: union()/choose()/coalesce() branch steps, fluent ≡ parsed") {
     // union: both branches present, fluent ≡ parsed, counts additive
     val uf = g.V(col("label") === "customer").has(col("val") > 5000)
