@@ -1342,43 +1342,69 @@ object GraphOps extends OpModule {
     // graph deployment runs before choosing traversal/unroll depths — the
     // r8 betweenness fix started from exactly this measurement: region
     // roots see eccentricity 6 on this fixture, so a depth-5 unroll
-    // truncates). Multi-source BFS over the simple undirected graph,
-    // (root, vertex) frontier pairs, one equi-join + anti-join per level
-    // with lineage cut — linear in roots × component, the same BSP shape
-    // as betweenness/harmonic. Emits (root, ecc, n_ball) where n_ball
-    // counts the root's ≤8-hop closed ball; BFS first-visit IS min-hop, so
-    // the Spark loop and the oracle's MIN(d)-per-pair recursion agree
-    // exactly.
+    // truncates). Multi-source BFS over the simple undirected graph with
+    // HUB-COMPRESSED BITMAP FRONTIERS (r13): one row per frontier VERTEX
+    // carrying a BIGINT bitmap of the roots that just reached it, not one
+    // row per (root, vertex) — so a degree-D hub in R roots' frontiers is
+    // expanded ONCE (D join rows, bit_or-merged) instead of R times
+    // (the 2.0× skew lean SCALE.md attributes to frontier densification).
+    // Visited state is a per-vertex cumulative bitmap; "new for root r"
+    // is one AND-NOT, replacing the per-root NOT EXISTS anti-join. Levels
+    // are stored lineage-cut views (the betweenness chain's proven shape:
+    // a naive cumulative-visited DataFrame loop re-materializes O(levels²)
+    // and measured 15+ s at sf0.1). Root batch ≤ 60 bits per BIGINT; a
+    // larger sampled seed set runs independent batches. Emits (root, ecc,
+    // n_ball) where n_ball counts the root's ≤8-hop closed ball; BFS
+    // first-visit IS min-hop, so the bitmap loop and the oracle's
+    // MIN(d)-per-pair recursion agree exactly.
     Op("graph_eccentricity",
       (s, dir) => {
         val g = GraphFixture(s, dir)
         g.edges.createOrReplaceTempView("g_edges")
         g.vertices.createOrReplaceTempView("g_vertices")
-        // STORED BFS level views (Views.checkpointed, memoized per
-        // session × dir — the betweenness chain's proven shape): a naive
-        // DataFrame loop that re-materializes cumulative visited state per
-        // level is O(levels²) rematerialization and measured 15+ s at
-        // sf0.1; the level-view chain builds once and every later call is
-        // a result-sized aggregate over the stored levels.
         val und = graft.Views.checkpointed(s, dir, "ecc_und",
           """SELECT src AS a, dst AS b FROM g_edges WHERE src <> dst
              UNION SELECT dst, src FROM g_edges WHERE src <> dst""")
+        // Seed-set collection is driver-metadata-scale by contract.
+        val roots = s.sql(
+          "SELECT id FROM g_vertices WHERE label = 'region' ORDER BY id")
+          .collect().map(_.getLong(0))
+        require(roots.length >= 1 && roots.length <= 60,
+          s"root batch must be 1..60 ids, got ${roots.length}")
+        val f0bits = roots.zipWithIndex.map { case (id, r) =>
+          s"(CASE WHEN id = ${id}L THEN CAST(${1L << r} AS BIGINT)" +
+            " ELSE CAST(0 AS BIGINT) END)" }.mkString(" | ")
         val fs = new Array[String](9)
-        fs(0) = graft.Views.checkpointed(s, dir, "ecc_f0",
-          "SELECT id AS root, id FROM g_vertices WHERE label = 'region'")
-        for (l <- 1 to 8)
-          fs(l) = graft.Views.checkpointed(s, dir, s"ecc_f$l", s"""
-            SELECT DISTINCT f.root, u.b AS id
-            FROM ${fs(l - 1)} f JOIN $und u ON u.a = f.id
-            WHERE NOT EXISTS (SELECT 1 FROM (${(0 until l)
-              .map(i => s"SELECT root, id FROM ${fs(i)}")
-              .mkString(" UNION ALL ")}) x
-              WHERE x.root = f.root AND x.id = u.b)""")
+        val vs = new Array[String](9)
+        fs(0) = graft.Views.checkpointed(s, dir, "ecch_f0",
+          s"SELECT id, $f0bits AS rb FROM g_vertices WHERE label = 'region'")
+        vs(0) = graft.Views.checkpointed(s, dir, "ecch_v0",
+          s"SELECT id, rb AS vis FROM ${fs(0)}")
+        for (l <- 1 to 8) {
+          fs(l) = graft.Views.checkpointed(s, dir, s"ecch_f$l", s"""
+            SELECT id, rb FROM (
+              SELECT e.id, e.rbo & ~COALESCE(v.vis, CAST(0 AS BIGINT)) AS rb
+              FROM (SELECT u.b AS id, CAST(bit_or(f.rb) AS BIGINT) AS rbo
+                    FROM ${fs(l - 1)} f JOIN $und u ON u.a = f.id
+                    GROUP BY u.b) e
+              LEFT JOIN ${vs(l - 1)} v ON v.id = e.id) t
+            WHERE rb <> 0""")
+          if (l < 8)
+            vs(l) = graft.Views.checkpointed(s, dir, s"ecch_v$l", s"""
+              SELECT id, CAST(bit_or(vb) AS BIGINT) AS vis FROM (
+                SELECT id, vis AS vb FROM ${vs(l - 1)}
+                UNION ALL SELECT id, rb FROM ${fs(l)}) t GROUP BY id""")
+        }
+        val rootRows = roots.zipWithIndex.map { case (id, r) =>
+          s"(${id}L, $r)" }.mkString(", ")
         s.sql(s"""
-          SELECT root AS id, CAST(MAX(d) AS BIGINT) AS ecc, COUNT(*) AS n_ball
-          FROM (${(0 to 8).map(l => s"SELECT root, id, $l AS d FROM ${fs(l)}")
+          SELECT r.root AS id, CAST(MAX(t.d) AS BIGINT) AS ecc,
+            COUNT(*) AS n_ball
+          FROM (${(0 to 8).map(l => s"SELECT id, rb, $l AS d FROM ${fs(l)}")
             .mkString(" UNION ALL ")}) t
-          GROUP BY 1 ORDER BY 1""")
+          JOIN (SELECT * FROM VALUES $rootRows AS rt(root, idx)) r
+            ON (shiftright(t.rb, r.idx) & 1) = 1
+          GROUP BY r.root ORDER BY id""")
       },
       Some(withGraph(
         """SELECT root AS id, CAST(MAX(d) AS BIGINT) AS ecc,

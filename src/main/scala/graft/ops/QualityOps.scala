@@ -601,39 +601,106 @@ object QualityOps extends OpModule {
     // pushed that to 1e-8 in the totals — floats in an iterated fold are
     // not oracle-able, integers are.) The quantization under-counts each
     // term by < 1e-6 relative — a DETERMINISTIC estimator, the right trade
-    // for a graded distributed metric. Both engines run the SAME generated
-    // level bodies (bcFwdBody/bcBwdBody); Spark materializes each level as
+    // for a graded distributed metric. Spark materializes each level as
     // an EAGER LINEAGE-CUT view (Views.checkpointed — nested multi-
     // referenced view plans otherwise compound into minutes of plan-render
-    // CPU), DuckDB keeps them as MATERIALIZED CTEs. Frontier work is
-    // (root, vertex) pairs — linear in roots × component size, one
-    // equi-join per level, the multi-source BSP shape; at 100 TB the root
-    // set is the sampled seed set and k bounds the frontier blowup — the
-    // standard estimator (sampled roots × bounded distance) for web-scale
-    // betweenness. ALGORITHMIC correctness (not just cross-engine
-    // determinism — both engines share the level SQL bodies) is certified
-    // by QualityOpsSpec's independent in-memory textbook-Brandes
-    // recomputation at sf0.001, which must match this output EXACTLY.
+    // CPU), DuckDB keeps them as MATERIALIZED CTEs.
+    //
+    // HUB-COMPRESSED FRONTIER (r13 — the last named scale-killer): the
+    // classic multi-source shape keeps (root, vertex, σ) ROWS, so a
+    // degree-D hub sitting in R roots' frontiers is expanded R separate
+    // times per level — R·D join rows, the measured 8.2× skew blowup at
+    // 10× hub skew (SCALE.md "The BFS lean, settled"). The Spark side now
+    // keeps ONE ROW PER FRONTIER VERTEX carrying a fixed-width σ-ARRAY
+    // (slot r = σ for root r, 0 = not in that root's frontier) plus a
+    // per-vertex visited BITMAP — so the hub's neighborhood is folded
+    // ONCE per level (D rows) and every root rides the same expansion:
+    // the "hub-first level seeding" mitigation, generalized to all
+    // vertices. Per-root masking/σ-summing is a generated R-term
+    // projection inside whole-stage codegen; all arithmetic is the same
+    // BIGINT recurrence, so the output is integer-IDENTICAL to the
+    // row-per-root formulation the DuckDB oracle still runs. Root batch
+    // is bounded at 60 (bitmap in one BIGINT); a 100 TB deployment with
+    // a larger sampled seed set runs ⌈R/60⌉ independent batches — seed
+    // sampling is driver metadata by design. ALGORITHMIC correctness is
+    // certified by QualityOpsSpec's independent in-memory textbook-
+    // Brandes recomputation at sf0.001, which must match EXACTLY.
     Op("graph_betweenness",
       (s, dir) => {
         val g = GraphFixture(s, dir)
         g.edges.createOrReplaceTempView("g_edges")
         g.vertices.createOrReplaceTempView("g_vertices")
         val und = graft.Views.checkpointed(s, dir, "bc_und", BcUndSql("g_edges"))
+        // Seed-set collection is driver-metadata-scale by contract (the
+        // sampled root set of the bounded-Brandes estimator), R ≤ 60.
+        val roots = s.sql(
+          "SELECT id FROM g_vertices WHERE label = 'region' ORDER BY id")
+          .collect().map(_.getLong(0))
+        val R = roots.length
+        require(R >= 1 && R <= 60, s"root batch must be 1..60 ids, got $R")
+        val rr = 0 until R
+        def el(c: String, r: Int) = s"element_at($c, ${r + 1})"
+        def bits(sigCol: String) = rr.map(r =>
+          s"(CASE WHEN ${el(sigCol, r)} > 0 THEN CAST(${1L << r} AS BIGINT)" +
+            " ELSE CAST(0 AS BIGINT) END)").mkString(" | ")
+        val f0sig = rr.map(r => s"CASE WHEN id = ${roots(r)}L THEN " +
+          "CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END").mkString(", ")
         val fs = new Array[String](BcDepth + 1)
-        fs(0) = graft.Views.checkpointed(s, dir, "bc_f0", BcRootsSql("g_vertices"))
-        for (l <- 1 to BcDepth)
-          fs(l) = graft.Views.checkpointed(s, dir, s"bc_f$l",
-            bcFwdBody(fs(l - 1), (0 until l).map(i =>
-              s"SELECT root, id FROM ${fs(i)}").mkString(" UNION ALL "), und))
+        val vs = new Array[String](BcDepth + 1)
+        fs(0) = graft.Views.checkpointed(s, dir, "bch_f0",
+          s"SELECT id, array($f0sig) AS sig FROM g_vertices WHERE label = 'region'")
+        vs(0) = graft.Views.checkpointed(s, dir, "bch_v0",
+          s"SELECT id, ${bits("sig")} AS vis FROM ${fs(0)}")
+        for (l <- 1 to BcDepth) {
+          val sums = rr.map(r =>
+            s"CAST(SUM(${el("p.sig", r)}) AS BIGINT) AS s$r").mkString(", ")
+          val mask = rr.map(r => s"CASE WHEN (shiftright(COALESCE(v.vis, CAST(0 AS " +
+            s"BIGINT)), $r) & 1) = 1 THEN CAST(0 AS BIGINT) ELSE e.s$r END")
+            .mkString(", ")
+          fs(l) = graft.Views.checkpointed(s, dir, s"bch_f$l", s"""
+            SELECT id, sig FROM (
+              SELECT e.id, array($mask) AS sig
+              FROM (SELECT u.b AS id, $sums
+                    FROM ${fs(l - 1)} p JOIN $und u ON u.a = p.id
+                    GROUP BY u.b) e
+              LEFT JOIN ${vs(l - 1)} v ON v.id = e.id) t
+            WHERE ${rr.map(r => el("sig", r)).mkString(" + ")} > 0""")
+          if (l < BcDepth)
+            vs(l) = graft.Views.checkpointed(s, dir, s"bch_v$l", s"""
+              SELECT id, CAST(bit_or(vb) AS BIGINT) AS vis FROM (
+                SELECT id, vis AS vb FROM ${vs(l - 1)}
+                UNION ALL SELECT id, ${bits("sig")} FROM ${fs(l)}) t
+              GROUP BY id""")
+        }
         val bs = new Array[String](BcDepth + 1)
-        bs(BcDepth) = graft.Views.checkpointed(s, dir, s"bc_b$BcDepth",
-          s"SELECT root, id, sigma, CAST(0 AS BIGINT) AS delta FROM ${fs(BcDepth)}")
-        for (l <- BcDepth - 1 to 1 by -1)
-          bs(l) = graft.Views.checkpointed(s, dir, s"bc_b$l",
-            bcBwdBody(fs(l), bs(l + 1), und, "div"))
-        s.sql(bcFinal((1 to BcDepth).map(l =>
-          s"SELECT id, delta FROM ${bs(l)}").mkString(" UNION ALL ")))
+        val zeros = rr.map(_ => "CAST(0 AS BIGINT)").mkString(", ")
+        bs(BcDepth) = graft.Views.checkpointed(s, dir, s"bch_b$BcDepth",
+          s"SELECT id, sig, array($zeros) AS delta FROM ${fs(BcDepth)}")
+        for (l <- BcDepth - 1 to 1 by -1) {
+          val terms = rr.map(r => s"CAST(SUM(CASE WHEN ${el("v.sig", r)} > 0" +
+            s" AND ${el("w.sig", r)} > 0 THEN (${el("v.sig", r)} * (1000000 +" +
+            s" ${el("w.delta", r)})) div ${el("w.sig", r)} ELSE CAST(0 AS" +
+            s" BIGINT) END) AS BIGINT) AS d$r").mkString(", ")
+          val co = rr.map(r => s"COALESCE(d.d$r, CAST(0 AS BIGINT))")
+            .mkString(", ")
+          bs(l) = graft.Views.checkpointed(s, dir, s"bch_b$l", s"""
+            SELECT f.id, f.sig, array($co) AS delta
+            FROM ${fs(l)} f LEFT JOIN (
+              SELECT v.id, $terms
+              FROM ${fs(l)} v JOIN $und u ON u.a = v.id
+              JOIN ${bs(l + 1)} w ON w.id = u.b
+              GROUP BY v.id) d ON d.id = f.id""")
+        }
+        val dsum = rr.map(r => el("delta", r)).mkString(" + ")
+        val nr = rr.map(r => s"CASE WHEN ${el("sig", r)} > 0 THEN 1 ELSE 0 END")
+          .mkString(" + ")
+        s.sql(s"""
+          SELECT id, CAST(SUM(dsum) AS BIGINT) AS bc_micro,
+            CAST(SUM(nr) AS BIGINT) AS n_roots
+          FROM (${(1 to BcDepth).map(l =>
+            s"SELECT id, ($dsum) AS dsum, ($nr) AS nr FROM ${bs(l)}")
+            .mkString(" UNION ALL ")}) t
+          GROUP BY id ORDER BY id""")
       },
       Some {
         val ctes = new scala.collection.mutable.ArrayBuffer[String]
@@ -652,12 +719,13 @@ object QualityOps extends OpModule {
       })
   )
 
-  /** Betweenness helpers — ONE SQL text per level shape, shared verbatim by
-    * the Spark views and the DuckDB CTE chain so the two engines cannot
-    * drift (determinism); the ALGORITHM is independently verified by
-    * QualityOpsSpec's in-memory recomputation. The contractual path-length
-    * bound k: region-root eccentricity on the fixture is 6 (sf0.001), so
-    * k = 5 truncates — deliberately; see the Op comment. */
+  /** Betweenness helpers. Since r13 the row-per-(root,id) level bodies
+    * below serve ONLY the DuckDB oracle — the Spark side runs the
+    * hub-compressed σ-array formulation (see the Op comment), which is
+    * integer-identical by construction; the ALGORITHM is independently
+    * verified by QualityOpsSpec's in-memory recomputation. The contractual
+    * path-length bound k: region-root eccentricity on the fixture is 6
+    * (sf0.001), so k = 5 truncates — deliberately; see the Op comment. */
   val BcDepth = 5
 
   /** Simple undirected adjacency (both directions, parallel edges and
