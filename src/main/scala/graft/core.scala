@@ -233,6 +233,53 @@ object util {
     df.sparkSession.createDataFrame(df.localCheckpoint(eager).rdd, df.schema)
 }
 
+/** Hot-partition-aware partitioned parquet writer (r13 — the "hot-partition
+  * sink" scale-killer from SCALE.md's skew ingest table: a clustered
+  * `repartition(partCol) → partitionBy(partCol)` write puts an entire
+  * partition value in ONE writer task, so a 90%-hot value makes one task
+  * write 90% of the data — the classic clustered-write straggler, 3.6×
+  * under the 10× skew overlay).
+  *
+  * The fix is salted subfiles, sized from the data: one metadata-sized
+  * aggregate counts rows per partition value (map-side combinable, output
+  * = |distinct values|), values get ⌈n / maxRowsPerFile⌉ salt buckets, and
+  * the write clusters on (partCol, salt) so a hot value fans across that
+  * many writer tasks — each emitting ONE file in the value's directory,
+  * still internally sorted on the scan key so parquet row-group min/max
+  * pruning survives. Cold values keep exactly one file (the r4
+  * one-file-per-dir lesson: without clustering the sink emits
+  * tasks × values small files). The salt map rides a broadcast join —
+  * nothing corpus-sized shuffles twice. On a real cluster AQE's
+  * `rebalancePartitions` does the same job from runtime stats; this
+  * explicit form is deterministic, testable, and works on any writer. */
+object Sink {
+  /** Write `df` partitioned by `partCol`, each file sorted on `sortKey`.
+    * `maxRowsPerFile` bounds one writer task's share of a hot partition
+    * value; the default keeps every bench-SF partition in one file (the
+    * sink_parquet n_files=1 oracle) while a 100 TB hot value fans out. */
+  def partitionedWrite(df: DataFrame, partCol: String, sortKey: String,
+      out: String, maxRowsPerFile: Long = 4000000L): Unit = {
+    val nsalts = df.groupBy(partCol)
+      .agg(greatest(ceil(count(lit(1)) / maxRowsPerFile.toDouble), lit(1L))
+        .cast("int").as("__nsalt"))
+    // Scalar total-bucket count (one number to the driver — the nsalt map
+    // itself never leaves the cluster, it rides the broadcast join below).
+    // The writer shuffle must pin an EXPLICIT partition count: AQE
+    // coalesces a keys-only repartition of a small stage back into one
+    // task, silently re-merging the salt buckets it exists to separate.
+    val buckets = nsalts.agg(sum("__nsalt")).collect()(0).getLong(0)
+    val tasks = math.max(df.sparkSession.conf
+      .get("spark.sql.shuffle.partitions").toInt, 2 * buckets.toInt)
+    df.join(broadcast(nsalts), Seq(partCol))
+      .withColumn("__salt",
+        pmod(hash(col(sortKey)), col("__nsalt")))
+      .repartition(tasks, col(partCol), col("__salt"))
+      .sortWithinPartitions(partCol, sortKey)
+      .drop("__nsalt", "__salt")
+      .write.mode("overwrite").partitionBy(partCol).parquet(out)
+  }
+}
+
 object num {
   private val D = DecimalType(38, 10)
   /** Order-independent exact sum of a double column, returned as double. */

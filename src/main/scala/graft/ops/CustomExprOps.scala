@@ -118,8 +118,8 @@ object CustomExprOps extends OpModule {
     Op("sink_partitioned",
       (s, dir) => {
         val tmp = graft.Staging.fresh("sink")
-        Tables(s, dir, "orders").write.mode("overwrite")
-          .partitionBy("o_orderstatus").parquet(s"$tmp/orders_by_status")
+        graft.Sink.partitionedWrite(Tables(s, dir, "orders"),
+          "o_orderstatus", "o_orderkey", s"$tmp/orders_by_status")
         s.read.parquet(s"$tmp/orders_by_status")
           .filter(col("o_orderstatus") === "F")
           .groupBy("o_orderstatus")

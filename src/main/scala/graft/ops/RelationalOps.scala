@@ -43,14 +43,17 @@ object RelationalOps extends OpModule {
   /** The sink_parquet write path (factored so ContractSpec can certify the
     * in-file sort order, which isn't oracle-able): orders clustered by the
     * partition column, key-sorted within writer tasks, written
-    * status-partitioned. Returns the output directory. */
+    * status-partitioned via [[graft.Sink.partitionedWrite]] — which salts
+    * a HOT partition value across ⌈n/maxRowsPerFile⌉ writer tasks instead
+    * of handing 90% of the data to one straggler (SCALE.md hot-partition
+    * sink; at bench SF every status stays under the threshold, so the
+    * one-file-per-directory layout the oracle's n_files=1 asserts is
+    * unchanged). Returns the output directory. */
   private[graft] def sinkOrders(s: org.apache.spark.sql.SparkSession,
       dir: String): String = {
     val out = graft.Staging.fresh("sink-parquet")
-    Tables(s, dir, "orders")
-      .repartition(col("o_orderstatus"))
-      .sortWithinPartitions("o_orderkey")
-      .write.mode("overwrite").partitionBy("o_orderstatus").parquet(out)
+    graft.Sink.partitionedWrite(Tables(s, dir, "orders"),
+      "o_orderstatus", "o_orderkey", out)
     out
   }
 

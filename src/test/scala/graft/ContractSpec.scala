@@ -45,4 +45,48 @@ class ContractSpec extends AnyFunSuite {
         s"${d.getName}: o_orderkey not sorted within the file")
     }
   }
+
+  test("Sink.partitionedWrite salts a hot partition value across writer tasks") {
+    // The hot-partition contract (SCALE.md "hot-partition sink"): when one
+    // partition value exceeds maxRowsPerFile, the writer fans it across
+    // ⌈n/max⌉ salted tasks — multiple files in THAT value's directory,
+    // each still internally sorted on the scan key — while cold values
+    // keep exactly one file. Forced here with a tiny threshold so the
+    // fixture's largest status ('O'/'F') splits and the rare 'P' doesn't.
+    val spark = TestSpark.spark
+    val orders = Tables(spark, TestSpark.sf, "orders")
+    val byStatus = orders.groupBy("o_orderstatus").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val maxRows = byStatus.values.max / 3 // hottest value must split ≥3-way
+    val out = graft.Staging.fresh("sink-salted")
+    graft.Sink.partitionedWrite(orders, "o_orderstatus", "o_orderkey",
+      out, maxRowsPerFile = maxRows)
+    val dirs = new java.io.File(out).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("o_orderstatus="))
+    assert(dirs.map(_.getName.stripPrefix("o_orderstatus=")).toSet ==
+      byStatus.keySet)
+    var split = 0
+    dirs.foreach { d =>
+      val status = d.getName.stripPrefix("o_orderstatus=")
+      val files = d.listFiles().filter(_.getName.endsWith(".parquet"))
+      val want = math.ceil(byStatus(status).toDouble / maxRows).toInt
+      if (want > 1) {
+        // hot value: fanned out (salting is hash-based, so allow ≤ want
+        // non-empty buckets, but it must actually have split)
+        assert(files.length > 1 && files.length <= want,
+          s"$status: expected 2..$want salted files, found ${files.length}")
+        split += 1
+      } else assert(files.length == 1,
+        s"$status: cold value should stay one file, found ${files.length}")
+      files.foreach { f =>
+        val keys = spark.read.parquet(f.getAbsolutePath)
+          .select("o_orderkey").collect().map(_.getLong(0))
+        assert(keys.zip(keys.tail).forall { case (a, b) => a <= b },
+          s"$status/${f.getName}: o_orderkey not sorted within the file")
+      }
+    }
+    assert(split >= 1, "no hot value split — threshold did not engage")
+    // round-trip fidelity: the salted layout loses no rows
+    assert(spark.read.parquet(out).count() == orders.count())
+  }
 }
