@@ -92,7 +92,12 @@ object DedupOps extends OpModule {
     * verify, so union-find still joins the whole clique); what's bounded
     * is the QUADRATIC candidate mass a pathological bucket would otherwise
     * feed the verify join — the r10 skew overlay's planted 2% clique put
-    * one ~4× blowup into the pair-index ingest. TWO anchors, not one
+    * one ~4× blowup into the pair-index ingest. Both anchors come from ONE
+    * ordered window pass per band (FIRST_VALUE + NTH_VALUE(2) + COUNT over
+    * the full-partition frame; doc_id is unique per band row, so the 2nd
+    * ordered value IS the second-smallest id) — r12 computed min then
+    * second-min in two stacked passes, +~25% on the dedup family's floor
+    * key (r12 verdict watch item). TWO anchors, not one
     * (r11 ADVICE): a band bucket can contain an OUTSIDER whose minhash
     * bands collide without real shingle overlap, and if that outsider is
     * the bucket's min doc_id a single-anchor star dies entirely at the
@@ -174,18 +179,18 @@ object DedupOps extends OpModule {
     val bsrc = sparkBands.getOrElse("bands")
     val cap = BandBucketCap
     head + s""",
-      bs0 AS ${mat}(SELECT doc_id, b0, b1,
-        COUNT(*) OVER (PARTITION BY b0) AS n0,
-        MIN(doc_id) OVER (PARTITION BY b0) AS a0,
-        COUNT(*) OVER (PARTITION BY b1) AS n1,
-        MIN(doc_id) OVER (PARTITION BY b1) AS a1
-        FROM $bsrc),
-      bstat AS ${mat}(SELECT doc_id, b0, b1, n0, a0, n1, a1,
-        MIN(CASE WHEN doc_id > a0 THEN doc_id END)
-          OVER (PARTITION BY b0) AS s0,
-        MIN(CASE WHEN doc_id > a1 THEN doc_id END)
-          OVER (PARTITION BY b1) AS s1
-        FROM bs0),
+      bstat AS ${mat}(SELECT doc_id, b0, b1,
+        COUNT(*) OVER wb0 AS n0,
+        FIRST_VALUE(doc_id) OVER wb0 AS a0,
+        NTH_VALUE(doc_id, 2) OVER wb0 AS s0,
+        COUNT(*) OVER wb1 AS n1,
+        FIRST_VALUE(doc_id) OVER wb1 AS a1,
+        NTH_VALUE(doc_id, 2) OVER wb1 AS s1
+        FROM $bsrc
+        WINDOW wb0 AS (PARTITION BY b0 ORDER BY doc_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING),
+        wb1 AS (PARTITION BY b1 ORDER BY doc_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)),
       cand AS (
         SELECT a.doc_id AS da, b.doc_id AS db FROM bstat a JOIN bstat b
           ON a.b0 = b.b0 AND a.doc_id < b.doc_id WHERE a.n0 <= $cap
@@ -558,6 +563,67 @@ object DedupOps extends OpModule {
             ${duckDot("a.embedding", "b.embedding")} / (a.nrm * b.nrm) AS cos
           FROM n a JOIN n b ON a.label = b.label AND a.bkt = b.bkt
             AND a.vec_id < b.vec_id) p
-        WHERE cos >= 0.35 ORDER BY va, vb"""))
+        WHERE cos >= 0.35 ORDER BY va, vb""")),
+
+    // EXACT SUBSTRING-LEVEL dedup (the Lee et al. 2022 "Deduplicating
+    // Training Data Makes Language Models Better" passage family): find
+    // maximal runs of ≥ SubstrRunTokens consecutive tokens that appear
+    // VERBATIM in at least two documents — the repeated boilerplate /
+    // quoted-passage mass that doc-level (dedup_exact) and near-dup
+    // (minhash) both miss. Sorted-shingle run detection, never suffix
+    // arrays and never all-pairs: every W-token window becomes one
+    // (doc, pos, 60-bit window hash) row — corpus-token-sized, like the
+    // minhash shingle relation; a window is DUPLICATED iff its hash has
+    // ≥2 distinct doc_ids (one bucketed distinct-aggregate on the hash —
+    // map-side combinable, 8-byte shuffle keys instead of W-token
+    // strings); per doc, consecutive duplicated positions fold into
+    // maximal runs with gaps-and-islands (pos − row_number — one per-doc
+    // window pass, doc-bounded state). The md5-60-bit window hash is the
+    // same affine base both engines share (textsql.sparkHash/duckHash),
+    // so the gate is exact cross-engine; a hash collision marking a
+    // window duplicated is ~2^-60 per pair and deterministic.
+    // LlmIndependenceSpec recomputes runs from raw strings (no hashing)
+    // over a planted repeated-passage fixture plus the live table.
+    Op("dedup_substring",
+      (s, dir) => {
+        Tables(s, dir, "documents").createOrReplaceTempView("documents")
+        s.sql(substringRunsSql(
+          toks = sparkToks("text"), len = t => s"size($t)",
+          gen = n => s"explode(sequence(1, $n))",
+          slice = (t, a, l) => s"slice($t, $a, $l)",
+          join = a => s"concat_ws(' ', $a)", hash = sparkHash))
+      },
+      Some(substringRunsSql(
+        toks = duckToks("text"), len = t => s"len($t)",
+        gen = n => s"unnest(generate_series(1, $n))",
+        slice = (t, a, l) => s"$t[$a:$a + $l - 1]",
+        join = a => s"array_to_string($a, ' ')", hash = duckHash)))
   )
+
+  /** Minimum duplicated-passage length in tokens (= the window width W):
+    * a maximal cross-doc repeated run is ≥ W tokens by construction. */
+  private[graft] val SubstrRunTokens = 8
+
+  /** Engine-portable SQL for dedup_substring (chunkSql's lambda pattern:
+    * one text, two dialects — the oracle cannot drift). */
+  private[graft] def substringRunsSql(toks: String, len: String => String,
+      gen: String => String, slice: (String, String, String) => String,
+      join: String => String, hash: String => String): String = {
+    val w = SubstrRunTokens
+    val win = join(slice("t", "i", w.toString))
+    s"""
+    WITH tok AS (SELECT doc_id, $toks AS t FROM documents),
+    g AS (SELECT doc_id, t, ${gen(s"${len("t")} - ${w - 1}")} AS i
+      FROM tok WHERE ${len("t")} >= $w),
+    sh AS (SELECT doc_id, CAST(i AS BIGINT) AS pos, ${hash(win)} AS h FROM g),
+    dup AS (SELECT h FROM sh GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2),
+    isl AS (SELECT doc_id, pos,
+      pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+      FROM sh JOIN dup USING (h))
+    SELECT doc_id, CAST(MIN(pos) AS BIGINT) AS start_tok,
+      CAST(MAX(pos) + $w - 1 AS BIGINT) AS end_tok,
+      CAST(MAX(pos) - MIN(pos) + $w AS BIGINT) AS run_tokens
+    FROM isl GROUP BY doc_id, grp
+    ORDER BY doc_id, start_tok"""
+  }
 }

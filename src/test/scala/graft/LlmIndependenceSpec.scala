@@ -369,4 +369,65 @@ class LlmIndependenceSpec extends AnyFunSuite {
       want(2)._2.length > 1 || want(2)._3.length > 1,
       s"rounds look inert: $want")
   }
+
+  /** Raw-string (no hashing) recomputation of the dedup_substring contract:
+    * a W-token window is duplicated iff its exact text occurs in ≥2 docs;
+    * per doc, consecutive duplicated positions fold to maximal runs. */
+  private def substrRuns(docs: Seq[(Long, String)])
+      : Seq[(Long, Long, Long, Long)] = {
+    val w = graft.ops.DedupOps.SubstrRunTokens
+    val toks = docs.map { case (id, t) => id -> t.split(" ", -1) }
+    val byWin = mutable.Map[String, mutable.Set[Long]]()
+    for ((id, ts) <- toks; i <- 0 to ts.length - w)
+      byWin.getOrElseUpdate(ts.slice(i, i + w).mkString(" "),
+        mutable.Set[Long]()) += id
+    val dup = byWin.filter(_._2.size >= 2).keySet
+    toks.flatMap { case (id, ts) =>
+      val pos = (0 to ts.length - w)
+        .filter(i => dup(ts.slice(i, i + w).mkString(" "))).map(_ + 1)
+      // gaps-and-islands on the sorted duplicated positions
+      pos.foldLeft(List.empty[(Long, Long)]) {
+        case ((s0, e0) :: tl, p) if p == e0 + 1 => (s0, p.toLong) :: tl
+        case (acc, p) => (p.toLong, p.toLong) :: acc
+      }.reverse.map { case (s0, e0) =>
+        (id, s0, e0 + w - 1, e0 - s0 + w) }
+    }.sortBy(r => (r._1, r._2))
+  }
+
+  test("dedup_substring: raw-string run recomputation matches exactly (live table)") {
+    val docs = Tables(spark, sf, "documents").select("doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    val want = substrRuns(docs)
+    val got = SparkEntry.queries("dedup_substring")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    assert(got == want, s"got ${got.size} runs, want ${want.size}")
+    assert(want.nonEmpty, "fixture has no cross-doc repeated passage — vacuous")
+  }
+
+  test("dedup_substring: planted repeated passages found, maximal, gapped") {
+    val s2 = spark.newSession()
+    val passage = (1 to 10).map(i => s"p$i").mkString(" ") // 10 shared tokens
+    val second = (1 to 8).map(i => s"q$i").mkString(" ")   // exactly W tokens
+    val docs = Seq(
+      1L -> s"a1 a2 a3 $passage a4 a5 a6 a7 a8 a9 $second",
+      2L -> s"b1 b2 $passage b3 $second b4",
+      3L -> (1 to 30).map(i => s"c$i").mkString(" "))      // no shared window
+    import s2.implicits._
+    docs.toDF("doc_id", "text").createOrReplaceTempView("documents")
+    val got = s2.sql(graft.ops.DedupOps.substringRunsSql(
+      toks = graft.ops.textsql.sparkToks("text"), len = t => s"size($t)",
+      gen = n => s"explode(sequence(1, $n))",
+      slice = (t, a, l) => s"slice($t, $a, $l)",
+      join = a => s"concat_ws(' ', $a)", hash = graft.ops.textsql.sparkHash))
+      .collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == substrRuns(docs), "planted runs disagree with recompute")
+    // doc 1: passage run is tokens 4..13 (len 10), q-run 20..27 (len 8)
+    assert(got.filter(_._1 == 1L) == Seq((1L, 4L, 13L, 10L), (1L, 20L, 27L, 8L)))
+    // doc 2: two separate islands (the gap token b3 splits them)
+    assert(got.count(_._1 == 2L) == 2)
+    // doc 3 shares nothing
+    assert(!got.exists(_._1 == 3L))
+  }
 }
