@@ -366,7 +366,9 @@ final case class PropertyGraph(vertices: DataFrame, edges: DataFrame) {
     *    (disk-backed blocks, never a silent OOM), and the error fires
     *    before the NEXT level can multiply it. */
   def pathsUntil(sources: DataFrame, adj: DataFrame, pred: Column,
-      maxLoops: Int, cap: Long = 1000000L): DataFrame = {
+      maxLoops: Int, cap: Long = 1000000L,
+      stepFilter: (Column, Column) => Column = (_, _) => lit(true))
+      : DataFrame = {
     require(maxLoops >= 1 && maxLoops <= 16,
       s"until guard out of range: $maxLoops")
     // frontier-broadcast only while cap-bounded walk sets are broadcast
@@ -382,7 +384,12 @@ final case class PropertyGraph(vertices: DataFrame, edges: DataFrame) {
       val vflag = vertices.select(col("id"),
         coalesce(pred, lit(false)).as("__stop"))
       val fr = if (hintFrontier) broadcast(active) else active
+      // stepFilter(prefixWalk, newHead) prunes a walk BEFORE the append —
+      // the walk-matrix hook where()/simplePath() compile to inside an
+      // until loop (the path array IS the prefix those steps read); a
+      // codegen'd per-row filter on the join output, no extra join.
       val stepped = fr.join(adj, active("id") === adj("src"))
+        .filter(stepFilter(col("path"), col("dst")))
         .select(col("dst").as("id"),
           array_append(col("path"), col("dst")).as("path"))
       val lvl = stepped.join(vflag, "id")

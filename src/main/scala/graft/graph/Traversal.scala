@@ -483,8 +483,13 @@ final case class Traversal(g: PropertyGraph, df: DataFrame, depth: Int,
 }
 
 object Traversal {
-  // One nesting level in step args, for where(neq('a'))-style predicates.
-  private val StepPat = """(\w+)\(((?:[^()]|\([^()]*\))*)\)""".r
+  // TWO nesting levels in step args: where(neq('a'))-style predicates are
+  // one (branch chains, unrolled repeat bodies); an UNTIL-loop body that
+  // itself contains such a step — repeat(both().where(neq('a'))).until(…)
+  // survives to the parser un-unrolled — is two. The parser's full-text
+  // reconstruction check still rejects anything deeper, loudly.
+  private val StepPat =
+    """(\w+)\(((?:[^()]|\((?:[^()]|\([^()]*\))*\))*)\)""".r
   private val CmpPat = """(\w+)\s*(!=|>=|<=|=|>|<)\s*(.+)""".r
 
   /** Parse one `attr op value` predicate (value: 'quoted' or numeric)
@@ -631,12 +636,31 @@ object Traversal {
     * because the unroll keeps the walk matrix, where()/has()/simplePath()
     * are legal inside a times()-bounded loop body (VERDICT r11 ask #5 —
     * the walk-matrix fallback for where() inside loops). */
-  private def expandRepeats(q: String): String =
-    RepeatPat.replaceAllIn(q, m => {
+  private def expandRepeats(q: String): String = {
+    def pass(s: String): String = RepeatPat.replaceAllIn(s, m => {
       val n = m.group(2).toInt
       require(n >= 1 && n <= 16, s"times out of range: $n")
-      Seq.fill(n)(m.group(1)).mkString(".")
+      scala.util.matching.Regex.quoteReplacement(
+        Seq.fill(n)(m.group(1)).mkString("."))
     })
+    // Fixpoint, not one pass: an outer repeat body may itself contain a
+    // repeat(...).times(k) (the widened multi-step body regex matches the
+    // outer loop), and the unrolled copies only become expandable on the
+    // NEXT scan — a single pass left them for the parser to reject with a
+    // generic "unknown step: repeat(...)". Each level multiplies ≤16×, so
+    // 4 levels (65k+ steps) is already absurd for a declarative chain —
+    // bound it loudly rather than looping on adversarial input.
+    var cur = q
+    var next = pass(cur)
+    var depth = 1
+    while (next != cur) {
+      depth += 1
+      require(depth <= 4, "repeat(...).times(n) nesting deeper than 4 levels")
+      cur = next
+      next = pass(cur)
+    }
+    next
+  }
 
   /** Compile a chain string — `V(<pred>?)` then any of
     * `out('l')/in('l')/both('l')/has(<pred>)/simplePath()/dedup()/
@@ -689,15 +713,47 @@ object Traversal {
       // loop (heterogeneous-length paths as one array column): routed to
       // PropertyGraph.pathsUntil, which the path-erasing fold can't
       // express. Only valid as the whole chain (the array walk has no
-      // prefix to splice) with a single-step body (each level is one
-      // adjacency join + array_append).
+      // prefix to splice); the body is one adjacency step (each level is
+      // one adjacency join + array_append) optionally followed by
+      // where()/simplePath() steps — the r12 gap closed: those read the
+      // walk PREFIX, which the fold erases but the path array carries, so
+      // inside an until loop they compile to a per-level codegen'd filter
+      // on the walk (pathsUntil's stepFilter hook). where() labels must
+      // point at the chain start (as('a') before the repeat — the only
+      // position the walk array holds besides loop levels).
       case ("repeat", b) :: ("until", p) :: ("times", n) :: ("path", "") :: Nil
           if n.matches("\\d+") =>
-        require(t.depth == 0 && t.labels.isEmpty,
+        require(t.depth == 0,
           "path-tracking loops must start the chain: V(...).repeat(...)" +
             ".until(...).times(n).path()")
+        val body = StepPat.findAllMatchIn(b)
+          .map(m => (m.group(1), m.group(2).trim)).toList
+        require(body.nonEmpty, s"empty repeat body: $b")
+        val adj = stepAdj(g, s"${body.head._1}(${body.head._2})")
+        val filt = body.tail.foldLeft(
+          (_: Column, _: Column) => lit(true)) {
+          case (f, ("simplePath", "")) => (path: Column, head: Column) =>
+            f(path, head) && !array_contains(path, head)
+          case (f, ("where", WherePred(cmp, l))) =>
+            val idx = t.labels.getOrElse(l,
+              throw new IllegalArgumentException(
+                s"no as('$l') step in this chain"))
+            require(idx == 0, s"where('$l') inside an until loop must " +
+              "reference the chain start (the walk array's only fixed slot)")
+            (path: Column, head: Column) => f(path, head) && (cmp match {
+              case "eq"  => head === element_at(path, idx + 1)
+              case "neq" => head =!= element_at(path, idx + 1)
+              case "lt"  => head < element_at(path, idx + 1)
+              case "gt"  => head > element_at(path, idx + 1)
+              case "lte" => head <= element_at(path, idx + 1)
+              case _     => head >= element_at(path, idx + 1)
+            })
+          case (_, (s0, a0)) => throw new IllegalArgumentException(
+            "until-loop body steps after the adjacency step must be " +
+              s"where()/simplePath(), got: $s0($a0)")
+        }
         result = Some(g.pathsUntil(t.df.select(col("v0").as("id")),
-          stepAdj(g, b), pred(p), n.toInt)); loop(Nil)
+          adj, pred(p), n.toInt, stepFilter = filt)); loop(Nil)
       case ("repeat", b) :: ("until", p) :: ("times", n) :: tl
           if n.matches("\\d+") =>
         t = t.repeatUntil(branchFn(b), pred(p), n.toInt); loop(tl)

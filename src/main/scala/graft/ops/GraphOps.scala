@@ -1271,6 +1271,50 @@ object GraphOps extends OpModule {
           allw AS (SELECT path FROM s1 UNION ALL SELECT path FROM s2
             UNION ALL SELECT path FROM s3 UNION ALL SELECT path FROM k3)"""))),
 
+    // where() INSIDE a path-ERASING loop (the r12 traversal-surface gap):
+    // `as('a').repeat(both().where(neq('a'))).until(...)` — every step
+    // must avoid returning to the walk's start. The (h, cnt) fold cannot
+    // express it (the fold erased the prefix where() reads), so the parser
+    // routes the chain through the walk-matrix pathsUntil machinery and
+    // where()/simplePath() compile to a per-level codegen'd filter on the
+    // walk array (stepFilter — no join, no state beyond the walk itself).
+    // both() from a high-value order returns to its start at level 2 via
+    // BOTH branches (customer's 'by' edges and part's 'contains' edges),
+    // so the predicate prunes real mass. The oracle unrolls the same
+    // step/filter/stop split with list arrays; fold-equivalence on a
+    // where-free chain is certified in PropertyGraphSpec.
+    Op("graph_traversal_until_where",
+      (s, dir) => GraphFixture(s, dir).traverse(
+        "V(label='order').has(val>499500).as('a')" +
+          ".repeat(both().where(neq('a')))" +
+          ".until(label='nation').times(2).path()")
+        .select((size(col("path")) - 1).as("hops"),
+          array_join(transform(col("path"), _.cast("string")), "->")
+            .as("path"))
+        .orderBy("hops", "path"),
+      Some(withGraph(
+        """SELECT CAST(len(path) - 1 AS INTEGER) AS hops,
+            array_to_string(path, '->') AS path
+          FROM allw ORDER BY len(path), path""",
+        extra = """und AS (SELECT src, dst FROM edges
+            UNION ALL SELECT dst, src FROM edges),
+          p0 AS (SELECT id, [id] AS path FROM vertices
+            WHERE label = 'order' AND val > 499500),
+          w1 AS (SELECT e.dst AS id, list_append(p.path, e.dst) AS path
+            FROM p0 p JOIN und e ON e.src = p.id WHERE e.dst <> p.path[1]),
+          s1 AS (SELECT n.id, n.path FROM w1 n JOIN vertices v ON v.id = n.id
+            WHERE v.label = 'nation'),
+          k1 AS (SELECT n.id, n.path FROM w1 n JOIN vertices v ON v.id = n.id
+            WHERE NOT v.label = 'nation'),
+          w2 AS (SELECT e.dst AS id, list_append(p.path, e.dst) AS path
+            FROM k1 p JOIN und e ON e.src = p.id WHERE e.dst <> p.path[1]),
+          s2 AS (SELECT n.id, n.path FROM w2 n JOIN vertices v ON v.id = n.id
+            WHERE v.label = 'nation'),
+          k2 AS (SELECT n.id, n.path FROM w2 n JOIN vertices v ON v.id = n.id
+            WHERE NOT v.label = 'nation'),
+          allw AS (SELECT path FROM s1 UNION ALL SELECT path FROM s2
+            UNION ALL SELECT path FROM k2)"""))),
+
     // coalesce() branch step (first branch with results, per walk): each
     // customer's colocated suppliers when any exist, else its nation —
     // the optional-with-fallback pattern. Later branches anti-join the

@@ -600,6 +600,64 @@ class PropertyGraphSpec extends AnyFunSuite {
       .repeat(_.both("in_nation"), 2).simplePath().count()
       .head.getLong(0)
     assert(viaParser == viaFluent && viaParser > 0)
+    // NESTED repeat bodies expand to a fixpoint (r12 ADVICE): the outer
+    // unroll surfaces inner repeat(...).times(k) copies that a single
+    // regex pass left for the parser to reject with a generic error
+    val nested = g.traverse("V(label='customer')" +
+      ".repeat(both('in_nation').repeat(both('in_nation')).times(2))" +
+      ".times(2).count()").head.getLong(0)
+    val flat = g.traverse("V(label='customer')" +
+      ".both('in_nation').both('in_nation').both('in_nation')" +
+      ".both('in_nation').both('in_nation').both('in_nation')" +
+      ".count()").head.getLong(0)
+    assert(nested == flat && nested > 0)
+  }
+
+  test("traversal DSL: where()/simplePath() inside until loops (walk route)") {
+    // where(neq('a')) inside a path-ERASING until loop routes through the
+    // walk-matrix pathsUntil machinery (r12 verdict ask #8). Ground truth:
+    // a violation persists in the walk array (the offending position is
+    // carried forever), so the in-loop prune ≡ a post-hoc filter over the
+    // UNFILTERED walk set — no walk that should have survived is lost, no
+    // pruned walk's child sneaks through.
+    val where = g.traverse("V(label='order').has(val>499500).as('a')" +
+      ".repeat(both().where(neq('a')))" +
+      ".until(label='nation').times(2).path()")
+      .select(col("path").cast("string")).collect().map(_.getString(0))
+    val posthoc = g.traverse("V(label='order').has(val>499500)" +
+      ".repeat(both()).until(label='nation').times(2).path()")
+      .filter(expr(
+        "!exists(slice(path, 2, size(path) - 1), x -> x = element_at(path, 1))"))
+      .select(col("path").cast("string")).collect().map(_.getString(0))
+    assert(where.sorted.toSeq == posthoc.sorted.toSeq)
+    // the predicate prunes real mass (both() returns to the start at
+    // level 2 via the reversed 'by' and 'contains' edges)
+    val unfiltered = g.traverse("V(label='order').has(val>499500)" +
+      ".repeat(both()).until(label='nation').times(2).path()").count()
+    assert(where.length < unfiltered, "where() inside the loop was a no-op")
+    // fold equivalence on the where-free chain: grouping the walk route's
+    // emitted paths by head reproduces the (h, cnt) fold exactly
+    val byHead = g.traverse("V(label='order').has(val>499500)" +
+      ".repeat(both()).until(label='nation').times(2).path()")
+      .groupBy("id").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val folded = g.V(col("label") === "order" && col("val") > 499500)
+      .repeatUntil(_.both(), col("label") === "nation", 2)
+      .bulk.get.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(byHead == folded, "walk route disagrees with the fold")
+    // simplePath() inside the loop ≡ post-hoc all-distinct filter
+    val sp = g.traverse("V(label='order').has(val>499500)" +
+      ".repeat(both().simplePath()).until(label='nation').times(2).path()")
+      .select(col("path").cast("string")).collect().map(_.getString(0))
+    val spPost = g.traverse("V(label='order').has(val>499500)" +
+      ".repeat(both()).until(label='nation').times(2).path()")
+      .filter(size(array_distinct(col("path"))) === size(col("path")))
+      .select(col("path").cast("string")).collect().map(_.getString(0))
+    assert(sp.sorted.toSeq == spPost.sorted.toSeq && sp.length < unfiltered)
+    // a where() label that is NOT the chain start still fails loudly
+    intercept[IllegalArgumentException](g.traverse("V(label='order')" +
+      ".repeat(both().where(neq('zz'))).until(label='nation')" +
+      ".times(2).path()"))
   }
 
   test("traversal DSL: simplePath / dedup / values / count steps") {
