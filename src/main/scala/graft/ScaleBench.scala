@@ -382,7 +382,11 @@ object ScaleBench {
     val outS = Staging.dir(s"skew-x$k")
     build(spark, base, outU, k)
     build(spark, base, outS, k, skewize)
-    val keys = Seq("graph_betweenness", "graph_eccentricity")
+    // default: the two BFS level chains; any key list can ride the same
+    // interleaved fresh-session min-of-3 protocol (r13: used to pin the
+    // triangle/BPE skew leans before and after their fixes)
+    val keys = if (args.length > 2) args.drop(2).toSeq
+      else Seq("graph_betweenness", "graph_eccentricity")
     // one untimed JIT pass per side
     Seq(outU, outS).foreach { d =>
       val s0 = spark.newSession()
