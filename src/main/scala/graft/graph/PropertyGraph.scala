@@ -1100,7 +1100,20 @@ final case class PropertyGraph(vertices: DataFrame, edges: DataFrame) {
     // order the stored orientation uses, so a closing edge can only be
     // (lower → higher) — one equi-join against the index, no OR-key.
     val ori = orientedEdges // stored index (read 3×: two fork legs + probe)
+    // SINK PRUNING (r13 — the hub tolerance the r10 skew table flagged at
+    // 4.4×): a candidate pair (x, z) can only close through an oriented
+    // edge x→z, and every edge inside the pair is stored low→high under
+    // the same total order — so the pair's LOWER corner x must be an edge
+    // SOURCE. Hub overlays make the highest-degree vertices pure SINKS
+    // (every incident edge orients toward them, none out), yet they
+    // dominate neighborhoods: all C(k,2) pairs of hub sinks sharing a
+    // fork vertex are dead wedge mass. Restricting the lower fork leg to
+    // source vertices removes them AT GENERATION (before the pair rows
+    // exist), is exact by the argument above, and costs one vertex-scale
+    // distinct + a semi join against the edge-scale leg.
+    val srcs = ori.select(col("u").as("p")).distinct()
     val l = ori.select(col("u"), col("v").as("p"), col("dv").as("dp"))
+      .join(srcs, Seq("p"), "left_semi")
     val r = ori.select(col("u"), col("v").as("q"), col("dv").as("dq"))
     val vFirst = col("dp") < col("dq") ||
       (col("dp") === col("dq") && col("p") < col("q"))

