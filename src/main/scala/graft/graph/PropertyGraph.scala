@@ -367,7 +367,8 @@ final case class PropertyGraph(vertices: DataFrame, edges: DataFrame) {
     *    before the NEXT level can multiply it. */
   def pathsUntil(sources: DataFrame, adj: DataFrame, pred: Column,
       maxLoops: Int, cap: Long = 1000000L,
-      stepFilter: (Column, Column) => Column = (_, _) => lit(true))
+      stepFilter: (Column, Column) => Column = (_, _) => lit(true),
+      emitEachLevel: Boolean = false)
       : DataFrame = {
     require(maxLoops >= 1 && maxLoops <= 16,
       s"until guard out of range: $maxLoops")
@@ -399,11 +400,15 @@ final case class PropertyGraph(vertices: DataFrame, edges: DataFrame) {
       require(total <= cap,
         s"pathsUntil: $total walks at loop $i exceed cap $cap — " +
           "raise the cap or use the path-erasing repeatUntil fold")
-      val stop = lvl.filter(col("__stop")).select("id", "path")
-      out = Some(out.fold(stop)(_ unionAll stop))
+      // emitEachLevel: the until().emit() combined-loop semantics — every
+      // post-body position is released (exits AND continuing walks), the
+      // continue side alone feeds forward. Default: exits only.
+      val emit = if (emitEachLevel) lvl.select("id", "path")
+        else lvl.filter(col("__stop")).select("id", "path")
+      out = Some(out.fold(emit)(_ unionAll emit))
       active = lvl.filter(!col("__stop")).select("id", "path")
     }
-    out.get unionAll active
+    if (emitEachLevel) out.get else out.get unionAll active
   }
 
   /** Path enumeration ≤ maxHops from `sources` (Blueprints' path() step):

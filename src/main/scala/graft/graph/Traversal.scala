@@ -610,6 +610,47 @@ object Traversal {
     }
   }
 
+  private val WalkLoopPos =
+    "path-tracking loops must start the chain: V(...).repeat(...)" +
+      "[.until(...)][.emit()].times(n).path()"
+
+  /** Parse a walk-route loop body: ONE adjacency step, optionally followed
+    * by where()/simplePath() steps — those read the walk PREFIX, which the
+    * path array carries, so they compile to a per-level codegen'd filter
+    * (pathsUntil's stepFilter hook; no join, no extra state). where()
+    * labels must point at the chain start — the only position the walk
+    * array holds besides loop levels. Returns (adjacency, stepFilter). */
+  private def walkBody(g: PropertyGraph, t: Traversal, b: String)
+      : (DataFrame, (Column, Column) => Column) = {
+    val body = StepPat.findAllMatchIn(b)
+      .map(m => (m.group(1), m.group(2).trim)).toList
+    require(body.nonEmpty, s"empty repeat body: $b")
+    val adj = stepAdj(g, s"${body.head._1}(${body.head._2})")
+    val filt = body.tail.foldLeft(
+      (_: Column, _: Column) => lit(true)) {
+      case (f, ("simplePath", "")) => (path: Column, head: Column) =>
+        f(path, head) && !array_contains(path, head)
+      case (f, ("where", WherePred(cmp, l))) =>
+        val idx = t.labels.getOrElse(l,
+          throw new IllegalArgumentException(
+            s"no as('$l') step in this chain"))
+        require(idx == 0, s"where('$l') inside a path-tracking loop must " +
+          "reference the chain start (the walk array's only fixed slot)")
+        (path: Column, head: Column) => f(path, head) && (cmp match {
+          case "eq"  => head === element_at(path, idx + 1)
+          case "neq" => head =!= element_at(path, idx + 1)
+          case "lt"  => head < element_at(path, idx + 1)
+          case "gt"  => head > element_at(path, idx + 1)
+          case "lte" => head <= element_at(path, idx + 1)
+          case _     => head >= element_at(path, idx + 1)
+        })
+      case (_, (s0, a0)) => throw new IllegalArgumentException(
+        "path-tracking loop body steps after the adjacency step must be " +
+          s"where()/simplePath(), got: $s0($a0)")
+    }
+    (adj, filt)
+  }
+
   /** Single-step body of a path-tracking loop → its expanded (src, dst)
     * adjacency (out/in/both, optional edge label), duplicates preserved
     * (parallel edges are distinct walks, like the fold's bulk counts). */
@@ -706,6 +747,24 @@ object Traversal {
       case ("sample", n) :: tl if n.matches("\\d+") =>
         t = t.sample(n.toInt); loop(tl)
       case ("as", a) :: tl          => t = t.as(label(a)); loop(tl)
+      // Walk-materializing variants of the emit loops (terminal path()):
+      // same pathsUntil machinery as the until().path() case below, with
+      // every post-body level released — so where()/simplePath() work in
+      // THESE loop bodies too (the emit-side half of the r12 gap).
+      case ("repeat", b) :: ("until", p) :: ("emit", "") :: ("times", n) ::
+          ("path", "") :: Nil if n.matches("\\d+") =>
+        require(t.depth == 0, WalkLoopPos)
+        val (adj, filt) = walkBody(g, t, b)
+        result = Some(g.pathsUntil(t.df.select(col("v0").as("id")),
+          adj, pred(p), n.toInt, stepFilter = filt, emitEachLevel = true))
+        loop(Nil)
+      case ("repeat", b) :: ("emit", "") :: ("times", n) ::
+          ("path", "") :: Nil if n.matches("\\d+") =>
+        require(t.depth == 0, WalkLoopPos)
+        val (adj, filt) = walkBody(g, t, b)
+        result = Some(g.pathsUntil(t.df.select(col("v0").as("id")),
+          adj, lit(false), n.toInt, stepFilter = filt, emitEachLevel = true))
+        loop(Nil)
       case ("repeat", b) :: ("until", p) :: ("emit", "") :: ("times", n) :: tl
           if n.matches("\\d+") =>
         t = t.repeatUntilEmit(branchFn(b), pred(p), n.toInt); loop(tl)
@@ -723,35 +782,8 @@ object Traversal {
       // position the walk array holds besides loop levels).
       case ("repeat", b) :: ("until", p) :: ("times", n) :: ("path", "") :: Nil
           if n.matches("\\d+") =>
-        require(t.depth == 0,
-          "path-tracking loops must start the chain: V(...).repeat(...)" +
-            ".until(...).times(n).path()")
-        val body = StepPat.findAllMatchIn(b)
-          .map(m => (m.group(1), m.group(2).trim)).toList
-        require(body.nonEmpty, s"empty repeat body: $b")
-        val adj = stepAdj(g, s"${body.head._1}(${body.head._2})")
-        val filt = body.tail.foldLeft(
-          (_: Column, _: Column) => lit(true)) {
-          case (f, ("simplePath", "")) => (path: Column, head: Column) =>
-            f(path, head) && !array_contains(path, head)
-          case (f, ("where", WherePred(cmp, l))) =>
-            val idx = t.labels.getOrElse(l,
-              throw new IllegalArgumentException(
-                s"no as('$l') step in this chain"))
-            require(idx == 0, s"where('$l') inside an until loop must " +
-              "reference the chain start (the walk array's only fixed slot)")
-            (path: Column, head: Column) => f(path, head) && (cmp match {
-              case "eq"  => head === element_at(path, idx + 1)
-              case "neq" => head =!= element_at(path, idx + 1)
-              case "lt"  => head < element_at(path, idx + 1)
-              case "gt"  => head > element_at(path, idx + 1)
-              case "lte" => head <= element_at(path, idx + 1)
-              case _     => head >= element_at(path, idx + 1)
-            })
-          case (_, (s0, a0)) => throw new IllegalArgumentException(
-            "until-loop body steps after the adjacency step must be " +
-              s"where()/simplePath(), got: $s0($a0)")
-        }
+        require(t.depth == 0, WalkLoopPos)
+        val (adj, filt) = walkBody(g, t, b)
         result = Some(g.pathsUntil(t.df.select(col("v0").as("id")),
           adj, pred(p), n.toInt, stepFilter = filt)); loop(Nil)
       case ("repeat", b) :: ("until", p) :: ("times", n) :: tl

@@ -1315,6 +1315,37 @@ object GraphOps extends OpModule {
           allw AS (SELECT path FROM s1 UNION ALL SELECT path FROM s2
             UNION ALL SELECT path FROM k2)"""))),
 
+    // The COMBINED loop with an in-body where(): until().emit() releases
+    // every post-body position (exits AND continuing walks) while the
+    // where(neq('a')) prunes steps returning to the walk's start — the
+    // emit-side half of the r12 where-in-loop gap. Walk route with
+    // emitEachLevel; the oracle is simply w1 ∪ w2 (every filter-surviving
+    // stepped walk is released; only non-stopped ones step again).
+    Op("graph_traversal_until_emit_where",
+      (s, dir) => GraphFixture(s, dir).traverse(
+        "V(label='order').has(val>499500).as('a')" +
+          ".repeat(both().where(neq('a')))" +
+          ".until(label='nation').emit().times(2).path()")
+        .select((size(col("path")) - 1).as("hops"),
+          array_join(transform(col("path"), _.cast("string")), "->")
+            .as("path"))
+        .orderBy("hops", "path"),
+      Some(withGraph(
+        """SELECT CAST(len(path) - 1 AS INTEGER) AS hops,
+            array_to_string(path, '->') AS path
+          FROM allw ORDER BY len(path), path""",
+        extra = """und AS (SELECT src, dst FROM edges
+            UNION ALL SELECT dst, src FROM edges),
+          p0 AS (SELECT id, [id] AS path FROM vertices
+            WHERE label = 'order' AND val > 499500),
+          w1 AS (SELECT e.dst AS id, list_append(p.path, e.dst) AS path
+            FROM p0 p JOIN und e ON e.src = p.id WHERE e.dst <> p.path[1]),
+          k1 AS (SELECT n.id, n.path FROM w1 n JOIN vertices v ON v.id = n.id
+            WHERE NOT v.label = 'nation'),
+          w2 AS (SELECT e.dst AS id, list_append(p.path, e.dst) AS path
+            FROM k1 p JOIN und e ON e.src = p.id WHERE e.dst <> p.path[1]),
+          allw AS (SELECT path FROM w1 UNION ALL SELECT path FROM w2)"""))),
+
     // Gremlin match() — TinkerPop's declarative pattern step, the last
     // traversal-surface gap named by the r12 verdict: edge clauses +
     // per-variable has() constraints, compiled onto PropertyGraph.find

@@ -658,6 +658,25 @@ class PropertyGraphSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](g.traverse("V(label='order')" +
       ".repeat(both().where(neq('zz'))).until(label='nation')" +
       ".times(2).path()"))
+    // EMIT walk routes: until().emit().path() head-counts must reproduce
+    // the path-erasing repeatUntilEmit fold on a where-free chain...
+    val emitHeads = g.traverse("V(label='order').has(val>499500)" +
+      ".repeat(both()).until(label='nation').emit().times(2).path()")
+      .groupBy("id").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val emitFold = g.V(col("label") === "order" && col("val") > 499500)
+      .repeatUntilEmit(_.both(), col("label") === "nation", 2)
+      .bulk.get.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(emitHeads == emitFold, "emit walk route disagrees with the fold")
+    // ...and the plain emit().path() route ≡ the repeatEmit fold
+    val emitAll = g.traverse("V(label='order').has(val>499500)" +
+      ".repeat(both()).emit().times(2).path()")
+      .groupBy("id").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val emitAllFold = g.V(col("label") === "order" && col("val") > 499500)
+      .repeatEmit(_.both(), 2)
+      .bulk.get.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(emitAll == emitAllFold, "plain-emit walk route disagrees")
   }
 
   test("traversal DSL: simplePath / dedup / values / count steps") {
