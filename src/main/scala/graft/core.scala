@@ -259,17 +259,24 @@ object Sink {
     * sink_parquet n_files=1 oracle) while a 100 TB hot value fans out. */
   def partitionedWrite(df: DataFrame, partCol: String, sortKey: String,
       out: String, maxRowsPerFile: Long = 4000000L): Unit = {
-    val nsalts = df.groupBy(partCol)
-      .agg(greatest(ceil(count(lit(1)) / maxRowsPerFile.toDouble), lit(1L))
-        .cast("int").as("__nsalt"))
-    // Scalar total-bucket count (one number to the driver — the nsalt map
-    // itself never leaves the cluster, it rides the broadcast join below).
+    // ONE aggregate pass over the input, collected once — the salt map is
+    // |distinct partition values|-sized, metadata by the same assumption
+    // partitionBy itself makes (a writer cannot want millions of
+    // directories). The input is thus scanned exactly twice: counts, write.
+    val counts = df.groupBy(partCol).agg(count(lit(1)).as("__n")).collect()
+    val salts = counts.map(r => org.apache.spark.sql.Row(r.get(0),
+      math.max(1L, math.ceil(
+        r.getLong(1).toDouble / maxRowsPerFile).toLong).toInt))
     // The writer shuffle must pin an EXPLICIT partition count: AQE
     // coalesces a keys-only repartition of a small stage back into one
     // task, silently re-merging the salt buckets it exists to separate.
-    val buckets = nsalts.agg(sum("__nsalt")).collect()(0).getLong(0)
     val tasks = math.max(df.sparkSession.conf
-      .get("spark.sql.shuffle.partitions").toInt, 2 * buckets.toInt)
+      .get("spark.sql.shuffle.partitions").toInt,
+      2 * salts.map(_.getInt(1)).sum)
+    val nsalts = df.sparkSession.createDataFrame(
+      java.util.Arrays.asList(salts: _*),
+      StructType(Seq(df.schema(partCol).copy(name = partCol),
+        StructField("__nsalt", IntegerType, nullable = false))))
     df.join(broadcast(nsalts), Seq(partCol))
       .withColumn("__salt",
         pmod(hash(col(sortKey)), col("__nsalt")))
