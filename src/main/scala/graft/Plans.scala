@@ -29,7 +29,9 @@ object Plans {
     "text_bpe_train", "text_bpe_apply", "graph_traversal_sample",
     "sink_parquet", "graph_traversal_emit_pre", "graph_traversal_until_emit",
     "graph_bridges", "graph_articulation", "source_csv", "source_json",
-    "graph_traversal_emit_pred", "graph_traversal_until_path")
+    "graph_traversal_emit_pred", "graph_traversal_until_path",
+    "dedup_substring", "graph_traversal_until_where",
+    "graph_traversal_until_emit_where", "graph_traversal_match")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
