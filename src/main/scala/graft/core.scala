@@ -275,14 +275,17 @@ object Sink {
       2 * salts.map(_.getInt(1)).sum)
     val nsalts = df.sparkSession.createDataFrame(
       java.util.Arrays.asList(salts: _*),
-      StructType(Seq(df.schema(partCol).copy(name = partCol),
+      StructType(Seq(df.schema(partCol).copy(name = "__pv"),
         StructField("__nsalt", IntegerType, nullable = false))))
-    df.join(broadcast(nsalts), Seq(partCol))
+    // NULL-SAFE join: a null partition value is legal (partitionBy routes
+    // it to the default-partition directory) — an equi-join would silently
+    // DROP those rows on the salt lookup.
+    df.join(broadcast(nsalts), df(partCol) <=> nsalts("__pv"))
       .withColumn("__salt",
         pmod(hash(col(sortKey)), col("__nsalt")))
       .repartition(tasks, col(partCol), col("__salt"))
       .sortWithinPartitions(partCol, sortKey)
-      .drop("__nsalt", "__salt")
+      .drop("__pv", "__nsalt", "__salt")
       .write.mode("overwrite").partitionBy(partCol).parquet(out)
   }
 }

@@ -89,4 +89,19 @@ class ContractSpec extends AnyFunSuite {
     // round-trip fidelity: the salted layout loses no rows
     assert(spark.read.parquet(out).count() == orders.count())
   }
+
+  test("Sink.partitionedWrite keeps NULL partition values (null-safe salt join)") {
+    // A null partition value routes to partitionBy's default-partition
+    // directory; the salt-map lookup must be null-safe or those rows
+    // silently vanish on the equi-join.
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val df = Seq(("F", 1L), ("O", 2L), (null, 3L), (null, 4L))
+      .toDF("status", "key")
+    val out = graft.Staging.fresh("sink-nulls")
+    graft.Sink.partitionedWrite(df, "status", "key", out)
+    val back = spark.read.parquet(out)
+    assert(back.count() == 4)
+    assert(back.filter(back("status").isNull).count() == 2)
+  }
 }
