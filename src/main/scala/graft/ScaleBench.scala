@@ -444,10 +444,37 @@ object ScaleBench {
     System.out.flush()
   }
 
+  /** Output-cardinality attribution: `ScaleBench probecount [baseDir] [K]
+    * keys...` — counts each key's RESULT rows base vs K×-scaled. When a
+    * probe-mode time ratio tracks the output-row ratio, the cost is the
+    * answer getting bigger (path enumeration, pattern matches), not a
+    * super-linear plan — the evidence SCALE.md cites for the walk keys. */
+  def probeCountMain(args: Array[String]): Unit = {
+    val base = args.headOption.getOrElse(
+      sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+    val k = args.drop(1).headOption.map(_.toInt).getOrElse(10)
+    val keys = args.drop(2).toSeq
+    require(keys.nonEmpty, "probecount mode needs explicit keys")
+    val spark = Bench.session(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+    val out = Staging.dir(s"scale-x$k")
+    build(spark, base, out, k)
+    val rows = keys.map { q =>
+      val b = SparkEntry.queries(q)(spark, base).count()
+      val s = SparkEntry.queries(q)(spark, out).count()
+      s""""$q":{"base_rows":$b,"scaled_rows":$s,""" +
+        s""""row_ratio":${f"${s.toDouble / math.max(b, 1)}%.2f"}}"""
+    }.mkString(",")
+    spark.stop()
+    println(s"""{"metric":"scale_probe_rows","k":$k,$rows}""")
+    System.out.flush()
+  }
+
   def main(args: Array[String]): Unit = {
     if (args.headOption.contains("skew")) return skewMain(args.drop(1))
     if (args.headOption.contains("bfslean")) return bfsLeanMain(args.drop(1))
     if (args.headOption.contains("probe")) return probeMain(args.drop(1))
+    if (args.headOption.contains("probecount"))
+      return probeCountMain(args.drop(1))
     val base = args.headOption.getOrElse(
       sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
     val k = args.drop(1).headOption.map(_.toInt).getOrElse(10)

@@ -574,9 +574,10 @@ object DedupOps extends OpModule {
     // arrays and never all-pairs: every W-token window becomes one
     // (doc, pos, 60-bit window hash) row — corpus-token-sized, like the
     // minhash shingle relation; a window is DUPLICATED iff its hash has
-    // ≥2 distinct doc_ids (one bucketed distinct-aggregate on the hash —
-    // map-side combinable, 8-byte shuffle keys instead of W-token
-    // strings); per doc, consecutive duplicated positions fold into
+    // ≥2 distinct doc_ids, gated as MIN(doc_id)≠MAX(doc_id) over the hash
+    // partition — ONE shuffle of the window relation (8-byte keys) instead
+    // of a distinct-aggregate plus a re-join of the same relation onto the
+    // duplicated set; per doc, consecutive duplicated positions fold into
     // maximal runs with gaps-and-islands (pos − row_number — one per-doc
     // window pass, doc-bounded state). The md5-60-bit window hash is the
     // same affine base both engines share (textsql.sparkHash/duckHash),
@@ -597,7 +598,39 @@ object DedupOps extends OpModule {
         toks = duckToks("text"), len = t => s"len($t)",
         gen = n => s"unnest(generate_series(1, $n))",
         slice = (t, a, l) => s"$t[$a:$a + $l - 1]",
-        join = a => s"array_to_string($a, ' ')", hash = duckHash)))
+        join = a => s"array_to_string($a, ' ')", hash = duckHash))),
+
+    // dedup_substring's APPLY step (Lee et al. keep-first): the minimum
+    // doc_id sharing a duplicated window keeps its copy; every OTHER doc
+    // drops the tokens that window covers, and the cleaned text is
+    // rebuilt. Per-token rule: token (d, p) is dropped iff some W-window
+    // covering p has MIN(doc_id) over its hash partition < d — `dmin < d`
+    // alone already implies a second doc exists, so within-doc repetition
+    // never strips and the canonical doc keeps everything. The dropped
+    // set is windows×W positions (W constant → corpus-linear), distinct'd
+    // on (doc, pos) and anti-joined against the token relation; rebuild
+    // is one per-doc ordered aggregation. Shuffles: window hash, dropped
+    // positions, anti-join key (doc, pos), doc_id — all bucketed equi
+    // operations, never all-pairs.
+    Op("dedup_substring_strip",
+      (s, dir) => {
+        Tables(s, dir, "documents").createOrReplaceTempView("documents")
+        s.sql(substringStripSql(
+          toks = sparkToks("text"), len = t => s"size($t)",
+          gen = n => s"explode(sequence(1, $n))",
+          genRange = (a, b) => s"explode(sequence($a, $b))",
+          slice = (t, a, l) => s"slice($t, $a, $l)",
+          join = a => s"concat_ws(' ', $a)", hash = sparkHash,
+          orderedConcat = (v, o) => s"concat_ws(' ', transform(" +
+            s"array_sort(collect_list(struct($o, $v))), r -> r.$v))"))
+      },
+      Some(substringStripSql(
+        toks = duckToks("text"), len = t => s"len($t)",
+        gen = n => s"unnest(generate_series(1, $n))",
+        genRange = (a, b) => s"unnest(generate_series($a, $b))",
+        slice = (t, a, l) => s"$t[$a:$a + $l - 1]",
+        join = a => s"array_to_string($a, ' ')", hash = duckHash,
+        orderedConcat = (v, o) => s"string_agg($v, ' ' ORDER BY $o)")))
   )
 
   /** Minimum duplicated-passage length in tokens (= the window width W):
@@ -616,14 +649,55 @@ object DedupOps extends OpModule {
     g AS (SELECT doc_id, t, ${gen(s"${len("t")} - ${w - 1}")} AS i
       FROM tok WHERE ${len("t")} >= $w),
     sh AS (SELECT doc_id, CAST(i AS BIGINT) AS pos, ${hash(win)} AS h FROM g),
-    dup AS (SELECT h FROM sh GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2),
+    dup AS (SELECT doc_id, pos,
+      MIN(doc_id) OVER (PARTITION BY h) AS dmin,
+      MAX(doc_id) OVER (PARTITION BY h) AS dmax FROM sh),
     isl AS (SELECT doc_id, pos,
       pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
-      FROM sh JOIN dup USING (h))
+      FROM dup WHERE dmin <> dmax)
     SELECT doc_id, CAST(MIN(pos) AS BIGINT) AS start_tok,
       CAST(MAX(pos) + $w - 1 AS BIGINT) AS end_tok,
       CAST(MAX(pos) - MIN(pos) + $w AS BIGINT) AS run_tokens
     FROM isl GROUP BY doc_id, grp
     ORDER BY doc_id, start_tok"""
+  }
+
+  /** Engine-portable SQL for dedup_substring_strip: per doc, the token
+    * count, how many tokens the keep-first rule dropped, and the rebuilt
+    * clean text. Extra lambdas over [[substringRunsSql]]: `genRange(a,b)`
+    * generates the integers a..b (window → covered positions) and
+    * `orderedConcat(valCol, ordCol)` is the dialect's order-deterministic
+    * string aggregation (Spark: sort-after-collect; DuckDB: ORDER BY
+    * inside string_agg). */
+  private[graft] def substringStripSql(toks: String, len: String => String,
+      gen: String => String, genRange: (String, String) => String,
+      slice: (String, String, String) => String, join: String => String,
+      hash: String => String,
+      orderedConcat: (String, String) => String): String = {
+    val w = SubstrRunTokens
+    val win = join(slice("t", "i", w.toString))
+    val tokAt = join(slice("t", "i", "1"))
+    s"""
+    WITH tok AS (SELECT doc_id, $toks AS t FROM documents),
+    g AS (SELECT doc_id, t, ${gen(s"${len("t")} - ${w - 1}")} AS i
+      FROM tok WHERE ${len("t")} >= $w),
+    sh AS (SELECT doc_id, CAST(i AS BIGINT) AS pos, ${hash(win)} AS h FROM g),
+    own AS (SELECT doc_id, pos,
+      MIN(doc_id) OVER (PARTITION BY h) AS dmin FROM sh),
+    dpw AS (SELECT doc_id, ${genRange("pos", s"pos + ${w - 1}")} AS p
+      FROM own WHERE dmin < doc_id),
+    dp AS (SELECT DISTINCT doc_id, CAST(p AS BIGINT) AS p FROM dpw),
+    tp AS (SELECT doc_id, t, ${gen(len("t"))} AS i FROM tok),
+    kept AS (SELECT a.doc_id, CAST(a.i AS BIGINT) AS p, $tokAt AS tk
+      FROM (SELECT doc_id, t, i FROM tp) a
+      WHERE NOT EXISTS (SELECT 1 FROM dp
+        WHERE dp.doc_id = a.doc_id AND dp.p = CAST(a.i AS BIGINT))),
+    agg AS (SELECT doc_id, COUNT(*) AS n_kept,
+      ${orderedConcat("tk", "p")} AS text_clean FROM kept GROUP BY doc_id)
+    SELECT tok.doc_id, CAST(${len("t")} AS BIGINT) AS n_tokens,
+      CAST(${len("t")} - COALESCE(agg.n_kept, 0) AS BIGINT) AS n_dropped,
+      COALESCE(agg.text_clean, '') AS text_clean
+    FROM tok LEFT JOIN agg ON agg.doc_id = tok.doc_id
+    ORDER BY tok.doc_id"""
   }
 }

@@ -430,4 +430,73 @@ class LlmIndependenceSpec extends AnyFunSuite {
     // doc 3 shares nothing
     assert(!got.exists(_._1 == 3L))
   }
+
+  /** Raw-string recomputation of the dedup_substring_strip contract:
+    * token (d, p) is dropped iff some W-window covering p has its exact
+    * text also present in a doc with a SMALLER id (keep-first — the
+    * minimum doc keeps its copy; within-doc repetition never strips). */
+  private def substrStrip(docs: Seq[(Long, String)])
+      : Seq[(Long, Long, Long, String)] = {
+    val w = graft.ops.DedupOps.SubstrRunTokens
+    val toks = docs.map { case (id, t) => id -> t.split(" ", -1) }
+    val minDoc = mutable.Map[String, Long]()
+    for ((id, ts) <- toks; i <- 0 to ts.length - w) {
+      val k = ts.slice(i, i + w).mkString(" ")
+      minDoc(k) = math.min(minDoc.getOrElse(k, Long.MaxValue), id)
+    }
+    toks.map { case (id, ts) =>
+      val dropped = mutable.Set[Int]()
+      for (i <- 0 to ts.length - w
+           if minDoc(ts.slice(i, i + w).mkString(" ")) < id;
+           p <- i until i + w) dropped += p
+      val kept = ts.indices.filterNot(dropped).map(ts)
+      (id, ts.length.toLong, dropped.size.toLong, kept.mkString(" "))
+    }.sortBy(_._1)
+  }
+
+  test("dedup_substring_strip: raw-string recomputation matches exactly (live table)") {
+    val docs = Tables(spark, sf, "documents").select("doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    val want = substrStrip(docs)
+    val got = SparkEntry.queries("dedup_substring_strip")(spark, sf)
+      .collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSeq
+    assert(got == want, s"strip mismatch: got ${got.size} want ${want.size}")
+    assert(want.exists(_._3 > 0), "fixture drops nothing — vacuous")
+    assert(want.exists(_._3 == 0), "fixture keeps nothing intact — vacuous")
+  }
+
+  test("dedup_substring_strip: keep-first, self-repetition kept, full-doc drop") {
+    val s2 = spark.newSession()
+    val passage = (1 to 10).map(i => s"p$i").mkString(" ")
+    val selfRep = (1 to 8).map(i => s"r$i").mkString(" ")
+    val copy = (1 to 30).map(i => s"c$i").mkString(" ")
+    val docs = Seq(
+      1L -> s"a1 a2 $passage a3 $selfRep a4 $selfRep", // canonical + self-rep
+      2L -> s"b1 $passage b2",                          // loses the passage
+      3L -> copy,                                       // canonical full doc
+      4L -> copy)                                       // loses everything
+    import s2.implicits._
+    docs.toDF("doc_id", "text").createOrReplaceTempView("documents")
+    val got = s2.sql(graft.ops.DedupOps.substringStripSql(
+      toks = graft.ops.textsql.sparkToks("text"), len = t => s"size($t)",
+      gen = n => s"explode(sequence(1, $n))",
+      genRange = (a, b) => s"explode(sequence($a, $b))",
+      slice = (t, a, l) => s"slice($t, $a, $l)",
+      join = a => s"concat_ws(' ', $a)", hash = graft.ops.textsql.sparkHash,
+      orderedConcat = (v, o) => s"concat_ws(' ', transform(" +
+        s"array_sort(collect_list(struct($o, $v))), r -> r.$v))"))
+      .collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSeq
+    assert(got == substrStrip(docs), "planted strip disagrees with recompute")
+    val byId = got.map(r => r._1 -> r).toMap
+    // doc 1 is the minimum holder of every window it contains: drops 0,
+    // keeps both copies of its self-repeated run
+    assert(byId(1L)._3 == 0L && byId(1L)._4 == docs.head._2)
+    // doc 2 loses exactly the 10 passage tokens, keeps its frame
+    assert(byId(2L)._3 == 10L && byId(2L)._4 == "b1 b2")
+    // doc 3 canonical, doc 4 an exact copy: stripped to empty
+    assert(byId(3L)._3 == 0L)
+    assert(byId(4L)._3 == 30L && byId(4L)._4 == "")
+  }
 }
