@@ -444,6 +444,36 @@ object ScaleBench {
     System.out.flush()
   }
 
+  /** Cold-build probe: `ScaleBench probecold [baseDir] [K] keys...` —
+    * times each key's FIRST execution per dir (no JIT pre-run, no
+    * min-of-2), base then scaled. For keys whose first run builds a
+    * memoized ingest artifact (the ANN views, stored labelings): the
+    * warmed re-run that `probe` measures hides exactly the cost an
+    * ingest stage pays. JIT/class-load noise (~5 s) rides on the first
+    * key — order the list so the key under study is not first, or accept
+    * the bias when the effect under study is 10×+ that size. */
+  def probeColdMain(args: Array[String]): Unit = {
+    val base = args.headOption.getOrElse(
+      sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+    val k = args.drop(1).headOption.map(_.toInt).getOrElse(10)
+    val keys = args.drop(2).toSeq
+    require(keys.nonEmpty, "probecold mode needs explicit keys")
+    val spark = Bench.session(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+    val out = Staging.dir(s"scale-x$k")
+    build(spark, base, out, k)
+    Seq(base, out).foreach(d =>
+      graft.graph.GraphFixture(spark, d).edges.count())
+    val rows = keys.map { q =>
+      val b = once(spark, base, q)
+      val s = once(spark, out, q)
+      s""""$q":{"base_cold":${f"$b%.2f"},"scaled_cold":${f"$s%.2f"},""" +
+        s""""ratio":${f"${s / b}%.2f"}}"""
+    }.mkString(",")
+    spark.stop()
+    println(s"""{"metric":"scale_probe_cold","k":$k,$rows}""")
+    System.out.flush()
+  }
+
   /** Output-cardinality attribution: `ScaleBench probecount [baseDir] [K]
     * keys...` — counts each key's RESULT rows base vs K×-scaled. When a
     * probe-mode time ratio tracks the output-row ratio, the cost is the
@@ -475,6 +505,8 @@ object ScaleBench {
     if (args.headOption.contains("probe")) return probeMain(args.drop(1))
     if (args.headOption.contains("probecount"))
       return probeCountMain(args.drop(1))
+    if (args.headOption.contains("probecold"))
+      return probeColdMain(args.drop(1))
     val base = args.headOption.getOrElse(
       sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
     val k = args.drop(1).headOption.map(_.toInt).getOrElse(10)

@@ -9,12 +9,15 @@ import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.SparkSessionExtensions
 
-/** Native Catalyst dot product over two float-array columns (SURVEY.md §2.9
-  * custom-Expression surface; used by the §2.11 similarity operators).
+/** Native Catalyst dot product over two numeric-array columns (SURVEY.md
+  * §2.9 custom-Expression surface; used by the §2.11 similarity operators).
+  * Accepts any float/double element combination — the IVF pipeline scores
+  * float corpus vectors against double centroid arrays.
   *
   * Left-to-right double accumulation over the array — bit-identical to the
   * SQL ordered-fold forms in [[graft.ops.textsql]] (Spark `aggregate` HOF and
-  * DuckDB `list_reduce`), but ~10-100× faster than interpreted lambda
+  * DuckDB `list_reduce`; float→double casts are exact, so the mixed case
+  * folds the same bits), but ~10-100× faster than interpreted lambda
   * evaluation: the hot loop is a primitive while-loop over ArrayData with no
   * per-element closure dispatch. Deterministic under any partitioning —
   * the fold happens entirely inside one row.
@@ -24,11 +27,18 @@ case class FloatDotProduct(left: Expression, right: Expression)
 
   override def dataType: DataType = DoubleType
 
-  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
-    case (ArrayType(FloatType, _), ArrayType(FloatType, _)) => TypeCheckResult.TypeCheckSuccess
-    case _ => TypeCheckResult.TypeCheckFailure(
-      s"vec_dot needs two array<float> args, got ${left.dataType} / ${right.dataType}")
+  private def elemOk(t: DataType): Boolean = t match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
+    case _ => false
   }
+  private def isDouble(t: DataType): Boolean =
+    t match { case ArrayType(DoubleType, _) => true; case _ => false }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (elemOk(left.dataType) && elemOk(right.dataType))
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"vec_dot needs two array<float|double> args, got ${left.dataType} / ${right.dataType}")
 
   // Ragged inputs yield NULL — same as the SQL ordered folds (Spark
   // zip_with / DuckDB list_zip pad with NULL, nulling the sum), so the
@@ -40,20 +50,25 @@ case class FloatDotProduct(left: Expression, right: Expression)
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
     if (x.numElements() != y.numElements()) null
-    else FloatDotProduct.dot(x, y)
+    else FloatDotProduct.dot(x, y,
+      isDouble(left.dataType), isDouble(right.dataType))
   }
 
   /** Static-call codegen: the kernel stays a single JVM method invocation
     * inside the whole-stage-generated code — no interpreted-eval dispatch,
-    * no InternalRow boxing per row (the CodegenFallback path pays both). */
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    * no InternalRow boxing per row (the CodegenFallback path pays both).
+    * Element widths are compile-time literals, so the JIT specializes the
+    * kernel's branches away per call site. */
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val (ld, rd) = (isDouble(left.dataType), isDouble(right.dataType))
     nullSafeCodeGen(ctx, ev, (a, b) =>
       s"""
        if ($a.numElements() != $b.numElements()) {
          ${ev.isNull} = true;
        } else {
-         ${ev.value} = graft.functions.FloatDotProduct.dot($a, $b);
+         ${ev.value} = graft.functions.FloatDotProduct.dot($a, $b, $ld, $rd);
        }""")
+  }
 
   override def prettyName: String = "vec_dot"
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
@@ -62,14 +77,18 @@ case class FloatDotProduct(left: Expression, right: Expression)
 
 object FloatDotProduct {
   /** Left-to-right double accumulation — the shared kernel for both eval
-    * paths; bit-identical to the SQL ordered folds. Callers guarantee equal
-    * lengths (ragged pairs are nulled out before reaching here). */
-  def dot(x: ArrayData, y: ArrayData): Double = {
+    * paths; bit-identical to the SQL ordered folds (float→double widening
+    * is exact). Callers guarantee equal lengths (ragged pairs are nulled
+    * out before reaching here). `xd`/`yd` select the element getter; the
+    * codegen path passes them as literals so the JIT folds the branches. */
+  def dot(x: ArrayData, y: ArrayData, xd: Boolean, yd: Boolean): Double = {
     val n = x.numElements()
     var acc = 0.0
     var i = 0
     while (i < n) {
-      acc += x.getFloat(i).toDouble * y.getFloat(i).toDouble
+      val a = if (xd) x.getDouble(i) else x.getFloat(i).toDouble
+      val b = if (yd) y.getDouble(i) else y.getFloat(i).toDouble
+      acc += a * b
       i += 1
     }
     acc

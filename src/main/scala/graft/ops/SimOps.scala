@@ -159,17 +159,25 @@ object SimOps extends OpModule {
     * ANY id distribution (a raw `vec_id % stride` rule would tie the seed
     * count to the id VALUES — offset or sparse ids could train an empty
     * quantizer; rank-based selection is distribution-independent and
-    * still deterministic). k MUST NOT grow linearly with N: the assign step
-    * is an (N·D)×(k·D) dim-join, so k ∝ N makes training O(N²·D) — the
+    * still deterministic). k MUST NOT grow linearly with N: assign work is
+    * N·k distance evaluations, so k ∝ N makes training O(N²·D) — the
     * 10× ScaleBench blow-up measured exactly that (the r8 every-53rd rule
     * turned a 4 s warmup artifact into a 100×, quarter-hour build). With
-    * k = √N assign work grows as N^1.5 — the textbook IVF trade — and the
-    * 10× run completes it at 10^1.5 ≈ 32× the base cost. Then two full
-    * Lloyd rounds (assign to argmin ‖v−c‖² ≡ argmax v·c − ‖c‖²/2,
-    * re-estimate centroids as per-dim means). Every sum is decimal-exact
-    * and every comparison breaks ties on the cell id, so train/assign is
-    * bit-reproducible cross-engine — the property that makes a TRAINED ANN
-    * index oracle-able at all. Queries probe the nprobe = max(2, ⌈√k⌉)
+    * k = √N assign work grows as N^1.5 — the textbook IVF trade. Scoring
+    * (r13) is vector-at-a-time, not dim-at-a-time: centroids fold to
+    * ordered DOUBLE arrays (one ⌈√N⌉-row broadcast-sized table), and
+    * argmax v·c − ‖c‖²/2 evaluates native vec_dot on N×k rows — the
+    * corpus joins the centroid table with a broadcast, never reshuffles
+    * for scoring, and no N·D·k-row dim-join / decimal shuffle aggregate
+    * exists (the pre-r13 shape: a 64×-larger join output feeding a
+    * DECIMAL(38,10) hash aggregate — the 465 s `ann_recall_views` stage
+    * of the 10× curve, now gone). Lloyd re-estimation (per-dim means)
+    * stays decimal-exact over the SAMPLE's dims; the scoring folds are
+    * fixed-order double arithmetic, bit-identical to DuckDB's list_reduce
+    * (float→double widening is exact), and every comparison breaks ties
+    * on the cell id, so train/assign is bit-reproducible cross-engine —
+    * the property that makes a TRAINED ANN index oracle-able at all.
+    * Queries probe the nprobe = max(2, ⌈√k⌉)
     * nearest final centroids (nprobe must GROW with the cell count or
     * recall decays as 1/k — the fixed nprobe=2 shipped with the r7 4-cell
     * quantizer measured 0.27 recall once k became √N-sized) and
@@ -199,7 +207,8 @@ object SimOps extends OpModule {
     * inline-recompute the whole training tree per reference); DuckDB
     * composes the same texts as MATERIALIZED CTEs. */
   private def ivfAssignSql(ds: String => String, mat: String, nRel: String,
-      unnRel: String, str: String, mult: Int = 32): String = s"""
+      unnRel: String, str: String, arr: (String, String) => String,
+      fold: (String, String) => String, mult: Int = 32): String = s"""
       WITH unn AS $mat(SELECT vec_id, CAST(v AS DOUBLE) AS v, dim
         FROM $unnRel),
       kk AS (SELECT CAST(ceil(sqrt(CAST(COUNT(*) AS DOUBLE))) AS BIGINT) AS k
@@ -219,23 +228,29 @@ object SimOps extends OpModule {
       sinit AS (SELECT vec_id, ROW_NUMBER() OVER (ORDER BY mr) - 1 AS cell
         FROM samp WHERE (mr - 1) % (SELECT stride FROM st) = 0),
       c0 AS $mat(SELECT s.cell, u.dim, u.v AS c
-        FROM sinit s JOIN unn u ON u.vec_id = s.vec_id),
-      n0 AS (SELECT cell, ${ds("c * c")} AS cc FROM c0 GROUP BY cell),
-      d0 AS (SELECT u.vec_id, c.cell, ${ds("u.v * c.c")} AS dot
-        FROM unns u JOIN c0 c ON c.dim = u.dim GROUP BY u.vec_id, c.cell),
+        FROM sinit s JOIN unns u ON u.vec_id = s.vec_id),
+      c0a AS $mat(SELECT cell, ${arr("c", "dim")} AS carr
+        FROM c0 GROUP BY cell),
+      semb AS $mat(SELECT n.vec_id, n.embedding
+        FROM $nRel n JOIN samp sm ON sm.vec_id = n.vec_id),
+      s0 AS (SELECT e.vec_id, c.cell,
+          ${fold("e.embedding", "c.carr")}
+            - 0.5 * ${fold("c.carr", "c.carr")} AS sc
+        FROM semb e CROSS JOIN c0a c),
       a0 AS $mat(SELECT vec_id, cell FROM (
-        SELECT d.vec_id, d.cell, ROW_NUMBER() OVER (PARTITION BY d.vec_id
-          ORDER BY d.dot - 0.5 * x.cc DESC, d.cell) AS rn
-        FROM d0 d JOIN n0 x ON x.cell = d.cell) t WHERE rn = 1),
+        SELECT vec_id, cell, ROW_NUMBER() OVER (PARTITION BY vec_id
+          ORDER BY sc DESC, cell) AS rn FROM s0) t WHERE rn = 1),
       c1 AS $mat(SELECT a.cell, u.dim, ${ds("u.v")} / COUNT(*) AS c
         FROM a0 a JOIN unns u ON u.vec_id = a.vec_id GROUP BY a.cell, u.dim),
-      n1 AS (SELECT cell, ${ds("c * c")} AS cc FROM c1 GROUP BY cell),
-      d1 AS (SELECT u.vec_id, c.cell, ${ds("u.v * c.c")} AS dot
-        FROM unn u JOIN c1 c ON c.dim = u.dim GROUP BY u.vec_id, c.cell)
+      c1a AS $mat(SELECT cell, ${arr("c", "dim")} AS carr
+        FROM c1 GROUP BY cell),
+      f1 AS (SELECT n.vec_id, c.cell,
+          ${fold("n.embedding", "c.carr")}
+            - 0.5 * ${fold("c.carr", "c.carr")} AS sc
+        FROM $nRel n CROSS JOIN c1a c)
       SELECT vec_id, cell FROM (
-        SELECT d.vec_id, d.cell, ROW_NUMBER() OVER (PARTITION BY d.vec_id
-          ORDER BY d.dot - 0.5 * x.cc DESC, d.cell) AS rn
-        FROM d1 d JOIN n1 x ON x.cell = d.cell) t WHERE rn = 1"""
+        SELECT vec_id, cell, ROW_NUMBER() OVER (PARTITION BY vec_id
+          ORDER BY sc DESC, cell) AS rn FROM f1) t WHERE rn = 1"""
 
   private def ivfCentSql(ds: String => String, aRel: String,
       unnRel: String): String = s"""
@@ -277,17 +292,29 @@ object SimOps extends OpModule {
   private val sparkDs: String => String =
     e => s"CAST(SUM(CAST(($e) AS DECIMAL(38,10))) AS DOUBLE)"
 
+  /** Ordered centroid-array aggregation + native fold, per dialect (the
+    * r13 vector-at-a-time assign — see ivfAssignSql scaladoc). */
+  private val sparkArr: (String, String) => String =
+    (v, o) => s"transform(array_sort(collect_list(struct($o, $v))), x -> x.$v)"
+  private val duckArr: (String, String) => String =
+    (v, o) => s"list($v ORDER BY $o)"
+  private val sparkFold: (String, String) => String =
+    (a, b) => s"vec_dot($a, $b)"
+  private val duckFold: (String, String) => String =
+    (a, b) => duckDot(a, b)
+
   private def ivfView(s: org.apache.spark.sql.SparkSession, dir: String): String = {
     val n = normView(s, dir)
     val unn = unnView(s, dir)
     val a1 = graft.Views.checkpointed(s, dir, "simivf_a1",
       ivfAssignSql(sparkDs, mat = "", nRel = n,
-        unnRel = s"(SELECT vec_id, dim, v FROM $unn) uv", str = "STRING"))
+        unnRel = s"(SELECT vec_id, dim, v FROM $unn) uv", str = "STRING",
+        arr = sparkArr, fold = sparkFold))
     val c2 = graft.Views.checkpointed(s, dir, "simivf_c2",
       ivfCentSql(sparkDs, a1, unn))
     graft.Views.materialize(s, dir, "simivf",
       ivfProbeSql(sparkDs, pre = "", nRel = n, unnRel = unn,
-        aRel = a1, cRel = c2, dot = (a, b) => s"vec_dot($a, $b)"))
+        aRel = a1, cRel = c2, dot = sparkFold))
   }
 
   /** Test hook (SimSearchSpec): the same Spark IVF pipeline with a custom
@@ -301,7 +328,7 @@ object SimOps extends OpModule {
     val a1 = graft.Views.checkpointed(s, dir, s"simivf_a1_m$mult",
       ivfAssignSql(sparkDs, mat = "", nRel = n,
         unnRel = s"(SELECT vec_id, dim, v FROM $unn) uv", str = "STRING",
-        mult = mult))
+        arr = sparkArr, fold = sparkFold, mult = mult))
     val c2 = graft.Views.checkpointed(s, dir, s"simivf_c2_m$mult",
       ivfCentSql(sparkDs, a1, unn))
     graft.Views.materialize(s, dir, s"simivf_m$mult",
@@ -438,7 +465,7 @@ object SimOps extends OpModule {
       unnmat AS MATERIALIZED (SELECT vec_id, dim, v FROM $unnRel),
       a1 AS MATERIALIZED (SELECT * FROM (${ivfAssignSql(dds,
         mat = "MATERIALIZED ", nRel = "nmat", unnRel = "unnmat",
-        str = "VARCHAR")}) aq),
+        str = "VARCHAR", arr = duckArr, fold = duckFold)}) aq),
       c2 AS MATERIALIZED (${ivfCentSql(dds, "a1", "unnmat")}),
       """
     ivfProbeSql(dds, pre = pre, nRel = "nmat", unnRel = "unnmat",
