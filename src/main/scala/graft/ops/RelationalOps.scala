@@ -137,6 +137,26 @@ object RelationalOps extends OpModule {
       Some("""SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderdate
         FROM orders ORDER BY o_orderkey""")),
 
+    // Avro bulk-ingest round trip (§2.10a tail — previously recorded as
+    // environment-blocked because format("avro") needs the spark-avro
+    // DataSource module; the shipped avro-core/avro-mapred jars carry
+    // everything the FORMAT needs, so graft.sources.AvroIO reads container
+    // files block-splittably via Avro's own AvroInputFormat — the same
+    // mechanism spark-avro delegates to — and writes one container file
+    // per partition executor-side). Same stage-then-grade shape as
+    // source_csv/source_json: serialize from parquet, read back with an
+    // explicit schema, grade against the original.
+    Op("source_avro",
+      (s, dir) => {
+        val src = Tables(s, dir, "orders")
+          .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        val out = graft.Staging.fresh("src-avro")
+        graft.sources.AvroIO.write(src, out)
+        graft.sources.AvroIO.read(s, out, src.schema).orderBy("o_orderkey")
+      },
+      Some("""SELECT o_orderkey, o_orderstatus, o_totalprice
+        FROM orders ORDER BY o_orderkey""")),
+
     Op("project_rename",
       (s, dir) => Tables(s, dir, "part")
         .select(col("p_partkey").as("part_id"), col("p_name").as("part_name"),

@@ -104,4 +104,42 @@ class ContractSpec extends AnyFunSuite {
     assert(back.count() == 4)
     assert(back.filter(back("status").isNull).count() == 2)
   }
+
+  test("AvroIO: multi-file round trip is exact, split-parallel, typed") {
+    // The plumbing behind source_avro that its identity oracle can't see:
+    // the writer emits one container file per input partition (no driver
+    // funnel), the hadoopFile read fans out over at least as many tasks
+    // as files (block-splittable input format — the 100-TB read path),
+    // and the full primitive lattice survives the trip bit-for-bit.
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val df = (1L to 1000L).map(i =>
+        (i, s"name_$i", i * 0.25, i.toInt, i % 3 == 0))
+      .toDF("id", "name", "score", "rank", "flag").repartition(4)
+    val out = graft.Staging.fresh("src-avro-spec")
+    graft.sources.AvroIO.write(df, out)
+    val files = new java.io.File(out).listFiles
+      .filter(_.getName.endsWith(".avro"))
+    assert(files.length == 4, s"expected 4 container files, got ${files.length}")
+    val back = graft.sources.AvroIO.read(spark, out, df.schema)
+    assert(back.rdd.getNumPartitions >= 4,
+      "avro read did not fan out across container files")
+    val got = back.collect().map(r =>
+      (r.getLong(0), r.getString(1), r.getDouble(2), r.getInt(3),
+        r.getBoolean(4))).sortBy(_._1)
+    val want = df.collect().map(r =>
+      (r.getLong(0), r.getString(1), r.getDouble(2), r.getInt(3),
+        r.getBoolean(4))).sortBy(_._1)
+    assert(got.toSeq == want.toSeq)
+  }
+
+  test("AvroIO: nested types are rejected loudly, not mangled") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val df = Seq((1L, Seq(1.0f, 2.0f))).toDF("id", "vec")
+    val e = intercept[IllegalArgumentException] {
+      graft.sources.AvroIO.write(df, graft.Staging.fresh("src-avro-bad"))
+    }
+    assert(e.getMessage.contains("flat primitive"))
+  }
 }
