@@ -630,7 +630,34 @@ object DedupOps extends OpModule {
         genRange = (a, b) => s"unnest(generate_series($a, $b))",
         slice = (t, a, l) => s"$t[$a:$a + $l - 1]",
         join = a => s"array_to_string($a, ' ')", hash = duckHash,
-        orderedConcat = (v, o) => s"string_agg($v, ' ' ORDER BY $o)")))
+        orderedConcat = (v, o) => s"string_agg($v, ' ' ORDER BY $o)"))),
+
+    // Corpus curation REPORT: per source, how much duplicate mass the
+    // dedup family would act on — exact whole-doc duplicates (keep-first
+    // count: docs whose md5(text) already appeared at a smaller doc_id),
+    // docs containing at least one cross-doc repeated passage, and the
+    // duplicated-token share (tokens covered by a ≥2-doc window, counted
+    // in EVERY holder including the canonical one — a report prices the
+    // total mass; the strip op is what exempts the kept copy). Integer
+    // counts + one fixed-order division per row ⇒ cross-engine exact.
+    // This is the first artifact a training-data pipeline looks at before
+    // choosing dedup thresholds.
+    Op("text_dedup_report",
+      (s, dir) => {
+        Tables(s, dir, "documents").createOrReplaceTempView("documents")
+        s.sql(dedupReportSql(
+          toks = sparkToks("text"), len = t => s"size($t)",
+          gen = n => s"explode(sequence(1, $n))",
+          genRange = (a, b) => s"explode(sequence($a, $b))",
+          slice = (t, a, l) => s"slice($t, $a, $l)",
+          join = a => s"concat_ws(' ', $a)", hash = sparkHash))
+      },
+      Some(dedupReportSql(
+        toks = duckToks("text"), len = t => s"len($t)",
+        gen = n => s"unnest(generate_series(1, $n))",
+        genRange = (a, b) => s"unnest(generate_series($a, $b))",
+        slice = (t, a, l) => s"$t[$a:$a + $l - 1]",
+        join = a => s"array_to_string($a, ' ')", hash = duckHash)))
   )
 
   /** Minimum duplicated-passage length in tokens (= the window width W):
@@ -699,5 +726,44 @@ object DedupOps extends OpModule {
       COALESCE(agg.text_clean, '') AS text_clean
     FROM tok LEFT JOIN agg ON agg.doc_id = tok.doc_id
     ORDER BY tok.doc_id"""
+  }
+
+  /** Engine-portable SQL for text_dedup_report: per source, exact-dup
+    * doc counts (keep-first), passage-carrying doc counts, and the
+    * duplicated-token share. Window machinery shared with
+    * [[substringRunsSql]]/[[substringStripSql]]. */
+  private[graft] def dedupReportSql(toks: String, len: String => String,
+      gen: String => String, genRange: (String, String) => String,
+      slice: (String, String, String) => String, join: String => String,
+      hash: String => String): String = {
+    val w = SubstrRunTokens
+    val win = join(slice("t", "i", w.toString))
+    s"""
+    WITH tok AS (SELECT doc_id, source, $toks AS t FROM documents),
+    ex AS (SELECT doc_id,
+      CASE WHEN ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id)
+        > 1 THEN 1 ELSE 0 END AS is_exact_dup FROM documents),
+    g AS (SELECT doc_id, t, ${gen(s"${len("t")} - ${w - 1}")} AS i
+      FROM tok WHERE ${len("t")} >= $w),
+    sh AS (SELECT doc_id, CAST(i AS BIGINT) AS pos, ${hash(win)} AS h FROM g),
+    own AS (SELECT doc_id, pos,
+      MIN(doc_id) OVER (PARTITION BY h) AS dmin,
+      MAX(doc_id) OVER (PARTITION BY h) AS dmax FROM sh),
+    dpw AS (SELECT doc_id, ${genRange("pos", s"pos + ${w - 1}")} AS p
+      FROM own WHERE dmin <> dmax),
+    dcov AS (SELECT DISTINCT doc_id, CAST(p AS BIGINT) AS p FROM dpw),
+    dtok AS (SELECT doc_id, COUNT(*) AS dup_toks FROM dcov GROUP BY doc_id)
+    SELECT tok.source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      CAST(SUM(ex.is_exact_dup) AS BIGINT) AS exact_dup_docs,
+      CAST(SUM(CASE WHEN COALESCE(dtok.dup_toks, 0) > 0 THEN 1 ELSE 0 END)
+        AS BIGINT) AS passage_docs,
+      CAST(SUM(COALESCE(dtok.dup_toks, 0)) AS BIGINT) AS dup_tokens,
+      CAST(SUM(${len("tok.t")}) AS BIGINT) AS total_tokens,
+      CAST(SUM(COALESCE(dtok.dup_toks, 0)) AS DOUBLE)
+        / CAST(SUM(${len("tok.t")}) AS DOUBLE) AS dup_token_share
+    FROM tok
+    JOIN ex ON ex.doc_id = tok.doc_id
+    LEFT JOIN dtok ON dtok.doc_id = tok.doc_id
+    GROUP BY tok.source ORDER BY tok.source"""
   }
 }

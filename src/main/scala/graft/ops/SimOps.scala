@@ -303,19 +303,40 @@ object SimOps extends OpModule {
   private val duckFold: (String, String) => String =
     (a, b) => duckDot(a, b)
 
-  private def ivfView(s: org.apache.spark.sql.SparkSession, dir: String): String = {
+  /** The stored inverted file (vec_id → cell), shared by the probe
+    * pipeline and the index-health stats key. */
+  private def assignView(s: org.apache.spark.sql.SparkSession, dir: String): String = {
     val n = normView(s, dir)
     val unn = unnView(s, dir)
-    val a1 = graft.Views.checkpointed(s, dir, "simivf_a1",
+    graft.Views.checkpointed(s, dir, "simivf_a1",
       ivfAssignSql(sparkDs, mat = "", nRel = n,
         unnRel = s"(SELECT vec_id, dim, v FROM $unn) uv", str = "STRING",
         arr = sparkArr, fold = sparkFold))
+  }
+
+  private def ivfView(s: org.apache.spark.sql.SparkSession, dir: String): String = {
+    val n = normView(s, dir)
+    val unn = unnView(s, dir)
+    val a1 = assignView(s, dir)
     val c2 = graft.Views.checkpointed(s, dir, "simivf_c2",
       ivfCentSql(sparkDs, a1, unn))
     graft.Views.materialize(s, dir, "simivf",
       ivfProbeSql(sparkDs, pre = "", nRel = n, unnRel = unn,
         aRel = a1, cRel = c2, dot = sparkFold))
   }
+
+  /** One text, both dialects: occupancy stats over the inverted file.
+    * Integer aggregates plus one fixed-order double expression
+    * (imbalance = max·cells/total, i.e. max/avg) — cross-engine exact. */
+  private def ivfStatsSql(aRel: String): String = s"""
+      WITH sz AS (SELECT cell, COUNT(*) AS n FROM $aRel GROUP BY cell)
+      SELECT CAST(SUM(n) AS BIGINT) AS n_vectors,
+        CAST(COUNT(*) AS BIGINT) AS n_cells,
+        CAST(MIN(n) AS BIGINT) AS min_cell,
+        CAST(MAX(n) AS BIGINT) AS max_cell,
+        CAST(MAX(n) AS DOUBLE) * CAST(COUNT(*) AS DOUBLE)
+          / CAST(SUM(n) AS DOUBLE) AS imbalance
+      FROM sz"""
 
   /** Test hook (SimSearchSpec): the same Spark IVF pipeline with a custom
     * sample multiplier, so specs can force the training sample STRICTLY
@@ -404,6 +425,18 @@ object SimOps extends OpModule {
     // recall floor; this key pins the exact hit counts cross-engine so a
     // recall regression (bucket-function drift, probe-selection change)
     // breaks the harness, not just a spec heuristic.
+    // IVF index health: occupancy of the stored inverted file — the
+    // operational check a vector store runs after (re)training (cell
+    // count, emptiest/fullest cell, max/avg imbalance). A skewed
+    // quantizer silently turns nprobe cells into a corpus scan; this key
+    // pins the trained index's balance cross-engine so a training drift
+    // that degrades it breaks the harness, not just latency. Reads the
+    // memoized assignment artifact — no retraining, metadata-scale
+    // aggregate.
+    Op("sim_ivf_stats",
+      (s, dir) => s.sql(ivfStatsSql(assignView(s, dir))),
+      Some(ivfStatsOracle)),
+
     Op("sim_recall",
       (s, dir) => {
         // one declarative query over the memoized pipeline results
@@ -453,23 +486,39 @@ object SimOps extends OpModule {
         ORDER BY method"""))
   )
 
-  private val ivfOracle: String = {
-    val dds: String => String =
-      e => s"CAST(CAST(SUM(CAST(($e) AS DECIMAL(38,10))) AS VARCHAR) AS DOUBLE)"
+  private val duckDds: String => String =
+    e => s"CAST(CAST(SUM(CAST(($e) AS DECIMAL(38,10))) AS VARCHAR) AS DOUBLE)"
+
+  /** The oracle's nmat/unnmat/a1 prefix (retrains the quantizer inline —
+    * DuckDB has no session artifacts; same texts, MATERIALIZED CTEs). */
+  private def duckIvfPre: String = {
     val nRel = s"""(SELECT vec_id, embedding,
       sqrt(${duckDot("embedding", "embedding")}) AS nrm FROM embeddings) nb"""
     val unnRel = """(SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS dim,
       unnest(embedding) AS v FROM embeddings) uv"""
-    val pre = s"""nmat AS MATERIALIZED (
+    s"""nmat AS MATERIALIZED (
         SELECT vec_id, embedding, nrm FROM $nRel),
       unnmat AS MATERIALIZED (SELECT vec_id, dim, v FROM $unnRel),
-      a1 AS MATERIALIZED (SELECT * FROM (${ivfAssignSql(dds,
+      a1 AS MATERIALIZED (SELECT * FROM (${ivfAssignSql(duckDds,
         mat = "MATERIALIZED ", nRel = "nmat", unnRel = "unnmat",
         str = "VARCHAR", arr = duckArr, fold = duckFold)}) aq),
-      c2 AS MATERIALIZED (${ivfCentSql(dds, "a1", "unnmat")}),
       """
-    ivfProbeSql(dds, pre = pre, nRel = "nmat", unnRel = "unnmat",
+  }
+
+  private val ivfOracle: String = {
+    val pre = duckIvfPre +
+      s"""c2 AS MATERIALIZED (${ivfCentSql(duckDds, "a1", "unnmat")}),
+      """
+    ivfProbeSql(duckDds, pre = pre, nRel = "nmat", unnRel = "unnmat",
       aRel = "a1", cRel = "c2", dot = (a, b) => duckDot(a, b)) +
       " ORDER BY qa, rnk"
+  }
+
+  /** sim_ivf_stats oracle: same stats text over the retrained a1. The
+    * stats body opens its own WITH, so the pre chain is spliced by
+    * rewriting that WITH into a continuation of the prefix. */
+  private val ivfStatsOracle: String = {
+    val body = ivfStatsSql("a1")
+    s"WITH $duckIvfPre ${body.trim.stripPrefix("WITH")}"
   }
 }

@@ -499,4 +499,50 @@ class LlmIndependenceSpec extends AnyFunSuite {
     assert(byId(3L)._3 == 0L)
     assert(byId(4L)._3 == 30L && byId(4L)._4 == "")
   }
+
+  /** Raw recomputation of text_dedup_report: per source, exact-dup docs
+    * (keep-first by doc_id over identical text), docs carrying any
+    * cross-doc repeated window, and duplicated-token share counted in
+    * EVERY holder (report semantics — the strip op exempts the canonical
+    * copy, the report does not). */
+  private def dedupReport(docs: Seq[(Long, String, String)])
+      : Seq[(String, Long, Long, Long, Long, Long, Double)] = {
+    val w = graft.ops.DedupOps.SubstrRunTokens
+    val minByText = docs.groupBy(_._2).map { case (t, g) =>
+      t -> g.map(_._1).min }
+    val toks = docs.map { case (id, t, src) => (id, t.split(" ", -1), src) }
+    val byWin = mutable.Map[String, mutable.Set[Long]]()
+    for ((id, ts, _) <- toks; i <- 0 to ts.length - w)
+      byWin.getOrElseUpdate(ts.slice(i, i + w).mkString(" "),
+        mutable.Set[Long]()) += id
+    val perDoc = toks.map { case (id, ts, src) =>
+      val cov = mutable.Set[Int]()
+      for (i <- 0 to ts.length - w
+           if byWin(ts.slice(i, i + w).mkString(" ")).size >= 2;
+           p <- i until i + w) cov += p
+      (src, id, ts.length.toLong, cov.size.toLong)
+    }
+    perDoc.groupBy(_._1).map { case (src, rows) =>
+      val exact = rows.count { case (_, id, _, _) =>
+        minByText(docs.find(_._1 == id).get._2) < id }
+      val dupToks = rows.map(_._4).sum
+      val total = rows.map(_._3).sum
+      (src, rows.size.toLong, exact.toLong,
+        rows.count(_._4 > 0).toLong, dupToks, total,
+        dupToks.toDouble / total.toDouble)
+    }.toSeq.sortBy(_._1)
+  }
+
+  test("text_dedup_report: raw recomputation matches exactly (live table)") {
+    val docs = Tables(spark, sf, "documents")
+      .select("doc_id", "text", "source")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      .toSeq
+    val want = dedupReport(docs)
+    val got = SparkEntry.queries("text_dedup_report")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getDouble(6))).toSeq
+    assert(got == want, s"report mismatch:\n got $got\nwant $want")
+    assert(want.exists(_._5 > 0), "no duplicated mass anywhere — vacuous")
+  }
 }

@@ -86,6 +86,21 @@ class SimSearchSpec extends AnyFunSuite {
         "raise corpus or lower mult")
   }
 
+  test("sim_ivf_stats: inverted-file occupancy is consistent and balanced-ish") {
+    val r = SparkEntry.queries("sim_ivf_stats")(spark, sf).collect()(0)
+    val (nVec, nCells, minC, maxC, imb) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))
+    val n = Tables(spark, sf, "embeddings").count()
+    assert(nVec == n, s"inverted file covers $nVec of $n vectors")
+    val k = math.ceil(math.sqrt(n.toDouble)).toLong
+    assert(nCells >= 1 && nCells <= k, s"$nCells cells vs k=$k")
+    assert(minC >= 1 && minC <= maxC && maxC <= nVec)
+    // imbalance = max/avg: ≥ 1 by definition; a degenerate quantizer
+    // (everything in one cell of many) would blow this up to ~nCells
+    assert(imb >= 1.0 && imb < nCells.toDouble,
+      s"imbalance $imb vs $nCells cells — quantizer degenerate?")
+  }
+
   test("graph_upsert: auditors inserted, every 7th supplier deleted") {
     val up = SparkEntry.queries("graph_upsert")(spark, sf).collect()
       .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
