@@ -152,9 +152,42 @@ class PropertyGraphSpec extends AnyFunSuite {
     assert(empty.triangleCounts.count() == 0)
     assert(empty.labelPropagation(2).count() == 0)
     assert(empty.connectedComponents.count() == 0)
+    assert(empty.stronglyConnectedComponents.count() == 0)
     assert(empty.varHop(empty.vertices.select("id"), 3).count() == 0)
     assert(empty.paths(empty.vertices.select("id"), 2).count() == 0)
     assert(empty.find("(a)-[:x]->(b)").count() == 0)
+  }
+
+  test("scc core peel: pure DAG, bridged cycles, and self-loops label exactly") {
+    import spark.implicits._
+    def pg(edges: Seq[(Long, Long)], ids: Seq[Long]) = graft.graph.PropertyGraph(
+      ids.toDF("id").select(col("id"), lit("v").as("label"),
+        lit("n").as("name"), lit("public").as("vis"),
+        lit(null).cast("double").as("val")),
+      edges.toDF("src", "dst").select(col("src"), col("dst"),
+        lit("e").as("label"), lit(1.0).as("weight"), lit("public").as("vis")))
+
+    // Pure DAG (a diamond + a chain): the trim peel removes EVERYTHING —
+    // exercises the empty-core branch — and every vertex is its own SCC.
+    val dag = pg(Seq(1L -> 2L, 1L -> 3L, 2L -> 4L, 3L -> 4L, 4L -> 5L),
+      Seq(1L, 2L, 3L, 4L, 5L))
+    assert(dag.stronglyConnectedComponents.collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap ==
+      Map(1L -> 1L, 2L -> 2L, 3L -> 3L, 4L -> 4L, 5L -> 5L))
+
+    // Two directed cycles {1,2,3} and {5,6} joined through bridge 4
+    // (3→4→5, no way back): 4 has in- and out-degree forever, so the peel
+    // can never remove it — it must come out of the CORE stage as a
+    // singleton. A self-loop at 7 and an isolated 8 are singletons on the
+    // trim path. A DAG tail 2→9 peels.
+    val g2 = pg(Seq(1L -> 2L, 2L -> 3L, 3L -> 1L, 3L -> 4L, 4L -> 5L,
+      5L -> 6L, 6L -> 5L, 7L -> 7L, 2L -> 9L),
+      Seq(1L, 2L, 3L, 4L, 5L, 6L, 7L, 8L, 9L))
+    assert(g2.stronglyConnectedComponents.collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap ==
+      Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 5L, 6L -> 5L,
+        7L -> 7L, 8L -> 8L, 9L -> 9L))
+    g2.uncache(); dag.uncache()
   }
 
   test("mutation API: upsert replaces by id, vertex removal cascades edges") {
