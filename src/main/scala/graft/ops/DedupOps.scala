@@ -657,7 +657,71 @@ object DedupOps extends OpModule {
         gen = n => s"unnest(generate_series(1, $n))",
         genRange = (a, b) => s"unnest(generate_series($a, $b))",
         slice = (t, a, l) => s"$t[$a:$a + $l - 1]",
-        join = a => s"array_to_string($a, ' ')", hash = duckHash)))
+        join = a => s"array_to_string($a, ' ')", hash = duckHash))),
+
+    // The END-TO-END curation funnel — the pipeline a training-data
+    // intake actually ships, composed from this family's graded stages
+    // and priced per source: (1) exact dedup keep-first (min doc_id per
+    // identical text), (2) near-dup cluster canonicals only (the stored
+    // LSH pair index → PairCC labels; a doc survives iff it IS its
+    // cluster's min-id representative — which is always an exact-stage
+    // survivor, since identical texts share a cluster), (3) keep-first
+    // substring strip over the survivors (duplicated-passage tokens
+    // dropped from every non-canonical holder), (4) a ≥W-tokens-after-
+    // strip gate (a doc must still hold one whole window). Output: the
+    // per-source funnel n_docs → n_exact_kept → n_near_kept → n_final
+    // plus token mass in/out — integer counts and one fixed-order
+    // division, so the DuckDB oracle (which retrains the ENTIRE chain
+    // inline: minhash pipeline, hook+jump labels, strip windows) must
+    // hash-match exactly. Scale shape: stages (1)/(4) are one window /
+    // one aggregate over the corpus; (2) reuses the memoized pair index
+    // (LSH-bounded); (3) is the substring machinery's single window
+    // shuffle over survivor tokens.
+    Op("text_curation_funnel",
+      (s, dir) => {
+        Tables(s, dir, "documents").createOrReplaceTempView("documents")
+        val pairs = s.sql(s"SELECT da, db FROM ${pairsView(s, dir)}")
+        val lbl = clusterLabels(pairs, 4)
+        val s1 = s.sql("""SELECT doc_id, source, text FROM (
+          SELECT doc_id, source, text,
+            ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+          FROM documents) e WHERE rn = 1""")
+        // cut: the funnel SQL references the survivor set three times
+        // (Spark inlines view plans), and s2 carries the label join
+        val s2 = graft.util.cut(
+          s1.join(lbl.select(col("id").as("doc_id"), col("lbl")),
+              Seq("doc_id"), "left")
+            .filter(col("lbl").isNull || col("lbl") === col("doc_id"))
+            .select("doc_id", "source", "text"))
+        s1.createOrReplaceTempView("cur_s1")
+        s2.createOrReplaceTempView("cur_s2")
+        s.sql("WITH " + curationFunnelSql(
+          docsRel = "documents", s1Rel = "cur_s1", s2Rel = "cur_s2",
+          toks = sparkToks("text"), len = t => s"size($t)",
+          gen = n => s"explode(sequence(1, $n))",
+          genRange = (a, b) => s"explode(sequence($a, $b))",
+          slice = (t, a, l) => s"slice($t, $a, $l)",
+          join = a => s"concat_ws(' ', $a)", hash = sparkHash))
+      },
+      Some {
+        val tail = curationFunnelSql(
+          docsRel = "documents", s1Rel = "cur_s1", s2Rel = "cur_s2",
+          toks = duckToks("text"), len = t => s"len($t)",
+          gen = n => s"unnest(generate_series(1, $n))",
+          genRange = (a, b) => s"unnest(generate_series($a, $b))",
+          slice = (t, a, l) => s"$t[$a:$a + $l - 1]",
+          join = a => s"array_to_string($a, ' ')", hash = duckHash)
+        s"""WITH cur_ex AS (SELECT doc_id, source, text,
+            ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+            FROM documents),
+          cur_s1 AS (SELECT doc_id, source, text FROM cur_ex WHERE rn = 1),
+          ${minhashCtes(spark = false, s"($duckShingleSql) q")},
+          ${clusterChain(4)},
+          cur_s2 AS (SELECT cur_s1.doc_id, cur_s1.source, cur_s1.text
+            FROM cur_s1 LEFT JOIN cl4 l ON l.id = cur_s1.doc_id
+            WHERE l.id IS NULL OR l.lbl = cur_s1.doc_id),
+          $tail"""
+      })
   )
 
   /** Minimum duplicated-passage length in tokens (= the window width W):
@@ -765,5 +829,60 @@ object DedupOps extends OpModule {
     JOIN ex ON ex.doc_id = tok.doc_id
     LEFT JOIN dtok ON dtok.doc_id = tok.doc_id
     GROUP BY tok.source ORDER BY tok.source"""
+  }
+
+  /** Engine-portable CTE fragment + final SELECT for text_curation_funnel
+    * (caller supplies the stage relations: `docsRel` = the full corpus,
+    * `s1Rel` = exact-dedup survivors, `s2Rel` = cluster-canonical
+    * survivors — built in the engine's native idiom, DataFrames on Spark,
+    * a WITH prefix in DuckDB). The strip chain is [[substringStripSql]]'s
+    * window machinery over the survivor set, f-prefixed so its CTE names
+    * cannot collide with [[minhashCtes]]/[[clusterChain]] when spliced
+    * into the oracle's WITH list. */
+  private[graft] def curationFunnelSql(docsRel: String, s1Rel: String,
+      s2Rel: String, toks: String, len: String => String,
+      gen: String => String, genRange: (String, String) => String,
+      slice: (String, String, String) => String, join: String => String,
+      hash: String => String): String = {
+    val w = SubstrRunTokens
+    val win = join(slice("t", "i", w.toString))
+    s"""
+    ftokall AS (SELECT doc_id, source, $toks AS t FROM $docsRel),
+    fbase AS (SELECT source, COUNT(*) AS n_docs,
+      SUM(${len("t")}) AS tokens_in FROM ftokall GROUP BY source),
+    fc1 AS (SELECT source, COUNT(*) AS n FROM $s1Rel GROUP BY source),
+    ftok AS (SELECT doc_id, source, $toks AS t FROM $s2Rel),
+    fg AS (SELECT doc_id, t, ${gen(s"${len("t")} - ${w - 1}")} AS i
+      FROM ftok WHERE ${len("t")} >= $w),
+    fsh AS (SELECT doc_id, CAST(i AS BIGINT) AS pos, ${hash(win)} AS h FROM fg),
+    fown AS (SELECT doc_id, pos,
+      MIN(doc_id) OVER (PARTITION BY h) AS dmin FROM fsh),
+    fdpw AS (SELECT doc_id, ${genRange("pos", s"pos + ${w - 1}")} AS p
+      FROM fown WHERE dmin < doc_id),
+    fdp AS (SELECT DISTINCT doc_id, CAST(p AS BIGINT) AS p FROM fdpw),
+    ftp AS (SELECT doc_id, ${gen(len("t"))} AS i FROM ftok),
+    fkept AS (SELECT a.doc_id, COUNT(*) AS n_kept
+      FROM (SELECT doc_id, i FROM ftp) a
+      WHERE NOT EXISTS (SELECT 1 FROM fdp
+        WHERE fdp.doc_id = a.doc_id AND fdp.p = CAST(a.i AS BIGINT))
+      GROUP BY a.doc_id),
+    fper AS (SELECT ftok.doc_id, ftok.source,
+      COALESCE(fkept.n_kept, 0) AS n_kept
+      FROM ftok LEFT JOIN fkept ON fkept.doc_id = ftok.doc_id),
+    ffin AS (SELECT source,
+      SUM(CASE WHEN n_kept >= $w THEN 1 ELSE 0 END) AS n_final,
+      COUNT(*) AS n_near, SUM(n_kept) AS tokens_out
+      FROM fper GROUP BY source)
+    SELECT b.source, CAST(b.n_docs AS BIGINT) AS n_docs,
+      CAST(COALESCE(fc1.n, 0) AS BIGINT) AS n_exact_kept,
+      CAST(COALESCE(ffin.n_near, 0) AS BIGINT) AS n_near_kept,
+      CAST(COALESCE(ffin.n_final, 0) AS BIGINT) AS n_final,
+      CAST(b.tokens_in AS BIGINT) AS tokens_in,
+      CAST(COALESCE(ffin.tokens_out, 0) AS BIGINT) AS tokens_out,
+      CAST(COALESCE(ffin.tokens_out, 0) AS DOUBLE)
+        / CAST(b.tokens_in AS DOUBLE) AS kept_token_share
+    FROM fbase b LEFT JOIN fc1 ON fc1.source = b.source
+    LEFT JOIN ffin ON ffin.source = b.source
+    ORDER BY b.source"""
   }
 }

@@ -533,6 +533,53 @@ class LlmIndependenceSpec extends AnyFunSuite {
     }.toSeq.sortBy(_._1)
   }
 
+  test("text_curation_funnel: stages compose from graded keys + raw strip") {
+    val w = graft.ops.DedupOps.SubstrRunTokens
+    val docs = Tables(spark, sf, "documents")
+      .select("doc_id", "text", "source")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      .toSeq
+    // stage 1: exact keep-first, recomputed raw
+    val s1 = docs.groupBy(_._2).values.map(g => g.minBy(_._1)).toSeq
+    // stage 2: drop non-canonical cluster members, taken from the GRADED
+    // dedup_cluster key (cluster_rep, doc_id) — cross-key consistency
+    val nonCanon = SparkEntry.queries("dedup_cluster")(spark, sf)
+      .collect().filter(r => r.getLong(0) != r.getLong(1))
+      .map(_.getLong(1)).toSet
+    val s2 = s1.filterNot(d => nonCanon(d._1))
+    // stage 3/4: keep-first strip over s2 + the ≥W gate, recomputed raw
+    val toks = s2.map { case (id, t, src) => (id, t.split(" ", -1), src) }
+    val winMin = mutable.Map[String, Long]()
+    for ((id, ts, _) <- toks; i <- 0 to ts.length - w) {
+      val k = ts.slice(i, i + w).mkString(" ")
+      winMin(k) = math.min(winMin.getOrElse(k, Long.MaxValue), id)
+    }
+    val perDoc = toks.map { case (id, ts, src) =>
+      val drop = mutable.Set[Int]()
+      for (i <- 0 to ts.length - w
+           if winMin(ts.slice(i, i + w).mkString(" ")) < id;
+           p <- i until i + w) drop += p
+      (src, id, ts.length.toLong - drop.size)
+    }
+    val want = docs.groupBy(_._3).map { case (src, all) =>
+      val rows = perDoc.filter(_._1 == src)
+      (src, all.size.toLong, s1.count(_._3 == src).toLong,
+        rows.size.toLong, rows.count(_._3 >= w).toLong,
+        all.map(_._2.split(" ", -1).length.toLong).sum,
+        rows.map(_._3).sum)
+    }.toSeq.sortBy(_._1)
+    val got = SparkEntry.queries("text_curation_funnel")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))).toSeq
+    assert(got == want, s"funnel mismatch:\n got $got\nwant $want")
+    // the funnel must actually funnel somewhere, or the fixture is
+    // vacuous (the strip stage always bites on the live table; the exact
+    // and near stages bite only where the SF actually contains dups)
+    assert(want.exists(r => r._7 < r._6), "no token mass dropped anywhere")
+    if (nonCanon.nonEmpty)
+      assert(want.exists(r => r._4 < r._3), "clusters exist but no doc dropped")
+  }
+
   test("text_dedup_report: raw recomputation matches exactly (live table)") {
     val docs = Tables(spark, sf, "documents")
       .select("doc_id", "text", "source")

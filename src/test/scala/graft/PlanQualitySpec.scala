@@ -197,6 +197,17 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!p.contains("Join"), p) // no join anywhere — per-row hash + agg
   }
 
+  test("text_curation_funnel composes on equi-joins with map-side combine") {
+    // the end-to-end curation chain (exact window → cluster-canonical
+    // filter → strip windows → per-source funnel) must never degrade to a
+    // nested loop or cartesian anywhere in its composed plan, and its
+    // per-source aggregates must partial-aggregate before the exchange
+    val p = finalPlan("text_curation_funnel")
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"), p)
+    assert(p.contains("partial_"), p)
+  }
+
   test("graph_bipartite projects per-supplier (equi-join) and pre-aggregates") {
     val p = finalPlan("graph_bipartite")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
