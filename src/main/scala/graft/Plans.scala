@@ -32,7 +32,8 @@ object Plans {
     "graph_traversal_emit_pred", "graph_traversal_until_path",
     "dedup_substring", "graph_traversal_until_where",
     "graph_traversal_until_emit_where", "graph_traversal_match",
-    "dedup_substring_strip", "source_avro", "sim_ivf")
+    "dedup_substring_strip", "source_avro", "sim_ivf",
+    "text_dedup_report", "text_curation_funnel")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
