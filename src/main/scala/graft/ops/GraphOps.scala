@@ -439,14 +439,18 @@ object GraphOps extends OpModule {
           val blocked = e.join(broadcast(todo.withColumnRenamed("id", "src")),
               Seq("src"), "left_semi")
             .select(col("dst").as("id")).distinct()
-          val ready = graft.util.cut(
-            todo.join(blocked, Seq("id"), "left_anti")
-              .withColumn("layer", lit(layer)))
-          out = out :+ ready
-          todo = graft.util.cut(
-            todo.join(ready.select("id"), Seq("id"), "left_anti"))
-          val left = todo.count()
+          // ONE eager cut per round (the surviving set); the layer's ready
+          // set is derived lazily as todo \ todo_next — both sides are
+          // checkpointed vertex-sized sets, so the final union evaluates
+          // K cheap anti-joins in one job instead of paying a second
+          // materialization inside every round (r13: 2 jobs/layer → 1)
+          val todo2 = graft.util.cut(
+            todo.join(blocked, Seq("id"), "left_semi"))
+          out = out :+ todo.join(todo2, Seq("id"), "left_anti")
+            .withColumn("layer", lit(layer))
+          val left = todo2.count()
           require(left < n, "cycle detected: topo peel made no progress")
+          todo = todo2
           n = left
           layer += 1
         }
