@@ -776,7 +776,13 @@ final case class PropertyGraph(vertices: DataFrame, edges: DataFrame) {
       else {
         val vrdd = e.select(col("src").as("id")).unionAll(e.select("dst"))
           .distinct().rdd.map(r => (r.getLong(0), 0.0)).coalesce(pregelParts)
-        val erdd = e.rdd.map(r => Edge(r.getLong(0), r.getLong(1), 1L))
+        // re-SELECT before positional access: the using-column semi-joins
+        // in the peel reorder e's schema to (dst, src) — join keys come
+        // first — and a positional map would hand GraphX the TRANSPOSE
+        // (label-invariant for SCC min-ids, but silently wrong for any
+        // direction-sensitive future use)
+        val erdd = e.select("src", "dst").rdd
+          .map(r => Edge(r.getLong(0), r.getLong(1), 1L))
           .coalesce(pregelParts)
         val core = Graph(vrdd, erdd, 0.0,
           edgeStorageLevel = StorageLevel.MEMORY_AND_DISK,

@@ -668,9 +668,11 @@ object DedupOps extends OpModule {
     // survivor, since identical texts share a cluster), (3) keep-first
     // substring strip over the survivors (duplicated-passage tokens
     // dropped from every non-canonical holder), (4) a ≥W-tokens-after-
-    // strip gate (a doc must still hold one whole window). Output: the
-    // per-source funnel n_docs → n_exact_kept → n_near_kept → n_final
-    // plus token mass in/out — integer counts and one fixed-order
+    // strip gate (a plain total-kept-token count — the kept tokens need
+    // not be contiguous; W doubles as the minimum useful doc size).
+    // Output: the per-source funnel n_docs → n_exact_kept → n_near_kept
+    // → n_final plus token mass in/out, where tokens_out counts ONLY the
+    // docs the gate ships — integer counts and one fixed-order
     // division, so the DuckDB oracle (which retrains the ENTIRE chain
     // inline: minhash pipeline, hook+jump labels, strip windows) must
     // hash-match exactly. Scale shape: stages (1)/(4) are one window /
@@ -682,10 +684,13 @@ object DedupOps extends OpModule {
         Tables(s, dir, "documents").createOrReplaceTempView("documents")
         val pairs = s.sql(s"SELECT da, db FROM ${pairsView(s, dir)}")
         val lbl = clusterLabels(pairs, 4)
-        val s1 = s.sql("""SELECT doc_id, source, text FROM (
+        // cut s1 too: both the s2 build AND the funnel's fc1 read it, and
+        // Spark inlines the view plan — uncut, the corpus-wide md5 window
+        // ran twice per execution
+        val s1 = graft.util.cut(s.sql("""SELECT doc_id, source, text FROM (
           SELECT doc_id, source, text,
             ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
-          FROM documents) e WHERE rn = 1""")
+          FROM documents) e WHERE rn = 1"""))
         // cut: the funnel SQL references the survivor set three times
         // (Spark inlines view plans), and s2 carries the label join
         val s2 = graft.util.cut(
@@ -730,16 +735,33 @@ object DedupOps extends OpModule {
 
   /** Engine-portable SQL for dedup_substring (chunkSql's lambda pattern:
     * one text, two dialects — the oracle cannot drift). */
+  /** The shared W-token window derivation (tok → g → sh) all four
+    * substring-family generators build on — ONE text so the hash
+    * expression, the W plumbing, and the position typing cannot drift
+    * between the keys (r13 review finding: four hand-kept copies).
+    * `rel` is the document source, `pre` a CTE-name prefix (the funnel
+    * splices into a WITH list that already uses the bare names), `cols`
+    * the carried identity columns. Emits a CTE-list FRAGMENT (no WITH). */
+  private def windowChain(rel: String, pre: String, cols: String,
+      toks: String, len: String => String, gen: String => String,
+      slice: (String, String, String) => String, join: String => String,
+      hash: String => String): String = {
+    val w = SubstrRunTokens
+    val win = join(slice("t", "i", w.toString))
+    s"""${pre}tok AS (SELECT $cols, $toks AS t FROM $rel),
+    ${pre}g AS (SELECT doc_id, t, ${gen(s"${len("t")} - ${w - 1}")} AS i
+      FROM ${pre}tok WHERE ${len("t")} >= $w),
+    ${pre}sh AS (SELECT doc_id, CAST(i AS BIGINT) AS pos,
+      ${hash(win)} AS h FROM ${pre}g)"""
+  }
+
   private[graft] def substringRunsSql(toks: String, len: String => String,
       gen: String => String, slice: (String, String, String) => String,
       join: String => String, hash: String => String): String = {
     val w = SubstrRunTokens
-    val win = join(slice("t", "i", w.toString))
     s"""
-    WITH tok AS (SELECT doc_id, $toks AS t FROM documents),
-    g AS (SELECT doc_id, t, ${gen(s"${len("t")} - ${w - 1}")} AS i
-      FROM tok WHERE ${len("t")} >= $w),
-    sh AS (SELECT doc_id, CAST(i AS BIGINT) AS pos, ${hash(win)} AS h FROM g),
+    WITH ${windowChain("documents", "", "doc_id",
+      toks, len, gen, slice, join, hash)},
     dup AS (SELECT doc_id, pos,
       MIN(doc_id) OVER (PARTITION BY h) AS dmin,
       MAX(doc_id) OVER (PARTITION BY h) AS dmax FROM sh),
@@ -766,13 +788,10 @@ object DedupOps extends OpModule {
       hash: String => String,
       orderedConcat: (String, String) => String): String = {
     val w = SubstrRunTokens
-    val win = join(slice("t", "i", w.toString))
     val tokAt = join(slice("t", "i", "1"))
     s"""
-    WITH tok AS (SELECT doc_id, $toks AS t FROM documents),
-    g AS (SELECT doc_id, t, ${gen(s"${len("t")} - ${w - 1}")} AS i
-      FROM tok WHERE ${len("t")} >= $w),
-    sh AS (SELECT doc_id, CAST(i AS BIGINT) AS pos, ${hash(win)} AS h FROM g),
+    WITH ${windowChain("documents", "", "doc_id",
+      toks, len, gen, slice, join, hash)},
     own AS (SELECT doc_id, pos,
       MIN(doc_id) OVER (PARTITION BY h) AS dmin FROM sh),
     dpw AS (SELECT doc_id, ${genRange("pos", s"pos + ${w - 1}")} AS p
@@ -801,15 +820,12 @@ object DedupOps extends OpModule {
       slice: (String, String, String) => String, join: String => String,
       hash: String => String): String = {
     val w = SubstrRunTokens
-    val win = join(slice("t", "i", w.toString))
     s"""
-    WITH tok AS (SELECT doc_id, source, $toks AS t FROM documents),
+    WITH ${windowChain("documents", "", "doc_id, source",
+      toks, len, gen, slice, join, hash)},
     ex AS (SELECT doc_id,
       CASE WHEN ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id)
         > 1 THEN 1 ELSE 0 END AS is_exact_dup FROM documents),
-    g AS (SELECT doc_id, t, ${gen(s"${len("t")} - ${w - 1}")} AS i
-      FROM tok WHERE ${len("t")} >= $w),
-    sh AS (SELECT doc_id, CAST(i AS BIGINT) AS pos, ${hash(win)} AS h FROM g),
     own AS (SELECT doc_id, pos,
       MIN(doc_id) OVER (PARTITION BY h) AS dmin,
       MAX(doc_id) OVER (PARTITION BY h) AS dmax FROM sh),
@@ -845,16 +861,13 @@ object DedupOps extends OpModule {
       slice: (String, String, String) => String, join: String => String,
       hash: String => String): String = {
     val w = SubstrRunTokens
-    val win = join(slice("t", "i", w.toString))
     s"""
     ftokall AS (SELECT doc_id, source, $toks AS t FROM $docsRel),
     fbase AS (SELECT source, COUNT(*) AS n_docs,
       SUM(${len("t")}) AS tokens_in FROM ftokall GROUP BY source),
     fc1 AS (SELECT source, COUNT(*) AS n FROM $s1Rel GROUP BY source),
-    ftok AS (SELECT doc_id, source, $toks AS t FROM $s2Rel),
-    fg AS (SELECT doc_id, t, ${gen(s"${len("t")} - ${w - 1}")} AS i
-      FROM ftok WHERE ${len("t")} >= $w),
-    fsh AS (SELECT doc_id, CAST(i AS BIGINT) AS pos, ${hash(win)} AS h FROM fg),
+    ${windowChain(s2Rel, "f", "doc_id, source",
+      toks, len, gen, slice, join, hash)},
     fown AS (SELECT doc_id, pos,
       MIN(doc_id) OVER (PARTITION BY h) AS dmin FROM fsh),
     fdpw AS (SELECT doc_id, ${genRange("pos", s"pos + ${w - 1}")} AS p
@@ -871,7 +884,8 @@ object DedupOps extends OpModule {
       FROM ftok LEFT JOIN fkept ON fkept.doc_id = ftok.doc_id),
     ffin AS (SELECT source,
       SUM(CASE WHEN n_kept >= $w THEN 1 ELSE 0 END) AS n_final,
-      COUNT(*) AS n_near, SUM(n_kept) AS tokens_out
+      COUNT(*) AS n_near,
+      SUM(CASE WHEN n_kept >= $w THEN n_kept ELSE 0 END) AS tokens_out
       FROM fper GROUP BY source)
     SELECT b.source, CAST(b.n_docs AS BIGINT) AS n_docs,
       CAST(COALESCE(fc1.n, 0) AS BIGINT) AS n_exact_kept,

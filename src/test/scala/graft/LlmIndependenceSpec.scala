@@ -566,7 +566,8 @@ class LlmIndependenceSpec extends AnyFunSuite {
       (src, all.size.toLong, s1.count(_._3 == src).toLong,
         rows.size.toLong, rows.count(_._3 >= w).toLong,
         all.map(_._2.split(" ", -1).length.toLong).sum,
-        rows.map(_._3).sum)
+        // shipped mass only: docs the ≥W gate drops contribute nothing
+        rows.filter(_._3 >= w).map(_._3).sum)
     }.toSeq.sortBy(_._1)
     val got = SparkEntry.queries("text_curation_funnel")(spark, sf)
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
