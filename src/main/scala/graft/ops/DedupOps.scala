@@ -579,10 +579,12 @@ object DedupOps extends OpModule {
     // of a distinct-aggregate plus a re-join of the same relation onto the
     // duplicated set; per doc, consecutive duplicated positions fold into
     // maximal runs with gaps-and-islands (pos − row_number — one per-doc
-    // window pass, doc-bounded state). The md5-60-bit window hash is the
-    // same affine base both engines share (textsql.sparkHash/duckHash),
-    // so the gate is exact cross-engine; a hash collision marking a
-    // window duplicated is ~2^-60 per pair and deterministic.
+    // window pass, doc-bounded state). The window hash is the FULL 60-bit
+    // md5 prefix (textsql.sparkHash60/duckHash60 — NOT the mod-P minhash
+    // base: 31 bits collide at birthday rate from ~65k distinct windows,
+    // i.e. phantom duplicated windows and silent strip corruption at
+    // corpus scale; r13 review finding), so the gate is exact
+    // cross-engine and a false-duplicate pair is ~2^-60.
     // LlmIndependenceSpec recomputes runs from raw strings (no hashing)
     // over a planted repeated-passage fixture plus the live table.
     Op("dedup_substring",
@@ -592,13 +594,13 @@ object DedupOps extends OpModule {
           toks = sparkToks("text"), len = t => s"size($t)",
           gen = n => s"explode(sequence(1, $n))",
           slice = (t, a, l) => s"slice($t, $a, $l)",
-          join = a => s"concat_ws(' ', $a)", hash = sparkHash))
+          join = a => s"concat_ws(' ', $a)", hash = sparkHash60))
       },
       Some(substringRunsSql(
         toks = duckToks("text"), len = t => s"len($t)",
         gen = n => s"unnest(generate_series(1, $n))",
         slice = (t, a, l) => s"$t[$a:$a + $l - 1]",
-        join = a => s"array_to_string($a, ' ')", hash = duckHash))),
+        join = a => s"array_to_string($a, ' ')", hash = duckHash60))),
 
     // dedup_substring's APPLY step (Lee et al. keep-first): the minimum
     // doc_id sharing a duplicated window keeps its copy; every OTHER doc
@@ -620,7 +622,7 @@ object DedupOps extends OpModule {
           gen = n => s"explode(sequence(1, $n))",
           genRange = (a, b) => s"explode(sequence($a, $b))",
           slice = (t, a, l) => s"slice($t, $a, $l)",
-          join = a => s"concat_ws(' ', $a)", hash = sparkHash,
+          join = a => s"concat_ws(' ', $a)", hash = sparkHash60,
           orderedConcat = (v, o) => s"concat_ws(' ', transform(" +
             s"array_sort(collect_list(struct($o, $v))), r -> r.$v))"))
       },
@@ -629,7 +631,7 @@ object DedupOps extends OpModule {
         gen = n => s"unnest(generate_series(1, $n))",
         genRange = (a, b) => s"unnest(generate_series($a, $b))",
         slice = (t, a, l) => s"$t[$a:$a + $l - 1]",
-        join = a => s"array_to_string($a, ' ')", hash = duckHash,
+        join = a => s"array_to_string($a, ' ')", hash = duckHash60,
         orderedConcat = (v, o) => s"string_agg($v, ' ' ORDER BY $o)"))),
 
     // Corpus curation REPORT: per source, how much duplicate mass the
@@ -650,14 +652,14 @@ object DedupOps extends OpModule {
           gen = n => s"explode(sequence(1, $n))",
           genRange = (a, b) => s"explode(sequence($a, $b))",
           slice = (t, a, l) => s"slice($t, $a, $l)",
-          join = a => s"concat_ws(' ', $a)", hash = sparkHash))
+          join = a => s"concat_ws(' ', $a)", hash = sparkHash60))
       },
       Some(dedupReportSql(
         toks = duckToks("text"), len = t => s"len($t)",
         gen = n => s"unnest(generate_series(1, $n))",
         genRange = (a, b) => s"unnest(generate_series($a, $b))",
         slice = (t, a, l) => s"$t[$a:$a + $l - 1]",
-        join = a => s"array_to_string($a, ' ')", hash = duckHash))),
+        join = a => s"array_to_string($a, ' ')", hash = duckHash60))),
 
     // The END-TO-END curation funnel — the pipeline a training-data
     // intake actually ships, composed from this family's graded stages
@@ -706,7 +708,7 @@ object DedupOps extends OpModule {
           gen = n => s"explode(sequence(1, $n))",
           genRange = (a, b) => s"explode(sequence($a, $b))",
           slice = (t, a, l) => s"slice($t, $a, $l)",
-          join = a => s"concat_ws(' ', $a)", hash = sparkHash))
+          join = a => s"concat_ws(' ', $a)", hash = sparkHash60))
       },
       Some {
         val tail = curationFunnelSql(
@@ -715,7 +717,7 @@ object DedupOps extends OpModule {
           gen = n => s"unnest(generate_series(1, $n))",
           genRange = (a, b) => s"unnest(generate_series($a, $b))",
           slice = (t, a, l) => s"$t[$a:$a + $l - 1]",
-          join = a => s"array_to_string($a, ' ')", hash = duckHash)
+          join = a => s"array_to_string($a, ' ')", hash = duckHash60)
         s"""WITH cur_ex AS (SELECT doc_id, source, text,
             ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
             FROM documents),
@@ -748,7 +750,12 @@ object DedupOps extends OpModule {
       hash: String => String): String = {
     val w = SubstrRunTokens
     val win = join(slice("t", "i", w.toString))
-    s"""${pre}tok AS (SELECT $cols, $toks AS t FROM $rel),
+    // NULL text = absent document for the whole substring family: Spark's
+    // legacy size(NULL) = -1 vs DuckDB's len(NULL) = NULL would otherwise
+    // diverge the engines on the first dirty row (phantom sequence(1,-1)
+    // positions on the Spark side, silently skipped rows on DuckDB's)
+    s"""${pre}tok AS (SELECT $cols, $toks AS t FROM $rel
+      WHERE text IS NOT NULL),
     ${pre}g AS (SELECT doc_id, t, ${gen(s"${len("t")} - ${w - 1}")} AS i
       FROM ${pre}tok WHERE ${len("t")} >= $w),
     ${pre}sh AS (SELECT doc_id, CAST(i AS BIGINT) AS pos,
@@ -862,7 +869,8 @@ object DedupOps extends OpModule {
       hash: String => String): String = {
     val w = SubstrRunTokens
     s"""
-    ftokall AS (SELECT doc_id, source, $toks AS t FROM $docsRel),
+    ftokall AS (SELECT doc_id, source, $toks AS t FROM $docsRel
+      WHERE text IS NOT NULL),
     fbase AS (SELECT source, COUNT(*) AS n_docs,
       SUM(${len("t")}) AS tokens_in FROM ftokall GROUP BY source),
     fc1 AS (SELECT source, COUNT(*) AS n FROM $s1Rel GROUP BY source),

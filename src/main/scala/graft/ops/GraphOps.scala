@@ -108,6 +108,51 @@ object GraphOps extends OpModule {
     usubf AS MATERIALIZED (SELECT a, b FROM esubf
       UNION ALL SELECT b, a FROM esubf)"""
 
+  /** One ≤60-root bitmap-BFS eccentricity batch (see graph_eccentricity's
+    * Op comment): builds the checkpointed level chain for `batch`'s roots
+    * under `tag`-scoped view names and returns the per-root (id, ecc,
+    * n_ball) SELECT — batches are root-disjoint, so the caller just
+    * UNION ALLs them. */
+  private def eccBatch(s: org.apache.spark.sql.SparkSession, dir: String,
+      und: String, batch: Array[Long], tag: String): String = {
+    require(batch.nonEmpty && batch.length <= 60)
+    val f0bits = batch.zipWithIndex.map { case (id, r) =>
+      s"(CASE WHEN id = ${id}L THEN CAST(${1L << r} AS BIGINT)" +
+        " ELSE CAST(0 AS BIGINT) END)" }.mkString(" | ")
+    val inList = batch.map(i => s"${i}L").mkString(", ")
+    val fs = new Array[String](9)
+    val vs = new Array[String](9)
+    fs(0) = graft.Views.checkpointed(s, dir, s"ecch${tag}_f0",
+      s"SELECT id, $f0bits AS rb FROM g_vertices WHERE id IN ($inList)")
+    vs(0) = graft.Views.checkpointed(s, dir, s"ecch${tag}_v0",
+      s"SELECT id, rb AS vis FROM ${fs(0)}")
+    for (l <- 1 to 8) {
+      fs(l) = graft.Views.checkpointed(s, dir, s"ecch${tag}_f$l", s"""
+        SELECT id, rb FROM (
+          SELECT e.id, e.rbo & ~COALESCE(v.vis, CAST(0 AS BIGINT)) AS rb
+          FROM (SELECT u.b AS id, CAST(bit_or(f.rb) AS BIGINT) AS rbo
+                FROM ${fs(l - 1)} f JOIN $und u ON u.a = f.id
+                GROUP BY u.b) e
+          LEFT JOIN ${vs(l - 1)} v ON v.id = e.id) t
+        WHERE rb <> 0""")
+      if (l < 8)
+        vs(l) = graft.Views.checkpointed(s, dir, s"ecch${tag}_v$l", s"""
+          SELECT id, CAST(bit_or(vb) AS BIGINT) AS vis FROM (
+            SELECT id, vis AS vb FROM ${vs(l - 1)}
+            UNION ALL SELECT id, rb FROM ${fs(l)}) t GROUP BY id""")
+    }
+    val rootRows = batch.zipWithIndex.map { case (id, r) =>
+      s"(${id}L, $r)" }.mkString(", ")
+    s"""
+      SELECT r.root AS id, CAST(MAX(t.d) AS BIGINT) AS ecc,
+        COUNT(*) AS n_ball
+      FROM (${(0 to 8).map(l => s"SELECT id, rb, $l AS d FROM ${fs(l)}")
+        .mkString(" UNION ALL ")}) t
+      JOIN (SELECT * FROM VALUES $rootRows AS rt(root, idx)) r
+        ON (shiftright(t.rb, r.idx) & 1) = 1
+      GROUP BY r.root"""
+  }
+
   def ops: Seq[Op] = Seq(
 
     // Construction summary: counts per label over both element kinds —
@@ -1473,42 +1518,19 @@ object GraphOps extends OpModule {
         val roots = s.sql(
           "SELECT id FROM g_vertices WHERE label = 'region' ORDER BY id")
           .collect().map(_.getLong(0))
-        require(roots.length >= 1 && roots.length <= 60,
-          s"root batch must be 1..60 ids, got ${roots.length}")
-        val f0bits = roots.zipWithIndex.map { case (id, r) =>
-          s"(CASE WHEN id = ${id}L THEN CAST(${1L << r} AS BIGINT)" +
-            " ELSE CAST(0 AS BIGINT) END)" }.mkString(" | ")
-        val fs = new Array[String](9)
-        val vs = new Array[String](9)
-        fs(0) = graft.Views.checkpointed(s, dir, "ecch_f0",
-          s"SELECT id, $f0bits AS rb FROM g_vertices WHERE label = 'region'")
-        vs(0) = graft.Views.checkpointed(s, dir, "ecch_v0",
-          s"SELECT id, rb AS vis FROM ${fs(0)}")
-        for (l <- 1 to 8) {
-          fs(l) = graft.Views.checkpointed(s, dir, s"ecch_f$l", s"""
-            SELECT id, rb FROM (
-              SELECT e.id, e.rbo & ~COALESCE(v.vis, CAST(0 AS BIGINT)) AS rb
-              FROM (SELECT u.b AS id, CAST(bit_or(f.rb) AS BIGINT) AS rbo
-                    FROM ${fs(l - 1)} f JOIN $und u ON u.a = f.id
-                    GROUP BY u.b) e
-              LEFT JOIN ${vs(l - 1)} v ON v.id = e.id) t
-            WHERE rb <> 0""")
-          if (l < 8)
-            vs(l) = graft.Views.checkpointed(s, dir, s"ecch_v$l", s"""
-              SELECT id, CAST(bit_or(vb) AS BIGINT) AS vis FROM (
-                SELECT id, vis AS vb FROM ${vs(l - 1)}
-                UNION ALL SELECT id, rb FROM ${fs(l)}) t GROUP BY id""")
+        require(roots.nonEmpty, "no region roots")
+        // ⌈R/width⌉ independent bitmap batches (width ≤ 60 bits per
+        // BIGINT): root sets are disjoint, so per-root rows just union.
+        // The conf knob exists so a spec can force multi-batch on the
+        // 5-root fixture; a 10×+ replica blow-up (R = 5k) engages it for
+        // real — the pre-r13 require(R ≤ 60) made those runs throw.
+        val width = math.min(60, math.max(1,
+          s.conf.getOption("graft.graph.rootBatchBits")
+            .map(_.toInt).getOrElse(60)))
+        val parts = roots.grouped(width).toSeq.zipWithIndex.map {
+          case (batch, bi) => eccBatch(s, dir, und, batch, s"${width}x$bi")
         }
-        val rootRows = roots.zipWithIndex.map { case (id, r) =>
-          s"(${id}L, $r)" }.mkString(", ")
-        s.sql(s"""
-          SELECT r.root AS id, CAST(MAX(t.d) AS BIGINT) AS ecc,
-            COUNT(*) AS n_ball
-          FROM (${(0 to 8).map(l => s"SELECT id, rb, $l AS d FROM ${fs(l)}")
-            .mkString(" UNION ALL ")}) t
-          JOIN (SELECT * FROM VALUES $rootRows AS rt(root, idx)) r
-            ON (shiftright(t.rb, r.idx) & 1) = 1
-          GROUP BY r.root ORDER BY id""")
+        s.sql(parts.mkString("SELECT * FROM (", " UNION ALL ", ") ORDER BY id"))
       },
       Some(withGraph(
         """SELECT root AS id, CAST(MAX(d) AS BIGINT) AS ecc,

@@ -632,74 +632,27 @@ object QualityOps extends OpModule {
         g.vertices.createOrReplaceTempView("g_vertices")
         val und = graft.Views.checkpointed(s, dir, "bc_und", BcUndSql("g_edges"))
         // Seed-set collection is driver-metadata-scale by contract (the
-        // sampled root set of the bounded-Brandes estimator), R ≤ 60.
+        // sampled root set of the bounded-Brandes estimator).
         val roots = s.sql(
           "SELECT id FROM g_vertices WHERE label = 'region' ORDER BY id")
           .collect().map(_.getLong(0))
-        val R = roots.length
-        require(R >= 1 && R <= 60, s"root batch must be 1..60 ids, got $R")
-        val rr = 0 until R
-        def el(c: String, r: Int) = s"element_at($c, ${r + 1})"
-        def bits(sigCol: String) = rr.map(r =>
-          s"(CASE WHEN ${el(sigCol, r)} > 0 THEN CAST(${1L << r} AS BIGINT)" +
-            " ELSE CAST(0 AS BIGINT) END)").mkString(" | ")
-        val f0sig = rr.map(r => s"CASE WHEN id = ${roots(r)}L THEN " +
-          "CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END").mkString(", ")
-        val fs = new Array[String](BcDepth + 1)
-        val vs = new Array[String](BcDepth + 1)
-        fs(0) = graft.Views.checkpointed(s, dir, "bch_f0",
-          s"SELECT id, array($f0sig) AS sig FROM g_vertices WHERE label = 'region'")
-        vs(0) = graft.Views.checkpointed(s, dir, "bch_v0",
-          s"SELECT id, ${bits("sig")} AS vis FROM ${fs(0)}")
-        for (l <- 1 to BcDepth) {
-          val sums = rr.map(r =>
-            s"CAST(SUM(${el("p.sig", r)}) AS BIGINT) AS s$r").mkString(", ")
-          val mask = rr.map(r => s"CASE WHEN (shiftright(COALESCE(v.vis, CAST(0 AS " +
-            s"BIGINT)), $r) & 1) = 1 THEN CAST(0 AS BIGINT) ELSE e.s$r END")
-            .mkString(", ")
-          fs(l) = graft.Views.checkpointed(s, dir, s"bch_f$l", s"""
-            SELECT id, sig FROM (
-              SELECT e.id, array($mask) AS sig
-              FROM (SELECT u.b AS id, $sums
-                    FROM ${fs(l - 1)} p JOIN $und u ON u.a = p.id
-                    GROUP BY u.b) e
-              LEFT JOIN ${vs(l - 1)} v ON v.id = e.id) t
-            WHERE ${rr.map(r => el("sig", r)).mkString(" + ")} > 0""")
-          if (l < BcDepth)
-            vs(l) = graft.Views.checkpointed(s, dir, s"bch_v$l", s"""
-              SELECT id, CAST(bit_or(vb) AS BIGINT) AS vis FROM (
-                SELECT id, vis AS vb FROM ${vs(l - 1)}
-                UNION ALL SELECT id, ${bits("sig")} FROM ${fs(l)}) t
-              GROUP BY id""")
+        require(roots.nonEmpty, "no region roots")
+        // ⌈R/width⌉ independent σ-array batches (width ≤ 60 — the visited
+        // bitmap lives in one BIGINT): Brandes δ sums are additive over
+        // disjoint root sets, so batch results just re-aggregate by id.
+        // The conf knob lets a spec force multi-batch on the 5-root
+        // fixture; replica blow-ups past 12× (R > 60) engage it for real
+        // — the pre-r13 require(R ≤ 60) made those runs throw.
+        val width = math.min(60, math.max(1,
+          s.conf.getOption("graft.graph.rootBatchBits")
+            .map(_.toInt).getOrElse(60)))
+        val parts = roots.grouped(width).toSeq.zipWithIndex.map {
+          case (batch, bi) => bcBatch(s, dir, und, batch, s"${width}x$bi")
         }
-        val bs = new Array[String](BcDepth + 1)
-        val zeros = rr.map(_ => "CAST(0 AS BIGINT)").mkString(", ")
-        bs(BcDepth) = graft.Views.checkpointed(s, dir, s"bch_b$BcDepth",
-          s"SELECT id, sig, array($zeros) AS delta FROM ${fs(BcDepth)}")
-        for (l <- BcDepth - 1 to 1 by -1) {
-          val terms = rr.map(r => s"CAST(SUM(CASE WHEN ${el("v.sig", r)} > 0" +
-            s" AND ${el("w.sig", r)} > 0 THEN (${el("v.sig", r)} * (1000000 +" +
-            s" ${el("w.delta", r)})) div ${el("w.sig", r)} ELSE CAST(0 AS" +
-            s" BIGINT) END) AS BIGINT) AS d$r").mkString(", ")
-          val co = rr.map(r => s"COALESCE(d.d$r, CAST(0 AS BIGINT))")
-            .mkString(", ")
-          bs(l) = graft.Views.checkpointed(s, dir, s"bch_b$l", s"""
-            SELECT f.id, f.sig, array($co) AS delta
-            FROM ${fs(l)} f LEFT JOIN (
-              SELECT v.id, $terms
-              FROM ${fs(l)} v JOIN $und u ON u.a = v.id
-              JOIN ${bs(l + 1)} w ON w.id = u.b
-              GROUP BY v.id) d ON d.id = f.id""")
-        }
-        val dsum = rr.map(r => el("delta", r)).mkString(" + ")
-        val nr = rr.map(r => s"CASE WHEN ${el("sig", r)} > 0 THEN 1 ELSE 0 END")
-          .mkString(" + ")
         s.sql(s"""
           SELECT id, CAST(SUM(dsum) AS BIGINT) AS bc_micro,
             CAST(SUM(nr) AS BIGINT) AS n_roots
-          FROM (${(1 to BcDepth).map(l =>
-            s"SELECT id, ($dsum) AS dsum, ($nr) AS nr FROM ${bs(l)}")
-            .mkString(" UNION ALL ")}) t
+          FROM (${parts.mkString(" UNION ALL ")}) t
           GROUP BY id ORDER BY id""")
       },
       Some {
@@ -718,6 +671,78 @@ object QualityOps extends OpModule {
           extra = ctes.mkString(", "))
       })
   )
+
+  /** One ≤60-root σ-array betweenness batch (see graph_betweenness's Op
+    * comment): builds the checkpointed forward/backward level chains for
+    * `batch`'s roots under `tag`-scoped view names and returns the
+    * per-(id) `SELECT id, dsum, nr` over the batch's backward levels —
+    * δ contributions are additive over disjoint root sets, so the caller
+    * re-aggregates the unioned batches by id. */
+  private def bcBatch(s: org.apache.spark.sql.SparkSession, dir: String,
+      und: String, batch: Array[Long], tag: String): String = {
+    val R = batch.length
+    require(R >= 1 && R <= 60, s"root batch must be 1..60 ids, got $R")
+    val rr = 0 until R
+    def el(c: String, r: Int) = s"element_at($c, ${r + 1})"
+    def bits(sigCol: String) = rr.map(r =>
+      s"(CASE WHEN ${el(sigCol, r)} > 0 THEN CAST(${1L << r} AS BIGINT)" +
+        " ELSE CAST(0 AS BIGINT) END)").mkString(" | ")
+    val f0sig = rr.map(r => s"CASE WHEN id = ${batch(r)}L THEN " +
+      "CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END").mkString(", ")
+    val inList = batch.map(i => s"${i}L").mkString(", ")
+    val fs = new Array[String](BcDepth + 1)
+    val vs = new Array[String](BcDepth + 1)
+    fs(0) = graft.Views.checkpointed(s, dir, s"bch${tag}_f0",
+      s"SELECT id, array($f0sig) AS sig FROM g_vertices WHERE id IN ($inList)")
+    vs(0) = graft.Views.checkpointed(s, dir, s"bch${tag}_v0",
+      s"SELECT id, ${bits("sig")} AS vis FROM ${fs(0)}")
+    for (l <- 1 to BcDepth) {
+      val sums = rr.map(r =>
+        s"CAST(SUM(${el("p.sig", r)}) AS BIGINT) AS s$r").mkString(", ")
+      val mask = rr.map(r => s"CASE WHEN (shiftright(COALESCE(v.vis, CAST(0 AS " +
+        s"BIGINT)), $r) & 1) = 1 THEN CAST(0 AS BIGINT) ELSE e.s$r END")
+        .mkString(", ")
+      fs(l) = graft.Views.checkpointed(s, dir, s"bch${tag}_f$l", s"""
+        SELECT id, sig FROM (
+          SELECT e.id, array($mask) AS sig
+          FROM (SELECT u.b AS id, $sums
+                FROM ${fs(l - 1)} p JOIN $und u ON u.a = p.id
+                GROUP BY u.b) e
+          LEFT JOIN ${vs(l - 1)} v ON v.id = e.id) t
+        WHERE ${rr.map(r => el("sig", r)).mkString(" + ")} > 0""")
+      if (l < BcDepth)
+        vs(l) = graft.Views.checkpointed(s, dir, s"bch${tag}_v$l", s"""
+          SELECT id, CAST(bit_or(vb) AS BIGINT) AS vis FROM (
+            SELECT id, vis AS vb FROM ${vs(l - 1)}
+            UNION ALL SELECT id, ${bits("sig")} FROM ${fs(l)}) t
+          GROUP BY id""")
+    }
+    val bs = new Array[String](BcDepth + 1)
+    val zeros = rr.map(_ => "CAST(0 AS BIGINT)").mkString(", ")
+    bs(BcDepth) = graft.Views.checkpointed(s, dir, s"bch${tag}_b$BcDepth",
+      s"SELECT id, sig, array($zeros) AS delta FROM ${fs(BcDepth)}")
+    for (l <- BcDepth - 1 to 1 by -1) {
+      val terms = rr.map(r => s"CAST(SUM(CASE WHEN ${el("v.sig", r)} > 0" +
+        s" AND ${el("w.sig", r)} > 0 THEN (${el("v.sig", r)} * (1000000 +" +
+        s" ${el("w.delta", r)})) div ${el("w.sig", r)} ELSE CAST(0 AS" +
+        s" BIGINT) END) AS BIGINT) AS d$r").mkString(", ")
+      val co = rr.map(r => s"COALESCE(d.d$r, CAST(0 AS BIGINT))")
+        .mkString(", ")
+      bs(l) = graft.Views.checkpointed(s, dir, s"bch${tag}_b$l", s"""
+        SELECT f.id, f.sig, array($co) AS delta
+        FROM ${fs(l)} f LEFT JOIN (
+          SELECT v.id, $terms
+          FROM ${fs(l)} v JOIN $und u ON u.a = v.id
+          JOIN ${bs(l + 1)} w ON w.id = u.b
+          GROUP BY v.id) d ON d.id = f.id""")
+    }
+    val dsum = rr.map(r => el("delta", r)).mkString(" + ")
+    val nr = rr.map(r => s"CASE WHEN ${el("sig", r)} > 0 THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    (1 to BcDepth).map(l =>
+      s"SELECT id, ($dsum) AS dsum, ($nr) AS nr FROM ${bs(l)}")
+      .mkString(" UNION ALL ")
+  }
 
   /** Betweenness helpers. Since r13 the row-per-(root,id) level bodies
     * below serve ONLY the DuckDB oracle — the Spark side runs the

@@ -229,24 +229,27 @@ object SimOps extends OpModule {
         FROM samp WHERE (mr - 1) % (SELECT stride FROM st) = 0),
       c0 AS $mat(SELECT s.cell, u.dim, u.v AS c
         FROM sinit s JOIN unns u ON u.vec_id = s.vec_id),
-      c0a AS $mat(SELECT cell, ${arr("c", "dim")} AS carr
-        FROM c0 GROUP BY cell),
+      c0a AS $mat(SELECT cell, carr, ${fold("carr", "carr")} AS cnrm
+        FROM (SELECT cell, ${arr("c", "dim")} AS carr
+          FROM c0 GROUP BY cell) z0),
       semb AS $mat(SELECT n.vec_id, n.embedding
         FROM $nRel n JOIN samp sm ON sm.vec_id = n.vec_id),
       s0 AS (SELECT e.vec_id, c.cell,
-          ${fold("e.embedding", "c.carr")}
-            - 0.5 * ${fold("c.carr", "c.carr")} AS sc
+          ${fold("e.embedding", "c.carr")} - 0.5 * c.cnrm AS sc
         FROM semb e CROSS JOIN c0a c),
       a0 AS $mat(SELECT vec_id, cell FROM (
         SELECT vec_id, cell, ROW_NUMBER() OVER (PARTITION BY vec_id
           ORDER BY sc DESC, cell) AS rn FROM s0) t WHERE rn = 1),
       c1 AS $mat(SELECT a.cell, u.dim, ${ds("u.v")} / COUNT(*) AS c
         FROM a0 a JOIN unns u ON u.vec_id = a.vec_id GROUP BY a.cell, u.dim),
-      c1a AS $mat(SELECT cell, ${arr("c", "dim")} AS carr
-        FROM c1 GROUP BY cell),
+      c1a AS $mat(SELECT cell, carr, ${fold("carr", "carr")} AS cnrm
+        FROM (SELECT cell, ${arr("c", "dim")} AS carr
+          FROM c1 GROUP BY cell) z1),
+      -- the centroid self-norm is hoisted to ONE fold per cell (cnrm):
+      -- inlined in the scoring select it re-ran per (vector x cell) row,
+      -- doubling the assign stage's D-length fold count (r13 review)
       f1 AS (SELECT n.vec_id, c.cell,
-          ${fold("n.embedding", "c.carr")}
-            - 0.5 * ${fold("c.carr", "c.carr")} AS sc
+          ${fold("n.embedding", "c.carr")} - 0.5 * c.cnrm AS sc
         FROM $nRel n CROSS JOIN c1a c)
       SELECT vec_id, cell FROM (
         SELECT vec_id, cell, ROW_NUMBER() OVER (PARTITION BY vec_id

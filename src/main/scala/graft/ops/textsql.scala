@@ -21,11 +21,23 @@ object textsql {
   /** Affine minhash family (a_i * h + b_i) mod P, i < 8. */
   val A: Seq[Long] = Seq(2, 3, 5, 7, 11, 13, 17, 19)
 
-  /** 60-bit base hash of a string expression, reduced mod P. */
+  /** 60-bit base hash of a string expression, reduced mod P — the input
+    * to the affine minhash family (which needs values < P). */
   def sparkHash(s: String) =
     s"CAST(conv(substring(md5($s), 1, 15), 16, 10) AS BIGINT) % $P"
   def duckHash(s: String) =
     s"CAST('0x' || substr(md5($s), 1, 15) AS BIGINT) % $P"
+
+  /** FULL 60-bit md5-prefix hash, NO mod-P reduction — for families that
+    * gate EQUALITY directly on the hash (the substring-dedup window gate):
+    * a 31-bit space collides at birthday rate from ~65k distinct values
+    * (phantom duplicated windows → silent strip corruption at corpus
+    * scale); 2^60 holds to ~10^9 windows. Minhash keeps the reduced form
+    * above because its affine family arithmetic requires values < P. */
+  def sparkHash60(s: String) =
+    s"CAST(conv(substring(md5($s), 1, 15), 16, 10) AS BIGINT)"
+  def duckHash60(s: String) =
+    s"CAST('0x' || substr(md5($s), 1, 15) AS BIGINT)"
 
   /** Word tokens (texts are single-space separated). */
   def sparkToks(t: String) = s"split($t, ' ')"

@@ -28,7 +28,11 @@ import org.apache.spark.sql.types._
   * round-trip contract this backs. */
 object AvroIO {
 
-  /** Avro record-schema JSON for a flat Spark schema. */
+  /** Avro record-schema JSON for a flat Spark schema. Every field is a
+    * `["null", T]` union (r13 review: the bare-primitive schema made the
+    * first null cell throw an opaque executor NPE mid-write, leaving a
+    * truncated container file — Spark DataFrames are nullable by default,
+    * so the sink must be too). */
   def avroSchemaJson(schema: StructType, name: String = "graft_row"): String = {
     val fields = schema.fields.map { f =>
       val t = f.dataType match {
@@ -40,22 +44,29 @@ object AvroIO {
         case other => throw new IllegalArgumentException(
           s"avro round-trip supports flat primitive columns; got $other for ${f.name}")
       }
-      s"""{"name":"${f.name}","type":$t}"""
+      s"""{"name":"${f.name}","type":["null",$t],"default":null}"""
     }.mkString(",")
     s"""{"type":"record","name":"$name","fields":[$fields]}"""
   }
 
   /** Write `df` as one Avro container file per partition under `dir`.
     * The schema JSON (a plain string) rides the closure; each task parses
-    * it locally — Schema itself is not serializable. */
+    * it locally — Schema itself is not serializable. Files are created
+    * through the Hadoop FileSystem of `dir`'s scheme (r13 review: a
+    * `java.io.File` path resolved on each executor's LOCAL filesystem —
+    * correct only in local mode; through the FileSystem API the same code
+    * lands on HDFS/S3A wherever the cluster points `dir`). */
   def write(df: DataFrame, dir: String): Unit = {
     val json = avroSchemaJson(df.schema)
     val n = df.schema.length
     df.rdd.mapPartitionsWithIndex { (i, rows) =>
       val sch = new Schema.Parser().parse(json)
+      val p = new org.apache.hadoop.fs.Path(dir, f"part-$i%05d.avro")
+      val out = p.getFileSystem(
+        new org.apache.hadoop.conf.Configuration()).create(p, true)
       val w = new DataFileWriter[GenericRecord](
         new GenericDatumWriter[GenericRecord](sch))
-      w.create(sch, new java.io.File(dir, f"part-$i%05d.avro"))
+      w.create(sch, out) // w.close() closes the stream
       try rows.foreach { r =>
         val rec = new GenericData.Record(sch)
         var j = 0

@@ -133,6 +133,23 @@ class ContractSpec extends AnyFunSuite {
     assert(got.toSeq == want.toSeq)
   }
 
+  test("AvroIO: null cells round-trip (nullable union schema)") {
+    // pre-r13 the bare-primitive Avro schema NPE'd mid-write on the first
+    // null cell, leaving a truncated container file
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val df = Seq((1L, Some("a"), Some(1.5)), (2L, None, None),
+        (3L, Some("c"), Some(2.5)))
+      .toDF("id", "name", "score")
+    val out = graft.Staging.fresh("src-avro-null")
+    graft.sources.AvroIO.write(df, out)
+    val back = graft.sources.AvroIO.read(spark, out, df.schema)
+      .collect().map(r => (r.getLong(0),
+        Option(r.get(1)).map(_.toString), Option(r.get(2)))).sortBy(_._1)
+    assert(back.toSeq == Seq((1L, Some("a"), Some(1.5)), (2L, None, None),
+      (3L, Some("c"), Some(2.5))))
+  }
+
   test("AvroIO: nested types are rejected loudly, not mangled") {
     val spark = TestSpark.spark
     import spark.implicits._

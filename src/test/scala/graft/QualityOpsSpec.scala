@@ -74,6 +74,21 @@ class QualityOpsSpec extends AnyFunSuite {
     assert(want.values.exists(_._1 > 0), "no positive betweenness — vacuous")
   }
 
+  test("root batching: width-2 multi-batch ≡ single-batch for betweenness + ecc") {
+    // forces ⌈5/2⌉ = 3 independent bitmap batches on the fixture's 5
+    // region roots — the path a >60-root seed set (e.g. a 13×+ replica
+    // blow-up) takes for real; δ sums and per-root rows must re-aggregate
+    // to exactly the single-batch answer
+    def rows(key: String) = SparkEntry.queries(key)(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    val (bc1, ecc1) = (rows("graph_betweenness"), rows("graph_eccentricity"))
+    spark.conf.set("graft.graph.rootBatchBits", "2")
+    try {
+      assert(rows("graph_betweenness") == bc1, "betweenness diverged")
+      assert(rows("graph_eccentricity") == ecc1, "eccentricity diverged")
+    } finally spark.conf.unset("graft.graph.rootBatchBits")
+  }
+
   test("dq_referential: fixture FKs clean, fault-injection row catches orphans") {
     val rows = SparkEntry.queries("dq_referential")(spark, sf).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
