@@ -218,12 +218,23 @@ object Bench {
     // Each key records (first, reported): the reported number is the min of
     // the ≤2 runs, the first run is kept so the noise suppression is
     // auditable — the driver sees BOTH totals, not a silently-selected min.
+    // A key that throws must be VISIBLE in bench data, not just slow-looking
+    // or fast-looking (r13 verdict ask #6: a fast-failing key recorded only
+    // its elapsed seconds — indistinguishable from a fast key in driver
+    // BENCH output). Errors collect here and are emitted as their own JSON
+    // line (empty object when clean).
+    val errs = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val results = SparkEntry.queries.map { case (name, fn) =>
       sinceGc += 1
       if (sinceGc >= 15) { System.gc(); sinceGc = 0 }
       def once(): Double = {
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        try { fn(spark, sfDir).count() } catch {
+          case e: Throwable =>
+            errs(name) = s"${e.getClass.getSimpleName}: " +
+              Option(e.getMessage).getOrElse("").replaceAll("[\"\\\\\n\r\t]", " ")
+                .take(200)
+        }
         (System.nanoTime() - t0) / 1e9
       }
       val t1 = once()
@@ -250,8 +261,10 @@ object Bench {
     // lesson: one ~5 KB line got truncated mid-number; round-2 lesson: the
     // sbt logger's '[info] ' prefix broke full-line JSON parses — see
     // build.sbt outputStrategy/showSuccess).
+    val errJson = errs.map { case (k, m) => s"\"" + k + "\":\"" + m + "\"" }
+      .mkString("{", ",", "}")
     spark.stop()
-    println(s"""{"metric":"queries","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"queries","queries":$qs,"sf":"$sfDir","err":$errJson}""")
     println(s"""{"metric":"queries_first_run","queries":$qsFirst,"sf":"$sfDir"}""")
     println(s"""{"metric":"queries_second_run","queries":$qsSecond,"sf":"$sfDir"}""")
     println(s"""{"metric":"total_first_run","value":$totalFirst,"unit":"sec","sf":"$sfDir"}""")

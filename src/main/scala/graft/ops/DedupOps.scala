@@ -873,7 +873,8 @@ object DedupOps extends OpModule {
       WHERE text IS NOT NULL),
     fbase AS (SELECT source, COUNT(*) AS n_docs,
       SUM(${len("t")}) AS tokens_in FROM ftokall GROUP BY source),
-    fc1 AS (SELECT source, COUNT(*) AS n FROM $s1Rel GROUP BY source),
+    fc1 AS (SELECT source, COUNT(*) AS n FROM $s1Rel
+      WHERE text IS NOT NULL GROUP BY source),
     ${windowChain(s2Rel, "f", "doc_id, source",
       toks, len, gen, slice, join, hash)},
     fown AS (SELECT doc_id, pos,

@@ -52,27 +52,49 @@ object AvroIO {
   /** Write `df` as one Avro container file per partition under `dir`.
     * The schema JSON (a plain string) rides the closure; each task parses
     * it locally — Schema itself is not serializable. Files are created
-    * through the Hadoop FileSystem of `dir`'s scheme (r13 review: a
-    * `java.io.File` path resolved on each executor's LOCAL filesystem —
-    * correct only in local mode; through the FileSystem API the same code
-    * lands on HDFS/S3A wherever the cluster points `dir`). */
+    * through the Hadoop FileSystem of `dir`'s scheme with the SESSION's
+    * Hadoop configuration broadcast to executors (a bare
+    * `new Configuration()` would drop `spark.hadoop.*` settings — S3A
+    * credentials, nameservice mappings — on a real cluster). Each task
+    * writes an attempt-unique `_tmp` file and renames it into place only
+    * on success, so a speculative or retried attempt can never interleave
+    * bytes with a concurrent attempt on the same final path; the loser's
+    * rename onto an existing file is a no-op and its temp is deleted. */
   def write(df: DataFrame, dir: String): Unit = {
     val json = avroSchemaJson(df.schema)
     val n = df.schema.length
+    val hconf = new org.apache.spark.util.SerializableConfiguration(
+      df.sparkSession.sparkContext.hadoopConfiguration)
+    val bc = df.sparkSession.sparkContext.broadcast(hconf)
     df.rdd.mapPartitionsWithIndex { (i, rows) =>
       val sch = new Schema.Parser().parse(json)
-      val p = new org.apache.hadoop.fs.Path(dir, f"part-$i%05d.avro")
-      val out = p.getFileSystem(
-        new org.apache.hadoop.conf.Configuration()).create(p, true)
+      val attempt = org.apache.spark.TaskContext.get() match {
+        case null => 0L
+        case tc   => tc.taskAttemptId()
+      }
+      val fin = new org.apache.hadoop.fs.Path(dir, f"part-$i%05d.avro")
+      val tmp = new org.apache.hadoop.fs.Path(
+        dir, f"_tmp-part-$i%05d-attempt-$attempt.avro")
+      val fs  = fin.getFileSystem(bc.value.value)
       val w = new DataFileWriter[GenericRecord](
         new GenericDatumWriter[GenericRecord](sch))
-      w.create(sch, out) // w.close() closes the stream
-      try rows.foreach { r =>
-        val rec = new GenericData.Record(sch)
-        var j = 0
-        while (j < n) { rec.put(j, r.get(j)); j += 1 }
-        w.append(rec)
-      } finally w.close()
+      w.create(sch, fs.create(tmp, true)) // w.close() closes the stream
+      var ok = false
+      try {
+        rows.foreach { r =>
+          val rec = new GenericData.Record(sch)
+          var j = 0
+          while (j < n) { rec.put(j, r.get(j)); j += 1 }
+          w.append(rec)
+        }
+        ok = true
+      } finally {
+        w.close()
+        if (ok) {
+          // First attempt to finish wins; rename is atomic per FS contract.
+          if (!fs.rename(tmp, fin)) fs.delete(tmp, false)
+        } else fs.delete(tmp, false)
+      }
       Iterator.single(i)
     }.count()
     ()

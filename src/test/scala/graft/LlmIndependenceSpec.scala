@@ -419,7 +419,7 @@ class LlmIndependenceSpec extends AnyFunSuite {
       toks = graft.ops.textsql.sparkToks("text"), len = t => s"size($t)",
       gen = n => s"explode(sequence(1, $n))",
       slice = (t, a, l) => s"slice($t, $a, $l)",
-      join = a => s"concat_ws(' ', $a)", hash = graft.ops.textsql.sparkHash))
+      join = a => s"concat_ws(' ', $a)", hash = graft.ops.textsql.sparkHash60))
       .collect().map(r =>
         (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
     assert(got == substrRuns(docs), "planted runs disagree with recompute")
@@ -483,7 +483,7 @@ class LlmIndependenceSpec extends AnyFunSuite {
       gen = n => s"explode(sequence(1, $n))",
       genRange = (a, b) => s"explode(sequence($a, $b))",
       slice = (t, a, l) => s"slice($t, $a, $l)",
-      join = a => s"concat_ws(' ', $a)", hash = graft.ops.textsql.sparkHash,
+      join = a => s"concat_ws(' ', $a)", hash = graft.ops.textsql.sparkHash60,
       orderedConcat = (v, o) => s"concat_ws(' ', transform(" +
         s"array_sort(collect_list(struct($o, $v))), r -> r.$v))"))
       .collect().map(r =>

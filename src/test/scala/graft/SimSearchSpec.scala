@@ -96,8 +96,9 @@ class SimSearchSpec extends AnyFunSuite {
     assert(nCells >= 1 && nCells <= k, s"$nCells cells vs k=$k")
     assert(minC >= 1 && minC <= maxC && maxC <= nVec)
     // imbalance = max/avg: ≥ 1 by definition; a degenerate quantizer
-    // (everything in one cell of many) would blow this up to ~nCells
-    assert(imb >= 1.0 && imb < nCells.toDouble,
+    // (everything in one cell of many) would blow this up to ~nCells.
+    // <= (not <): a legally-collapsed single-cell index has imb == nCells.
+    assert(imb >= 1.0 && imb <= nCells.toDouble,
       s"imbalance $imb vs $nCells cells — quantizer degenerate?")
   }
 
