@@ -137,7 +137,10 @@ object GraftFunctions {
       (c: Seq[Expression]) => TokenizeGenerator(c(0))),
     (FunctionIdentifier("vis_check"),
       new ExpressionInfo(classOf[VisibilityCheck].getName, "vis_check"),
-      (c: Seq[Expression]) => VisibilityCheck(c(0), c(1))))
+      (c: Seq[Expression]) => VisibilityCheck(c(0), c(1))),
+    (FunctionIdentifier("phash64"),
+      new ExpressionInfo(classOf[PHash64].getName, "phash64"),
+      (c: Seq[Expression]) => PHash64(c(0))))
 
   private val done = java.util.Collections.newSetFromMap(
     new java.util.concurrent.ConcurrentHashMap[SparkSession, java.lang.Boolean]())

@@ -207,9 +207,13 @@ object MediaCodec extends Multimodal.Decoder {
     b.length >= off + s.length &&
       (0 until s.length).forall(i => b(off + i) == s.charAt(i).toByte)
 
-  /** Netpbm P5: header = magic + 3 ASCII ints separated by whitespace
-    * (# comments allowed), then w·h raw bytes. */
-  private def decodePgm(b: Array[Byte]): PartialDecode = {
+  /** Netpbm P5 header parse: magic + 3 ASCII ints separated by whitespace
+    * (# comments allowed). Returns (width, height, pixel-data offset) with
+    * the full w·h raw pixel plane validated present — shared by the stats
+    * decode below and the perceptual fingerprint ([[graft.functions.PHash]]),
+    * which needs pixel-level access rather than aggregate stats. */
+  def pgmHeader(b: Array[Byte]): (Int, Int, Int) = {
+    require(b.length >= 2 && b(0) == 'P' && b(1) == '5', "not a P5 PGM")
     var pos = 2 // past "P5"
     def token(): Int = {
       while (pos < b.length &&
@@ -229,6 +233,11 @@ object MediaCodec extends Multimodal.Decoder {
     require(w > 0 && h > 0 && maxval > 0 && maxval < 256,
       s"bad PGM header: $w x $h maxval $maxval")
     require(b.length - pos >= w * h, s"truncated PGM: ${b.length - pos} < ${w * h}")
+    (w, h, pos)
+  }
+
+  private def decodePgm(b: Array[Byte]): PartialDecode = {
+    val (w, h, pos) = pgmHeader(b)
     var sum = 0L
     var i = 0
     while (i < w * h) { sum += (b(pos + i) & 0xff); i += 1 }

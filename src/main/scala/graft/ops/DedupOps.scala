@@ -251,6 +251,125 @@ object DedupOps extends OpModule {
     graft.graph.PairCC.labels(pairs, rounds)
   private[graft] def partitionedClusterRuns = graft.graph.PairCC.partitionedRuns
 
+  /** Perceptual image near-dup thresholds (see [[graft.functions.PHash]]
+    * and the dedup_phash op): two fingerprints are near-dups within
+    * Hamming distance ≤ [[PHashHamming]]; candidates come from equality on
+    * any of the 4 × 16-bit fingerprint bands (by pigeonhole, any pair
+    * within distance 3 collides on at least one band; pairs up to the full
+    * threshold are found whenever their flipped bits leave one band clean
+    * — standard Hamming-ball LSH recall semantics, identical both engines). */
+  private val PHashHamming = 10
+
+  /** Fingerprints (asset_id, fp) of the image corpus + its deterministic
+    * noise-perturbed twin (asset_id + PHash.VariantOffset), materialized
+    * once per (session, dir): the band/pair tail references the relation
+    * three times and Spark inlines view references — uncached, each
+    * reference would re-encode and re-fingerprint the corpus. The corpus
+    * mirrors Multimodal.assets' image leg (same deterministic PGM encode
+    * of the document bytes) plus the perturbed re-scan a crawler produces
+    * — the planted near-identical-image mass the perceptual gate must
+    * catch and exact binary dedup (multimodal_dedup) provably cannot. */
+  private def phashFpView(s: org.apache.spark.sql.SparkSession,
+      dir: String): String =
+    graft.Views.materialize(s, dir, "phfp", {
+      graft.functions.GraftFunctions.register(s)
+      import s.implicits._
+      Tables(s, dir, "documents")
+        .where("doc_id % 3 = 0 AND text IS NOT NULL")
+        .select("doc_id", "text").as[(Long, String)]
+        .flatMap { case (id, text) =>
+          val pay = graft.multimodal.MediaCodec.encode(
+            "image", id, text.getBytes("UTF-8"))
+          Seq((id, pay),
+            (id + graft.functions.PHash.VariantOffset,
+              graft.functions.PHash.perturb(pay)))
+        }.toDF("asset_id", "payload")
+        .createOrReplaceTempView("ph_assets")
+      "SELECT asset_id, phash64(payload) AS fp FROM ph_assets"
+    })
+
+  /** CTE chain `bnd → bstat → cand → ph_pairs` of the perceptual near-dup
+    * pipeline over a fingerprint relation `fpRel(asset_id, fp)`, in either
+    * SQL dialect. Candidates are an EQUI-join on (band index, 16-bit band
+    * value) — never all-pairs; oversized band buckets degrade to the same
+    * two-anchor star cap as [[minhashCtes]] (a bucket of k identical
+    * images contributes ≤ 2(k−1) star pairs instead of C(k,2), and the
+    * oracle replays the identical rule so the gate stays exact for ANY
+    * input). Shift-then-mask band extraction is fill-bit-agnostic
+    * (& 65535 discards arithmetic/logical shift differences), so the two
+    * engines agree on every band of a negative (bit-63-set) fingerprint. */
+  private[graft] def phashPairsCtes(spark: Boolean, fpRel: String): String = {
+    val bis = if (spark) "(SELECT explode(sequence(0, 3)) AS bi) bis"
+              else "generate_series(0, 3) bis(bi)"
+    val band = if (spark) "shiftright(fp, CAST(bis.bi * 16 AS INT)) & 65535"
+               else "(fp >> CAST(bis.bi * 16 AS INTEGER)) & 65535"
+    def ham(a: String, b: String) =
+      if (spark) s"bit_count($a ^ $b)" else s"bit_count(xor($a, $b))"
+    val cap = BandBucketCap
+    s"""bnd AS (SELECT asset_id, bis.bi AS bi, $band AS bv
+      FROM $fpRel, $bis),
+    bstat AS (SELECT asset_id, bi, bv,
+      COUNT(*) OVER w AS nb,
+      FIRST_VALUE(asset_id) OVER w AS a1,
+      NTH_VALUE(asset_id, 2) OVER w AS a2
+      FROM bnd
+      WINDOW w AS (PARTITION BY bi, bv ORDER BY asset_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)),
+    cand AS (
+      SELECT a.asset_id AS da, b.asset_id AS db FROM bstat a JOIN bstat b
+        ON a.bi = b.bi AND a.bv = b.bv AND a.asset_id < b.asset_id
+        WHERE a.nb <= $cap
+      UNION SELECT a1, asset_id FROM bstat WHERE nb > $cap AND asset_id > a1
+      UNION SELECT a2, asset_id FROM bstat WHERE nb > $cap AND asset_id > a2),
+    ph_pairs AS (SELECT c.da, c.db,
+      CAST(${ham("fa.fp", "fb.fp")} AS INTEGER) AS hamming
+      FROM cand c JOIN $fpRel fa ON fa.asset_id = c.da
+      JOIN $fpRel fb ON fb.asset_id = c.db
+      WHERE ${ham("fa.fp", "fb.fp")} <= $PHashHamming)"""
+  }
+
+  /** DuckDB-only closed-form recompute of the fingerprint relation: the
+    * oracle cannot run the JVM decode, so it re-derives every pixel from
+    * the documents table and the deterministic encoding parameters
+    * (multimodal_decode precedent) — pixel (x, y) of image doc_id is the
+    * document's byte ((y·w+x) mod n), the variant adds the sparse-noise
+    * term, cell sums come from nested list folds, and the 64 comparison
+    * bits assemble through a HUGEINT sum wrapped back to the BIGINT the
+    * JVM fingerprint naturally produces when bit 63 is set. */
+  private def duckPhashFpCtes: String = s"""
+    phpb AS MATERIALIZED (
+      SELECT doc_id + CASE WHEN var = 1
+          THEN ${graft.functions.PHash.VariantOffset}::BIGINT
+          ELSE 0 END AS asset_id,
+        CAST(16 + doc_id % 32 AS BIGINT) AS w,
+        CAST(16 + doc_id % 24 AS BIGINT) AS h,
+        CAST(octet_length(encode(text)) AS BIGINT) AS n,
+        list_transform(generate_series(1, length(text)),
+          i -> CAST(ascii(substr(text, i, 1)) AS BIGINT)) AS lb,
+        var
+      FROM documents, generate_series(0, 1) vs(var)
+      WHERE doc_id % 3 = 0 AND text IS NOT NULL),
+    phcells AS MATERIALIZED (
+      SELECT asset_id, gxs.gx AS gx, gys.gy AS gy,
+        ((gxs.gx+1)*w//9 - gxs.gx*w//9) * ((gys.gy+1)*h//8 - gys.gy*h//8) AS area,
+        list_sum(flatten(list_transform(
+          generate_series(gys.gy*h//8, (gys.gy+1)*h//8 - 1),
+          y -> list_transform(generate_series(gxs.gx*w//9, (gxs.gx+1)*w//9 - 1),
+            x -> least(255, lb[CAST((y*w+x) % n AS INTEGER) + 1] +
+              CASE WHEN var = 1 AND (y*w+x) % 97 < 5 THEN 40 ELSE 0 END))))) AS s
+      FROM phpb, generate_series(0, 8) gxs(gx), generate_series(0, 7) gys(gy)),
+    phfp AS MATERIALIZED (
+      SELECT asset_id, CAST(CASE WHEN f >= 9223372036854775808::HUGEINT
+          THEN f - 18446744073709551616::HUGEINT ELSE f END AS BIGINT) AS fp
+      FROM (
+        SELECT a.asset_id,
+          COALESCE(SUM(CASE WHEN a.s * b.area > b.s * a.area
+            THEN (1::HUGEINT << CAST(a.gy*8 + a.gx AS INTEGER))
+            ELSE 0::HUGEINT END), 0::HUGEINT) AS f
+        FROM phcells a JOIN phcells b ON b.asset_id = a.asset_id
+          AND b.gy = a.gy AND b.gx = a.gx + 1
+        GROUP BY a.asset_id) t)"""
+
   def ops: Seq[Op] = Seq(
 
     // Exact dedup: md5 fingerprint, keep min doc_id per distinct text.
@@ -564,6 +683,29 @@ object DedupOps extends OpModule {
           FROM n a JOIN n b ON a.label = b.label AND a.bkt = b.bkt
             AND a.vec_id < b.vec_id) p
         WHERE cos >= 0.35 ORDER BY va, vb""")),
+
+    // PERCEPTUAL image near-dup (r13 VERDICT ask #1 — the one north-star
+    // dedup modality that had no near-dup path: multimodal_dedup is
+    // exact-content-hash only and a one-pixel noise speckle defeats it).
+    // dHash 64-bit fingerprints over the decoded PGM luma grid
+    // (graft.functions.PHash, a codegen'd expression), candidates via
+    // band-of-bits LSH (4 × 16-bit bands, equi-join, two-anchor star cap
+    // on oversized buckets — never all-pairs), exact Hamming verify ≤ 10.
+    // The corpus is the image assets plus their deterministic sparse-noise
+    // perturbed twins; output pairs therefore contain every (original,
+    // perturbed-twin) pair the perceptual gate must catch plus the
+    // cross-document identical-image pairs binary dedup also sees. The
+    // oracle recomputes both fingerprint sets closed-form from documents
+    // (no JVM decode) and replays the identical band/cap/verify tail.
+    Op("dedup_phash",
+      (s, dir) => {
+        val fp = phashFpView(s, dir)
+        s.sql(s"""WITH ${phashPairsCtes(spark = true, fp)}
+          SELECT da, db, hamming FROM ph_pairs ORDER BY da, db""")
+      },
+      Some(s"""WITH $duckPhashFpCtes,
+        ${phashPairsCtes(spark = false, "phfp")}
+        SELECT da, db, hamming FROM ph_pairs ORDER BY da, db""")),
 
     // EXACT SUBSTRING-LEVEL dedup (the Lee et al. 2022 "Deduplicating
     // Training Data Makes Language Models Better" passage family): find

@@ -593,4 +593,126 @@ class LlmIndependenceSpec extends AnyFunSuite {
     assert(got == want, s"report mismatch:\n got $got\nwant $want")
     assert(want.exists(_._5 > 0), "no duplicated mass anywhere — vacuous")
   }
+
+  /** Independent dHash: per-cell MEAN comparison through exact BigInt
+    * rational cross-multiplication, column-major cell walk — structurally
+    * different from the operator's row-major long-arithmetic pass in
+    * [[graft.functions.PHash]], same mathematical definition. */
+  private def dhashIndependent(w: Int, h: Int, pix: Int => Int): Long = {
+    def cell(gx: Int, gy: Int): (BigInt, BigInt) = {
+      val (x0, x1) = (gx * w / 9, (gx + 1) * w / 9)
+      val (y0, y1) = (gy * h / 8, (gy + 1) * h / 8)
+      val s = (for { x <- x0 until x1; y <- y0 until y1 }
+        yield BigInt(pix(y * w + x))).sum
+      (s, BigInt((x1 - x0).toLong * (y1 - y0)))
+    }
+    (for { gy <- 0 until 8; gx <- 0 until 8 } yield {
+      val (s1, a1) = cell(gx, gy)
+      val (s2, a2) = cell(gx + 1, gy)
+      // mean1 > mean2 ⟺ s1/a1 > s2/a2 ⟺ s1·a2 > s2·a1 (areas positive)
+      if (s1 * a2 > s2 * a1) 1L << (gy * 8 + gx) else 0L
+    }).foldLeft(0L)(_ | _)
+  }
+
+  test("dedup_phash: full fingerprint+LSH pipeline recomputed exactly") {
+    val OFF = graft.functions.PHash.VariantOffset
+    val docs = Tables(spark, sf, "documents").select("doc_id", "text")
+      .where("doc_id % 3 = 0 AND text IS NOT NULL")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val fps = mutable.Map[Long, Long]()
+    docs.foreach { case (id, text) =>
+      val b = text.getBytes("UTF-8").map(_ & 0xff)
+      val w = (16 + id % 32).toInt
+      val h = (16 + id % 24).toInt
+      def base(i: Int) = if (b.isEmpty) 0 else b(i % b.length)
+      fps(id) = dhashIndependent(w, h, base)
+      fps(id + OFF) = dhashIndependent(w, h,
+        i => math.min(255, base(i) + (if (i % 97 < 5) 40 else 0)))
+    }
+    // band buckets → two-anchor star cap → exact Hamming verify ≤ 10
+    val cands = mutable.Set[(Long, Long)]()
+    for (bi <- 0 to 3) {
+      fps.toSeq.groupBy { case (_, fp) => (fp >> (bi * 16)) & 0xffffL }
+        .values.foreach { bucket =>
+          val ids = bucket.map(_._1).sorted
+          if (ids.size <= 32)
+            for (i <- ids.indices; j <- i + 1 until ids.size)
+              cands += ((ids(i), ids(j)))
+          else ids.take(2).foreach(a =>
+            ids.filter(_ > a).foreach(b2 => cands += ((a, b2))))
+        }
+    }
+    val want = cands.toSeq
+      .map { case (a, b2) =>
+        (a, b2, java.lang.Long.bitCount(fps(a) ^ fps(b2))) }
+      .filter(_._3 <= 10).sorted
+    val got = SparkEntry.queries("dedup_phash")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    assert(got == want, s"got ${got.size} pairs, want ${want.size}; " +
+      s"missing=${(want.toSet -- got).take(2)} extra=${(got.toSet -- want).take(2)}")
+    assert(want.nonEmpty)
+    // the perceptual gate must actually catch perturbed twins — pairs
+    // exact binary dedup (multimodal_dedup) provably cannot see
+    assert(got.count { case (a, b2, _) => b2 == a + OFF } > 0,
+      "no (original, perturbed-twin) pair caught")
+  }
+
+  test("dedup_phash: planted near-identical images pair; unrelated do not") {
+    import graft.functions.PHash
+    import graft.multimodal.MediaCodec
+    val s2 = spark.newSession()
+    graft.functions.GraftFunctions.register(s2)
+    val w = 40; val h = 32
+    // base: smooth horizontal ramp + texture (stable cell comparisons)
+    val base = Array.tabulate(w * h)(i => ((i % w) * 4 + (i / w) % 7).toByte)
+    val basePay = MediaCodec.encodePgm(w, h, base)
+    // global brightness +3, no clamping anywhere → EXACT same fingerprint
+    // (dHash compares adjacent cell means; a uniform shift cancels)
+    val brightPay = MediaCodec.encodePgm(w, h, base.map(v => (v + 3).toByte))
+    // sparse speckle noise → small nonzero Hamming distance
+    val noisePay = PHash.perturb(basePay)
+    // unrelated: vertical ramp — reversed comparison structure
+    val otherPay = MediaCodec.encodePgm(w, h,
+      Array.tabulate(w * h)(i => (255 - (i % w) * 5 - (i / w)).toByte))
+    import s2.implicits._
+    Seq((1L, basePay), (2L, brightPay), (3L, noisePay), (4L, otherPay))
+      .toDF("asset_id", "payload").createOrReplaceTempView("ph_assets_t")
+    s2.sql("SELECT asset_id, phash64(payload) AS fp FROM ph_assets_t")
+      .createOrReplaceTempView("phfp_t")
+    val got = s2.sql(s"""WITH ${graft.ops.DedupOps.phashPairsCtes(spark = true,
+        "phfp_t")}
+        SELECT da, db, hamming FROM ph_pairs ORDER BY da, db""")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    val pairs = got.map(p => (p._1, p._2)).toSet
+    assert(pairs.contains((1L, 2L)), s"brightness twin not paired: $got")
+    assert(got.find(p => (p._1, p._2) == ((1L, 2L))).get._3 == 0,
+      "uniform brightness shift must leave the fingerprint bit-identical")
+    assert(pairs.contains((1L, 3L)), s"noise twin not paired: $got")
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L),
+      s"unrelated image spuriously paired: $got")
+    // expression matches the independent recompute on every planted image
+    val fpGot = s2.sql("SELECT asset_id, fp FROM phfp_t ORDER BY asset_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def at(p: Array[Byte])(i: Int): Int = {
+      val (pw, ph2, off) = MediaCodec.pgmHeader(p); require(pw == w && ph2 == h)
+      p(off + i) & 0xff
+    }
+    Seq(1L -> basePay, 2L -> brightPay, 3L -> noisePay, 4L -> otherPay)
+      .foreach { case (id, pay) =>
+        assert(fpGot(id) == dhashIndependent(w, h, at(pay)),
+          s"fingerprint mismatch for planted asset $id")
+      }
+    // clamp realism: near-saturated pixels DO shift the fingerprint under
+    // a brightness push (the +3 pair above stays identical only because
+    // nothing clamps)
+    // decreasing ramp: left cells brighter (bits set); the +30 push
+    // saturates the left plateau at 255, equalizing adjacent left cells
+    // and flipping their strict-greater bits
+    val hot = Array.tabulate(w * h)(i =>
+      (247 - (i % w) - (i / w) % 9).toByte)
+    val hotShift = hot.map(v => math.min(255, (v & 0xff) + 30).toByte)
+    assert(PHash.dhash64(MediaCodec.encodePgm(w, h, hot)) !=
+      PHash.dhash64(MediaCodec.encodePgm(w, h, hotShift)),
+      "clamped brightness push should perturb the fingerprint")
+  }
 }
