@@ -326,6 +326,35 @@ object GraphSql {
     (Seq(k0) ++ steps).mkString(", ")
   }
 
+  /** Unrolled HITS chain h0, (ar/a/hr/h)1..<iters> mirroring
+    * PropertyGraph.hits bit-for-bit: BIGINT sums (order-free), quantized
+    * max-normalization via floor division (DuckDB `//` ≡ Spark `div` on
+    * the non-negative scores). SUMs cast back from DuckDB's HUGEINT. */
+  def hitsChain(iters: Int): String = {
+    val U = 1000000L
+    val h0 = s"h0 AS MATERIALIZED (SELECT id, CAST($U AS BIGINT) AS hub FROM vertices)"
+    val steps = (1 to iters).flatMap { i =>
+      Seq(
+        s"""ar$i AS MATERIALIZED (SELECT v.id, CAST(COALESCE(s.s, 0) AS BIGINT) AS raw
+           FROM vertices v LEFT JOIN (
+             SELECT e.dst, CAST(SUM(h.hub) AS BIGINT) AS s
+             FROM edges e JOIN h${i - 1} h ON h.id = e.src GROUP BY e.dst) s
+           ON s.dst = v.id)""",
+        s"""a$i AS MATERIALIZED (SELECT id, raw // (SELECT
+             CAST(GREATEST(MAX(raw) // $U, 1) AS BIGINT) FROM ar$i) AS auth
+           FROM ar$i)""",
+        s"""hr$i AS MATERIALIZED (SELECT v.id, CAST(COALESCE(s.s, 0) AS BIGINT) AS raw
+           FROM vertices v LEFT JOIN (
+             SELECT e.src, CAST(SUM(a.auth) AS BIGINT) AS s
+             FROM edges e JOIN a$i a ON a.id = e.dst GROUP BY e.src) s
+           ON s.src = v.id)""",
+        s"""h$i AS MATERIALIZED (SELECT id, raw // (SELECT
+             CAST(GREATEST(MAX(raw) // $U, 1) AS BIGINT) FROM hr$i) AS hub
+           FROM hr$i)""")
+    }
+    (Seq(h0) ++ steps).mkString(", ")
+  }
+
   def prChain(iters: Int): String = {
     val pre = Seq(
       "odeg AS MATERIALIZED (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY 1)",

@@ -427,8 +427,84 @@ final case class Traversal(g: PropertyGraph, df: DataFrame, depth: Int,
     Traversal(g, acc.get, d, None, labels)
   }
 
+  /** Gremlin optional(branch): per walk, the branch's continuations when
+    * the branch produces any, else the walk itself held at its current
+    * position — coalesce(branch, identity), except the identity leg must
+    * be PADDED to the branch's depth (the walk matrix needs uniform
+    * columns), so an untaken walk repeats its head in the new positions.
+    * A stayed traverser's head IS its original vertex, so every downstream
+    * head-reading step (has/out/groupCount/values) sees exactly TinkerPop's
+    * semantics; only path() shows the repetition — the fixed-width
+    * rendering of Gremlin's shorter untaken path. Coverage is one LEFT
+    * ANTI join on the walk prefix (walk-bounded, never vertex×vertex).
+    * Parent labels survive; branch-local labels die with the branch
+    * (same rule as [[union]]). Drops the bulk frame — coverage is
+    * per-walk-prefix, which per-head counts cannot express. */
+  def optional(branch: Traversal => Traversal): Traversal = {
+    val r = branch(this)
+    require(r.depth > depth, "optional() branch must extend the walk")
+    val parentCols = (0 to depth).map(i => s"v$i")
+    val covered = r.df.select(parentCols.map(col): _*).distinct()
+    val stayed = (depth + 1 to r.depth).foldLeft(
+      df.join(covered, parentCols, "left_anti"))(
+      (d, i) => d.withColumn(s"v$i", col(head)))
+    val walkCols = (0 to r.depth).map(i => col(s"v$i"))
+    Traversal(g, r.df.select(walkCols: _*)
+      .unionAll(stayed.select(walkCols: _*)), r.depth, None, labels)
+  }
+
   /** The walk matrix: one row per surviving walk, columns v0..vK. */
   def path(): DataFrame = df.select((0 to depth).map(i => col(s"v$i")): _*)
+
+  /** Gremlin path().by('attr'): the walk rendered through a by() modulator
+    * — position i emits its vertex's `attr` (column p<i>) instead of the
+    * id. One narrow vertex projection join per position (depth+1 joins on
+    * (id, attr) — column-pruned scans, broadcast-able at any realistic
+    * vertex-table width); Catalyst plans each independently. */
+  def pathBy(attr: String): DataFrame =
+    (0 to depth).foldLeft(df)((d, i) =>
+      d.join(g.vertices.select(col("id").as(s"v$i"), col(attr).as(s"p$i")),
+        Seq(s"v$i")))
+      .select((0 to depth).map(i => col(s"p$i")): _*)
+
+  /** Gremlin project('k1','k2',…).by('a1').by('a2')…: per surviving walk,
+    * emit the HEAD vertex's attribute a_i as a column named k_i — the
+    * multi-field terminal projection (stream semantics like values(): one
+    * row per walk, not deduped). Modulators are the attribute form of
+    * by() — the common server-side rendering; a sub-traversal by() is the
+    * outer chain's own steps. ONE vertex join feeds every projected
+    * column. */
+  def project(names: Seq[String], attrs: Seq[String]): DataFrame = {
+    require(names.nonEmpty && names.length == attrs.length,
+      s"project() wants one by() per key: ${names.length} keys / ${attrs.length} by()s")
+    df.join(g.vertices.withColumnRenamed("id", head), head)
+      .select(names.zip(attrs).map { case (n, a) => col(a).as(n) }: _*)
+  }
+
+  /** Gremlin group().by('kattr').by('vattr'): the grouped fold — per
+    * distinct head-vertex `kattr` value, the SORTED multiset of head
+    * `vattr` values over surviving walks (walk multiplicities preserved;
+    * sorting makes the collection deterministic where Gremlin returns an
+    * unordered list). Over the bulk frame this is vertex-sized until the
+    * final collect (counts expand via one `sequence` explode); group() is
+    * inherently a collect fold, so the per-key collection is the user's
+    * own result size — cap upstream with has()/sample() as with any
+    * collect_list. */
+  def group(kattr: String, vattr: String): DataFrame = {
+    val rows = bulk match {
+      case Some(b) =>
+        b.join(g.vertices.withColumnRenamed("id", "h"), "h")
+          .select(col(kattr), col(vattr),
+            explode(sequence(lit(1L), col("cnt"))).as("_i"))
+          .drop("_i")
+      case None =>
+        df.join(g.vertices.withColumnRenamed("id", head), head)
+          .select(col(kattr), col(vattr))
+    }
+    rows.groupBy(kattr)
+      .agg(sort_array(collect_list(col(vattr))).as("vals"))
+      .orderBy(kattr)
+  }
 
   /** Distinct head-vertex ids (Gremlin's terminal id() fold). */
   def ids(): DataFrame = bulk match {
@@ -709,12 +785,13 @@ object Traversal {
     * walk matrix; where() legal in the body)/
     * repeat(body).until(<pred>).times(n)/repeat(body).emit().times(n)/
     * emit().repeat(body).times(n)/repeat(body).until(<pred>).emit().times(n)/
-    * union(b1, b2, ...)/choose(<pred>, b1, b2)/coalesce(b1, b2, ...)`
-    * (branch bodies are dot-chains of the traversal-extending steps),
-    * optionally terminated by `path()` (default), `ids()`,
-    * `values('attr')`, `count()`, `select('a','b')`,
-    * `groupCount().by('attr')` or `order().by('attr').limit(n)` — into
-    * the traversal's DataFrame. */
+    * union(b1, b2, ...)/choose(<pred>, b1, b2)/coalesce(b1, b2, ...)/
+    * optional(b)` (branch bodies are dot-chains of the
+    * traversal-extending steps), optionally terminated by `path()`
+    * (default), `path().by('attr')`, `ids()`, `values('attr')`,
+    * `count()`, `select('a','b')`, `project('k',…).by('attr')…`,
+    * `groupCount().by('attr')`, `group().by('k').by('v')` or
+    * `order().by('attr').limit(n)` — into the traversal's DataFrame. */
   def parse(g: PropertyGraph, query0: String): DataFrame = {
     val query = expandRepeats(query0)
     val steps = StepPat.findAllMatchIn(query)
@@ -865,14 +942,26 @@ object Traversal {
         }
       case ("coalesce", a) :: tl =>
         t = t.coalesce(splitTop(a).map(branchFn): _*); loop(tl)
+      case ("optional", a) :: tl => t = t.optional(branchFn(a)); loop(tl)
       case ("where", WherePred(cmp, l)) :: tl => t = t.where(cmp, l); loop(tl)
       case ("select", a) :: tl =>
         result = Some(t.select(a.split(",").map(label).toIndexedSeq: _*)); loop(tl)
       case ("groupCount", "") :: ("by", a) :: tl =>
         result = Some(t.groupCount(label(a))); loop(tl)
+      // group().by(k).by(v) — two by() modulators, consumed together
+      // (lookahead, like groupCount/order below).
+      case ("group", "") :: ("by", k) :: ("by", v) :: tl =>
+        result = Some(t.group(label(k), label(v))); loop(tl)
+      // project('k1',…).by('a1')… — one by() modulator per key, in order.
+      case ("project", ka) :: tl0 =>
+        val names = splitTop(ka).map(label)
+        val (bys, tl) = tl0.span(_._1 == "by")
+        result = Some(t.project(names, bys.map(b => label(b._2)))); loop(tl)
       case ("order", "") :: ("by", a) :: ("limit", n) :: tl
           if n.matches("\\d+") =>
         result = Some(t.orderBy(label(a), n.toInt)); loop(tl)
+      case ("path", "") :: ("by", a) :: tl =>
+        result = Some(t.pathBy(label(a))); loop(tl)
       case ("path", "") :: tl   => result = Some(t.path()); loop(tl)
       case ("ids", "") :: tl    => result = Some(t.ids()); loop(tl)
       case ("values", a) :: tl  => result = Some(t.values(label(a))); loop(tl)

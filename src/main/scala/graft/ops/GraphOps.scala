@@ -750,6 +750,18 @@ object GraphOps extends OpModule {
         "SELECT id, katz FROM k4 ORDER BY id",
         extra = GraphSql.katzChain(4)))),
 
+    // HITS hubs & authorities (Kleinberg), 3 fixed rounds in quantized
+    // integer micro-units — the one classic centrality the family lacked
+    // (r13 verdict ask #5). Every operation is exact BIGINT arithmetic
+    // (order-free sums, floor-div max-normalization), so the unrolled
+    // DuckDB chain matches bit-for-bit; see PropertyGraph.hits for the
+    // per-round shuffle shape and the 100-TB overflow headroom argument.
+    Op("graph_hits",
+      (s, dir) => GraphFixture(s, dir).hits(3).orderBy("id"),
+      Some(withGraph(
+        "SELECT a.id, a.auth, h.hub FROM a3 a JOIN h3 h ON h.id = a.id ORDER BY a.id",
+        extra = GraphSql.hitsChain(3)))),
+
     // Personalized PageRank from the CUSTOMER seed set — importance
     // relative to a query context (the recommendation variant of
     // pagerank). Customers have out-edges (in_nation, colocated), so the
@@ -1418,6 +1430,75 @@ object GraphOps extends OpModule {
           AND e3.dst = e2.dst
         JOIN vertices sv ON sv.id = e1.dst
         WHERE c.label = 'customer' AND c.val > 8000 AND sv.val > 0
+        ORDER BY 1, 2, 3"""))),
+
+    // project() terminal (multi-field projection with attribute by()
+    // modulators, one column per key): high-balance customers' nation
+    // name + visibility, one row per walk. One vertex join feeds every
+    // projected column.
+    Op("graph_traversal_project",
+      (s, dir) => GraphFixture(s, dir).traverse(
+        "V(label='customer').has(val>9000).out('in_nation')" +
+          ".project('nname','nvis').by('name').by('vis')")
+        .orderBy("nname", "nvis"),
+      Some(withGraph("""SELECT n.name AS nname, n.vis AS nvis
+        FROM vertices c JOIN edges e ON e.src = c.id AND e.label = 'in_nation'
+        JOIN vertices n ON n.id = e.dst
+        WHERE c.label = 'customer' AND c.val > 9000
+        ORDER BY 1, 2"""))),
+
+    // group().by(k).by(v) terminal (the grouped fold): buyers of
+    // high-value orders, keyed by visibility, values the SORTED name
+    // multiset (walk multiplicities preserved — a customer with two
+    // qualifying orders appears twice). Vertex-sized until the final
+    // collect; the collection size is the user's own result.
+    Op("graph_traversal_group",
+      (s, dir) => GraphFixture(s, dir).traverse(
+        "V(label='order').has(val>480000).out('by').group().by('vis').by('name')"),
+      Some(withGraph("""SELECT c.vis AS vis, list_sort(list(c.name)) AS vals
+        FROM vertices o JOIN edges e ON e.src = o.id AND e.label = 'by'
+        JOIN vertices c ON c.id = e.dst
+        WHERE o.label = 'order' AND o.val > 480000
+        GROUP BY 1 ORDER BY 1"""))),
+
+    // optional() branch step (branch results when any, else stay): each
+    // high-balance customer routes to its well-capitalized colocated
+    // suppliers when it has any, otherwise remains at itself — so the
+    // label histogram shows BOTH populations. Coverage is one anti-join
+    // on the walk prefix (walk-bounded), same discipline as coalesce().
+    Op("graph_traversal_optional",
+      (s, dir) => GraphFixture(s, dir).traverse(
+        "V(label='customer').has(val>5000)" +
+          ".optional(out('colocated').has(val>0)).groupCount().by('label')"),
+      Some(withGraph("""SELECT v.label, COUNT(*) AS n_walks FROM (
+          SELECT e.dst AS h FROM vertices c
+          JOIN edges e ON e.src = c.id AND e.label = 'colocated'
+          JOIN vertices s2 ON s2.id = e.dst
+          WHERE c.label = 'customer' AND c.val > 5000 AND s2.val > 0
+          UNION ALL
+          SELECT c.id FROM vertices c
+          WHERE c.label = 'customer' AND c.val > 5000 AND NOT EXISTS (
+            SELECT 1 FROM edges x JOIN vertices s3 ON s3.id = x.dst
+            WHERE x.src = c.id AND x.label = 'colocated' AND s3.val > 0)) w
+        JOIN vertices v ON v.id = w.h
+        GROUP BY 1 ORDER BY 1"""))),
+
+    // path().by('attr') modulator (walk rendered through an attribute):
+    // top-balance customers' full membership chain by NAME —
+    // customer→nation→region as (p0, p1, p2). One narrow vertex
+    // projection join per position.
+    Op("graph_traversal_path_by",
+      (s, dir) => GraphFixture(s, dir).traverse(
+        "V(label='customer').has(val>9900).out('in_nation').out('in_region')" +
+          ".path().by('name')")
+        .orderBy("p0", "p1", "p2"),
+      Some(withGraph("""SELECT c.name AS p0, n.name AS p1, r.name AS p2
+        FROM vertices c
+        JOIN edges e1 ON e1.src = c.id AND e1.label = 'in_nation'
+        JOIN vertices n ON n.id = e1.dst
+        JOIN edges e2 ON e2.src = n.id AND e2.label = 'in_region'
+        JOIN vertices r ON r.id = e2.dst
+        WHERE c.label = 'customer' AND c.val > 9900
         ORDER BY 1, 2, 3"""))),
 
     // coalesce() branch step (first branch with results, per walk): each

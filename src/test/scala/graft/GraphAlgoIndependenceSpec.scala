@@ -199,6 +199,37 @@ class GraphAlgoIndependenceSpec extends AnyFunSuite {
     assert(diff.isEmpty, diff.take(5).mkString("; "))
   }
 
+  test("graph_hits: quantized hub/authority recomputation matches exactly") {
+    // Semantics under test (PropertyGraph.hits / hitsChain): 3 rounds of
+    // auth ← in-edge hub sums, hub ← out-edge auth sums, each half-round
+    // max-normalized to ~10^6 micro-units via floor division (scale =
+    // max(raw) div 10^6, floored, ≥ 1) — all exact BIGINT arithmetic.
+    val U = 1000000L
+    def norm(raw: Map[Long, Long]): Map[Long, Long] = {
+      val scale = math.max(raw.values.max / U, 1L)
+      raw.map { case (v, x) => v -> x / scale }
+    }
+    var hub: Map[Long, Long] = vertexIds.map(_ -> U).toMap
+    var auth: Map[Long, Long] = Map.empty
+    for (_ <- 1 to 3) {
+      val araw = rawEdges.groupBy(_._2).map { case (dst, es) =>
+        dst -> es.map { case (src, _, _) => hub(src) }.sum }
+      auth = norm(vertexIds.map(v => v -> araw.getOrElse(v, 0L)).toMap)
+      val hraw = rawEdges.groupBy(_._1).map { case (src, es) =>
+        src -> es.map { case (_, dst, _) => auth(dst) }.sum }
+      hub = norm(vertexIds.map(v => v -> hraw.getOrElse(v, 0L)).toMap)
+    }
+    val got = SparkEntry.queries("graph_hits")(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got.size == vertexIds.size)
+    val diff = vertexIds.collect { case v if got(v) != ((auth(v), hub(v))) =>
+      s"$v: got ${got(v)} want (${auth(v)}, ${hub(v)})" }
+    assert(diff.isEmpty, diff.take(5).mkString("; "))
+    // non-vacuous: both sides populated and the normalizer actually engaged
+    assert(auth.values.exists(_ > 0) && hub.values.exists(_ > 0))
+    assert(auth.values.max >= U / 2 && hub.values.max >= U / 2)
+  }
+
   test("graph_ppr: quantized personalized-teleport recomputation matches exactly") {
     val seeds = g.vertices.where(col("label") === "customer")
       .select("id").collect().map(_.getLong(0)).toSet

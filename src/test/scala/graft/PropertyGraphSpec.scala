@@ -481,6 +481,69 @@ class PropertyGraphSpec extends AnyFunSuite {
       g.traverse("V().union(out('in_nation'), hop('x'))"))
   }
 
+  test("traversal DSL: optional()/project()/group()/path().by() steps") {
+    // optional: branch walks when any, else stay — heads partition into
+    // takers (suppliers) and stayers (customers); the stayer count is
+    // exactly the base heads the branch left uncovered.
+    val base = g.V(col("label") === "customer").has(col("val") > 5000)
+    val of = base
+      .optional(_.out("colocated").has(col("val") > 0)).groupCount("label")
+    val op = g.traverse("V(label='customer').has(val>5000)" +
+      ".optional(out('colocated').has(val>0)).groupCount().by('label')")
+    assert(of.collect().map(_.toString).sorted.toSeq ==
+      op.collect().map(_.toString).sorted.toSeq)
+    val oMap = of.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(oMap.contains("customer") && oMap.contains("supplier"),
+      s"optional must surface both takers and stayers: $oMap")
+    val taken = base.out("colocated").has(col("val") > 0)
+    assert(oMap("supplier") == taken.count().head.getLong(0),
+      "taken walks must match the bare branch")
+    val covered = taken.path().select("v0").distinct().count()
+    assert(oMap("customer") == base.count().head.getLong(0) - covered,
+      "stayers must be exactly the uncovered heads")
+    intercept[IllegalArgumentException](base.optional(t => t))
+
+    // project: multi-field head projection with by() modulators
+    val pf = g.V(col("label") === "customer").has(col("val") > 9000)
+      .out("in_nation").project(Seq("nname", "nvis"), Seq("name", "vis"))
+    val pp = g.traverse("V(label='customer').has(val>9000).out('in_nation')" +
+      ".project('nname','nvis').by('name').by('vis')")
+    assert(pf.columns.toSeq == Seq("nname", "nvis"))
+    assert(pf.collect().map(_.toString).sorted.toSeq ==
+      pp.collect().map(_.toString).sorted.toSeq)
+    assert(pf.count() > 0)
+    intercept[IllegalArgumentException](
+      g.traverse("V().project('a','b').by('name')")) // one by() per key
+
+    // group: sorted value multiset per key, walk multiplicities preserved
+    val gf = g.V(col("label") === "order").has(col("val") > 480000)
+      .out("by").group("vis", "name")
+    val gp = g.traverse("V(label='order').has(val>480000).out('by')" +
+      ".group().by('vis').by('name')")
+    assert(gf.collect().map(_.toString).toSeq ==
+      gp.collect().map(_.toString).toSeq)
+    val rows = gf.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val vals = r.getSeq[String](1)
+      assert(vals == vals.sorted, "group() collections must be sorted")
+    }
+    val nWalks = g.V(col("label") === "order").has(col("val") > 480000)
+      .out("by").count().head.getLong(0)
+    assert(rows.map(_.getSeq[String](1).size).sum == nWalks,
+      "group() must preserve walk multiplicities")
+
+    // path().by('attr'): attribute-rendered walks, fluent ≡ parsed
+    val bf = g.V(col("label") === "customer").has(col("val") > 9900)
+      .out("in_nation").out("in_region").pathBy("name")
+    val bp = g.traverse("V(label='customer').has(val>9900)" +
+      ".out('in_nation').out('in_region').path().by('name')")
+    assert(bf.columns.toSeq == Seq("p0", "p1", "p2"))
+    assert(bf.collect().map(_.toString).sorted.toSeq ==
+      bp.collect().map(_.toString).sorted.toSeq)
+    assert(bf.count() > 0)
+  }
+
   test("traversal DSL: repeat().until()/emit() loop steps, fluent ≡ parsed") {
     // until: orders flood out() until a region head, guard 4 — fluent and
     // parsed agree, and region walks actually stopped (both loop exits hit)
