@@ -415,6 +415,105 @@ object ScaleBench {
     System.out.flush()
   }
 
+  /** Betweenness frontier-densification probe (r13 verdict ask #2):
+    * `ScaleBench bcfrontier [baseDir] [K]` — measures, per BFS level of
+    * the region-root multi-source chain (the σ-array formulation keeps
+    * ONE row per frontier vertex, so the distinct-vertex frontier IS the
+    * level's row count), the frontier size |F_l| and the edge fan
+    * |F_{l-1} ⋈ und| (the rows the level's aggregation actually
+    * processes) on the uniform and skew K× builds. The r13 residual
+    * question — is betweenness_levels' ~2× skew lean a join blow-up
+    * (fixable) or genuine frontier densification (hubs put more vertices
+    * and edges in each level — irreducible for EXACT k-bounded Brandes) —
+    * is answered by whether the skew/uniform fan ratio tracks the time
+    * ratio. */
+  def bcFrontierMain(args: Array[String]): Unit = {
+    val base = args.headOption.getOrElse(
+      sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+    val k = args.drop(1).headOption.map(_.toInt).getOrElse(10)
+    val spark = Bench.session(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+    val outU = Staging.dir(s"scale-x$k")
+    val outS = Staging.dir(s"skew-x$k")
+    build(spark, base, outU, k)
+    build(spark, base, outS, k, skewize)
+    def levels(dir: String): Seq[(Int, Long, Long)] = {
+      val s2 = spark.newSession()
+      val g = graft.graph.GraphFixture(s2, dir)
+      val e = g.edges.filter(col("src") =!= col("dst"))
+      val und = graft.util.cut(
+        e.select(col("src").as("a"), col("dst").as("b"))
+          .union(e.select(col("dst").as("a"), col("src").as("b")))
+          .distinct())
+      var vis = graft.util.cut(
+        g.vertices.filter(col("label") === "region").select("id"))
+      var frontier = vis
+      (1 to graft.ops.QualityOps.BcDepth).map { l =>
+        val fan = frontier.join(und.withColumnRenamed("a", "id"), "id").count()
+        val nxt = graft.util.cut(
+          frontier.join(und.withColumnRenamed("a", "id"), "id")
+            .select(col("b").as("id")).distinct()
+            .join(vis, Seq("id"), "left_anti"))
+        vis = graft.util.cut(vis.union(nxt))
+        frontier = nxt
+        (l, nxt.count(), fan)
+      }
+    }
+    def j(rows: Seq[(Int, Long, Long)]) = rows.map { case (l, f, fan) =>
+      s""""L$l":{"frontier":$f,"fan":$fan}""" }.mkString(",")
+    val u = levels(outU)
+    val s = levels(outS)
+    val fanRatio = s.map(_._3).sum.toDouble / u.map(_._3).sum
+    spark.stop()
+    println(s"""{"metric":"bc_frontier","k":$k,""" +
+      s""""uniform":{${j(u)}},"skew":{${j(s)}},""" +
+      s""""total_fan_ratio":${f"$fanRatio%.3f"}}""")
+    System.out.flush()
+  }
+
+  /** Root-batch scaling probe (r13 verdict ask #2's deployment shape):
+    * `ScaleBench bcbatch [baseDir] [K] [widths...]` — times
+    * graph_betweenness on the uniform AND skew K× builds at each
+    * rootBatchBits width (default 60,25,13 → 1/2/4 batches over the K×
+    * fixture's 5K region roots at K=10), fresh session per measurement
+    * (the σ-array chains are per-(session, dir) artifacts), min-of-2.
+    * The claim under test: ⌈R/width⌉ independent batches cost ≈ linearly
+    * in batch count (each batch pays a full level-chain of graph joins;
+    * the σ-array width is what amortizes roots) — the model a 100 TB
+    * deployment with hundreds of sampled roots plans capacity with. */
+  def bcBatchMain(args: Array[String]): Unit = {
+    val base = args.headOption.getOrElse(
+      sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+    val k = args.drop(1).headOption.map(_.toInt).getOrElse(10)
+    val widths = if (args.length > 2) args.drop(2).map(_.toInt).toSeq
+      else Seq(60, 25, 13)
+    val spark = Bench.session(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+    val outU = Staging.dir(s"scale-x$k")
+    val outS = Staging.dir(s"skew-x$k")
+    build(spark, base, outU, k)
+    build(spark, base, outS, k, skewize)
+    // one untimed JIT/ingest pass per side at the default width
+    Seq(outU, outS).foreach { d =>
+      val s0 = spark.newSession()
+      SparkEntry.queries("graph_betweenness")(s0, d).count()
+    }
+    def once(d: String, w: Int): Double = {
+      val s2 = spark.newSession()
+      s2.conf.set("graft.graph.rootBatchBits", w.toString)
+      graft.graph.GraphFixture(s2, d).edges.count() // graph build untimed
+      val t0 = System.nanoTime()
+      SparkEntry.queries("graph_betweenness")(s2, d).count()
+      (System.nanoTime() - t0) / 1e9
+    }
+    val body = (for (w <- widths; (side, d) <- Seq("uniform" -> outU, "skew" -> outS))
+      yield {
+        val t = math.min(once(d, w), once(d, w))
+        s""""${side}_w$w":${f"$t%.2f"}"""
+      }).mkString(",")
+    spark.stop()
+    println(s"""{"metric":"bc_root_batches","k":$k,"widths":[${widths.mkString(",")}],$body}""")
+    System.out.flush()
+  }
+
   /** Targeted key probe: `ScaleBench probe [baseDir] [K] keys...` —
     * builds the K× blow-up, warms ONLY the graph build (not the full
     * artifact suite: a single-key A/B should not pay 18 minutes of
@@ -502,6 +601,9 @@ object ScaleBench {
   def main(args: Array[String]): Unit = {
     if (args.headOption.contains("skew")) return skewMain(args.drop(1))
     if (args.headOption.contains("bfslean")) return bfsLeanMain(args.drop(1))
+    if (args.headOption.contains("bcfrontier"))
+      return bcFrontierMain(args.drop(1))
+    if (args.headOption.contains("bcbatch")) return bcBatchMain(args.drop(1))
     if (args.headOption.contains("probe")) return probeMain(args.drop(1))
     if (args.headOption.contains("probecount"))
       return probeCountMain(args.drop(1))

@@ -21,6 +21,9 @@ object DedupOps extends OpModule {
   /** Test observability: micro-batches folded by stream_minhash_maintain. */
   val minhashMaintainBatches = new java.util.concurrent.atomic.AtomicLong(0)
 
+  /** Test observability: micro-batches folded by stream_substring_maintain. */
+  val substrMaintainBatches = new java.util.concurrent.atomic.AtomicLong(0)
+
   /** Band signature (doc_id, b0, b1) for the docs in `docsRel` — the
     * per-batch step of the streaming dedup-index maintenance; same hash
     * family and band layout as [[minhashCtes]], Spark dialect only. */
@@ -870,7 +873,119 @@ object DedupOps extends OpModule {
             FROM cur_s1 LEFT JOIN cl4 l ON l.id = cur_s1.doc_id
             WHERE l.id IS NULL OR l.lbl = cur_s1.doc_id),
           $tail"""
-      })
+      }),
+
+    // STREAMING PASSAGE-DEDUP INDEX MAINTENANCE (r13 verdict ask #3) —
+    // the substring family's maintain twin: the duplicated-window index
+    // and the per-source duplicate-mass report (text_dedup_report's
+    // output) kept current as corpus slices arrive. State: the window
+    // relation (doc, pos, h) of every doc seen, the per-hash doc-id
+    // extremes (h, dmin, dmax), and per-doc stats (source, md5, tokens,
+    // covered-token count). Per batch: window/hash work for the NEW docs
+    // only; a hash FLIPS to duplicated when the batch widens its doc-id
+    // extremes apart — flips are found by joining the batch's per-hash
+    // extremes (batch-sized, broadcast) against the stored extremes, and
+    // RETROACTIVELY re-cover the old docs holding flipped windows.
+    // Coverage is recomputed only for AFFECTED docs (new docs + flipped
+    // holders — batch-bounded, broadcast into every probe), then upserted;
+    // nothing corpus-sized shuffles per batch. Slicing is order-free by
+    // construction (extremes and coverage are slice-order-independent
+    // folds), so any arrival order lands exactly on the batch pipeline —
+    // the oracle IS text_dedup_report's full-corpus SQL, and the spec
+    // folds three slices onto it.
+    Op("stream_substring_maintain",
+      (s, dir) => {
+        val w = SubstrRunTokens
+        val stage = graft.Staging.dir(s"ssm-src-${dir.hashCode.toHexString}")
+        if (!new java.io.File(s"$stage/_SUCCESS").exists())
+          Tables(s, dir, "documents").select("doc_id", "source", "text")
+            .repartitionByRange(3, col("doc_id"))
+            .write.mode("overwrite").parquet(stage)
+        def empty(ddl: String) = s.createDataFrame(
+          new java.util.ArrayList[org.apache.spark.sql.Row](),
+          org.apache.spark.sql.types.StructType.fromDDL(ddl))
+        var wins = empty("doc_id BIGINT, pos BIGINT, h BIGINT")
+        var hagg = empty("h BIGINT, dmin BIGINT, dmax BIGINT")
+        var docStats = empty("doc_id BIGINT, source STRING, fp STRING, ntok BIGINT")
+        var dupCnt = empty("doc_id BIGINT, dup_toks BIGINT")
+        val q = s.readStream
+          .schema(org.apache.spark.sql.types.StructType.fromDDL(
+            "doc_id BIGINT, source STRING, text STRING"))
+          .option("maxFilesPerTrigger", 1).parquet(stage)
+          .writeStream
+          .option("checkpointLocation", graft.Staging.fresh("ssm-chk"))
+          .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+            DedupOps.substrMaintainBatches.incrementAndGet()
+            val bs = batch.sparkSession
+            batch.createOrReplaceTempView("ss_batch")
+            val nw = graft.util.cut(bs.sql(s"""
+              WITH ${windowChain("ss_batch", "", "doc_id",
+                toks = sparkToks("text"), len = t => s"size($t)",
+                gen = n => s"explode(sequence(1, $n))",
+                slice = (t, a, l) => s"slice($t, $a, $l)",
+                join = a => s"concat_ws(' ', $a)", hash = sparkHash60)}
+              SELECT doc_id, pos, h FROM sh"""))
+            val nwAgg = nw.groupBy("h")
+              .agg(min("doc_id").as("ndmin"), max("doc_id").as("ndmax"))
+            // flip detection against the OLD extremes, before the fold
+            val j = nwAgg.join(hagg, Seq("h"), "left")
+            val flippedH = j.filter(
+                least(col("ndmin"), coalesce(col("dmin"), col("ndmin"))) =!=
+                  greatest(col("ndmax"), coalesce(col("dmax"), col("ndmax"))) &&
+                coalesce(col("dmin") =!= col("dmax"), lit(false)) === false)
+              .select("h")
+            val affected = graft.util.cut(
+              wins.join(broadcast(flippedH), Seq("h")).select("doc_id")
+                .unionAll(nw.select("doc_id")).distinct())
+            wins = graft.util.cut(wins.unionAll(nw))
+            hagg = graft.util.cut(
+              hagg.unionAll(nwAgg.select(col("h"), col("ndmin").as("dmin"),
+                  col("ndmax").as("dmax")))
+                .groupBy("h").agg(min("dmin").as("dmin"), max("dmax").as("dmax")))
+            // re-cover ONLY the affected docs: their windows, gated on the
+            // now-duplicated hash set, expanded to covered positions
+            val cov = wins.join(broadcast(affected), Seq("doc_id"))
+              .join(hagg.filter(col("dmin") =!= col("dmax")).select("h"), "h")
+              .select(col("doc_id"),
+                explode(sequence(col("pos"), col("pos") + lit((w - 1).toLong))).as("p"))
+              .distinct()
+              .groupBy("doc_id").agg(count(lit(1)).as("dup_toks"))
+            dupCnt = graft.util.cut(
+              dupCnt.join(broadcast(affected), Seq("doc_id"), "left_anti")
+                .unionAll(cov))
+            docStats = graft.util.cut(docStats.unionAll(bs.sql(s"""
+              SELECT doc_id, source, md5(text) AS fp,
+                CAST(size(${sparkToks("text")}) AS BIGINT) AS ntok
+              FROM ss_batch WHERE text IS NOT NULL""")))
+            ()
+          }
+          .start()
+        q.processAllAvailable()
+        q.stop()
+        val fpmin = docStats.groupBy("fp").agg(min("doc_id").as("m"))
+        docStats.join(fpmin, "fp")
+          .join(dupCnt, Seq("doc_id"), "left")
+          .select(col("source"),
+            when(col("doc_id") > col("m"), 1L).otherwise(0L).as("isx"),
+            coalesce(col("dup_toks"), lit(0L)).as("dt"), col("ntok"))
+          .groupBy("source").agg(
+            count(lit(1)).as("n_docs"),
+            sum("isx").as("exact_dup_docs"),
+            sum(when(col("dt") > 0, 1L).otherwise(0L)).as("passage_docs"),
+            sum("dt").as("dup_tokens"),
+            sum("ntok").as("total_tokens"))
+          .select(col("source"), col("n_docs"), col("exact_dup_docs"),
+            col("passage_docs"), col("dup_tokens"), col("total_tokens"),
+            (col("dup_tokens").cast("double") /
+              col("total_tokens").cast("double")).as("dup_token_share"))
+          .orderBy("source")
+      },
+      Some(dedupReportSql(
+        toks = duckToks("text"), len = t => s"len($t)",
+        gen = n => s"unnest(generate_series(1, $n))",
+        genRange = (a, b) => s"unnest(generate_series($a, $b))",
+        slice = (t, a, l) => s"$t[$a:$a + $l - 1]",
+        join = a => s"array_to_string($a, ' ')", hash = duckHash60)))
   )
 
   /** Minimum duplicated-passage length in tokens (= the window width W):

@@ -203,6 +203,23 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(maintained == full, "maintained pair set ≠ batch MinHash pipeline")
   }
 
+  test("stream_substring_maintain folds corpus slices to the exact batch report") {
+    val before = ops.DedupOps.substrMaintainBatches.get()
+    val maintained = SparkEntry.queries("stream_substring_maintain")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getDouble(6))).toSeq
+    val nBatches = ops.DedupOps.substrMaintainBatches.get() - before
+    assert(nBatches >= 2, s"expected multiple micro-batches, saw $nBatches")
+    val full = SparkEntry.queries("text_dedup_report")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getDouble(6))).toSeq
+    assert(maintained == full,
+      "maintained report ≠ batch substring-dedup report")
+    // non-vacuous: retroactive flips must actually have occurred — some
+    // passage mass spans slices (doc_id-range slicing + cross-doc passages)
+    assert(full.exists(_._4 > 0), "no duplicated passage mass — vacuous")
+  }
+
   test("text_filter verdicts partition the corpus with auditable reasons") {
     val f = SparkEntry.queries("text_filter")(spark, sf)
     val verdicts = f.select("verdict").distinct().collect().map(_.getString(0)).toSet
