@@ -1120,19 +1120,25 @@ final case class PropertyGraph(vertices: DataFrame, edges: DataFrame) {
     require(iters >= 1 && iters <= 8, s"hits iters out of range: $iters")
     val U = 1000000L
     val ids = vertices.select("id")
+    val e = edges.select("src", "dst")
+    // Half-rounds are SPARSE: only vertices with nonzero raw mass carry a
+    // row. A zero-score vertex contributes nothing to the next sum and
+    // cannot move the max (scores are non-negative), so the dense
+    // zero-fill happens ONCE at the end — one vertex-relation join +
+    // shuffle SAVED per half-round (was the suite's slowest key at 8.2 s
+    // with the dense formulation; the oracle's dense chain is value-
+    // identical because the dropped rows are exactly the zeros).
+    // cut() per half-round: `raw` is read twice (the scalar max and the
+    // normalize) and feeds the next half — un-materialized, the lineage
+    // re-executes and DOUBLES per half-round (measured as a 450-stage job
+    // for iters=3). LAZY cut (the repeatUntil lesson): nothing consumes a
+    // half until the terminal fires, so each materializes exactly once.
     def half(scores: DataFrame, in: String, inScore: String, out: String,
         outScore: String): DataFrame = {
-      // cut() per half-round: `raw` is read twice (the scalar max and the
-      // normalize) and feeds the next half — un-materialized, the lineage
-      // re-executes and DOUBLES per half-round (2^(2·iters) base scans,
-      // measured as a 450-stage job for iters=3). One vertex-sized
-      // materialization per half keeps the whole run at 2 scans/round.
-      val raw = graft.util.cut(ids.join(
-        edges.select("src", "dst")
-          .join(scores.withColumnRenamed("id", in), in)
-          .groupBy(out).agg(sum(inScore).as("s"))
-          .withColumnRenamed(out, "id"), Seq("id"), "left")
-        .select(col("id"), coalesce(col("s"), lit(0L)).as("raw")))
+      val raw = graft.util.cut(
+        e.join(scores.withColumnRenamed("id", in), in)
+          .groupBy(out).agg(sum(inScore).as("raw"))
+          .withColumnRenamed(out, "id"), eager = false)
       val scale = raw.agg(
         expr(s"greatest(max(raw) div $U, CAST(1 AS BIGINT))").as("scale"))
       raw.crossJoin(broadcast(scale))
@@ -1144,7 +1150,9 @@ final case class PropertyGraph(vertices: DataFrame, edges: DataFrame) {
       a = half(h, "src", "hub", "dst", "auth")   // auth ← in-edge hub mass
       h = half(a, "dst", "auth", "src", "hub")   // hub ← out-edge auth mass
     }
-    ids.join(a, "id").join(h, "id")
+    ids.join(a, Seq("id"), "left").join(h, Seq("id"), "left")
+      .select(col("id"), coalesce(col("auth"), lit(0L)).as("auth"),
+        coalesce(col("hub"), lit(0L)).as("hub"))
   }
 
   /** Personalized PageRank: teleport mass flows only to the `seedPred`
