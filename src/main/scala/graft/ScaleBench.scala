@@ -62,6 +62,8 @@ object ScaleBench {
     "sim_recall", "sim_topk",
     // r9 additions: truss peel, walk sampling, BPE training
     "graph_ktruss", "graph_random_walk", "text_bpe_train",
+    // r14 additions: perceptual image dedup, passage-dedup maintain, HITS
+    "dedup_phash", "stream_substring_maintain", "graph_hits",
     // text / pipeline
     "text_repetition", "text_tfidf", "text_quality", "corpus_mix",
     // relational linear-scale sanity rows

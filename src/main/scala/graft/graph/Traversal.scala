@@ -543,16 +543,18 @@ final case class Traversal(g: PropertyGraph, df: DataFrame, depth: Int,
         .orderBy(attr)
   }
 
-  /** Gremlin order().by('attr').limit(n): the n first walks by head-vertex
-    * attribute, emitted as that attribute. The sort key is extended with
-    * the full walk prefix so the SELECTED walk set is deterministic when
-    * attribute values tie at the cut — and Catalyst executes the whole
-    * fold as one TakeOrderedAndProject (top-n heap per partition + driver
-    * merge of n-sized heads), never a global sort. */
-  def orderBy(attr: String, n: Int): DataFrame = {
-    val tieBreak = (0 to depth).map(i => col(s"v$i"))
+  /** Gremlin order().by('attr'[, desc]).limit(n): the n first walks by
+    * head-vertex attribute (ascending by default, `desc = true` for the
+    * top-N-by-value case), emitted as that attribute. The sort key is
+    * extended with the full walk prefix so the SELECTED walk set is
+    * deterministic when attribute values tie at the cut — and Catalyst
+    * executes the whole fold as one TakeOrderedAndProject (top-n heap per
+    * partition + driver merge of n-sized heads), never a global sort. */
+  def orderBy(attr: String, n: Int, desc: Boolean = false): DataFrame = {
+    val key = if (desc) col(attr).desc else col(attr).asc
+    val tieBreak = (0 to depth).map(i => col(s"v$i").asc)
     df.join(g.vertices.withColumnRenamed("id", head), head)
-      .orderBy(col(attr) +: tieBreak: _*)
+      .orderBy(key +: tieBreak: _*)
       .limit(n)
       .select(col(attr))
   }
@@ -791,7 +793,8 @@ object Traversal {
     * (default), `path().by('attr')`, `ids()`, `values('attr')`,
     * `count()`, `select('a','b')`, `project('k',…).by('attr')…`,
     * `groupCount().by('attr')`, `group().by('k').by('v')` or
-    * `order().by('attr').limit(n)` — into the traversal's DataFrame. */
+    * `order().by('attr'[, asc|desc]).limit(n)` — into the traversal's
+    * DataFrame. */
   def parse(g: PropertyGraph, query0: String): DataFrame = {
     val query = expandRepeats(query0)
     val steps = StepPat.findAllMatchIn(query)
@@ -959,7 +962,14 @@ object Traversal {
         result = Some(t.project(names, bys.map(b => label(b._2)))); loop(tl)
       case ("order", "") :: ("by", a) :: ("limit", n) :: tl
           if n.matches("\\d+") =>
-        result = Some(t.orderBy(label(a), n.toInt)); loop(tl)
+        val (attr, desc) = splitTop(a) match {
+          case x :: Nil => (label(x), false)
+          case x :: d :: Nil if d == "desc" => (label(x), true)
+          case x :: d :: Nil if d == "asc" => (label(x), false)
+          case _ => throw new IllegalArgumentException(
+            s"order().by wants ('attr'[, asc|desc]), got: $a")
+        }
+        result = Some(t.orderBy(attr, n.toInt, desc)); loop(tl)
       case ("path", "") :: ("by", a) :: tl =>
         result = Some(t.pathBy(label(a))); loop(tl)
       case ("path", "") :: tl   => result = Some(t.path()); loop(tl)

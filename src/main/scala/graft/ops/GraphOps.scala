@@ -1096,6 +1096,21 @@ object GraphOps extends OpModule {
         WHERE s.label = 'supplier'
         ORDER BY p.name, s.id, p.id LIMIT 10"""))),
 
+    // order().by('attr', desc) — the DESCENDING modulator (Gremlin's
+    // top-N-by-value shape, the common direction): the 10 highest
+    // colocated-supplier balances reachable from customers. Same
+    // TakeOrderedAndProject fold, sort key reversed, walk-prefix
+    // tiebreak kept ascending in both engines.
+    Op("graph_traversal_order_desc",
+      (s, dir) => GraphFixture(s, dir).traverse(
+        "V(label='customer').out('colocated').order().by('val', desc).limit(10)"),
+      Some(withGraph("""SELECT s2.val AS val
+        FROM vertices c
+        JOIN edges e ON e.src = c.id AND e.label = 'colocated'
+        JOIN vertices s2 ON s2.id = e.dst
+        WHERE c.label = 'customer'
+        ORDER BY s2.val DESC, c.id, s2.id LIMIT 10"""))),
+
     // union() branch step (Gremlin's merge of parallel sub-traversals):
     // upper-balance customers' nations AND colocated suppliers (val>5000
     // keeps both branches non-empty at every fixture SF), folded

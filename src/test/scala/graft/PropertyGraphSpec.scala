@@ -843,6 +843,15 @@ class PropertyGraphSpec extends AnyFunSuite {
     val full = g.V(col("label") === "supplier").in("supplied_by")
       .values("name").collect().map(_.getString(0)).toSeq.sorted
     assert(top == full.take(10))
+    // desc modulator: the suffix of the ascending stream, reversed
+    val topD = g.traverse(
+      "V(label='supplier').in('supplied_by').order().by('name', desc).limit(10)")
+      .collect().map(_.getString(0)).toSeq
+    assert(topD == full.reverse.take(10))
+    assert(topD == g.V(col("label") === "supplier").in("supplied_by")
+      .orderBy("name", 10, desc = true).collect().map(_.getString(0)).toSeq)
+    intercept[IllegalArgumentException](g.traverse(
+      "V().order().by('name', sideways).limit(3)"))
   }
 
   test("traversal DSL: unlabeled steps traverse every edge label at once") {
