@@ -140,7 +140,10 @@ object GraftFunctions {
       (c: Seq[Expression]) => VisibilityCheck(c(0), c(1))),
     (FunctionIdentifier("phash64"),
       new ExpressionInfo(classOf[PHash64].getName, "phash64"),
-      (c: Seq[Expression]) => PHash64(c(0))))
+      (c: Seq[Expression]) => PHash64(c(0))),
+    (FunctionIdentifier("ahash64"),
+      new ExpressionInfo(classOf[AHash64].getName, "ahash64"),
+      (c: Seq[Expression]) => AHash64(c(0))))
 
   private val done = java.util.Collections.newSetFromMap(
     new java.util.concurrent.ConcurrentHashMap[SparkSession, java.lang.Boolean]())

@@ -247,9 +247,14 @@ object MediaCodec extends Multimodal.Decoder {
   /** RIFF/WAVE chunk walk: `fmt ` for the PCM format, `data` for samples.
     * Stats are over unsigned 8-bit samples (the emitted format); other
     * widths parse structurally but are rejected for stats. */
-  private def decodeWav(b: Array[Byte]): PartialDecode = {
+  /** RIFF/WAVE chunk walk: returns (sampleRate, channels, bits, dataOff,
+    * dataLen) with the fmt/data chunks validated present — shared by the
+    * stats decode below and the perceptual audio fingerprint
+    * ([[graft.functions.AHash]]), which needs sample-level access. */
+  def wavHeader(b: Array[Byte]): (Int, Int, Int, Int, Int) = {
     val bb = java.nio.ByteBuffer.wrap(b).order(java.nio.ByteOrder.LITTLE_ENDIAN)
-    require(startsWith(b, 8, "WAVE"), "not a WAVE file")
+    require(b.length >= 12 && startsWith(b, 0, "RIFF") &&
+      startsWith(b, 8, "WAVE"), "not a WAVE file")
     var pos = 12
     var sampleRate = 0; var channels = 0; var bits = 0
     var dataOff = -1; var dataLen = 0
@@ -266,6 +271,11 @@ object MediaCodec extends Multimodal.Decoder {
     }
     require(sampleRate > 0 && channels > 0 && bits > 0, "missing fmt chunk")
     require(dataOff >= 0 && dataOff + dataLen <= b.length, "missing data chunk")
+    (sampleRate, channels, bits, dataOff, dataLen)
+  }
+
+  private def decodeWav(b: Array[Byte]): PartialDecode = {
+    val (sampleRate, channels, bits, dataOff, dataLen) = wavHeader(b)
     require(bits == 8, s"stats need PCM u8, got $bits-bit")
     val nSamples = dataLen / channels
     var sum = 0L

@@ -373,6 +373,67 @@ object DedupOps extends OpModule {
           AND b.gy = a.gy AND b.gx = a.gx + 1
         GROUP BY a.asset_id) t)"""
 
+  /** Audio-fingerprint twin of [[phashFpView]]: (asset_id, fp) of the
+    * audio corpus (doc_id % 3 = 1 — disjoint from the image leg's slice)
+    * + its deterministic crackle-perturbed twin. */
+  private def ahashFpView(s: org.apache.spark.sql.SparkSession,
+      dir: String): String =
+    graft.Views.materialize(s, dir, "ahfp", {
+      graft.functions.GraftFunctions.register(s)
+      import s.implicits._
+      Tables(s, dir, "documents")
+        .where("doc_id % 3 = 1 AND text IS NOT NULL")
+        .select("doc_id", "text").as[(Long, String)]
+        .flatMap { case (id, text) =>
+          val pay = graft.multimodal.MediaCodec.encode(
+            "audio", id, text.getBytes("UTF-8"))
+          Seq((id, pay),
+            (id + graft.functions.PHash.VariantOffset,
+              graft.functions.AHash.perturb(pay)))
+        }.toDF("asset_id", "payload")
+        .createOrReplaceTempView("ah_assets")
+      "SELECT asset_id, ahash64(payload) AS fp FROM ah_assets"
+    })
+
+  /** DuckDB-only closed-form recompute of the audio fingerprints (the
+    * [[duckPhashFpCtes]] pattern): sample i of clip doc_id is byte i of
+    * the document text (the fixture's WAV encode stores the content bytes
+    * verbatim as PCM-u8), the variant adds the sparse crackle, frame
+    * energies are list folds, and the 64 comparison bits assemble through
+    * a HUGEINT sum wrapped back to BIGINT. Frames are empty below 65
+    * samples (COALESCE 0 — both engines agree). */
+  private def duckAhashFpCtes: String = s"""
+    ahpb AS MATERIALIZED (
+      SELECT doc_id + CASE WHEN var = 1
+          THEN ${graft.functions.PHash.VariantOffset}::BIGINT
+          ELSE 0 END AS asset_id,
+        CAST(octet_length(encode(text)) AS BIGINT) AS n,
+        list_transform(generate_series(1, length(text)),
+          i -> CAST(ascii(substr(text, i, 1)) AS BIGINT)) AS lb,
+        var
+      FROM documents, generate_series(0, 1) vs(var)
+      WHERE doc_id % 3 = 1 AND text IS NOT NULL),
+    ahfr AS MATERIALIZED (
+      SELECT asset_id, fs.f AS f,
+        ((fs.f + 1) * n // 65 - fs.f * n // 65) AS flen,
+        COALESCE(list_sum(list_transform(
+          generate_series(fs.f * n // 65 + 1, (fs.f + 1) * n // 65),
+          i -> abs(least(255, lb[CAST(i AS INTEGER)] +
+            CASE WHEN var = 1 AND (i - 1) % 101 < 7 THEN 25 ELSE 0 END)
+            - 128))), 0) AS e
+      FROM ahpb, generate_series(0, 64) fs(f)),
+    ahfp AS MATERIALIZED (
+      SELECT asset_id, CAST(CASE WHEN fsum >= 9223372036854775808::HUGEINT
+          THEN fsum - 18446744073709551616::HUGEINT ELSE fsum END AS BIGINT) AS fp
+      FROM (
+        SELECT a.asset_id,
+          COALESCE(SUM(CASE WHEN a.e * b.flen > b.e * a.flen
+            THEN (1::HUGEINT << CAST(a.f AS INTEGER))
+            ELSE 0::HUGEINT END), 0::HUGEINT) AS fsum
+        FROM ahfr a JOIN ahfr b ON b.asset_id = a.asset_id
+          AND b.f = a.f + 1
+        GROUP BY a.asset_id) t)"""
+
   def ops: Seq[Op] = Seq(
 
     // Exact dedup: md5 fingerprint, keep min doc_id per distinct text.
@@ -708,6 +769,25 @@ object DedupOps extends OpModule {
       },
       Some(s"""WITH $duckPhashFpCtes,
         ${phashPairsCtes(spark = false, "phfp")}
+        SELECT da, db, hamming FROM ph_pairs ORDER BY da, db""")),
+
+    // PERCEPTUAL audio near-dup — the audio modality's analog of
+    // dedup_phash (with it, every media modality has a near-dup path:
+    // text minhash/simhash/ngram/substring, image dHash, audio energy
+    // envelope). ahash64 is a 64-bit energy-envelope difference hash over
+    // the PCM-u8 sample stream (65 frames, abs-deviation energies,
+    // cross-multiplied mean comparisons — integer-exact, one pass);
+    // corpus = audio assets + deterministic sparse-crackle twins; the
+    // band/cap/Hamming tail is dedup_phash's, reused verbatim. The
+    // oracle recomputes every sample closed-form from documents.
+    Op("dedup_ahash",
+      (s, dir) => {
+        val fp = ahashFpView(s, dir)
+        s.sql(s"""WITH ${phashPairsCtes(spark = true, fp)}
+          SELECT da, db, hamming FROM ph_pairs ORDER BY da, db""")
+      },
+      Some(s"""WITH $duckAhashFpCtes,
+        ${phashPairsCtes(spark = false, "ahfp")}
         SELECT da, db, hamming FROM ph_pairs ORDER BY da, db""")),
 
     // EXACT SUBSTRING-LEVEL dedup (the Lee et al. 2022 "Deduplicating

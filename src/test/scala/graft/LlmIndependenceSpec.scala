@@ -715,4 +715,105 @@ class LlmIndependenceSpec extends AnyFunSuite {
       PHash.dhash64(MediaCodec.encodePgm(w, h, hotShift)),
       "clamped brightness push should perturb the fingerprint")
   }
+
+  /** Independent energy-envelope hash: frame means through exact BigInt
+    * rational cross-multiplication, functional fold — structurally
+    * different from the operator's imperative long-arithmetic pass in
+    * [[graft.functions.AHash]], same mathematical definition. */
+  private def ehashIndependent(n: Int, sample: Int => Int): Long = {
+    def frame(f: Int): (BigInt, BigInt) = {
+      val (a, b) = ((f * n.toLong / 65).toInt, ((f + 1) * n.toLong / 65).toInt)
+      ((a until b).map(i => BigInt((sample(i) - 128).abs)).sum, BigInt(b - a))
+    }
+    (0 until 64).foldLeft(0L) { (fp, f) =>
+      val ((e1, l1), (e2, l2)) = (frame(f), frame(f + 1))
+      if (e1 * l2 > e2 * l1) fp | (1L << f) else fp
+    }
+  }
+
+  test("dedup_ahash: full fingerprint+LSH pipeline recomputed exactly") {
+    val OFF = graft.functions.PHash.VariantOffset
+    val docs = Tables(spark, sf, "documents").select("doc_id", "text")
+      .where("doc_id % 3 = 1 AND text IS NOT NULL")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val fps = mutable.Map[Long, Long]()
+    docs.foreach { case (id, text) =>
+      val b = text.getBytes("UTF-8").map(_ & 0xff)
+      def base(i: Int) = b(i)
+      fps(id) = ehashIndependent(b.length, base)
+      fps(id + OFF) = ehashIndependent(b.length,
+        i => math.min(255, base(i) + (if (i % 101 < 7) 25 else 0)))
+    }
+    val cands = mutable.Set[(Long, Long)]()
+    for (bi <- 0 to 3) {
+      fps.toSeq.groupBy { case (_, fp) => (fp >> (bi * 16)) & 0xffffL }
+        .values.foreach { bucket =>
+          val ids = bucket.map(_._1).sorted
+          if (ids.size <= 32)
+            for (i <- ids.indices; j <- i + 1 until ids.size)
+              cands += ((ids(i), ids(j)))
+          else ids.take(2).foreach(a =>
+            ids.filter(_ > a).foreach(b2 => cands += ((a, b2))))
+        }
+    }
+    val want = cands.toSeq
+      .map { case (a, b2) =>
+        (a, b2, java.lang.Long.bitCount(fps(a) ^ fps(b2))) }
+      .filter(_._3 <= 10).sorted
+    val got = SparkEntry.queries("dedup_ahash")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    assert(got == want, s"got ${got.size} pairs, want ${want.size}; " +
+      s"missing=${(want.toSet -- got).take(2)} extra=${(got.toSet -- want).take(2)}")
+    assert(want.nonEmpty)
+    assert(got.count { case (a, b2, _) => b2 == a + OFF } > 0,
+      "no (original, crackle-twin) pair caught")
+  }
+
+  test("dedup_ahash: planted near-identical clips pair; unrelated do not") {
+    import graft.functions.AHash
+    import graft.multimodal.MediaCodec
+    val s2 = spark.newSession()
+    graft.functions.GraftFunctions.register(s2)
+    val n = 6500
+    // base: rising loudness staircase + texture. Frame = 100 samples;
+    // adjacent frame energies differ by ~500 (step 5 × frame length),
+    // while the crackle's worst per-frame energy swing is 7 hits × 25 =
+    // 175 per side — comparisons stay stable by construction, and
+    // deviations sit well inside u8 so the crackle never clamps.
+    val base = Array.tabulate(n)(i =>
+      (128 + 5 * ((i / 100) % 13) + i % 7).toByte)
+    val basePay = MediaCodec.encodeWav(base, 8000)
+    val cracklePay = AHash.perturb(basePay)
+    // unrelated: falling loudness — reversed envelope structure
+    val otherPay = MediaCodec.encodeWav(Array.tabulate(n)(i =>
+      (128 + 5 * (12 - (i / 100) % 13) + i % 7).toByte), 8000)
+    import s2.implicits._
+    Seq((1L, basePay), (2L, cracklePay), (3L, otherPay))
+      .toDF("asset_id", "payload").createOrReplaceTempView("ah_assets_t")
+    s2.sql("SELECT asset_id, ahash64(payload) AS fp FROM ah_assets_t")
+      .createOrReplaceTempView("ahfp_t")
+    val got = s2.sql(s"""WITH ${graft.ops.DedupOps.phashPairsCtes(spark = true,
+        "ahfp_t")}
+        SELECT da, db, hamming FROM ph_pairs ORDER BY da, db""")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    val pairs = got.map(p => (p._1, p._2)).toSet
+    assert(pairs.contains((1L, 2L)), s"crackle twin not paired: $got")
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L),
+      s"unrelated clip spuriously paired: $got")
+    // expression matches the independent recompute on every planted clip
+    val fpGot = s2.sql("SELECT asset_id, fp FROM ahfp_t ORDER BY asset_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def at(p: Array[Byte])(i: Int): Int = {
+      val (_, _, _, off, pn) = MediaCodec.wavHeader(p); require(pn == n)
+      p(off + i) & 0xff
+    }
+    Seq(1L -> basePay, 2L -> cracklePay, 3L -> otherPay)
+      .foreach { case (id, pay) =>
+        assert(fpGot(id) == ehashIndependent(n, at(pay)),
+          s"fingerprint mismatch for planted clip $id")
+      }
+    // the exact content hash CANNOT pair the crackle twin — the property
+    // that makes the perceptual gate necessary
+    assert(!java.util.Arrays.equals(basePay, cracklePay))
+  }
 }
