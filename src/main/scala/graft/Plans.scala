@@ -33,7 +33,7 @@ object Plans {
     "dedup_substring", "graph_traversal_until_where",
     "graph_traversal_until_emit_where", "graph_traversal_match",
     "dedup_substring_strip", "source_avro", "sim_ivf",
-    "text_dedup_report", "text_curation_funnel", "dedup_phash", "dedup_ahash",
+    "text_dedup_report", "text_curation_funnel", "dedup_phash", "dedup_ahash", "dedup_vhash",
     "graph_hits", "graph_traversal_optional", "graph_traversal_project",
     "graph_traversal_group", "graph_traversal_path_by")
 

@@ -143,7 +143,10 @@ object GraftFunctions {
       (c: Seq[Expression]) => PHash64(c(0))),
     (FunctionIdentifier("ahash64"),
       new ExpressionInfo(classOf[AHash64].getName, "ahash64"),
-      (c: Seq[Expression]) => AHash64(c(0))))
+      (c: Seq[Expression]) => AHash64(c(0))),
+    (FunctionIdentifier("vhash64"),
+      new ExpressionInfo(classOf[VHash64].getName, "vhash64"),
+      (c: Seq[Expression]) => VHash64(c(0))))
 
   private val done = java.util.Collections.newSetFromMap(
     new java.util.concurrent.ConcurrentHashMap[SparkSession, java.lang.Boolean]())

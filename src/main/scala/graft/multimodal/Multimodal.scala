@@ -287,7 +287,12 @@ object MediaCodec extends Multimodal.Decoder {
 
   /** YUV4MPEG2: parse `W`/`H` stream parameters, then walk FRAME markers;
     * mean luma over every frame's Y plane (C420: UV at quarter size). */
-  private def decodeY4m(b: Array[Byte]): PartialDecode = {
+  /** Y4M stream-header parse: returns (width, height, offset of the first
+    * FRAME marker) — shared by the stats decode below and the keyframe
+    * fingerprint ([[graft.functions.VHash]]), which reads the first
+    * frame's luma plane directly. */
+  def y4mHeader(b: Array[Byte]): (Int, Int, Int) = {
+    require(startsWith(b, 0, "YUV4MPEG2"), "not a Y4M stream")
     var pos = 0
     while (pos < b.length && b(pos) != '\n') pos += 1
     val header = new String(b, 0, pos, "US-ASCII")
@@ -298,6 +303,12 @@ object MediaCodec extends Multimodal.Decoder {
       else if (p.startsWith("H")) h = p.substring(1).toInt
     }
     require(w > 0 && h > 0, s"bad Y4M header: $header")
+    (w, h, pos)
+  }
+
+  private def decodeY4m(b: Array[Byte]): PartialDecode = {
+    val (w, h, pos0) = y4mHeader(b)
+    var pos = pos0
     val frameBytes = w * h + (w * h) / 2 // C420 planar
     var frames = 0
     var ySum = 0L

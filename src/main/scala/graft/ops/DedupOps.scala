@@ -373,6 +373,64 @@ object DedupOps extends OpModule {
           AND b.gy = a.gy AND b.gx = a.gx + 1
         GROUP BY a.asset_id) t)"""
 
+  /** Video-fingerprint twin of [[phashFpView]]: (asset_id, fp) of the
+    * video corpus (doc_id % 3 = 2 — the third modality slice, disjoint
+    * from images and audio) + its deterministic keyframe-speckled twin. */
+  private def vhashFpView(s: org.apache.spark.sql.SparkSession,
+      dir: String): String =
+    graft.Views.materialize(s, dir, "vhfp", {
+      graft.functions.GraftFunctions.register(s)
+      import s.implicits._
+      Tables(s, dir, "documents")
+        .where("doc_id % 3 = 2 AND text IS NOT NULL")
+        .select("doc_id", "text").as[(Long, String)]
+        .flatMap { case (id, text) =>
+          val pay = graft.multimodal.MediaCodec.encode(
+            "video", id, text.getBytes("UTF-8"))
+          Seq((id, pay),
+            (id + graft.functions.PHash.VariantOffset,
+              graft.functions.VHash.perturb(pay)))
+        }.toDF("asset_id", "payload")
+        .createOrReplaceTempView("vh_assets")
+      "SELECT asset_id, vhash64(payload) AS fp FROM vh_assets"
+    })
+
+  /** DuckDB-only closed-form recompute of the keyframe fingerprints: the
+    * fixture's video encode is a fixed 16×16 luma with pixel (x, y) =
+    * document byte ((y·16+x) mod n) on EVERY frame, so the keyframe dHash
+    * is [[duckPhashFpCtes]]'s cell algebra with constant dimensions. */
+  private def duckVhashFpCtes: String = s"""
+    vhpb AS MATERIALIZED (
+      SELECT doc_id + CASE WHEN var = 1
+          THEN ${graft.functions.PHash.VariantOffset}::BIGINT
+          ELSE 0 END AS asset_id,
+        CAST(octet_length(encode(text)) AS BIGINT) AS n,
+        list_transform(generate_series(1, length(text)),
+          i -> CAST(ascii(substr(text, i, 1)) AS BIGINT)) AS lb,
+        var
+      FROM documents, generate_series(0, 1) vs(var)
+      WHERE doc_id % 3 = 2 AND text IS NOT NULL),
+    vhcells AS MATERIALIZED (
+      SELECT asset_id, gxs.gx AS gx, gys.gy AS gy,
+        ((gxs.gx+1)*16//9 - gxs.gx*16//9) * ((gys.gy+1)*16//8 - gys.gy*16//8) AS area,
+        list_sum(flatten(list_transform(
+          generate_series(gys.gy*16//8, (gys.gy+1)*16//8 - 1),
+          y -> list_transform(generate_series(gxs.gx*16//9, (gxs.gx+1)*16//9 - 1),
+            x -> least(255, lb[CAST((y*16+x) % n AS INTEGER) + 1] +
+              CASE WHEN var = 1 AND (y*16+x) % 97 < 5 THEN 40 ELSE 0 END))))) AS s
+      FROM vhpb, generate_series(0, 8) gxs(gx), generate_series(0, 7) gys(gy)),
+    vhfp AS MATERIALIZED (
+      SELECT asset_id, CAST(CASE WHEN f >= 9223372036854775808::HUGEINT
+          THEN f - 18446744073709551616::HUGEINT ELSE f END AS BIGINT) AS fp
+      FROM (
+        SELECT a.asset_id,
+          COALESCE(SUM(CASE WHEN a.s * b.area > b.s * a.area
+            THEN (1::HUGEINT << CAST(a.gy*8 + a.gx AS INTEGER))
+            ELSE 0::HUGEINT END), 0::HUGEINT) AS f
+        FROM vhcells a JOIN vhcells b ON b.asset_id = a.asset_id
+          AND b.gy = a.gy AND b.gx = a.gx + 1
+        GROUP BY a.asset_id) t)"""
+
   /** Audio-fingerprint twin of [[phashFpView]]: (asset_id, fp) of the
     * audio corpus (doc_id % 3 = 1 — disjoint from the image leg's slice)
     * + its deterministic crackle-perturbed twin. */
@@ -788,6 +846,22 @@ object DedupOps extends OpModule {
       },
       Some(s"""WITH $duckAhashFpCtes,
         ${phashPairsCtes(spark = false, "ahfp")}
+        SELECT da, db, hamming FROM ph_pairs ORDER BY da, db""")),
+
+    // PERCEPTUAL video near-dup — keyframe dHash (the first frame's luma
+    // through PHash's grid core): re-encodes/speckled copies of the same
+    // footage share the keyframe contour. Completes the modality triple
+    // (image dHash / audio energy envelope / video keyframe); same
+    // band/cap/Hamming tail, same closed-form oracle discipline. A
+    // shot-level pipeline runs this per multimodal_framesample frame.
+    Op("dedup_vhash",
+      (s, dir) => {
+        val fp = vhashFpView(s, dir)
+        s.sql(s"""WITH ${phashPairsCtes(spark = true, fp)}
+          SELECT da, db, hamming FROM ph_pairs ORDER BY da, db""")
+      },
+      Some(s"""WITH $duckVhashFpCtes,
+        ${phashPairsCtes(spark = false, "vhfp")}
         SELECT da, db, hamming FROM ph_pairs ORDER BY da, db""")),
 
     // EXACT SUBSTRING-LEVEL dedup (the Lee et al. 2022 "Deduplicating

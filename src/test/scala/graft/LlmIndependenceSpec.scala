@@ -716,6 +716,62 @@ class LlmIndependenceSpec extends AnyFunSuite {
       "clamped brightness push should perturb the fingerprint")
   }
 
+  test("dedup_vhash: keyframe fingerprint+LSH pipeline recomputed exactly") {
+    val OFF = graft.functions.PHash.VariantOffset
+    val docs = Tables(spark, sf, "documents").select("doc_id", "text")
+      .where("doc_id % 3 = 2 AND text IS NOT NULL")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val fps = mutable.Map[Long, Long]()
+    docs.foreach { case (id, text) =>
+      val b = text.getBytes("UTF-8").map(_ & 0xff)
+      def base(i: Int) = if (b.isEmpty) 0 else b(i % b.length)
+      fps(id) = dhashIndependent(16, 16, base)
+      fps(id + OFF) = dhashIndependent(16, 16,
+        i => math.min(255, base(i) + (if (i % 97 < 5) 40 else 0)))
+    }
+    val cands = mutable.Set[(Long, Long)]()
+    for (bi <- 0 to 3) {
+      fps.toSeq.groupBy { case (_, fp) => (fp >> (bi * 16)) & 0xffffL }
+        .values.foreach { bucket =>
+          val ids = bucket.map(_._1).sorted
+          if (ids.size <= 32)
+            for (i <- ids.indices; j <- i + 1 until ids.size)
+              cands += ((ids(i), ids(j)))
+          else ids.take(2).foreach(a =>
+            ids.filter(_ > a).foreach(b2 => cands += ((a, b2))))
+        }
+    }
+    val want = cands.toSeq
+      .map { case (a, b2) =>
+        (a, b2, java.lang.Long.bitCount(fps(a) ^ fps(b2))) }
+      .filter(_._3 <= 10).sorted
+    val got = SparkEntry.queries("dedup_vhash")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    assert(got == want, s"got ${got.size} pairs, want ${want.size}; " +
+      s"missing=${(want.toSet -- got).take(2)} extra=${(got.toSet -- want).take(2)}")
+    assert(want.nonEmpty)
+    assert(got.count { case (a, b2, _) => b2 == a + OFF } > 0,
+      "no (original, speckled-twin) pair caught")
+    // planted sanity through the expression itself: keyframe speckle
+    // pairs, uniform brightness is invariant, later frames are ignored
+    import graft.functions.VHash
+    import graft.multimodal.MediaCodec
+    val w = 40; val h = 32
+    val ramp = Array.tabulate(w * h)(i => ((i % w) * 4 + (i / w) % 7).toByte)
+    val other = Array.tabulate(w * h)(i => (255 - (i % w) * 5 - (i / w)).toByte)
+    val basePay = MediaCodec.encodeY4m(w, h, Seq(ramp, other))
+    assert(java.lang.Long.bitCount(VHash.khash64(basePay) ^
+      VHash.khash64(VHash.perturb(basePay))) <= 10,
+      "keyframe speckle must stay inside the Hamming ball")
+    assert(VHash.khash64(MediaCodec.encodeY4m(w, h,
+        Seq(ramp.map(v => (v + 3).toByte), ramp))) == VHash.khash64(basePay),
+      "uniform keyframe brightness shift must be invariant (no clamping)")
+    assert(VHash.khash64(MediaCodec.encodeY4m(w, h, Seq(other, ramp))) !=
+      VHash.khash64(basePay), "different keyframes must differ")
+    assert(VHash.khash64(basePay) == dhashIndependent(w, h,
+      i => ramp(i) & 0xff), "keyframe hash must be the grid dHash")
+  }
+
   /** Independent energy-envelope hash: frame means through exact BigInt
     * rational cross-multiplication, functional fold — structurally
     * different from the operator's imperative long-arithmetic pass in
