@@ -35,7 +35,11 @@ object Plans {
     "dedup_substring_strip", "source_avro", "sim_ivf",
     "text_dedup_report", "text_curation_funnel", "dedup_phash", "dedup_ahash", "dedup_vhash",
     "graph_hits", "graph_traversal_optional", "graph_traversal_project",
-    "graph_traversal_group", "graph_traversal_path_by")
+    "graph_traversal_group", "graph_traversal_path_by",
+    "source_orc", "source_text", "graph_closeness", "graph_coreness",
+    "graph_reciprocity", "graph_traversal_cyclic", "graph_traversal_tree",
+    "olap_nation_volume", "text_rare_ngrams", "text_diversity",
+    "embed_quantize")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

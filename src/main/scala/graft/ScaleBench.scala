@@ -64,6 +64,8 @@ object ScaleBench {
     "graph_ktruss", "graph_random_walk", "text_bpe_train",
     // r14 additions: perceptual image dedup, passage-dedup maintain, HITS
     "dedup_phash", "stream_substring_maintain", "graph_hits",
+    // r14b additions: ANN-index maintain, rarity scoring, coreness
+    "stream_ivf_maintain", "text_rare_ngrams", "graph_coreness",
     // text / pipeline
     "text_repetition", "text_tfidf", "text_quality", "corpus_mix",
     // relational linear-scale sanity rows

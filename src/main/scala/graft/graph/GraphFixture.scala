@@ -221,18 +221,27 @@ object GraphSql {
 
   /** Unrolled k-core peel kc1..kc<rounds> mirroring PropertyGraph.kCore:
     * each round keeps vertices whose degree over surviving edges is ≥ k. */
-  def kcChain(k: Int, rounds: Int): String = {
-    val und = """und AS MATERIALIZED (SELECT DISTINCT LEAST(src, dst) AS a,
-      GREATEST(src, dst) AS b FROM edges WHERE src <> dst)"""
-    val kc0 = "kc0 AS (SELECT a AS id FROM und UNION SELECT b FROM und)"
+  /** The undirected distinct edge set every peel chain starts from. */
+  val UndCte: String =
+    "und AS MATERIALIZED (SELECT DISTINCT LEAST(src, dst) AS a," +
+      " GREATEST(src, dst) AS b FROM edges WHERE src <> dst)"
+
+  def kcChain(k: Int, rounds: Int): String =
+    UndCte + ", " + kcChainBody(k, rounds, "kc")
+
+  /** The peel rounds alone, CTE names prefixed — graph_coreness splices
+    * one chain per k over a SHARED `und` (each chain re-emitting its own
+    * `und` would collide and re-materialize). */
+  def kcChainBody(k: Int, rounds: Int, pfx: String): String = {
+    val kc0 = s"${pfx}0 AS (SELECT a AS id FROM und UNION SELECT b FROM und)"
     val steps = (1 to rounds).map { i =>
-      s"""e$i AS (SELECT u.a, u.b FROM und u
-           JOIN kc${i - 1} x ON x.id = u.a JOIN kc${i - 1} y ON y.id = u.b),
-         kc$i AS MATERIALIZED (SELECT id, COUNT(*) AS deg FROM (
-           SELECT a AS id FROM e$i UNION ALL SELECT b FROM e$i) t
+      s"""${pfx}e$i AS (SELECT u.a, u.b FROM und u
+           JOIN $pfx${i - 1} x ON x.id = u.a JOIN $pfx${i - 1} y ON y.id = u.b),
+         $pfx$i AS MATERIALIZED (SELECT id, COUNT(*) AS deg FROM (
+           SELECT a AS id FROM ${pfx}e$i UNION ALL SELECT b FROM ${pfx}e$i) t
            GROUP BY 1 HAVING COUNT(*) >= $k)"""
     }
-    (Seq(und, kc0) ++ steps).mkString(", ")
+    (Seq(kc0) ++ steps).mkString(", ")
   }
 
   /** Unrolled k-truss peel kt1..kt<rounds>, mirroring PropertyGraph.kTruss

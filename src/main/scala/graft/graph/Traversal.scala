@@ -134,6 +134,20 @@ final case class Traversal(g: PropertyGraph, df: DataFrame, depth: Int,
       Traversal(g, df.filter(distinctPairs), depth, None, labels)
     }
 
+  /** Keep only walks that REVISIT a vertex — Gremlin cyclicPath(), the
+    * exact complement of [[simplePath]]: one disjunctive per-row filter
+    * over the walk columns, fully codegen'd; no joins, no state. A
+    * depth-0 walk cannot be cyclic, so the start position filters to
+    * empty (TinkerPop agrees: a single-element path has no repeats).
+    * Drops the bulk frame for simplePath's reason. */
+  def cyclicPath(): Traversal =
+    if (depth == 0) Traversal(g, df.limit(0), depth, None, labels)
+    else {
+      val anyRepeat = (for { i <- 0 until depth; j <- (i + 1) to depth }
+        yield col(s"v$i") === col(s"v$j")).reduce(_ || _)
+      Traversal(g, df.filter(anyRepeat), depth, None, labels)
+    }
+
   /** Collapse duplicate walks (Gremlin dedup() over the current path).
     * Drops the bulk frame: multiplicity is exactly what dedup removes. */
   def dedup(): Traversal = Traversal(g, df.distinct(), depth, None, labels)
@@ -543,6 +557,24 @@ final case class Traversal(g: PropertyGraph, df: DataFrame, depth: Int,
         .orderBy(attr)
   }
 
+  /** Gremlin tree() terminal, DF-rendered: the walk set folded into its
+    * prefix tree — one row per (depth, parent, child) tree edge with the
+    * number of walks traversing it. TinkerPop's nested-map rendering is a
+    * driver-side presentation concern; the weighted edge list is the
+    * distributed-native form (and the only one a 100 TB walk set can
+    * actually materialize — it is vertex-pair-bounded per level, while
+    * the nested map is walk-set-sized on one machine). Walk-matrix only:
+    * a bulk'd loop fold has erased the prefixes a tree is made of. */
+  def tree(): DataFrame = {
+    require(depth >= 1, "tree() needs at least one step")
+    (1 to depth).map(i =>
+      df.groupBy(col(s"v${i - 1}").as("parent"), col(s"v$i").as("child"))
+        .agg(org.apache.spark.sql.functions.count(lit(1)).as("n_walks"))
+        .select(lit(i).as("depth"), col("parent"), col("child"),
+          col("n_walks")))
+      .reduce(_ unionAll _)
+  }
+
   /** Gremlin order().by('attr'[, desc]).limit(n): the n first walks by
     * head-vertex attribute (ascending by default, `desc = true` for the
     * top-N-by-value case), emitted as that attribute. The sort key is
@@ -823,6 +855,7 @@ object Traversal {
       case ("both", a) :: tl => t = t.both(label(a)); loop(tl)
       case ("has", a) :: tl  => t = t.has(pred(a)); loop(tl)
       case ("simplePath", "") :: tl => t = t.simplePath(); loop(tl)
+      case ("cyclicPath", "") :: tl => t = t.cyclicPath(); loop(tl)
       case ("dedup", "") :: tl      => t = t.dedup(); loop(tl)
       case ("sample", n) :: tl if n.matches("\\d+") =>
         t = t.sample(n.toInt); loop(tl)
@@ -973,6 +1006,7 @@ object Traversal {
       case ("path", "") :: ("by", a) :: tl =>
         result = Some(t.pathBy(label(a))); loop(tl)
       case ("path", "") :: tl   => result = Some(t.path()); loop(tl)
+      case ("tree", "") :: tl   => result = Some(t.tree()); loop(tl)
       case ("ids", "") :: tl    => result = Some(t.ids()); loop(tl)
       case ("values", a) :: tl  => result = Some(t.values(label(a))); loop(tl)
       case ("count", "") :: tl  => result = Some(t.count()); loop(tl)

@@ -1019,6 +1019,51 @@ object GraphOps extends OpModule {
             WHERE label = 'colocated'
           UNION ALL SELECT dst, src FROM edges WHERE label = 'colocated')"""))),
 
+    // tree() terminal — the walk set folded into its prefix tree, rendered
+    // as weighted (depth, parent, child) edges (see Traversal.tree for why
+    // the edge list IS the distributed form of TinkerPop's nested map).
+    // customer→nation→region walks: level 1 has one row per inhabited
+    // (customer, nation) pair, level 2 folds every customer's walks into
+    // its nation's region edge — the n_walks multiplicities are the test.
+    Op("graph_traversal_tree",
+      (s, dir) => GraphFixture(s, dir).traverse(
+        "V(label='customer').has(val>9000).out('in_nation').out('in_region').tree()")
+        .orderBy("depth", "parent", "child"),
+      Some(withGraph("""SELECT depth, parent, child, n_walks FROM (
+          SELECT 1 AS depth, w.v0 AS parent, w.v1 AS child,
+            COUNT(*) AS n_walks FROM w GROUP BY 2, 3
+          UNION ALL
+          SELECT 2 AS depth, w.v1, w.v2, COUNT(*) FROM w GROUP BY 2, 3) t
+        ORDER BY depth, parent, child""",
+        extra = """w AS (SELECT c.id AS v0, e1.dst AS v1, e2.dst AS v2
+          FROM vertices c
+          JOIN edges e1 ON e1.src = c.id AND e1.label = 'in_nation'
+          JOIN edges e2 ON e2.src = e1.dst AND e2.label = 'in_region'
+          WHERE c.label = 'customer' AND c.val > 9000)"""))),
+
+    // cyclicPath() — simplePath()'s exact complement (Gremlin keeps the
+    // walks that DO revisit a vertex: cycle detection, back-edge audits).
+    // Same per-row codegen'd filter discipline, disjunction instead of
+    // conjunction; over the same colocated 2-hop chain the two keys
+    // partition the walk set, and this oracle asserts the cyclic half
+    // walk-by-walk (the dominant shape here: v0→v1→v0 backtracks, one per
+    // directed colocated incidence), not just by count.
+    Op("graph_traversal_cyclic",
+      (s, dir) => GraphFixture(s, dir).traverse(
+        "V(label='supplier').both('colocated').both('colocated').cyclicPath().path()")
+        .orderBy("v0", "v1", "v2"),
+      Some(withGraph("""SELECT v0, v1, v2 FROM (
+          SELECT sv.id AS v0, c1.b AS v1, c2.b AS v2
+          FROM vertices sv
+          JOIN co c1 ON c1.a = sv.id
+          JOIN co c2 ON c2.a = c1.b
+          WHERE sv.label = 'supplier') w
+        WHERE v0 = v1 OR v0 = v2 OR v1 = v2
+        ORDER BY v0, v1, v2""",
+        extra = """co AS (SELECT src AS a, dst AS b FROM edges
+            WHERE label = 'colocated'
+          UNION ALL SELECT dst, src FROM edges WHERE label = 'colocated')"""))),
+
     // values() terminal: per-walk head-attribute stream (NOT deduped —
     // Gremlin's values() is a stream fold; multiplicity is part of the
     // answer and the oracle asserts it).
@@ -1784,6 +1829,66 @@ object GraphOps extends OpModule {
         "SELECT id, deg FROM kc3 ORDER BY id",
         extra = GraphSql.kcChain(2, 3)))),
 
+    // FULL CORENESS DECOMPOSITION (bounded h-index iteration — Lü et al.
+    // 2016's distributed coreness scheme, the vertex-LOCAL formulation a
+    // 1000-executor deployment actually runs): h₀(v) = undirected degree;
+    // hᵣ(v) = h-index of the neighbors' h_{r-1} values (the max h such
+    // that ≥ h neighbors score ≥ h). The sequence decreases monotonically
+    // to the exact core number; FOUR rounds is the key's contract (fixed
+    // rounds = deterministic, the oracle unrolls the IDENTICAL rounds —
+    // convergence is certified where it happens, never assumed; a k-core
+    // LADDER was tried first and rejected: K sequential bounded peels
+    // cost K× graph_kcore and saturate at the cap — measured 52% of
+    // vertices in the top rung at K=4 — while h-index rounds are
+    // whole-graph one-pass and the estimate is per-vertex-granular).
+    // Per round: one hash join (neighbor values onto the bidirectional
+    // edge list) + one per-vertex window (the h-index is
+    // MAX(LEAST(rank, value)) over neighbors sorted by value — rank
+    // cutting value from above IS the h-index) + one aggregate; all
+    // edge-sized, partitioned on the vertex key every round. ONE SQL
+    // text serves both engines — the strongest cross-engine guarantee.
+    Op("graph_coreness",
+      (s, dir) => {
+        val g = GraphFixture(s, dir)
+        g.vertices.createOrReplaceTempView("g_vertices")
+        g.edges.createOrReplaceTempView("g_edges")
+        s.sql(corenessSql("g_vertices", "g_edges"))
+      },
+      Some(GraphSql.withGraph(
+        "SELECT id, coreness FROM cfin ORDER BY id",
+        extra = corenessCtes("vertices", "edges", mat = "MATERIALIZED ")))),
+
+    // Directed-graph RECIPROCITY — the share of directed vertex pairs
+    // whose reverse edge also exists (a property-graph health scalar:
+    // near-0 in the bipartite-ish relational layers, pushed up by the
+    // mutual colocated/follows-style labels). Distinct (src,dst) pairs,
+    // self-loops excluded; one self-equi-join on the reversed key; both
+    // counts exact integers, the closing ratio one fixed-order IEEE
+    // division (the imbalance discipline).
+    Op("graph_reciprocity",
+      (s, dir) => {
+        val g = GraphFixture(s, dir)
+        val de = g.edges.filter(col("src") =!= col("dst"))
+          .select("src", "dst").distinct()
+        val rev = de.select(col("dst").as("src"), col("src").as("dst"),
+          lit(1).as("has_rev"))
+        de.join(rev, Seq("src", "dst"), "left")
+          .agg(count(lit(1)).as("n_pairs"),
+            sum(coalesce(col("has_rev"), lit(0))).as("n_recip"))
+          .select(col("n_pairs"), col("n_recip"),
+            (col("n_recip").cast("double") / col("n_pairs").cast("double"))
+              .as("reciprocity"))
+      },
+      Some(withGraph(
+        """SELECT COUNT(*) AS n_pairs,
+          CAST(SUM(CASE WHEN r.src IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_recip,
+          CAST(SUM(CASE WHEN r.src IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+            / CAST(COUNT(*) AS DOUBLE) AS reciprocity
+        FROM de LEFT JOIN de r ON r.src = de.dst AND r.dst = de.src""",
+        extra = """de AS MATERIALIZED (SELECT DISTINCT src, dst FROM edges
+          WHERE src <> dst)"""))),
+
     // Bounded 3-truss peel, 3 rounds: edges closing no triangle peel each
     // round, support recomputed over survivors (the 4-truss is EMPTY on
     // this fixture at every SF — the colocated clusters are dense in
@@ -1999,4 +2104,32 @@ object GraphOps extends OpModule {
             WHERE r.d < 2)""",
         recursive = true)))
   )
+
+  /** graph_coreness CTE chain — ONE text, both engines, modulo `mat`
+    * (DuckDB's CTE materialization hint for the 4×-referenced
+    * bidirectional edge list; Spark passes "" and re-derives it from the
+    * CACHED edge view per round — a deployment points cbid at the stored
+    * undirected index instead). The h-index of a neighbor multiset sorted
+    * descending is MAX(LEAST(rank, value)): rank climbing past value from
+    * above is exactly the h cutoff. */
+  private def corenessCtes(vRel: String, eRel: String, mat: String): String = {
+    val base = s"""cund AS $mat(SELECT DISTINCT LEAST(src, dst) AS a,
+        GREATEST(src, dst) AS b FROM $eRel WHERE src <> dst),
+      cbid AS $mat(SELECT a, b FROM cund UNION ALL SELECT b, a FROM cund),
+      ch0 AS (SELECT a AS id, COUNT(*) AS h FROM cbid GROUP BY a)"""
+    val rounds = (1 to 4).map { i =>
+      s"""ch$i AS (SELECT id, MAX(LEAST(rn, hv)) AS h FROM (
+        SELECT e.a AS id, p.h AS hv,
+          ROW_NUMBER() OVER (PARTITION BY e.a ORDER BY p.h DESC) AS rn
+        FROM cbid e JOIN ch${i - 1} p ON p.id = e.b) t GROUP BY id)"""
+    }
+    val fin = s"""cfin AS (SELECT v.id,
+      CAST(COALESCE(ch.h, 0) AS INTEGER) AS coreness
+      FROM $vRel v LEFT JOIN ch4 ch ON ch.id = v.id)"""
+    (Seq(base) ++ rounds :+ fin).mkString(", ")
+  }
+
+  private def corenessSql(vRel: String, eRel: String): String =
+    "WITH " + corenessCtes(vRel, eRel, mat = "") +
+      " SELECT id, coreness FROM cfin ORDER BY id"
 }

@@ -216,6 +216,25 @@ object QualityOps extends OpModule {
       },
       Some(localSupplierSql(e => s"CAST(CAST($e AS VARCHAR) AS DOUBLE)"))),
 
+    // TPC-H Q7 shape — CROSS-nation volume shipping: revenue between
+    // (supplier nation, customer nation) ordered pairs per order year,
+    // the trade matrix Q5's same-nation equality deliberately excludes.
+    // Plan shape: the one genuinely large join (lineitem⋈orders) runs
+    // first; both nation chains attach by broadcast hash lookups (nation
+    // twice under different aliases — 25 rows each); the pair GROUP BY is
+    // nations²×years-bounded, so map-side combine collapses the fact
+    // stream before one small shuffle. No correlated dim equality ⇒ no
+    // Q5-style join-order hazard; the thing to NOT do at 100 TB is
+    // aggregate before attaching names (keys then names costs a second
+    // shuffle — names are broadcast-cheap inline).
+    Op("olap_nation_volume",
+      (s, dir) => {
+        Seq("lineitem", "orders", "customer", "supplier", "nation")
+          .foreach(view(s, dir, _))
+        s.sql(nationVolumeSql(e => s"CAST($e AS DOUBLE)"))
+      },
+      Some(nationVolumeSql(e => s"CAST(CAST($e AS VARCHAR) AS DOUBLE)"))),
+
     // Lag-k AUTOCORRELATION (k=1,2) of the event-value series per type —
     // the seasonality/self-similarity diagnostic a monitoring pipeline
     // computes next to ts_seasonality's bucket means. Raw (uncentered)
@@ -543,39 +562,44 @@ object QualityOps extends OpModule {
     // fan-out, never all-pairs; at 100 TB the root set is the query's
     // seed sample (here: the full customer class, exactly oracle-able).
     Op("graph_harmonic",
-      (s, dir) => {
-        val g = GraphFixture(s, dir)
-        val adj = g.edges.select(col("src"), col("dst"))
-        var frontier = g.vertices.filter(col("label") === "customer")
-          .select(col("id").as("root"), col("id"), lit(0).as("d"))
-        val levels = scala.collection.mutable.ArrayBuffer(frontier)
-        for (i <- 1 to 3) {
-          frontier = frontier.join(adj, frontier("id") === adj("src"))
-            .select(col("root"), col("dst").as("id"), lit(i).as("d"))
-          levels += frontier
-        }
-        levels.reduce(_ unionAll _)
-          .groupBy("root", "id").agg(min("d").as("d"))
-          .filter(col("d") > 0)
-          .groupBy("root")
-          .agg(sum(expr("6 div d")).as("harmonic6"),
-            count(lit(1)).as("n_reach"))
-          .select(col("root").as("id"), col("harmonic6"), col("n_reach"))
-          .orderBy("id")
-      },
+      (s, dir) => custHop3Dists(s, dir)
+        .groupBy("root")
+        .agg(sum(expr("6 div d")).as("harmonic6"),
+          count(lit(1)).as("n_reach"))
+        .select(col("root").as("id"), col("harmonic6"), col("n_reach"))
+        .orderBy("id"),
       Some(GraphSql.withGraph(
         """SELECT root AS id, CAST(SUM(6 // d) AS BIGINT) AS harmonic6,
           COUNT(*) AS n_reach
         FROM m GROUP BY 1 ORDER BY 1""",
-        extra = """r0 AS (SELECT id AS root, id, 0 AS d FROM vertices
-            WHERE label = 'customer'),
-          reach(root, id, d) AS (
-            SELECT root, id, d FROM r0
-            UNION
-            SELECT r.root, e.dst, r.d + 1 FROM reach r
-            JOIN edges e ON e.src = r.id WHERE r.d < 3),
-          m AS (SELECT root, id, MIN(d) AS d FROM reach
-            GROUP BY 1, 2 HAVING MIN(d) > 0)""",
+        extra = CustHop3Ctes,
+        recursive = true))),
+
+    // Bounded-hop CLOSENESS centrality from the same customer roots —
+    // the classic 1/Σd companion of graph_harmonic (which is Σ 1/d: the
+    // two rank DIFFERENTLY whenever reach sets differ, so both belong in
+    // the centrality family — harmonic tolerates disconnection, closeness
+    // rewards uniformly short reach). Shares custHop3Dists, the one
+    // multi-source BSP distance frame, rather than re-deriving its own
+    // joins; the closing division is carried in integer PARTS-PER-MILLION
+    // (n_reach·10⁶ div Σd — the harmonic6/betweenness micro-unit trick),
+    // so the key stays exactly oracle-able with no float in sight. sum_d
+    // and n_reach ride along so the normalized score is auditable.
+    Op("graph_closeness",
+      (s, dir) => custHop3Dists(s, dir)
+        .groupBy("root")
+        .agg(sum("d").as("sum_d"), count(lit(1)).as("n_reach"))
+        .select(col("root").as("id"),
+          expr("CAST(n_reach * 1000000 div sum_d AS BIGINT)")
+            .as("closeness_ppm"),
+          col("sum_d"), col("n_reach"))
+        .orderBy("id"),
+      Some(GraphSql.withGraph(
+        """SELECT root AS id,
+          CAST(COUNT(*) * 1000000 // SUM(d) AS BIGINT) AS closeness_ppm,
+          CAST(SUM(d) AS BIGINT) AS sum_d, COUNT(*) AS n_reach
+        FROM m GROUP BY root ORDER BY root""",
+        extra = CustHop3Ctes,
         recursive = true))),
 
     // k-BOUNDED BETWEENNESS centrality (Brandes 2001 accumulation,
@@ -910,6 +934,43 @@ object QualityOps extends OpModule {
     FROM g ORDER BY doc_id, chunk_id"""
   }
 
+  /** Shared multi-source distance frame for the closeness-family keys
+    * (graph_harmonic, graph_closeness): per (customer root, vertex) MIN
+    * out-hop distance within ≤3 hops, self excluded. One equi-join per
+    * level — frontier size is Σ_root |N≤3(root)|, linear in roots ×
+    * bounded fan-out, never all-pairs; at 100 TB the root set is the
+    * query's seed sample (here: the full customer class, exactly
+    * oracle-able). Both keys fold this frame with different aggregates;
+    * sharing the builder keeps their distance semantics identical by
+    * construction. */
+  private def custHop3Dists(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    val g = GraphFixture(s, dir)
+    val adj = g.edges.select(col("src"), col("dst"))
+    var frontier = g.vertices.filter(col("label") === "customer")
+      .select(col("id").as("root"), col("id"), lit(0).as("d"))
+    val levels = scala.collection.mutable.ArrayBuffer(frontier)
+    for (i <- 1 to 3) {
+      frontier = frontier.join(adj, frontier("id") === adj("src"))
+        .select(col("root"), col("dst").as("id"), lit(i).as("d"))
+      levels += frontier
+    }
+    levels.reduce(_ unionAll _)
+      .groupBy("root", "id").agg(min("d").as("d"))
+      .filter(col("d") > 0)
+  }
+
+  /** DuckDB twin of [[custHop3Dists]] — `m` is the (root, id, d) frame. */
+  private val CustHop3Ctes = """r0 AS (SELECT id AS root, id, 0 AS d
+        FROM vertices WHERE label = 'customer'),
+      reach(root, id, d) AS (
+        SELECT root, id, d FROM r0
+        UNION
+        SELECT r.root, e.dst, r.d + 1 FROM reach r
+        JOIN edges e ON e.src = r.id WHERE r.d < 3),
+      m AS (SELECT root, id, MIN(d) AS d FROM reach
+        GROUP BY 1, 2 HAVING MIN(d) > 0)"""
+
   /** k-hop sampling CTEs over (`vRel`, `eRel`); `str` is the engine's
     * string type name for the md5-rank cast. Pairs with [[KhopSampleBody]]
     * under the caller's WITH clause. */
@@ -983,6 +1044,25 @@ object QualityOps extends OpModule {
       GROUP BY 1)
     SELECT n_name, ${d("rev")} AS revenue, n_lineitems
     FROM rev ORDER BY n_name"""
+
+  /** TPC-H Q7-shape nation-pair volume; `d` renders the engine's
+    * correctly-rounded DECIMAL→DOUBLE cast (VARCHAR hop on DuckDB —
+    * num.DSUM scaladoc). */
+  private def nationVolumeSql(d: String => String): String = s"""
+    WITH rev AS (
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        CAST(EXTRACT(YEAR FROM o_orderdate) AS INTEGER) AS l_year,
+        SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,10))) AS rev,
+        COUNT(*) AS n_items
+      FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+      JOIN customer ON c_custkey = o_custkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN nation n1 ON n1.n_nationkey = s_nationkey
+      JOIN nation n2 ON n2.n_nationkey = c_nationkey
+      WHERE n1.n_nationkey <> n2.n_nationkey
+      GROUP BY 1, 2, 3)
+    SELECT supp_nation, cust_nation, l_year, ${d("rev")} AS revenue, n_items
+    FROM rev ORDER BY supp_nation, cust_nation, l_year"""
 
   /** Lag-k autocorrelation SQL; `d` renders the engine's correctly-rounded
     * DECIMAL→DOUBLE cast, `tm` its epoch-micros extraction. */

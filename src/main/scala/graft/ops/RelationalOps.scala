@@ -157,6 +157,61 @@ object RelationalOps extends OpModule {
       Some("""SELECT o_orderkey, o_orderstatus, o_totalprice
         FROM orders ORDER BY o_orderkey""")),
 
+    // ORC bulk-ingest — the READ half of the columnar surface beyond
+    // parquet (sink_orc grades write-then-summarize; THIS key grades the
+    // scan path with its optimizations live): stage a 3-column lineitem
+    // projection to ORC once per fixture dir (memoized like the
+    // stream-maintain sources — staging is ingest, not the graded query),
+    // then read back with an explicit schema and a selective predicate.
+    // The ORC reader must behave like the parquet one at 100 TB: the
+    // quantity predicate reaches the stripe reader as a pushed filter and
+    // the scan materializes only the three projected columns —
+    // PlanQualitySpec asserts both on the physical plan, the oracle
+    // grades the surviving rows against the parquet original.
+    Op("source_orc",
+      (s, dir) => {
+        val src = Tables(s, dir, "lineitem")
+          .select("l_orderkey", "l_linenumber", "l_quantity")
+        val out = graft.Staging.dir(s"src-orc-${dir.hashCode.toHexString}")
+        if (!new java.io.File(s"$out/_SUCCESS").exists())
+          src.write.mode("overwrite").orc(out)
+        s.read.schema(src.schema).orc(out)
+          .filter(col("l_quantity") >= 45)
+          .orderBy("l_orderkey", "l_linenumber")
+      },
+      Some("""SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+        WHERE l_quantity >= 45 ORDER BY l_orderkey, l_linenumber""")),
+
+    // Raw line-delimited TEXT ingest — the shape LLM corpus drops actually
+    // arrive in (one record per line, id + payload): spark.read.text hands
+    // back raw lines; record parsing is the engine's job, and that parse
+    // path is what this key grades. Payload text can contain ANY character
+    // (tabs, newlines), so serialization base64-encodes it — the record
+    // format stays line-safe by construction rather than by fixture luck —
+    // and the read side splits on the first tab and decodes. Line files
+    // split at newlines, so the staged corpus is as partition-parallel as
+    // the parquet original; the explicit cast chain (no schema inference)
+    // is the same 100-TB rule the csv/json keys follow.
+    Op("source_text",
+      (s, dir) => {
+        val src = Tables(s, dir, "documents").select("doc_id", "text")
+        val out = graft.Staging.dir(s"src-text-${dir.hashCode.toHexString}")
+        if (!new java.io.File(s"$out/_SUCCESS").exists())
+          // this Spark build's base64 MIME-chunks (\r\n every 76 chars) —
+          // strip the breaks or each record spans lines; unbase64's MIME
+          // decoder never needed them.
+          src.select(concat_ws("\t", col("doc_id"),
+              regexp_replace(base64(col("text").cast("binary")),
+                "[\\r\\n]", "")).as("value"))
+            .write.mode("overwrite").text(out)
+        val rec = split(col("value"), "\t", 2)
+        s.read.text(out)
+          .select(rec.getItem(0).cast("long").as("doc_id"),
+            unbase64(rec.getItem(1)).cast("string").as("text"))
+          .orderBy("doc_id")
+      },
+      Some("SELECT doc_id, text FROM documents ORDER BY doc_id")),
+
     Op("project_rename",
       (s, dir) => Tables(s, dir, "part")
         .select(col("p_partkey").as("part_id"), col("p_name").as("part_name"),

@@ -20,6 +20,12 @@ import textsql._
   * list_reduce fold, ~100× faster than interpreted HOF lambdas. */
 object SimOps extends OpModule {
 
+  /** Batch counter for stream_ivf_maintain (spec hook: SimSearchSpec
+    * asserts the maintenance loop actually saw multiple micro-batches —
+    * a single-batch run would trivially equal the batch pipeline). */
+  private[graft] val ivfMaintainBatches =
+    new java.util.concurrent.atomic.AtomicLong(0)
+
   /** Normalized embeddings (vector + its norm), materialized once per
     * (session, dir) and shared by every similarity/embedding-dedup key —
     * Spark would otherwise inline-recompute the norms per CTE reference. */
@@ -209,7 +215,29 @@ object SimOps extends OpModule {
   private def ivfAssignSql(ds: String => String, mat: String, nRel: String,
       unnRel: String, str: String, arr: (String, String) => String,
       fold: (String, String) => String, mult: Int = 32): String = s"""
-      WITH unn AS $mat(SELECT vec_id, CAST(v AS DOUBLE) AS v, dim
+      WITH ${ivfTrainCtes(ds, mat, nRel, unnRel, str, arr, fold, mult)},
+      -- the centroid self-norm is hoisted to ONE fold per cell (cnrm):
+      -- inlined in the scoring select it re-ran per (vector x cell) row,
+      -- doubling the assign stage's D-length fold count (r13 review)
+      f1 AS (SELECT n.vec_id, c.cell,
+          ${fold("n.embedding", "c.carr")} - 0.5 * c.cnrm AS sc
+        FROM $nRel n CROSS JOIN c1a c)
+      SELECT vec_id, cell FROM (
+        SELECT vec_id, cell, ROW_NUMBER() OVER (PARTITION BY vec_id
+          ORDER BY sc DESC, cell) AS rn FROM f1) t WHERE rn = 1"""
+
+  /** The TRAINING half of [[ivfAssignSql]] — the CTE chain ending at
+    * `c1a`, the trained coarse quantizer as (cell, ordered centroid
+    * array, hoisted self-norm). Split out so the quantizer is a named
+    * artifact two consumers share: the batch pipeline appends the
+    * corpus-wide assignment (above), and stream_ivf_maintain scores
+    * arriving vectors against the SAME stored quantizer — the production
+    * IVF shape (train offline on a snapshot sample, assign arrivals
+    * incrementally, never retrain per drop). */
+  private def ivfTrainCtes(ds: String => String, mat: String, nRel: String,
+      unnRel: String, str: String, arr: (String, String) => String,
+      fold: (String, String) => String, mult: Int = 32): String = s"""
+      unn AS $mat(SELECT vec_id, CAST(v AS DOUBLE) AS v, dim
         FROM $unnRel),
       kk AS (SELECT CAST(ceil(sqrt(CAST(COUNT(*) AS DOUBLE))) AS BIGINT) AS k
         FROM $nRel),
@@ -244,16 +272,7 @@ object SimOps extends OpModule {
         FROM a0 a JOIN unns u ON u.vec_id = a.vec_id GROUP BY a.cell, u.dim),
       c1a AS $mat(SELECT cell, carr, ${fold("carr", "carr")} AS cnrm
         FROM (SELECT cell, ${arr("c", "dim")} AS carr
-          FROM c1 GROUP BY cell) z1),
-      -- the centroid self-norm is hoisted to ONE fold per cell (cnrm):
-      -- inlined in the scoring select it re-ran per (vector x cell) row,
-      -- doubling the assign stage's D-length fold count (r13 review)
-      f1 AS (SELECT n.vec_id, c.cell,
-          ${fold("n.embedding", "c.carr")} - 0.5 * c.cnrm AS sc
-        FROM $nRel n CROSS JOIN c1a c)
-      SELECT vec_id, cell FROM (
-        SELECT vec_id, cell, ROW_NUMBER() OVER (PARTITION BY vec_id
-          ORDER BY sc DESC, cell) AS rn FROM f1) t WHERE rn = 1"""
+          FROM c1 GROUP BY cell) z1)"""
 
   private def ivfCentSql(ds: String => String, aRel: String,
       unnRel: String): String = s"""
@@ -306,15 +325,34 @@ object SimOps extends OpModule {
   private val duckFold: (String, String) => String =
     (a, b) => duckDot(a, b)
 
-  /** The stored inverted file (vec_id → cell), shared by the probe
-    * pipeline and the index-health stats key. */
-  private def assignView(s: org.apache.spark.sql.SparkSession, dir: String): String = {
+  /** The stored TRAINED quantizer (cell, carr, cnrm) — the broadcast-sized
+    * artifact both the batch assignment below and stream_ivf_maintain's
+    * per-batch scoring read. Checkpointed: the training chain is a deep
+    * window/join tree referenced once per consumer. */
+  private def quantizerView(s: org.apache.spark.sql.SparkSession, dir: String): String = {
     val n = normView(s, dir)
     val unn = unnView(s, dir)
-    graft.Views.checkpointed(s, dir, "simivf_a1",
-      ivfAssignSql(sparkDs, mat = "", nRel = n,
+    graft.Views.checkpointed(s, dir, "simivf_c1a",
+      "WITH " + ivfTrainCtes(sparkDs, mat = "", nRel = n,
         unnRel = s"(SELECT vec_id, dim, v FROM $unn) uv", str = "STRING",
-        arr = sparkArr, fold = sparkFold))
+        arr = sparkArr, fold = sparkFold) +
+        " SELECT cell, carr, cnrm FROM c1a")
+  }
+
+  /** The stored inverted file (vec_id → cell), shared by the probe
+    * pipeline and the index-health stats key. Scores the corpus against
+    * [[quantizerView]] — same f1/rank tail [[ivfAssignSql]] composes
+    * inline for the one-shot (and DuckDB) form. */
+  private def assignView(s: org.apache.spark.sql.SparkSession, dir: String): String = {
+    val n = normView(s, dir)
+    val ca = quantizerView(s, dir)
+    graft.Views.checkpointed(s, dir, "simivf_a1", s"""
+      WITH f1 AS (SELECT n.vec_id, c.cell,
+          vec_dot(n.embedding, c.carr) - 0.5 * c.cnrm AS sc
+        FROM $n n CROSS JOIN $ca c)
+      SELECT vec_id, cell FROM (
+        SELECT vec_id, cell, ROW_NUMBER() OVER (PARTITION BY vec_id
+          ORDER BY sc DESC, cell) AS rn FROM f1) t WHERE rn = 1""")
   }
 
   private def ivfView(s: org.apache.spark.sql.SparkSession, dir: String): String = {
@@ -333,13 +371,19 @@ object SimOps extends OpModule {
     * (imbalance = max·cells/total, i.e. max/avg) — cross-engine exact. */
   private def ivfStatsSql(aRel: String): String = s"""
       WITH sz AS (SELECT cell, COUNT(*) AS n FROM $aRel GROUP BY cell)
+      ${ivfStatsFromCounts("sz")}"""
+
+  /** The stats fold over an already-aggregated (cell, n) relation —
+    * shared by the batch key (counts derived from the inverted file) and
+    * stream_ivf_maintain (counts maintained incrementally as state). */
+  private def ivfStatsFromCounts(rel: String): String = s"""
       SELECT CAST(SUM(n) AS BIGINT) AS n_vectors,
         CAST(COUNT(*) AS BIGINT) AS n_cells,
         CAST(MIN(n) AS BIGINT) AS min_cell,
         CAST(MAX(n) AS BIGINT) AS max_cell,
         CAST(MAX(n) AS DOUBLE) * CAST(COUNT(*) AS DOUBLE)
           / CAST(SUM(n) AS DOUBLE) AS imbalance
-      FROM sz"""
+      FROM $rel"""
 
   /** Test hook (SimSearchSpec): the same Spark IVF pipeline with a custom
     * sample multiplier, so specs can force the training sample STRICTLY
@@ -439,6 +483,111 @@ object SimOps extends OpModule {
     Op("sim_ivf_stats",
       (s, dir) => s.sql(ivfStatsSql(assignView(s, dir))),
       Some(ivfStatsOracle)),
+
+    // STREAMING ANN-INDEX MAINTENANCE — the sim family's maintain twin
+    // (minhash/cc/scd2/topk/quality/substring all have one; the vector
+    // index is the last stored artifact that didn't): the inverted file's
+    // occupancy kept current as embedding slices arrive. Production
+    // vector stores train the coarse quantizer OFFLINE on a snapshot
+    // sample and assign arrivals incrementally — nobody retrains per
+    // drop — so the stored [[quantizerView]] is the fixed model and the
+    // STATE is the per-cell occupancy counts: k ≈ √N rows, nothing
+    // corpus-sized. Per batch: batch × k vec_dot scores against the
+    // broadcast-sized quantizer (the index never shuffles), one k-row
+    // count merge. Assignment depends only on (vector, quantizer), so
+    // the fold is ORDER-FREE: any slicing lands exactly on the batch
+    // pipeline's occupancy — the emitted report equals sim_ivf_stats bit
+    // for bit and the oracle IS that key's oracle; SimSearchSpec asserts
+    // the fold-vs-batch equality on a different slicing.
+    Op("stream_ivf_maintain",
+      (s, dir) => {
+        GraftFunctions.register(s)
+        val stage = graft.Staging.dir(s"ivfm-src-${dir.hashCode.toHexString}")
+        if (!new java.io.File(s"$stage/_SUCCESS").exists())
+          Tables(s, dir, "embeddings").select("vec_id", "embedding")
+            .repartitionByRange(3, col("vec_id"))
+            .write.mode("overwrite").parquet(stage)
+        val ca = quantizerView(s, dir)
+        var counts = s.createDataFrame(
+          new java.util.ArrayList[org.apache.spark.sql.Row](),
+          org.apache.spark.sql.types.StructType.fromDDL(
+            "cell BIGINT, n BIGINT"))
+        val q = s.readStream
+          .schema(org.apache.spark.sql.types.StructType.fromDDL(
+            "vec_id BIGINT, embedding ARRAY<FLOAT>"))
+          .option("maxFilesPerTrigger", 1).parquet(stage)
+          .writeStream
+          .option("checkpointLocation", graft.Staging.fresh("ivfm-chk"))
+          .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+            SimOps.ivfMaintainBatches.incrementAndGet()
+            val bs = batch.sparkSession
+            GraftFunctions.register(bs)
+            batch.createOrReplaceTempView("ivfm_batch")
+            val bc = bs.sql(s"""
+              WITH f AS (SELECT b.vec_id, c.cell,
+                  vec_dot(b.embedding, c.carr) - 0.5 * c.cnrm AS sc
+                FROM ivfm_batch b CROSS JOIN $ca c),
+              a AS (SELECT vec_id, cell FROM (
+                SELECT vec_id, cell, ROW_NUMBER() OVER (PARTITION BY vec_id
+                  ORDER BY sc DESC, cell) AS rn FROM f) t WHERE rn = 1)
+              SELECT cell, COUNT(*) AS n FROM a GROUP BY cell""")
+            counts = graft.util.cut(counts.unionAll(bc)
+              .groupBy("cell").agg(sum("n").as("n")))
+            ()
+          }
+          .start()
+        q.processAllAvailable()
+        q.stop()
+        counts.createOrReplaceTempView("ivfm_counts")
+        s.sql(ivfStatsFromCounts("ivfm_counts"))
+      },
+      Some(ivfStatsOracle)),
+
+    // SCALAR QUANTIZATION (SQ8) — the memory lever every production
+    // vector store pulls before sharding helps: per-dimension min/max
+    // over the corpus (a D-row broadcast artifact), each component coded
+    // to ⌊(v−mn)·255/(mx−mn)⌋ ∈ [0,255] — 4× smaller than float32, the
+    // difference between an in-RAM and a spilling ANN index at 100 TB.
+    // Coding is one codegen'd pass over the per-dim stream joined to the
+    // broadcast min/max; constant dims code to 0. The graded output is
+    // per-vector integer signatures (Σcode and the order-weighted
+    // Σcode·(dim+1)) rather than the code arrays themselves — array cells
+    // don't sort under the driver's grader (§5 house rule), and the
+    // weighted signature pins every code AND its position exactly. The
+    // quantization arithmetic is identical literal-for-literal in both
+    // engines (float→double widening is exact, one multiply/divide chain,
+    // floor) so the codes are bit-reproducible cross-engine.
+    Op("embed_quantize",
+      (s, dir) => {
+        val unn = unnView(s, dir)
+        s.sql(s"""
+          WITH mm AS (SELECT dim, CAST(MIN(v) AS DOUBLE) AS mn,
+              CAST(MAX(v) AS DOUBLE) AS mx
+            FROM $unn GROUP BY dim),
+          codes AS (SELECT u.vec_id, u.dim,
+              CASE WHEN m.mx = m.mn THEN CAST(0 AS BIGINT)
+                ELSE CAST(floor((CAST(u.v AS DOUBLE) - m.mn) * 255.0
+                  / (m.mx - m.mn)) AS BIGINT) END AS code
+            FROM $unn u JOIN mm m ON m.dim = u.dim)
+          SELECT vec_id, COUNT(*) AS n_dims,
+            SUM(code) AS code_sum,
+            SUM(code * (dim + 1)) AS code_sig
+          FROM codes GROUP BY vec_id ORDER BY vec_id""")
+      },
+      Some("""
+        WITH unn AS (SELECT vec_id, i - 1 AS dim,
+            CAST(embedding[i] AS DOUBLE) AS v
+          FROM embeddings, unnest(generate_series(1, len(embedding))) AS g(i)),
+        mm AS (SELECT dim, MIN(v) AS mn, MAX(v) AS mx FROM unn GROUP BY dim),
+        codes AS (SELECT u.vec_id, u.dim,
+            CASE WHEN m.mx = m.mn THEN CAST(0 AS BIGINT)
+              ELSE CAST(floor((u.v - m.mn) * 255.0 / (m.mx - m.mn))
+                AS BIGINT) END AS code
+          FROM unn u JOIN mm m ON m.dim = u.dim)
+        SELECT vec_id, COUNT(*) AS n_dims,
+          CAST(SUM(code) AS BIGINT) AS code_sum,
+          CAST(SUM(code * (dim + 1)) AS BIGINT) AS code_sig
+        FROM codes GROUP BY vec_id ORDER BY vec_id""")),
 
     Op("sim_recall",
       (s, dir) => {

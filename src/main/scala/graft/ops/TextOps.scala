@@ -113,6 +113,53 @@ object TextOps extends OpModule {
       WHERE length(c) >= 2),${Seq(1, 2, 3).map(round).mkString(",")}"""
   }
 
+  /** text_rare_ngrams dictionary size: top-256 trigrams by corpus count.
+    * 256 covers ~96% of this fixture's trigram mass (measured at sf0.01:
+    * 377 distinct trigrams), leaving real per-doc variance; on an open
+    * corpus it is the classic small-coverage-dictionary shape. */
+  private val RareDictSize = 256
+
+  /** text_rare_ngrams, one text for both dialects: `lat` is the engine's
+    * index-series explode clause, `div` its integer division. Docs under
+    * 3 chars have no trigrams and are excluded BEFORE the explode (Spark's
+    * sequence(1, 0) counts DOWN — a post-explode filter would still be
+    * correct but only by luck of the WHERE placement; filtering the
+    * source relation makes both engines generate nothing). */
+  private def rareNgramSql(lat: String, div: String): String = s"""
+    WITH src AS (SELECT doc_id, lower(text) AS txt FROM documents
+      WHERE length(text) >= 3),
+    tri AS (SELECT doc_id, substring(txt, i, 3) AS t FROM src $lat),
+    cnt AS (SELECT t, COUNT(*) AS c FROM tri GROUP BY t),
+    rare AS (SELECT t FROM (SELECT t,
+        ROW_NUMBER() OVER (ORDER BY c DESC, t) AS rk FROM cnt) z
+      WHERE rk > $RareDictSize),
+    dr AS (SELECT doc_id, COUNT(*) AS n_rare FROM tri
+      JOIN rare ON rare.t = tri.t GROUP BY doc_id),
+    base AS (SELECT doc_id, length(txt) - 2 AS n_tris FROM src)
+    SELECT b.doc_id, CAST(b.n_tris AS BIGINT) AS n_tris,
+      CAST(COALESCE(d.n_rare, 0) AS BIGINT) AS n_rare,
+      CAST(COALESCE(d.n_rare, 0) * 1000000 $div b.n_tris AS BIGINT)
+        AS rare_ppm
+    FROM base b LEFT JOIN dr d ON d.doc_id = b.doc_id
+    ORDER BY b.doc_id"""
+
+  /** text_diversity, one text for both dialects. The collision mass
+    * rep2 = Σ c(c−1) is exact in BIGINT at any plausible per-source token
+    * frequency (c ≈ 10⁹ before c² nears the 2⁶³ edge — and a source where
+    * one token is a billion-fold repeated is a dedup problem first); the
+    * closing index division is the one per-row IEEE op. */
+  private def diversitySql(toks: String, unnest: String): String = s"""
+    WITH tok AS (SELECT source, $unnest($toks) AS tok FROM documents),
+    tc AS (SELECT source, tok, COUNT(*) AS c FROM tok GROUP BY source, tok),
+    agg AS (SELECT source, SUM(c) AS n, COUNT(*) AS n_distinct,
+      SUM(c * (c - 1)) AS rep2 FROM tc GROUP BY source)
+    SELECT source, CAST(n AS BIGINT) AS n_tokens,
+      CAST(n_distinct AS BIGINT) AS n_distinct_toks,
+      CAST(rep2 AS BIGINT) AS collision_mass,
+      CAST(rep2 AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE))
+        AS simpson
+    FROM agg ORDER BY source"""
+
   def ops: Seq[Op] = Seq(
 
     Op("text_stats",
@@ -143,6 +190,55 @@ object TextOps extends OpModule {
         SELECT a.lang, a.source, n_docs, n_tokens, n_distinct_toks, avg_chars
         FROM agg1 a JOIN agg2 b ON a.lang = b.lang AND a.source = b.source
         ORDER BY a.lang, a.source""")),
+
+    // RARE-N-GRAM rarity score — the integer-exact stand-in for the
+    // LM-perplexity quality filter (CCNet-style pipelines score docs by a
+    // language model and drop the weird tail; the signal a char-n-gram LM
+    // actually contributes is "how much of this doc is made of sequences
+    // the trained model has essentially never seen", and THAT is
+    // expressible in pure counts — no logs, no floats, exactly
+    // oracle-able): the MODEL is the corpus's top-256 char trigrams by
+    // frequency (a frequency dictionary — rank-based, so the same filter
+    // trains meaningfully on ANY corpus; a relative-frequency cutoff was
+    // tried first and is degenerate on closed-vocabulary corpora like
+    // this fixture, where no trigram is globally rare); a doc's score is
+    // its mass of OUT-OF-DICTIONARY trigrams in ppm of its own trigrams.
+    // Ranking ties break on the trigram itself — deterministic
+    // cross-engine. Scale shape: the trigram count aggregate is
+    // VOCAB-BOUNDED (≤ charset³ rows — map-side combine does the heavy
+    // lifting, output is broadcast-sized; the rank window runs on THAT,
+    // never on the corpus), the dictionary's complement is a broadcast
+    // anti-join against the trigram stream, and the only per-doc shuffle
+    // carries out-of-dictionary occurrences — a sliver of the corpus by
+    // construction. No corpus-sized state anywhere.
+    Op("text_rare_ngrams",
+      (s, dir) => {
+        Tables(s, dir, "documents").createOrReplaceTempView("documents")
+        s.sql(rareNgramSql(
+          lat = "LATERAL VIEW explode(sequence(1, length(txt) - 2)) x AS i",
+          div = "div"))
+      },
+      Some(rareNgramSql(
+        lat = ", unnest(generate_series(1, length(txt) - 2)) AS g(i)",
+        div = "//"))),
+
+    // CORPUS DIVERSITY — Simpson's index per source: the probability two
+    // token draws collide, Σ nᵢ(nᵢ−1) / N(N−1). The corpus-health metric
+    // a data-mixing pipeline reads next to text_stats' counts (a source
+    // whose collision mass spikes is template/boilerplate-heavy even when
+    // its doc counts look fine) — and unlike Shannon entropy it is
+    // LOG-FREE: both Σ-terms are exact integer aggregates, emitted as
+    // audit columns, with ONE fixed-order IEEE division per row for the
+    // index itself (the sim_ivf_stats `imbalance` discipline). Scale
+    // shape: per-(source, token) counts are vocab-bounded with map-side
+    // combine; everything after is source-cardinality-sized.
+    Op("text_diversity",
+      (s, dir) => {
+        Tables(s, dir, "documents").createOrReplaceTempView("documents")
+        s.sql(diversitySql(sparkToks("text"), unnest = "explode"))
+      },
+      Some(diversitySql(duckToks("text"), unnest = "unnest")),
+    ),
 
     Op("text_langid",
       (s, dir) => {

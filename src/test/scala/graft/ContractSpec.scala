@@ -133,6 +133,39 @@ class ContractSpec extends AnyFunSuite {
     assert(got.toSeq == want.toSeq)
   }
 
+  test("source_text record format survives hostile payloads") {
+    // The encode path behind source_text that its identity oracle can't
+    // stress (the fixture corpus is single-line ASCII): tabs, newlines,
+    // CRLF, backslashes, empty strings, and non-ASCII must all survive
+    // the line-record trip — that's the point of base64-framing the
+    // payload instead of trusting the corpus to be line-safe.
+    val spark = TestSpark.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val hostile = Seq(
+      (1L, "plain text"),
+      (2L, "tab\there and\nnewline\r\nCRLF, backslash \\ quote \""),
+      (3L, ""),
+      (4L, "trailing spaces   "),
+      (5L, "unicode: café 中文"),
+      // long enough to force base64 MIME chunking (>76 encoded chars) —
+      // the write side must strip the chunk breaks or the record spans
+      // multiple lines
+      (6L, "x" * 500))
+    val out = graft.Staging.fresh("src-text-spec")
+    hostile.toDF("doc_id", "text")
+      .select(concat_ws("\t", col("doc_id"),
+        regexp_replace(base64(col("text").cast("binary")), "[\\r\\n]", ""))
+        .as("value"))
+      .write.mode("overwrite").text(out)
+    val rec = split(col("value"), "\t", 2)
+    val back = spark.read.text(out)
+      .select(rec.getItem(0).cast("long").as("doc_id"),
+        unbase64(rec.getItem(1)).cast("string").as("text"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(back == hostile.toMap)
+  }
+
   test("AvroIO: null cells round-trip (nullable union schema)") {
     // pre-r13 the bare-primitive Avro schema NPE'd mid-write on the first
     // null cell, leaving a truncated container file

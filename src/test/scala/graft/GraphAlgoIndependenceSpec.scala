@@ -277,6 +277,72 @@ class GraphAlgoIndependenceSpec extends AnyFunSuite {
     assert(want.nonEmpty)
   }
 
+  test("graph_coreness: in-memory 4-round h-index recomputation matches exactly") {
+    // semantics under test (corenessCtes): distinct undirected pairs, no
+    // self-loops; h₀ = degree; hᵣ(v) = h-index of neighbors' h_{r-1}
+    // (max h with ≥ h neighbors scoring ≥ h); vertices with no edges = 0.
+    val und = rawEdges.filter(e => e._1 != e._2)
+      .map { case (s, d, _) => (math.min(s, d), math.max(s, d)) }.distinct
+    val adj = new mutable.HashMap[Long, mutable.ArrayBuffer[Long]]
+    und.foreach { case (a, b) =>
+      adj.getOrElseUpdate(a, new mutable.ArrayBuffer) += b
+      adj.getOrElseUpdate(b, new mutable.ArrayBuffer) += a }
+    var h: Map[Long, Long] = adj.map { case (v, ns) => v -> ns.size.toLong }.toMap
+    for (_ <- 1 to 4)
+      h = adj.map { case (v, ns) =>
+        val vals = ns.map(h).sortBy(-_)
+        v -> vals.zipWithIndex.map { case (hv, i) => math.min(i + 1L, hv) }.max
+      }.toMap
+    val want = vertexIds.map(v => v -> h.getOrElse(v, 0L).toInt).toMap
+    val got = SparkEntry.queries("graph_coreness")(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got == want)
+    // genuine decomposition: a spread of core values, not a saturated cap
+    assert(want.values.toSet.size > 3)
+  }
+
+  test("graph_reciprocity: in-memory pair recomputation matches exactly") {
+    val pairs = rawEdges.filter(e => e._1 != e._2)
+      .map { case (s, d, _) => (s, d) }.distinct
+    val set = pairs.toSet
+    val nRecip = pairs.count { case (s, d) => set((d, s)) }
+    val r = SparkEntry.queries("graph_reciprocity")(spark, sf).collect()(0)
+    assert(r.getLong(0) == pairs.size.toLong)
+    assert(r.getLong(1) == nRecip.toLong)
+    assert(r.getDouble(2) == nRecip.toDouble / pairs.size.toDouble)
+  }
+
+  test("graph_closeness: bounded out-BFS recomputation matches exactly") {
+    // same multi-source BFS as the harmonic test, different fold: the
+    // integer-ppm closeness (n_reach·10⁶ div Σd) plus its audit columns.
+    val out = new mutable.HashMap[Long, mutable.ArrayBuffer[Long]]
+    rawEdges.foreach { case (s, d, _) =>
+      out.getOrElseUpdate(s, new mutable.ArrayBuffer) += d }
+    val roots = g.vertices.where(col("label") === "customer")
+      .select("id").collect().map(_.getLong(0))
+    val want = roots.flatMap { r =>
+      val dist = mutable.HashMap[Long, Int](r -> 0)
+      var frontier = Seq(r)
+      for (d <- 1 to 3) {
+        frontier = frontier.flatMap(v => out.getOrElse(v, Nil))
+          .distinct.filterNot(dist.contains)
+        frontier.foreach(v => dist(v) = d)
+      }
+      val reached = dist.toSeq.filter(_._2 > 0)
+      if (reached.isEmpty) None
+      else {
+        val sumD = reached.map(_._2.toLong).sum
+        Some(r -> ((reached.size.toLong * 1000000L / sumD, sumD,
+          reached.size.toLong)))
+      }
+    }.toMap
+    val got = SparkEntry.queries("graph_closeness")(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got == want, s"got=${got.size} want=${want.size}")
+    assert(want.nonEmpty)
+  }
+
   test("graph_pregel (maxFlood): per-component max recomputation matches exactly") {
     // components via the same union-find as the cc test (independently
     // recomputed here), then max(coalesce(val, 0)) per component — max is

@@ -20,6 +20,81 @@ class LlmIndependenceSpec extends AnyFunSuite {
     java.lang.Long.parseLong(hex, 16) % P
   }
 
+  test("text_rare_ngrams: in-memory dictionary recomputation matches exactly") {
+    // independent replay of the whole pipeline: trigram counts over
+    // lower(text), top-256 dictionary with (count DESC, trigram) tie
+    // order, per-doc out-of-dictionary mass in integer ppm.
+    val docs = Tables(spark, sf, "documents").select("doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1))
+    def tris(t: String): Seq[String] = {
+      val s = t.toLowerCase
+      (0 to s.length - 3).map(i => s.substring(i, i + 3))
+    }
+    val eligible = docs.filter(_._2.length >= 3)
+    val cnt = new mutable.HashMap[String, Long]
+    eligible.foreach { case (_, t) =>
+      tris(t).foreach(g => cnt(g) = cnt.getOrElse(g, 0L) + 1) }
+    val dict = cnt.toSeq.sortBy { case (t, c) => (-c, t) }
+      .take(256).map(_._1).toSet
+    assert(cnt.size > 256, "fixture must have an out-of-dictionary tail")
+    val want = eligible.map { case (id, t) =>
+      val ts = tris(t)
+      val rare = ts.count(g => !dict(g)).toLong
+      id -> ((ts.size.toLong, rare, rare * 1000000L / ts.size))
+    }.toMap
+    val got = SparkEntry.queries("text_rare_ngrams")(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got == want)
+    assert(want.exists(_._2._2 > 0), "scores must not be degenerate-zero")
+  }
+
+  test("text_diversity: in-memory Simpson recomputation matches exactly") {
+    val docs = Tables(spark, sf, "documents").select("source", "text")
+      .collect().map(r => r.getString(0) -> r.getString(1))
+    val bySource = docs.groupBy(_._1).map { case (src, ds) =>
+      val counts = new mutable.HashMap[String, Long]
+      // limit -1: keep trailing empty tokens, matching SQL split semantics
+      ds.foreach(_._2.split(" ", -1).foreach(t =>
+        counts(t) = counts.getOrElse(t, 0L) + 1))
+      val n = counts.values.sum
+      val rep2 = counts.values.map(c => c * (c - 1)).sum
+      src -> ((n, counts.size.toLong, rep2,
+        rep2.toDouble / (n.toDouble * (n - 1).toDouble)))
+    }
+    val got = SparkEntry.queries("text_diversity")(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(got == bySource)
+    // the index is a probability — sane range, and repeats exist
+    assert(got.values.forall { case (_, _, rep2, s) =>
+      rep2 > 0 && s > 0.0 && s < 1.0 })
+  }
+
+  test("embed_quantize: in-memory SQ8 code recomputation matches exactly") {
+    val vecs = Tables(spark, sf, "embeddings").select("vec_id", "embedding")
+      .collect().map(r => r.getAs[Number](0).longValue() ->
+        r.getSeq[Float](1).toArray)
+    val dims = vecs.head._2.length
+    val mn = Array.tabulate(dims)(d => vecs.map(_._2(d)).min.toDouble)
+    val mx = Array.tabulate(dims)(d => vecs.map(_._2(d)).max.toDouble)
+    val want = vecs.map { case (id, v) =>
+      val codes = Array.tabulate(dims) { d =>
+        if (mx(d) == mn(d)) 0L
+        else math.floor((v(d).toDouble - mn(d)) * 255.0 / (mx(d) - mn(d))).toLong
+      }
+      id -> ((dims.toLong, codes.sum,
+        codes.zipWithIndex.map { case (c, d) => c * (d + 1) }.sum))
+    }.toMap
+    val got = SparkEntry.queries("embed_quantize")(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got == want)
+    // codes span the SQ8 range: some vector holds a 0 and some a 255
+    // (every dim's min codes 0 and its max codes 255 by construction)
+    assert(want.values.map(_._2).max > 0)
+  }
+
   test("sim_topk: brute-force cosine top-5 recomputation matches exactly") {
     val vecs = Tables(spark, sf, "embeddings").select("vec_id", "embedding")
       .collect().map(r => r.getAs[Number](0).longValue() ->

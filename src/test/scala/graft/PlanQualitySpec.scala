@@ -69,6 +69,15 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(readSchema.contains("l_extendedprice"), readSchema)
   }
 
+  test("source_orc pushes the quantity filter into the ORC scan and prunes") {
+    val p = plan("source_orc")
+    assert(p.contains("PushedFilters: ["), p)
+    assert(p.contains("l_quantity"), p)
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("l_partkey"), readSchema)
+    assert(readSchema.contains("l_orderkey"), readSchema)
+  }
+
   test("join_broadcast actually broadcasts the dimension tables") {
     val p = plan("join_broadcast")
     assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"), p)
@@ -351,6 +360,15 @@ class PlanQualitySpec extends AnyFunSuite {
     // the only shuffle-scale join
     assert("BroadcastHashJoin".r.findAllIn(p).size >= 3, p)
     assert(p.contains("o_orderdate"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("olap_nation_volume broadcasts both nation aliases; pair agg combines map-side") {
+    val p = finalPlan("olap_nation_volume")
+    // customer/supplier/nation×2 broadcast; lineitem⋈orders is the only
+    // shuffle-scale join; the nations²-bounded GROUP BY partial-aggregates
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 3, p)
+    assert(p.contains("HashAggregate"), p)
     assert(!p.contains("CartesianProduct"), p)
   }
 

@@ -802,6 +802,48 @@ class PropertyGraphSpec extends AnyFunSuite {
     assert(dd.count() == walks.distinct().count())
   }
 
+  test("traversal DSL: cyclicPath is simplePath's exact complement, fluent ≡ parsed") {
+    val q = "V(label='supplier').both('colocated').both('colocated')"
+    val all = g.traverse(s"$q.count()").head.getLong(0)
+    val simple = g.traverse(s"$q.simplePath().count()").head.getLong(0)
+    val cyclic = g.traverse(s"$q.cyclicPath().count()").head.getLong(0)
+    assert(simple + cyclic == all,
+      "simplePath/cyclicPath must partition the walk set")
+    assert(cyclic > 0)
+    val fluent = g.V(col("label") === "supplier").both("colocated")
+      .both("colocated").cyclicPath().path()
+    val parsed = g.traverse(s"$q.cyclicPath().path()")
+    assert(fluent.collect().map(_.toString).sorted.toSeq ==
+      parsed.collect().map(_.toString).sorted.toSeq)
+    // every kept walk really repeats a vertex
+    assert(fluent.filter(col("v0") =!= col("v1") &&
+      col("v0") =!= col("v2") && col("v1") =!= col("v2")).count() == 0)
+    // a single-element path has no repeats — TinkerPop semantics
+    assert(g.V(col("label") === "supplier").cyclicPath().ids().count() == 0)
+  }
+
+  test("traversal DSL: tree() folds walks into weighted prefix-tree edges") {
+    val q = "V(label='customer').has(val>9000).out('in_nation').out('in_region')"
+    val walks = g.traverse(s"$q.path()")
+    val tree = g.traverse(s"$q.tree()")
+    val n = walks.count()
+    // every level's multiplicities sum to the walk count
+    val perLevel = tree.groupBy("depth").agg(sum("n_walks").as("s"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(perLevel == Map(1 -> n, 2 -> n))
+    // level-1 edges are exactly the distinct (v0, v1) prefixes
+    assert(tree.filter(col("depth") === 1).count() ==
+      walks.select("v0", "v1").distinct().count())
+    // fluent ≡ parsed
+    val fluent = g.V(col("label") === "customer").has(col("val") > 9000)
+      .out("in_nation").out("in_region").tree()
+    assert(fluent.collect().map(_.toString).sorted.toSeq ==
+      tree.collect().map(_.toString).sorted.toSeq)
+    // a start position alone has no tree edges
+    intercept[IllegalArgumentException](
+      g.V(col("label") === "customer").tree())
+  }
+
   test("traversal DSL: sample(n) is a deterministic md5-min subset, fluent ≡ parsed") {
     val fluent = g.V(col("label") === "customer").out("in_nation")
       .sample(7).path().collect().map(_.toSeq).toSet

@@ -30,6 +30,22 @@ class SimSearchSpec extends AnyFunSuite {
     assert(ivf.groupBy("qa").count().filter(col("count") > 3).count() == 0)
   }
 
+  test("stream_ivf_maintain: incremental fold equals the batch occupancy") {
+    // the maintain key's contract: any slicing of the corpus, folded
+    // batch-by-batch against the stored quantizer, lands exactly on the
+    // batch pipeline's occupancy stats — and the run must actually SEE
+    // multiple micro-batches (a single-batch pass would equal the batch
+    // pipeline trivially).
+    val before = graft.ops.SimOps.ivfMaintainBatches.get()
+    val got = SparkEntry.queries("stream_ivf_maintain")(spark, sf)
+      .collect().map(_.toSeq)
+    assert(graft.ops.SimOps.ivfMaintainBatches.get() >= before + 2,
+      "expected the staged source to arrive in multiple micro-batches")
+    val want = SparkEntry.queries("sim_ivf_stats")(spark, sf)
+      .collect().map(_.toSeq)
+    assert(got.toSeq == want.toSeq)
+  }
+
   test("knn_join bucket recall: same-bucket true neighbors are found") {
     val knn = SparkEntry.queries("sim_knn_join")(spark, sf)
     assert(knn.filter(col("va") === col("vb")).count() == 0)
