@@ -467,6 +467,22 @@ final case class Traversal(g: PropertyGraph, df: DataFrame, depth: Int,
       .unionAll(stayed.select(walkCols: _*)), r.depth, None, labels)
   }
 
+  /** Gremlin not(branch): keep the walks whose branch produces NO
+    * continuation — the negative filter (optional()'s coverage test with
+    * the opposite keep rule). One LEFT ANTI join on the walk prefix —
+    * walk-bounded, never vertex×vertex; the walk stays at its current
+    * position and depth. Branch-local labels die with the branch (the
+    * union() rule); drops the bulk frame — coverage is per-walk-prefix,
+    * which per-head counts cannot express. */
+  def not(branch: Traversal => Traversal): Traversal = {
+    val r = branch(this)
+    require(r.depth > depth, "not() branch must extend the walk")
+    val parentCols = (0 to depth).map(i => s"v$i")
+    val covered = r.df.select(parentCols.map(col): _*).distinct()
+    Traversal(g, df.join(covered, parentCols, "left_anti"), depth, None,
+      labels)
+  }
+
   /** The walk matrix: one row per surviving walk, columns v0..vK. */
   def path(): DataFrame = df.select((0 to depth).map(i => col(s"v$i")): _*)
 
@@ -979,6 +995,7 @@ object Traversal {
       case ("coalesce", a) :: tl =>
         t = t.coalesce(splitTop(a).map(branchFn): _*); loop(tl)
       case ("optional", a) :: tl => t = t.optional(branchFn(a)); loop(tl)
+      case ("not", a) :: tl      => t = t.not(branchFn(a)); loop(tl)
       case ("where", WherePred(cmp, l)) :: tl => t = t.where(cmp, l); loop(tl)
       case ("select", a) :: tl =>
         result = Some(t.select(a.split(",").map(label).toIndexedSeq: _*)); loop(tl)

@@ -21,6 +21,9 @@ object DedupOps extends OpModule {
   /** Test observability: micro-batches folded by stream_minhash_maintain. */
   val minhashMaintainBatches = new java.util.concurrent.atomic.AtomicLong(0)
 
+  /** Test observability: micro-batches folded by stream_phash_maintain. */
+  val phashMaintainBatches = new java.util.concurrent.atomic.AtomicLong(0)
+
   /** Test observability: micro-batches folded by stream_substring_maintain. */
   val substrMaintainBatches = new java.util.concurrent.atomic.AtomicLong(0)
 
@@ -272,22 +275,29 @@ object DedupOps extends OpModule {
     * of the document bytes) plus the perturbed re-scan a crawler produces
     * — the planted near-identical-image mass the perceptual gate must
     * catch and exact binary dedup (multimodal_dedup) provably cannot. */
+  /** The image-asset relation (originals + deterministic perturbed twins)
+    * the perceptual keys fingerprint — shared by the batch pipeline
+    * (phashFpView) and stream_phash_maintain's staged source. */
+  private def phashAssetsDf(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    import s.implicits._
+    Tables(s, dir, "documents")
+      .where("doc_id % 3 = 0 AND text IS NOT NULL")
+      .select("doc_id", "text").as[(Long, String)]
+      .flatMap { case (id, text) =>
+        val pay = graft.multimodal.MediaCodec.encode(
+          "image", id, text.getBytes("UTF-8"))
+        Seq((id, pay),
+          (id + graft.functions.PHash.VariantOffset,
+            graft.functions.PHash.perturb(pay)))
+      }.toDF("asset_id", "payload")
+  }
+
   private def phashFpView(s: org.apache.spark.sql.SparkSession,
       dir: String): String =
     graft.Views.materialize(s, dir, "phfp", {
-      graft.functions.GraftFunctions.register(s)
-      import s.implicits._
-      Tables(s, dir, "documents")
-        .where("doc_id % 3 = 0 AND text IS NOT NULL")
-        .select("doc_id", "text").as[(Long, String)]
-        .flatMap { case (id, text) =>
-          val pay = graft.multimodal.MediaCodec.encode(
-            "image", id, text.getBytes("UTF-8"))
-          Seq((id, pay),
-            (id + graft.functions.PHash.VariantOffset,
-              graft.functions.PHash.perturb(pay)))
-        }.toDF("asset_id", "payload")
-        .createOrReplaceTempView("ph_assets")
+      phashAssetsDf(s, dir).createOrReplaceTempView("ph_assets")
       "SELECT asset_id, phash64(payload) AS fp FROM ph_assets"
     })
 
@@ -324,6 +334,34 @@ object DedupOps extends OpModule {
         WHERE a.nb <= $cap
       UNION SELECT a1, asset_id FROM bstat WHERE nb > $cap AND asset_id > a1
       UNION SELECT a2, asset_id FROM bstat WHERE nb > $cap AND asset_id > a2),
+    ph_pairs AS (SELECT c.da, c.db,
+      CAST(${ham("fa.fp", "fb.fp")} AS INTEGER) AS hamming
+      FROM cand c JOIN $fpRel fa ON fa.asset_id = c.da
+      JOIN $fpRel fb ON fb.asset_id = c.db
+      WHERE ${ham("fa.fp", "fb.fp")} <= $PHashHamming)"""
+  }
+
+  /** The UNCAPPED variant of [[phashPairsCtes]] — every band-colliding
+    * pair, no star degradation. This is stream_phash_maintain's contract:
+    * a pair surfaces exactly once (when its later asset arrives), so any
+    * slicing folds to THIS exact set — the batch key's star cap is keyed
+    * on FINAL bucket sizes and would be order-dependent under slicing.
+    * Giant buckets degrade per-batch probe cost instead (loudly — the
+    * audit belongs to the batch report; a deployment caps stored-bucket
+    * fan-out at ingest the way the batch key caps candidate generation). */
+  private[graft] def phashPairsUncappedCtes(spark: Boolean,
+      fpRel: String): String = {
+    val bis = if (spark) "(SELECT explode(sequence(0, 3)) AS bi) bis"
+              else "generate_series(0, 3) bis(bi)"
+    val band = if (spark) "shiftright(fp, CAST(bis.bi * 16 AS INT)) & 65535"
+               else "(fp >> CAST(bis.bi * 16 AS INTEGER)) & 65535"
+    def ham(a: String, b: String) =
+      if (spark) s"bit_count($a ^ $b)" else s"bit_count(xor($a, $b))"
+    s"""bnd AS (SELECT asset_id, bis.bi AS bi, $band AS bv
+      FROM $fpRel, $bis),
+    cand AS (SELECT DISTINCT a.asset_id AS da, b.asset_id AS db
+      FROM bnd a JOIN bnd b ON a.bi = b.bi AND a.bv = b.bv
+        AND a.asset_id < b.asset_id),
     ph_pairs AS (SELECT c.da, c.db,
       CAST(${ham("fa.fp", "fb.fp")} AS INTEGER) AS hamming
       FROM cand c JOIN $fpRel fa ON fa.asset_id = c.da
@@ -827,6 +865,80 @@ object DedupOps extends OpModule {
       },
       Some(s"""WITH $duckPhashFpCtes,
         ${phashPairsCtes(spark = false, "phfp")}
+        SELECT da, db, hamming FROM ph_pairs ORDER BY da, db""")),
+
+    // STREAMING PERCEPTUAL-INDEX MAINTENANCE — the media twin of
+    // stream_minhash_maintain: the verified near-dup image pair set kept
+    // current as asset slices arrive (an intake fingerprints a drop's
+    // images once and probes the stored index; it never re-decodes the
+    // archive). State: the band index (asset_id, bi, bv), the fingerprint
+    // relation, and the verified pairs. Per batch: phash64 for the NEW
+    // payloads only (the only decode work), 4 band rows each, candidates
+    // = new bands broadcast-joined against the full index, known pairs
+    // anti-joined away, survivors Hamming-verified on the stored
+    // fingerprints. Pair discovery is ORDER-FREE against the UNCAPPED
+    // pair set (see phashPairsUncappedCtes — the batch key's star cap is
+    // final-bucket-size-keyed and can't be folded), so the oracle is the
+    // uncapped batch pipeline. Per-batch cost: batch-sized decode +
+    // index probes; no stored payload is ever re-read.
+    Op("stream_phash_maintain",
+      (s, dir) => {
+        graft.functions.GraftFunctions.register(s)
+        val stage = graft.Staging.dir(s"phm-src-${dir.hashCode.toHexString}")
+        if (!new java.io.File(s"$stage/_SUCCESS").exists())
+          phashAssetsDf(s, dir).repartitionByRange(3, col("asset_id"))
+            .write.mode("overwrite").parquet(stage)
+        def empty(ddl: String) = s.createDataFrame(
+          new java.util.ArrayList[org.apache.spark.sql.Row](),
+          org.apache.spark.sql.types.StructType.fromDDL(ddl))
+        var fps = empty("asset_id BIGINT, fp BIGINT")
+        var bands = empty("asset_id BIGINT, bi INT, bv BIGINT")
+        var pairs = empty("da BIGINT, db BIGINT, hamming INT")
+        val q = s.readStream
+          .schema(org.apache.spark.sql.types.StructType.fromDDL(
+            "asset_id BIGINT, payload BINARY"))
+          .option("maxFilesPerTrigger", 1).parquet(stage)
+          .writeStream
+          .option("checkpointLocation", graft.Staging.fresh("phm-chk"))
+          .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+            DedupOps.phashMaintainBatches.incrementAndGet()
+            val bs = batch.sparkSession
+            graft.functions.GraftFunctions.register(bs)
+            batch.createOrReplaceTempView("phm_batch")
+            val nfp = graft.util.cut(bs.sql(
+              "SELECT asset_id, phash64(payload) AS fp FROM phm_batch"))
+            nfp.createOrReplaceTempView("phm_nfp")
+            val nbands = graft.util.cut(bs.sql(
+              """SELECT asset_id, CAST(bis.bi AS INT) AS bi,
+                shiftright(fp, CAST(bis.bi * 16 AS INT)) & 65535 AS bv
+              FROM phm_nfp, (SELECT explode(sequence(0, 3)) AS bi) bis"""))
+            bands = graft.util.cut(bands.unionAll(nbands))
+            fps = graft.util.cut(fps.unionAll(nfp))
+            val cand = broadcast(nbands
+              .select(col("asset_id").as("nid"), col("bi"), col("bv")))
+              .join(bands.select(col("asset_id").as("aid"), col("bi"),
+                col("bv")), Seq("bi", "bv"))
+              .filter(col("nid") =!= col("aid"))
+              .select(least(col("nid"), col("aid")).as("da"),
+                greatest(col("nid"), col("aid")).as("db"))
+              .distinct()
+              .join(pairs.select("da", "db"), Seq("da", "db"), "left_anti")
+            val verified = cand
+              .join(fps.select(col("asset_id").as("da"), col("fp").as("fpa")), "da")
+              .join(fps.select(col("asset_id").as("db"), col("fp").as("fpb")), "db")
+              .select(col("da"), col("db"),
+                expr("CAST(bit_count(fpa ^ fpb) AS INT)").as("hamming"))
+              .filter(col("hamming") <= PHashHamming)
+            pairs = graft.util.cut(pairs.unionAll(verified))
+            ()
+          }
+          .start()
+        q.processAllAvailable()
+        q.stop()
+        pairs.select("da", "db", "hamming").orderBy("da", "db")
+      },
+      Some(s"""WITH $duckPhashFpCtes,
+        ${phashPairsUncappedCtes(spark = false, "phfp")}
         SELECT da, db, hamming FROM ph_pairs ORDER BY da, db""")),
 
     // PERCEPTUAL audio near-dup — the audio modality's analog of

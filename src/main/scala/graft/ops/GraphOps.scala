@@ -1019,6 +1019,22 @@ object GraphOps extends OpModule {
             WHERE label = 'colocated'
           UNION ALL SELECT dst, src FROM edges WHERE label = 'colocated')"""))),
 
+    // not(branch) — Gremlin's negative filter (the walk-level complement
+    // of has(): "customers with NO high-balance colocated supplier").
+    // One walk-bounded LEFT ANTI join on the walk prefix; together with
+    // the positive coverage set it partitions the start set, which the
+    // spec pins. The oracle is the NOT EXISTS form a SQL engine plans to
+    // the same anti-join.
+    Op("graph_traversal_not",
+      (s, dir) => GraphFixture(s, dir).traverse(
+        "V(label='customer').not(out('colocated').has(val>9500)).ids()")
+        .orderBy("id"),
+      Some(withGraph("""SELECT c.id FROM vertices c
+        WHERE c.label = 'customer' AND NOT EXISTS (
+          SELECT 1 FROM edges e JOIN vertices sv ON sv.id = e.dst
+          WHERE e.src = c.id AND e.label = 'colocated' AND sv.val > 9500)
+        ORDER BY c.id"""))),
+
     // tree() terminal — the walk set folded into its prefix tree, rendered
     // as weighted (depth, parent, child) edges (see Traversal.tree for why
     // the edge list IS the distributed form of TinkerPop's nested map).

