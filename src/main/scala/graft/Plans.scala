@@ -39,7 +39,8 @@ object Plans {
     "source_orc", "source_text", "graph_closeness", "graph_coreness",
     "graph_reciprocity", "graph_traversal_cyclic", "graph_traversal_tree",
     "olap_nation_volume", "text_rare_ngrams", "text_diversity",
-    "embed_quantize", "graph_traversal_not", "sim_hard_negatives")
+    "embed_quantize", "graph_traversal_not", "sim_hard_negatives",
+    "graph_traversal_and", "graph_traversal_or")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

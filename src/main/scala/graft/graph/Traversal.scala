@@ -483,6 +483,39 @@ final case class Traversal(g: PropertyGraph, df: DataFrame, depth: Int,
       labels)
   }
 
+  /** Gremlin and(b1, b2, …): keep walks covered by EVERY branch — the
+    * conjunctive mate of [[not]]: one LEFT SEMI join per branch on the
+    * walk prefix (each walk-bounded; Catalyst chains them without
+    * re-materializing the walk). Branch-local labels die with their
+    * branch; drops the bulk frame (per-walk-prefix coverage). */
+  def and(branches: (Traversal => Traversal)*): Traversal = {
+    require(branches.nonEmpty, "and() needs at least one branch")
+    val parentCols = (0 to depth).map(i => s"v$i")
+    val filtered = branches.foldLeft(df) { (d, b) =>
+      val r = b(this)
+      require(r.depth > depth, "and() branch must extend the walk")
+      d.join(r.df.select(parentCols.map(col): _*).distinct(),
+        parentCols, "left_semi")
+    }
+    Traversal(g, filtered, depth, None, labels)
+  }
+
+  /** Gremlin or(b1, b2, …): keep walks covered by AT LEAST ONE branch —
+    * the union of the branches' coverage sets, then ONE LEFT SEMI join
+    * (unioning coverages first keeps it a single probe instead of a
+    * disjunction of joins). */
+  def or(branches: (Traversal => Traversal)*): Traversal = {
+    require(branches.nonEmpty, "or() needs at least one branch")
+    val parentCols = (0 to depth).map(i => s"v$i")
+    val covered = branches.map { b =>
+      val r = b(this)
+      require(r.depth > depth, "or() branch must extend the walk")
+      r.df.select(parentCols.map(col): _*)
+    }.reduce(_ unionAll _).distinct()
+    Traversal(g, df.join(covered, parentCols, "left_semi"), depth, None,
+      labels)
+  }
+
   /** The walk matrix: one row per surviving walk, columns v0..vK. */
   def path(): DataFrame = df.select((0 to depth).map(i => col(s"v$i")): _*)
 
@@ -996,6 +1029,10 @@ object Traversal {
         t = t.coalesce(splitTop(a).map(branchFn): _*); loop(tl)
       case ("optional", a) :: tl => t = t.optional(branchFn(a)); loop(tl)
       case ("not", a) :: tl      => t = t.not(branchFn(a)); loop(tl)
+      case ("and", a) :: tl =>
+        t = t.and(splitTop(a).map(branchFn): _*); loop(tl)
+      case ("or", a) :: tl =>
+        t = t.or(splitTop(a).map(branchFn): _*); loop(tl)
       case ("where", WherePred(cmp, l)) :: tl => t = t.where(cmp, l); loop(tl)
       case ("select", a) :: tl =>
         result = Some(t.select(a.split(",").map(label).toIndexedSeq: _*)); loop(tl)

@@ -1035,6 +1035,37 @@ object GraphOps extends OpModule {
           WHERE e.src = c.id AND e.label = 'colocated' AND sv.val > 9500)
         ORDER BY c.id"""))),
 
+    // and(b1, b2) / or(b1, b2) — the other two legs of TinkerPop's
+    // logical-filter triple (not() above): conjunction = one walk-bounded
+    // LEFT SEMI join per branch, disjunction = union-of-coverages then
+    // ONE semi-join. Oracles are the equivalent EXISTS forms; the spec
+    // pins the inclusion-exclusion identity |and| + |or| = |A| + |B|.
+    Op("graph_traversal_and",
+      (s, dir) => GraphFixture(s, dir).traverse(
+        "V(label='customer').and(out('colocated').has(val>3000), in('by').has(val>400000)).ids()")
+        .orderBy("id"),
+      Some(withGraph("""SELECT c.id FROM vertices c
+        WHERE c.label = 'customer' AND EXISTS (
+          SELECT 1 FROM edges e JOIN vertices sv ON sv.id = e.dst
+          WHERE e.src = c.id AND e.label = 'colocated' AND sv.val > 3000)
+        AND EXISTS (
+          SELECT 1 FROM edges o JOIN vertices ov ON ov.id = o.src
+          WHERE o.dst = c.id AND o.label = 'by' AND ov.val > 400000)
+        ORDER BY c.id"""))),
+
+    Op("graph_traversal_or",
+      (s, dir) => GraphFixture(s, dir).traverse(
+        "V(label='customer').or(out('colocated').has(val>3000), in('by').has(val>400000)).ids()")
+        .orderBy("id"),
+      Some(withGraph("""SELECT c.id FROM vertices c
+        WHERE c.label = 'customer' AND (EXISTS (
+          SELECT 1 FROM edges e JOIN vertices sv ON sv.id = e.dst
+          WHERE e.src = c.id AND e.label = 'colocated' AND sv.val > 3000)
+        OR EXISTS (
+          SELECT 1 FROM edges o JOIN vertices ov ON ov.id = o.src
+          WHERE o.dst = c.id AND o.label = 'by' AND ov.val > 400000))
+        ORDER BY c.id"""))),
+
     // tree() terminal — the walk set folded into its prefix tree, rendered
     // as weighted (depth, parent, child) edges (see Traversal.tree for why
     // the edge list IS the distributed form of TinkerPop's nested map).

@@ -840,6 +840,27 @@ class PropertyGraphSpec extends AnyFunSuite {
       notC.collect().map(_.getLong(0)).sorted.toSeq)
   }
 
+  test("traversal DSL: and()/or() satisfy inclusion-exclusion, fluent ≡ parsed") {
+    val bA = "out('colocated').has(val>3000)"
+    val bB = "in('by').has(val>400000)"
+    def n(q: String) = g.traverse(s"V(label='customer').$q.ids()").count()
+    val (both, either) = (n(s"and($bA, $bB)"), n(s"or($bA, $bB)"))
+    val (onlyA, onlyB) = (n(s"and($bA)"), n(s"and($bB)"))
+    assert(both + either == onlyA + onlyB,
+      "|A∧B| + |A∨B| must equal |A| + |B|")
+    // non-vacuous on every side at sf0.001
+    assert(both > 0 && both < onlyA && onlyA < either)
+    // single-branch and() ≡ the complement of the same branch's not()
+    val total = g.traverse("V(label='customer').ids()").count()
+    assert(onlyA + n(s"not($bA)") == total)
+    val fluent = g.V(col("label") === "customer")
+      .or(_.out("colocated").has(col("val") > 3000),
+        _.in("by").has(col("val") > 400000)).ids()
+    val parsed = g.traverse(s"V(label='customer').or($bA, $bB).ids()")
+    assert(fluent.collect().map(_.getLong(0)).sorted.toSeq ==
+      parsed.collect().map(_.getLong(0)).sorted.toSeq)
+  }
+
   test("traversal DSL: tree() folds walks into weighted prefix-tree edges") {
     val q = "V(label='customer').has(val>9000).out('in_nation').out('in_region')"
     val walks = g.traverse(s"$q.path()")
