@@ -19,6 +19,7 @@ object SparkEntry {
     ops.PipelineOps,
     ops.ExtraOps,
     ops.QualityOps,
+    ops.OlapOps,
     streaming.StreamOps)
 
   lazy val allOps: Seq[Op] = {

@@ -53,13 +53,22 @@ final case class Traversal(g: PropertyGraph, df: DataFrame, depth: Int,
   private def step(elabel: Option[String], epred: Option[Column],
       from: String, to: String): Traversal = {
     val es = edgeSet(elabel, epred)
-    val e = es.select(col(from).as(head), col(to).as(next))
+    // Sack-armed chains (withSack) ride the just-traversed edge's weight
+    // along as _lastw so a following sack(sum).by('weight') can fold it in;
+    // an unconsumed _lastw from the previous step is dropped (TinkerPop:
+    // an un-sacked step contributes nothing).
+    val sacked = df.columns.contains("sack")
+    val e =
+      if (sacked) es.select(col(from).as(head), col(to).as(next),
+        org.apache.spark.sql.functions.coalesce(col("weight"), lit(0.0))
+          .as("_lastw"))
+      else es.select(col(from).as(head), col(to).as(next))
     val b = bulk.map { bf =>
       val eb = es.select(col(from).as("h"), col(to).as("h2"))
       bf.join(eb, "h").groupBy("h2").agg(sum("cnt").as("cnt"))
         .withColumnRenamed("h2", "h")
     }
-    Traversal(g, df.join(e, head), depth + 1, b, labels)
+    Traversal(g, df.drop("_lastw").join(e, head), depth + 1, b, labels)
   }
 
   /** Follow out-edges labeled `elabel` (Gremlin out(label)). */
@@ -98,15 +107,20 @@ final case class Traversal(g: PropertyGraph, df: DataFrame, depth: Int,
 
   private def bothImpl(elabel: Option[String], epred: Option[Column]): Traversal = {
     val e = edgeSet(elabel, epred)
-    val u = e.select(col("src").as(head), col("dst").as(next))
-      .unionAll(e.select(col("dst").as(head), col("src").as(next)))
+    val sacked = df.columns.contains("sack")
+    def half(f: String, t: String) =
+      if (sacked) e.select(col(f).as(head), col(t).as(next),
+        org.apache.spark.sql.functions.coalesce(col("weight"), lit(0.0))
+          .as("_lastw"))
+      else e.select(col(f).as(head), col(t).as(next))
+    val u = half("src", "dst").unionAll(half("dst", "src"))
     val b = bulk.map { bf =>
       val ub = e.select(col("src").as("h"), col("dst").as("h2"))
         .unionAll(e.select(col("dst").as("h"), col("src").as("h2")))
       bf.join(ub, "h").groupBy("h2").agg(sum("cnt").as("cnt"))
         .withColumnRenamed("h2", "h")
     }
-    Traversal(g, df.join(u, head), depth + 1, b, labels)
+    Traversal(g, df.drop("_lastw").join(u, head), depth + 1, b, labels)
   }
 
   /** Filter the traversal head by a predicate over the head vertex's
@@ -199,6 +213,48 @@ final case class Traversal(g: PropertyGraph, df: DataFrame, depth: Int,
       case other => throw new IllegalArgumentException(s"where: unknown P.$other")
     }
     Traversal(g, df.filter(p), depth, None, labels)
+  }
+
+  /** Gremlin g.withSack(init).V()…: arm the per-traverser accumulator.
+    * The sack rides the walk matrix as ONE extra column — each subsequent
+    * adjacency step exposes its edge's weight as _lastw, and
+    * sack(sum).by('weight') folds it in ([[sackBy]]). Drops the bulk
+    * frame (simplePath's rule): per-head counts cannot carry per-walk
+    * sacks — the walk matrix is the accumulator's state. */
+  def withSack(init: Double): Traversal =
+    Traversal(g, df.withColumn("sack", lit(init)), depth, None, labels)
+
+  /** Gremlin sack(sum).by('weight') directly after an adjacency step: fold
+    * the JUST-TRAVERSED edge's weight into the sack. TinkerPop phrases the
+    * edge-attribute read as outE().sack(sum).by('weight').inV(); the walk
+    * matrix stores vertex positions only, so the collapsed vertex-step
+    * form is the native rendering here — the step itself staged the weight
+    * (NULL weights count 0, the house rule for unweighted labels). One
+    * codegen'd column add: no join, no extra state. */
+  def sackBy(attr: String): Traversal = {
+    require(attr == "weight",
+      s"edges carry one numeric property ('weight'), got: '$attr'")
+    require(df.columns.contains("sack"),
+      "sack(sum) needs a withSack(init) earlier in the chain")
+    require(df.columns.contains("_lastw"),
+      "sack(sum).by('weight') must directly follow an adjacency step")
+    copy(df = df.withColumn("sack", col("sack") + col("_lastw"))
+      .drop("_lastw"))
+  }
+
+  /** Terminal sack(): the accumulated values, rendered deterministically as
+    * the per-head fold (head id, walk count, total of per-walk sacks). The
+    * raw multiset of doubles has no stable row order; the fold is what a
+    * pipeline consumes anyway, and its total is decimal-exact over the
+    * per-walk sacks (each of which is a fixed-order IEEE sum both engines
+    * replay identically). */
+  def sackFold(): DataFrame = {
+    require(df.columns.contains("sack"), "sack() needs withSack(init)")
+    df.groupBy(col(head).as("id"))
+      .agg(org.apache.spark.sql.functions.count(lit(1)).as("n_walks"),
+        sum(col("sack").cast("decimal(38,10)")).cast("double")
+          .as("total_sack"))
+      .orderBy("id")
   }
 
   /** Gremlin select('a', 'b', ...): project the labeled walk positions,
@@ -639,6 +695,34 @@ final case class Traversal(g: PropertyGraph, df: DataFrame, depth: Int,
       .limit(n)
       .select(col(attr))
   }
+
+  /** Gremlin order().by('attr'[, desc]).range(lo, hi): pagination — the
+    * walks at ordered positions [lo, hi), emitted as the attribute. Same
+    * deterministic walk-prefix tiebreak as [[orderBy]]; plans as an
+    * ordered limit-with-offset (hi-bounded heap per partition + a driver
+    * merge that skips lo rows) — page N of a walk stream never pays a
+    * global materialized sort. */
+  def orderRange(attr: String, lo: Int, hi: Int,
+      desc: Boolean = false): DataFrame = {
+    require(lo >= 0 && hi > lo, s"range wants 0 <= lo < hi, got ($lo, $hi)")
+    val key = if (desc) col(attr).desc else col(attr).asc
+    val tieBreak = (0 to depth).map(i => col(s"v$i").asc)
+    df.join(g.vertices.withColumnRenamed("id", head), head)
+      .orderBy(key +: tieBreak: _*)
+      .offset(lo).limit(hi - lo)
+      .select(col(attr))
+  }
+
+  /** Gremlin valueMap(true) terminal — one row per surviving walk, the
+    * head vertex's full property map flattened to columns (id + the four
+    * fixture properties; TinkerPop's nested map is schema-free because
+    * vertices are, this fixture's vertices share one schema). Sorted by
+    * ALL columns: duplicate heads are duplicate rows, so no subset of
+    * columns is a total order. */
+  def valueMap(): DataFrame =
+    graft.util.sortAll(df.select(col(head).as("id"))
+      .join(g.vertices, "id")
+      .select("id", "label", "name", "vis", "val"))
 }
 
 object Traversal {
@@ -873,9 +957,12 @@ object Traversal {
     * traversal-extending steps), optionally terminated by `path()`
     * (default), `path().by('attr')`, `ids()`, `values('attr')`,
     * `count()`, `select('a','b')`, `project('k',…).by('attr')…`,
-    * `groupCount().by('attr')`, `group().by('k').by('v')` or
-    * `order().by('attr'[, asc|desc]).limit(n)` — into the traversal's
-    * DataFrame. */
+    * `groupCount().by('attr')`, `group().by('k').by('v')`,
+    * `order().by('attr'[, asc|desc]).limit(n)`,
+    * `order().by('attr'[, asc|desc]).range(lo, hi)`, `valueMap()` or
+    * `sack()` (with `withSack(n)` arming the accumulator and
+    * `sack(sum).by('weight')` folding the just-traversed edge's weight) —
+    * into the traversal's DataFrame. */
   def parse(g: PropertyGraph, query0: String): DataFrame = {
     val query = expandRepeats(query0)
     val steps = StepPat.findAllMatchIn(query)
@@ -1057,6 +1144,27 @@ object Traversal {
             s"order().by wants ('attr'[, asc|desc]), got: $a")
         }
         result = Some(t.orderBy(attr, n.toInt, desc)); loop(tl)
+      // order().by(...).range(lo, hi) — the pagination terminal.
+      case ("order", "") :: ("by", a) :: ("range", r) :: tl
+          if r.matches("\\d+\\s*,\\s*\\d+") =>
+        val (attr, desc) = splitTop(a) match {
+          case x :: Nil => (label(x), false)
+          case x :: d :: Nil if d == "desc" => (label(x), true)
+          case x :: d :: Nil if d == "asc" => (label(x), false)
+          case _ => throw new IllegalArgumentException(
+            s"order().by wants ('attr'[, asc|desc]), got: $a")
+        }
+        val bounds = r.split(",").map(_.trim.toInt)
+        result = Some(t.orderRange(attr, bounds(0), bounds(1), desc))
+        loop(tl)
+      // withSack(n) arms the accumulator; sack(sum).by('weight') folds the
+      // just-traversed edge's weight; bare sack() is the fold terminal.
+      case ("withSack", n) :: tl if n.matches("-?\\d+(\\.\\d+)?") =>
+        t = t.withSack(n.toDouble); loop(tl)
+      case ("sack", "sum") :: ("by", a) :: tl =>
+        t = t.sackBy(label(a)); loop(tl)
+      case ("sack", "") :: tl => result = Some(t.sackFold()); loop(tl)
+      case ("valueMap", "") :: tl => result = Some(t.valueMap()); loop(tl)
       case ("path", "") :: ("by", a) :: tl =>
         result = Some(t.pathBy(label(a))); loop(tl)
       case ("path", "") :: tl   => result = Some(t.path()); loop(tl)

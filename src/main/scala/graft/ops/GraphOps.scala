@@ -1203,6 +1203,79 @@ object GraphOps extends OpModule {
         WHERE c.label = 'customer'
         ORDER BY s2.val DESC, c.id, s2.id LIMIT 10"""))),
 
+    // Gremlin sack() — the per-traverser accumulator: big orders'
+    // quantities routed through the supply chain (order -contains->
+    // part -supplied_by-> supplier), each walk carrying its contains
+    // weight in the sack, folded per supplier at the terminal. The sack
+    // is ONE walk-matrix column + a staged _lastw per adjacency step —
+    // fully codegen'd adds, no joins beyond the traversal's own; the
+    // fold's total is decimal-exact over per-walk fixed-order IEEE sums
+    // (supplied_by is unweighted: NULL counts 0, so the second
+    // accumulation is the documented +0.0 identity both engines share).
+    Op("graph_traversal_sack",
+      (s, dir) => GraphFixture(s, dir).traverse(
+        "V(label='order').has(val>400000).withSack(0)" +
+          ".out('contains').sack(sum).by('weight')" +
+          ".out('supplied_by').sack(sum).by('weight').sack()"),
+      Some(withGraph("""SELECT e2.dst AS id, COUNT(*) AS n_walks,
+          CAST(CAST(SUM(CAST(e1.weight AS DECIMAL(38,10))) AS VARCHAR)
+            AS DOUBLE) AS total_sack
+        FROM vertices o
+        JOIN edges e1 ON e1.src = o.id AND e1.label = 'contains'
+        JOIN edges e2 ON e2.src = e1.dst AND e2.label = 'supplied_by'
+        WHERE o.label = 'order' AND o.val > 400000
+        GROUP BY e2.dst ORDER BY id"""))),
+
+    // Gremlin range(lo, hi) — pagination of an ordered walk stream: page
+    // two (positions 5..14) of colocated suppliers by balance. Plans as
+    // an ordered limit-with-offset (hi-bounded heap), never a global
+    // materialized sort; same walk-prefix tiebreak as the order keys, so
+    // the PAGE BOUNDARY is deterministic when values tie at either cut.
+    Op("graph_traversal_range",
+      (s, dir) => GraphFixture(s, dir).traverse(
+        "V(label='customer').out('colocated').order().by('val', desc).range(5, 15)"),
+      Some(withGraph("""SELECT s2.val AS val
+        FROM vertices c
+        JOIN edges e ON e.src = c.id AND e.label = 'colocated'
+        JOIN vertices s2 ON s2.id = e.dst
+        WHERE c.label = 'customer'
+        ORDER BY s2.val DESC, c.id, s2.id LIMIT 10 OFFSET 5"""))),
+
+    // Distributed minimum spanning forest — Borůvka on DataFrames (see
+    // graph/Boruvka.scala for the algorithm narrative). The graded
+    // instance is the cross-nation trade graph (25 vertices, ~300 edges:
+    // revenue-weighted nation pairs — one fact shuffle builds it, dims
+    // broadcast), small enough for the DuckDB oracle to replay Borůvka
+    // UNROLLED (5 rounds × 5 pointer jumps of plain CTEs — a genuinely
+    // different computation from the driver-looped Spark op); the
+    // OPERATOR is generic and its scale behavior is probed on the 60k+
+    // edge contains graph (ScaleBench) and independently recertified by
+    // an in-memory Kruskal in GraphAlgoIndependenceSpec. Total edge order
+    // (w, a, b) ⇒ the forest is unique, cross-engine.
+    Op("graph_mst",
+      (s, dir) => {
+        Seq("lineitem", "orders", "customer", "supplier")
+          .foreach(n => graft.Tables(s, dir, n).createOrReplaceTempView(n))
+        graft.graph.Boruvka.msf(
+          s.sql(mstPairsSql(e => s"CAST($e AS DOUBLE)")))
+      },
+      Some(mstOracleSql)),
+
+    // Gremlin valueMap() — the full-property terminal: high-balance
+    // members of each nation, every vertex property flattened to columns
+    // (one row per surviving walk; the in_nation fan-in is 1, so heads
+    // appear once — the sort-by-ALL-columns rule still applies on
+    // principle, duplicate heads being duplicate rows).
+    Op("graph_traversal_valuemap",
+      (s, dir) => GraphFixture(s, dir).traverse(
+        "V(label='nation').in('in_nation').has(val>9000).valueMap()"),
+      Some(withGraph("""SELECT v.id, v.label, v.name, v.vis, v.val
+        FROM vertices n
+        JOIN edges e ON e.dst = n.id AND e.label = 'in_nation'
+        JOIN vertices v ON v.id = e.src
+        WHERE n.label = 'nation' AND v.val > 9000
+        ORDER BY ALL"""))),
+
     // union() branch step (Gremlin's merge of parallel sub-traversals):
     // upper-balance customers' nations AND colocated suppliers (val>5000
     // keeps both branches non-empty at every fixture SF), folded
@@ -2179,4 +2252,62 @@ object GraphOps extends OpModule {
   private def corenessSql(vRel: String, eRel: String): String =
     "WITH " + corenessCtes(vRel, eRel, mat = "") +
       " SELECT id, coreness FROM cfin ORDER BY id"
+
+  /** Cross-nation trade pairs (a < b, decimal-exact revenue weight) — the
+    * graded MST instance; `d` is the engine's DECIMAL→DOUBLE cast seam. */
+  private def mstPairsSql(d: String => String): String = s"""
+    SELECT LEAST(s_nationkey, c_nationkey) AS a,
+           GREATEST(s_nationkey, c_nationkey) AS b,
+           ${d("SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,10)))")} AS w
+    FROM lineitem
+    JOIN orders ON o_orderkey = l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    WHERE s_nationkey <> c_nationkey
+    GROUP BY 1, 2"""
+
+  /** Borůvka UNROLLED for the DuckDB oracle: `rounds` merge rounds (≥
+    * ⌈log₂ 25⌉ = 5 for the 25-vertex nation graph — components at least
+    * halve per round), each with a min-edge pick (ROW_NUMBER over the
+    * (w, a, b) total order), a 2-cycle-broken hook, and `jumps` pointer
+    * jumps (2^5 = 32 > 25 covers any chain). Rounds past convergence see
+    * an empty cross set and pass the labeling through unchanged. */
+  private def mstOracleSql: String = {
+    val rounds = 5
+    val jumps = 5
+    // MATERIALIZED throughout: DuckDB re-inlines a plain CTE at every
+    // reference, and the unrolled chain references pairs/comp ~a dozen
+    // times — inlined, each reference re-opens the four parquet files
+    // (observed: "Too many open files" at the default ulimit).
+    val pairs = s"pairs AS MATERIALIZED (${mstPairsSql(e =>
+      s"CAST(CAST($e AS VARCHAR) AS DOUBLE)")})"
+    val comp0 = """comp0 AS MATERIALIZED (SELECT id, id AS comp FROM
+      (SELECT a AS id FROM pairs UNION SELECT b FROM pairs) v)"""
+    val roundCtes = (1 to rounds).map { r =>
+      val jumpCtes = (1 to jumps).map(j =>
+        s"""p${r}_$j AS MATERIALIZED (SELECT x.c, y.p FROM p${r}_${j - 1} x
+           JOIN p${r}_${j - 1} y ON y.c = x.p)""").mkString(", ")
+      s"""xr$r AS MATERIALIZED (SELECT p.a, p.b, p.w, x.comp AS ca, y.comp AS cb
+           FROM pairs p
+           JOIN comp${r - 1} x ON x.id = p.a
+           JOIN comp${r - 1} y ON y.id = p.b
+           WHERE x.comp <> y.comp),
+         half$r AS MATERIALIZED (SELECT ca AS c, cb AS tgt, w, a, b FROM xr$r
+           UNION ALL SELECT cb, ca, w, a, b FROM xr$r),
+         sel$r AS MATERIALIZED (SELECT c, tgt, w, a, b FROM (
+           SELECT *, ROW_NUMBER() OVER (PARTITION BY c ORDER BY w, a, b)
+             AS rn FROM half$r) z WHERE rn = 1),
+         p${r}_0 AS MATERIALIZED (SELECT x.c,
+             CASE WHEN y.tgt = x.c AND x.c < x.tgt THEN x.c ELSE x.tgt END
+               AS p
+           FROM sel$r x JOIN sel$r y ON y.c = x.tgt),
+         $jumpCtes,
+         comp$r AS MATERIALIZED (SELECT m.id, COALESCE(q.p, m.comp) AS comp
+           FROM comp${r - 1} m LEFT JOIN p${r}_$jumps q ON q.c = m.comp)"""
+    }.mkString(", ")
+    val union = (1 to rounds)
+      .map(r => s"SELECT a, b, w FROM sel$r").mkString(" UNION ALL ")
+    s"""WITH $pairs, $comp0, $roundCtes
+      SELECT DISTINCT a, b, w FROM ($union) f ORDER BY a, b"""
+  }
 }

@@ -1,0 +1,217 @@
+package graft.ops
+
+import graft.{Op, OpModule, Tables}
+
+/** Round-14c OLAP batch — the remaining TPC-H query shapes the fixture
+  * schema can express (no partsupp table is generated, so Q2/Q9/Q11/Q16's
+  * supplycost sides are adapted or skipped; see each op's note). Every key
+  * is ONE SQL text shared by Spark and the DuckDB oracle, with the two
+  * house dialect seams: `d` renders the engine's correctly-rounded
+  * DECIMAL→DOUBLE cast (VARCHAR hop on DuckDB — graft.num DSUM scaladoc)
+  * (graded dates ship as DATE casts — both engines
+  * stringify DATE identically, the fn_date precedent).
+  *
+  * House determinism rules (graft.num): money sums are per-row IEEE
+  * expressions in fixed parse order, cast to DECIMAL(38,10) BEFORE the
+  * commutative SUM; every output carries a total ORDER BY.
+  */
+object OlapOps extends OpModule {
+
+  private def view(s: org.apache.spark.sql.SparkSession, dir: String, n: String): Unit =
+    Tables(s, dir, n).createOrReplaceTempView(n)
+
+  private val sparkD: String => String = e => s"CAST($e AS DOUBLE)"
+  private val duckD: String => String = e => s"CAST(CAST($e AS VARCHAR) AS DOUBLE)"
+
+  /** TPC-H Q3 shape — shipping priority: the 10 highest-value orders in a
+    * market segment taken by the cutoff but not yet fully shipped.
+    * Plan shape: the segment predicate prunes customer (302 of 1500 rows →
+    * broadcast), the date predicates push to BOTH fact scans (o_orderdate
+    * to orders, l_shipdate to lineitem) — at 100 TB those two pushed ranges
+    * are the difference between scanning a week and scanning seven years.
+    * One fact-fact shuffle (lineitem⋈orders on orderkey), the GROUP BY
+    * reuses that partitioning (orderkey is a prefix of the grouping key),
+    * and the top-10 is TakeOrderedAndProject — never a global sort. */
+  private def shipPrioritySql(d: String => String): String = s"""
+    WITH rev AS (
+      SELECT l_orderkey,
+        SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,10))) AS r,
+        CAST(o_orderdate AS DATE) AS o_date, o_orderpriority
+      FROM customer
+      JOIN orders ON c_custkey = o_custkey
+      JOIN lineitem ON l_orderkey = o_orderkey
+      WHERE c_mktsegment = 'BUILDING'
+        AND o_orderdate < TIMESTAMP '1998-06-01'
+        AND l_shipdate > TIMESTAMP '1998-06-01'
+      GROUP BY l_orderkey, CAST(o_orderdate AS DATE), o_orderpriority)
+    SELECT l_orderkey, ${d("r")} AS revenue, o_date, o_orderpriority
+    FROM rev
+    ORDER BY r DESC, l_orderkey
+    LIMIT 10"""
+
+  /** TPC-H Q9 shape — product-type profit by supplier nation × order year.
+    * The fixture has no partsupp, so supply cost is a retail-margin proxy
+    * (60% of p_retailprice per unit) — the JOIN SHAPE is the point: part
+    * filters first (LIKE on p_name, 257 of 2000 rows) and that pruning
+    * reaches the fact stream through a broadcast, supplier→nation attaches
+    * by broadcast, and only lineitem⋈orders genuinely shuffles. The profit
+    * expression is per-row IEEE in fixed parse order, decimal-cast before
+    * the sum — bit-reproducible cross-engine. */
+  private def productProfitSql(d: String => String): String = s"""
+    WITH profit AS (
+      SELECT n_name AS nation,
+        CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS o_year,
+        SUM(CAST(l_extendedprice * (1 - l_discount)
+                 - l_quantity * p_retailprice * 0.6 AS DECIMAL(38,10))) AS amount
+      FROM lineitem
+      JOIN orders ON o_orderkey = l_orderkey
+      JOIN part ON p_partkey = l_partkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN nation ON n_nationkey = s_nationkey
+      WHERE p_name LIKE '%red%'
+      GROUP BY 1, 2)
+    SELECT nation, o_year, ${d("amount")} AS sum_profit
+    FROM profit ORDER BY nation, o_year DESC"""
+
+  /** TPC-H Q13 shape — customer order-count distribution: how many
+    * customers placed k qualifying orders, for every k (the engagement
+    * histogram; the LEFT join keeps the zero-order bucket honest). Orders
+    * filtered in the JOIN CONDITION, not a WHERE — a WHERE would turn the
+    * left join inner and silently drop the zero bucket. Two aggregates:
+    * the first shuffles on custkey (fact-sized), the second is k-bounded
+    * (≤ max orders per customer) — map-side combine collapses it. All
+    * integer counts — exact by construction. */
+  private val customerDistSql: String = """
+    WITH c_orders AS (
+      SELECT c_custkey, COUNT(o_orderkey) AS c_count
+      FROM customer
+      LEFT JOIN orders ON c_custkey = o_custkey
+        AND o_orderpriority <> '1-URGENT'
+      GROUP BY c_custkey)
+    SELECT c_count, COUNT(*) AS custdist
+    FROM c_orders
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC"""
+
+  /** TPC-H Q18 shape — large-volume orders: orders whose total quantity
+    * exceeds the threshold (320 ≈ the fixture's 99.9th percentile — 26
+    * orders at sf0.01), with customer and order detail. The HAVING
+    * aggregate runs FIRST on lineitem alone (one fact-sized shuffle on
+    * orderkey, map-side combine) and everything downstream joins against
+    * its tiny survivor set — order of operations is the whole plan: joining
+    * first would carry customer columns through the fact shuffle. Quantity
+    * sums decimal-cast per row before SUM; the threshold compares exactly
+    * against the decimal. */
+  private def largeOrdersSql(d: String => String): String = s"""
+    WITH big AS (
+      SELECT l_orderkey AS okey,
+        SUM(CAST(l_quantity AS DECIMAL(38,10))) AS sq
+      FROM lineitem
+      GROUP BY l_orderkey
+      HAVING SUM(CAST(l_quantity AS DECIMAL(38,10))) > 320)
+    SELECT c_name, c_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS o_date,
+      o_totalprice, ${d("sq")} AS sum_qty
+    FROM big
+    JOIN orders ON o_orderkey = okey
+    JOIN customer ON c_custkey = o_custkey
+    ORDER BY o_totalprice DESC, o_orderkey"""
+
+  /** TPC-H Q21 shape — suppliers who kept orders waiting: per supplier,
+    * the count of multi-supplier orders where THIS supplier shipped late
+    * (> 180 days after the order date) and no other supplier on the order
+    * did. The classic formulation is EXISTS + NOT EXISTS with two
+    * correlated self-joins of the fact table; the grouped form here
+    * computes per-(order, supplier) lateness ONCE and derives both
+    * quantifiers from one per-order aggregate (nsupp, nlate) — the same
+    * answer with ONE fact shuffle instead of three correlated probes,
+    * which is the rewrite a 100 TB plan needs anyway. */
+  private val lateSuppliersSql: String = """
+    WITH lo AS (
+      SELECT l_orderkey, l_suppkey,
+        MAX(CASE WHEN l_shipdate > o_orderdate + INTERVAL 180 DAY
+                 THEN 1 ELSE 0 END) AS late
+      FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+      GROUP BY 1, 2),
+    od AS (
+      SELECT l_orderkey, COUNT(*) AS nsupp, SUM(late) AS nlate
+      FROM lo GROUP BY 1)
+    SELECT s_name, COUNT(*) AS numwait
+    FROM lo
+    JOIN od USING (l_orderkey)
+    JOIN supplier ON s_suppkey = l_suppkey
+    WHERE lo.late = 1 AND od.nlate = 1 AND od.nsupp >= 2
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 25"""
+
+  /** TPC-H Q22 shape — idle high-value customers: customers whose balance
+    * beats the positive-balance average but who placed no RECENT order
+    * (the fixture generator gives every customer at least one order ever,
+    * so "recent" replaces Q22's "no orders at all" — same anti-join
+    * shape), rolled up per nation. The scalar average is ONE broadcast
+    * (never a per-row subquery), the NOT EXISTS compiles to a LEFT ANTI
+    * join against the date-pruned orders scan, and the rollup is
+    * nation-bounded. Balance sums decimal-exact; the single average
+    * division is one fixed-order IEEE op both engines share. */
+  private def idleValueCustomersSql(d: String => String): String = s"""
+    WITH avg_bal AS (
+      SELECT ${d("SUM(CAST(c_acctbal AS DECIMAL(38,10)))")} / COUNT(*) AS ab
+      FROM customer WHERE c_acctbal > 0.0),
+    idle AS (
+      SELECT c_custkey, c_nationkey, c_acctbal
+      FROM customer c
+      WHERE c_acctbal > (SELECT ab FROM avg_bal)
+        AND NOT EXISTS (
+          SELECT 1 FROM orders o
+          WHERE o.o_custkey = c.c_custkey
+            AND o.o_orderdate >= TIMESTAMP '2000-07-01'))
+    SELECT n_name, COUNT(*) AS numcust,
+      ${d("SUM(CAST(c_acctbal AS DECIMAL(38,10)))")} AS totacctbal
+    FROM idle JOIN nation ON n_nationkey = c_nationkey
+    GROUP BY n_name
+    ORDER BY n_name"""
+
+  def ops: Seq[Op] = Seq(
+    Op("olap_ship_priority",
+      (s, dir) => {
+        Seq("customer", "orders", "lineitem").foreach(view(s, dir, _))
+        s.sql(shipPrioritySql(sparkD))
+      },
+      Some(shipPrioritySql(duckD))),
+
+    Op("olap_product_profit",
+      (s, dir) => {
+        Seq("lineitem", "orders", "part", "supplier", "nation")
+          .foreach(view(s, dir, _))
+        s.sql(productProfitSql(sparkD))
+      },
+      Some(productProfitSql(duckD))),
+
+    Op("olap_customer_dist",
+      (s, dir) => {
+        Seq("customer", "orders").foreach(view(s, dir, _))
+        s.sql(customerDistSql)
+      },
+      Some(customerDistSql)),
+
+    Op("olap_large_orders",
+      (s, dir) => {
+        Seq("lineitem", "orders", "customer").foreach(view(s, dir, _))
+        s.sql(largeOrdersSql(sparkD))
+      },
+      Some(largeOrdersSql(duckD))),
+
+    Op("olap_late_suppliers",
+      (s, dir) => {
+        Seq("lineitem", "orders", "supplier").foreach(view(s, dir, _))
+        s.sql(lateSuppliersSql)
+      },
+      Some(lateSuppliersSql)),
+
+    Op("olap_idle_value_customers",
+      (s, dir) => {
+        Seq("customer", "orders", "nation").foreach(view(s, dir, _))
+        s.sql(idleValueCustomersSql(sparkD))
+      },
+      Some(idleValueCustomersSql(duckD))))
+}

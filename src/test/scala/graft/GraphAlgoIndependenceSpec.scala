@@ -875,4 +875,71 @@ class GraphAlgoIndependenceSpec extends AnyFunSuite {
         rootsDf.unionAll(Seq(second).toDF("id")), maxDepth = 24)
     }
   }
+
+  test("graph_mst: in-memory Kruskal matches distributed Borůvka exactly") {
+    // Kruskal (sorted scan + union-find) is a genuinely different algorithm
+    // from the shipped Borůvka rounds; under the (w, a, b) total edge order
+    // both must produce the IDENTICAL unique forest.
+    def kruskal(edges: Seq[(Long, Long, Double)]): Seq[(Long, Long, Double)] = {
+      val parent = new mutable.HashMap[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent(r)
+        var c = x
+        while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      edges.sortBy { case (a, b, w) => (w, a, b) }.flatMap { case (a, b, w) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra == rb) None
+        else { parent(math.max(ra, rb)) = math.min(ra, rb); Some((a, b, w)) }
+      }
+    }
+    def check(pairs: org.apache.spark.sql.DataFrame): Unit = {
+      val input = pairs.collect().map(r =>
+        (r.getAs[Number](0).longValue, r.getAs[Number](1).longValue,
+          r.getAs[Number](2).doubleValue)).toSeq
+      val want = kruskal(input).sorted
+      val got = graft.graph.Boruvka.msf(pairs
+        .toDF("a", "b", "w")).collect().map(r =>
+        (r.getAs[Number](0).longValue, r.getAs[Number](1).longValue,
+          r.getAs[Number](2).doubleValue)).toSeq.sorted
+      assert(got == want, s"|got|=${got.size} |want|=${want.size}; " +
+        s"diff=${(want.toSet -- got.toSet).take(3)}")
+      // structural invariant: |MSF| = V − #components
+      val verts = input.flatMap(e => Seq(e._1, e._2)).distinct
+      val parent2 = new mutable.HashMap[Long, Long]
+      def find2(x: Long): Long = {
+        var r = x
+        while (parent2.getOrElse(r, r) != r) r = parent2(r)
+        r
+      }
+      input.foreach { case (a, b, _) =>
+        val (ra, rb) = (find2(a), find2(b))
+        if (ra != rb) parent2(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val nComp = verts.map(find2).distinct.size
+      assert(got.size == verts.size - nComp)
+    }
+    // instance 1: the graded 25-vertex nation trade graph, rebuilt here
+    // with the DataFrame API (the op aggregates the same relation in SQL)
+    val l = graft.Tables(spark, sf, "lineitem")
+    val o = graft.Tables(spark, sf, "orders")
+    val c = graft.Tables(spark, sf, "customer")
+    val su = graft.Tables(spark, sf, "supplier")
+    check(l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .join(su, l("l_suppkey") === su("s_suppkey"))
+      .filter(col("s_nationkey") =!= col("c_nationkey"))
+      .groupBy(least(col("s_nationkey"), col("c_nationkey")).as("a"),
+        greatest(col("s_nationkey"), col("c_nationkey")).as("b"))
+      .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .cast("decimal(38,10)")).cast("double").as("w")))
+    // instance 2: the 5k+ edge contains graph — multiple Borůvka rounds,
+    // genuinely large components (bipartite order–part chains)
+    val contains = g.edges.filter(col("label") === "contains")
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"), col("weight").as("w"))
+    check(contains)
+  }
 }

@@ -415,4 +415,54 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct") &&
       !p.contains("BroadcastNestedLoopJoin"), p)
   }
+
+  test("olap_ship_priority: top-10 is TakeOrdered; both date ranges push to scans") {
+    val p = finalPlan("olap_ship_priority")
+    assert(p.contains("TakeOrderedAndProject"), "global sort for a LIMIT 10:\n" + p)
+    // segment predicate reaches the customer scan, ship-date range the
+    // lineitem scan — at 100 TB these pushed ranges ARE the query
+    assert(p.contains("EqualTo(c_mktsegment,BUILDING)"), p)
+    assert(p.contains("GreaterThan(l_shipdate"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("olap_product_profit: part LIKE-prunes before the fact; dims broadcast") {
+    val p = finalPlan("olap_product_profit")
+    // the LIKE filter must reach the part scan (contains-pushdown), and
+    // part/supplier/nation attach by broadcast — lineitem⋈orders is the
+    // only shuffle-scale join
+    assert(p.contains("StringContains(p_name,red)"), p)
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 3, p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("olap_customer_dist keeps the LEFT join (zero bucket) and double-aggregates") {
+    val p = finalPlan("olap_customer_dist")
+    assert(p.contains("LeftOuter"), "left join degraded to inner:\n" + p)
+    // custkey-grouped count, then the k-bounded distribution aggregate
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("olap_large_orders aggregates lineitem FIRST; survivors join under broadcast") {
+    val p = finalPlan("olap_large_orders")
+    // the HAVING aggregate's tiny survivor set must broadcast into
+    // orders/customer — a shuffle join would mean the plan joined first
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("HashAggregate"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("olap_late_suppliers: one fact shuffle; supplier attaches broadcast") {
+    val p = finalPlan("olap_late_suppliers")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("olap_idle_value_customers: NOT EXISTS compiles to an anti join; avg is one scalar") {
+    val p = finalPlan("olap_idle_value_customers")
+    assert(p.contains("LeftAnti"), "NOT EXISTS did not plan as anti join:\n" + p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }

@@ -396,6 +396,68 @@ class PropertyGraphSpec extends AnyFunSuite {
       g.V(col("label") === "customer").select("missing"))
   }
 
+  test("traversal DSL: sack()/range()/valueMap() steps, fluent ≡ parsed") {
+    // sack: fluent ≡ parsed on the supply-chain walk
+    val fluentSack = g.V(col("label") === "order").has(col("val") > 400000)
+      .withSack(0.0).out("contains").sackBy("weight")
+      .out("supplied_by").sackBy("weight").sackFold()
+    val parsedSack = g.traverse(
+      "V(label='order').has(val>400000).withSack(0).out('contains')" +
+        ".sack(sum).by('weight').out('supplied_by').sack(sum).by('weight').sack()")
+    assert(fluentSack.collect().map(_.toString).sorted.toSeq ==
+      parsedSack.collect().map(_.toString).sorted.toSeq)
+    assert(parsedSack.count() > 0)
+    // independent recomputation: the sack total per supplier is the plain
+    // relational aggregate over the same two-edge join (no Traversal code)
+    val e1 = g.edges.filter(col("label") === "contains")
+      .select(col("src").as("o"), col("dst").as("p"), col("weight"))
+    val e2 = g.edges.filter(col("label") === "supplied_by")
+      .select(col("src").as("p"), col("dst").as("id"))
+    val big = g.vertices.filter(col("label") === "order" && col("val") > 400000)
+      .select(col("id").as("o"))
+    val expect = big.join(e1, "o").join(e2, "p")
+      .groupBy("id").agg(
+        count(lit(1)).as("n_walks"),
+        sum(col("weight").cast("decimal(38,10)")).cast("double")
+          .as("total_sack"))
+    assert(fluentSack.join(expect,
+      Seq("id", "n_walks", "total_sack"), "left_anti").count() == 0)
+    assert(fluentSack.count() == expect.count())
+    // an un-sacked step contributes nothing: sacking only the first edge
+    // gives the same totals (supplied_by's NULL weight folds as +0.0)
+    val oneSack = g.V(col("label") === "order").has(col("val") > 400000)
+      .withSack(0.0).out("contains").sackBy("weight")
+      .out("supplied_by").sackFold()
+    assert(oneSack.collect().map(_.toString).sorted.toSeq ==
+      fluentSack.collect().map(_.toString).sorted.toSeq)
+    // sack misuse fails loudly
+    intercept[IllegalArgumentException](
+      g.V(lit(true)).out("by").sackBy("weight"))
+    intercept[IllegalArgumentException](
+      g.V(lit(true)).withSack(0.0).sackBy("weight"))
+
+    // range: fluent ≡ parsed, and [5, 15) is exactly rows 5..14 of the
+    // limit-15 prefix of the same ordering
+    val t = g.V(col("label") === "customer").out("colocated")
+    val page = t.orderRange("val", 5, 15, desc = true)
+    val parsedPage = g.traverse("V(label='customer').out('colocated')" +
+      ".order().by('val', desc).range(5, 15)")
+    assert(page.collect().toSeq == parsedPage.collect().toSeq)
+    val prefix = t.orderBy("val", 15, desc = true).collect().toSeq
+    assert(page.collect().toSeq == prefix.drop(5))
+    intercept[IllegalArgumentException](t.orderRange("val", 7, 7))
+
+    // valueMap: fluent ≡ parsed; one row per walk, full property schema
+    val vm = g.V(col("label") === "nation").in("in_nation")
+      .has(col("val") > 9000).valueMap()
+    val parsedVm = g.traverse(
+      "V(label='nation').in('in_nation').has(val>9000).valueMap()")
+    assert(vm.columns.toSeq == Seq("id", "label", "name", "vis", "val"))
+    assert(vm.collect().toSeq == parsedVm.collect().toSeq)
+    assert(vm.count() == g.V(col("label") === "nation").in("in_nation")
+      .has(col("val") > 9000).path().count())
+  }
+
   test("traversal DSL: where() inside a times() loop body, fluent ≡ parsed") {
     // Multi-step repeat bodies unroll textually onto the walk matrix
     // (Traversal.expandRepeats), so the pre-loop as('a') label stays
