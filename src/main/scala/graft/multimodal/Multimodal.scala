@@ -103,6 +103,34 @@ object Multimodal {
     }
   }
 
+  /** REAL payload-mapping resize for PGM images: 2×2 box downscale — each
+    * output pixel is the floor of its block's mean (one integer divide, no
+    * floats), re-emitted as a valid P5 container [[MediaCodec.encodePgm]].
+    * An odd trailing row/column drops (floor dimensions), so every output
+    * pixel reads a full 2×2 block — the closed-form the oracle replays.
+    * Pure per-payload function: the pipeline maps it partition-parallel,
+    * payloads never leave their executor. */
+  def resizePgm2x(payload: Array[Byte]): Array[Byte] = {
+    val (w, h, pos) = MediaCodec.pgmHeader(payload)
+    val w2 = w / 2
+    val h2 = h / 2
+    require(w2 > 0 && h2 > 0, s"image too small to halve: ${w}x$h")
+    val out = new Array[Byte](w2 * h2)
+    var y = 0
+    while (y < h2) {
+      var x = 0
+      while (x < w2) {
+        val p = pos + (2 * y) * w + 2 * x
+        val s = (payload(p) & 0xff) + (payload(p + 1) & 0xff) +
+          (payload(p + w) & 0xff) + (payload(p + w + 1) & 0xff)
+        out(y * w2 + x) = (s / 4).toByte
+        x += 1
+      }
+      y += 1
+    }
+    MediaCodec.encodePgm(w2, h2, out)
+  }
+
   /** Frame-sample stage: every k-th frame index per video asset —
     * one-to-many, the flatMap shape of real frame extraction. */
   def sampleFrames(ds: Dataset[Features], everyK: Int): DataFrame = {

@@ -212,6 +212,73 @@ object RelationalOps extends OpModule {
       },
       Some("SELECT doc_id, text FROM documents ORDER BY doc_id")),
 
+    // BINARY-FILE ingest — the shape raw media corpora arrive in (one
+    // opaque file per asset): Spark's `binaryFile` source lists the
+    // directory, parallelizes by file, and hands back (path, length,
+    // content) without any row-format assumptions. Stage = one REAL .pgm
+    // file per image asset, written executor-side through the Hadoop
+    // FileSystem API with an attempt-unique temp-then-rename commit (the
+    // AvroIO discipline — a retried task can never interleave a partial
+    // file), memoized per fixture dir. The graded read parses the asset
+    // id from the PATH (the standard keying for file-per-record corpora),
+    // grades size + payload checksum; the glob keeps stray temp files
+    // out of the scan by construction. The oracle rebuilds every payload
+    // byte closed-form from the documents table (header string + cycled
+    // content) and hashes the same bytes.
+    Op("source_binaryfile",
+      (s, dir) => {
+        import s.implicits._
+        val stage = graft.Staging.dir(s"src-binf-${dir.hashCode.toHexString}")
+        if (!new java.io.File(s"$stage/_SUCCESS").exists()) {
+          val hconf = new org.apache.spark.util.SerializableConfiguration(
+            s.sparkContext.hadoopConfiguration)
+          Tables(s, dir, "documents")
+            .where("doc_id % 3 = 0 AND text IS NOT NULL")
+            .select("doc_id", "text").as[(Long, String)]
+            .foreachPartition { (it: Iterator[(Long, String)]) =>
+              val fs = new org.apache.hadoop.fs.Path(stage)
+                .getFileSystem(hconf.value)
+              val att = Option(org.apache.spark.TaskContext.get())
+                .map(_.taskAttemptId()).getOrElse(0L)
+              it.foreach { case (id, text) =>
+                val pay = graft.multimodal.MediaCodec.encode(
+                  "image", id, text.getBytes("UTF-8"))
+                val tmp = new org.apache.hadoop.fs.Path(
+                  s"$stage/.asset_${id}_a$att.tmp")
+                val fin = new org.apache.hadoop.fs.Path(
+                  s"$stage/asset_$id.pgm")
+                val os = fs.create(tmp, true)
+                os.write(pay)
+                os.close()
+                if (!fs.rename(tmp, fin)) fs.delete(tmp, false)
+              }
+            }
+          new java.io.File(s"$stage/_SUCCESS").createNewFile()
+        }
+        s.read.format("binaryFile").load(s"$stage/asset_*.pgm")
+          .select(
+            regexp_extract(col("path"), "asset_(\\d+)\\.pgm$", 1)
+              .cast("long").as("asset_id"),
+            col("length").as("n_bytes"),
+            md5(col("content")).as("checksum"))
+          .orderBy("asset_id")
+      },
+      Some("""
+        WITH b AS (SELECT doc_id AS asset_id,
+            CAST(16 + doc_id % 32 AS BIGINT) AS w,
+            CAST(16 + doc_id % 24 AS BIGINT) AS h,
+            text, CAST(length(text) AS BIGINT) AS n
+          FROM documents WHERE doc_id % 3 = 0 AND text IS NOT NULL),
+        pay AS (SELECT asset_id,
+            'P5' || chr(10) || CAST(w AS VARCHAR) || ' ' || CAST(h AS VARCHAR)
+              || chr(10) || '255' || chr(10)
+              || repeat(text, CAST((w * h) // n AS INTEGER))
+              || substr(text, 1, CAST((w * h) % n AS INTEGER)) AS p
+          FROM b)
+        SELECT asset_id, CAST(octet_length(encode(p)) AS BIGINT) AS n_bytes,
+          md5(p) AS checksum
+        FROM pay ORDER BY asset_id""")),
+
     Op("project_rename",
       (s, dir) => Tables(s, dir, "part")
         .select(col("p_partkey").as("part_id"), col("p_name").as("part_name"),

@@ -589,6 +589,91 @@ object SimOps extends OpModule {
         (a, b) => duckDot(a, b))),
     ),
 
+    // TWO-STAGE SQ8 RETRIEVAL — the production ANN serving shape the
+    // quantization exists FOR: stage 1 scans compressed codes (integer
+    // dot products over uint8 SQ codes — the asymmetric-distance scan a
+    // vector store runs against its in-RAM coded index, exact integer
+    // arithmetic ⇒ deterministic candidate CUT), stage 2 re-ranks only
+    // the 25 survivors per query against full-precision floats (native
+    // vec_dot cosine). At 100 TB stage 1 is the memory story — the coded
+    // corpus is 4× smaller and scan-parallel per partition, queries
+    // broadcast — and stage 2 touches 25 vectors per query however big
+    // the corpus. The code arrays build once per (session, dir)
+    // (Views.materialize) from the same mn/mx artifact embed_quantize
+    // grades; integer stage-1 ranks + bit-identical stage-2 doubles make
+    // the whole pipeline exactly oracle-able.
+    Op("sim_sq_rerank",
+      (s, dir) => {
+        val unn = unnView(s, dir)
+        val nv = normView(s, dir)
+        val codes = graft.Views.materialize(s, dir, "sqcodes", s"""
+          WITH mm AS (SELECT dim, CAST(MIN(v) AS DOUBLE) AS mn,
+              CAST(MAX(v) AS DOUBLE) AS mx
+            FROM $unn GROUP BY dim),
+          cd AS (SELECT u.vec_id, u.dim,
+              CASE WHEN m.mx = m.mn THEN CAST(0 AS BIGINT)
+                ELSE CAST(floor((CAST(u.v AS DOUBLE) - m.mn) * 255.0
+                  / (m.mx - m.mn)) AS BIGINT) END AS code
+            FROM $unn u JOIN mm m ON m.dim = u.dim)
+          SELECT vec_id,
+            transform(array_sort(collect_list(struct(dim, code))),
+              x -> x.code) AS codes
+          FROM cd GROUP BY vec_id""")
+        s.sql(s"""
+          WITH q AS (SELECT vec_id AS qa, codes AS qc FROM $codes
+            WHERE vec_id % 100 = 0),
+          s1 AS (SELECT q.qa, c.vec_id AS vb,
+              aggregate(zip_with(q.qc, c.codes, (x, y) -> x * y),
+                CAST(0 AS BIGINT), (acc, x) -> acc + x) AS appx
+            FROM $codes c JOIN q ON c.vec_id <> q.qa),
+          cand AS (SELECT qa, vb, appx,
+              ROW_NUMBER() OVER (PARTITION BY qa ORDER BY appx DESC, vb)
+                AS apprnk
+            FROM s1),
+          top AS (SELECT qa, vb, appx FROM cand WHERE apprnk <= 25),
+          ex AS (SELECT t.qa, t.vb, t.appx,
+              vec_dot(a.embedding, b.embedding) / (a.nrm * b.nrm) AS cos
+            FROM top t
+            JOIN $nv a ON a.vec_id = t.qa
+            JOIN $nv b ON b.vec_id = t.vb),
+          rr AS (SELECT qa, vb, appx, cos,
+              ROW_NUMBER() OVER (PARTITION BY qa ORDER BY cos DESC, vb)
+                AS rnk FROM ex)
+          SELECT qa, vb, rnk, appx, cos FROM rr WHERE rnk <= 5
+          ORDER BY qa, rnk""")
+      },
+      Some(s"""
+        WITH unn AS MATERIALIZED (SELECT vec_id, i - 1 AS dim,
+            CAST(embedding[i] AS DOUBLE) AS v
+          FROM embeddings, unnest(generate_series(1, len(embedding))) AS g(i)),
+        mm AS (SELECT dim, MIN(v) AS mn, MAX(v) AS mx FROM unn GROUP BY dim),
+        cd AS MATERIALIZED (SELECT u.vec_id, u.dim,
+            CASE WHEN m.mx = m.mn THEN CAST(0 AS BIGINT)
+              ELSE CAST(floor((u.v - m.mn) * 255.0 / (m.mx - m.mn))
+                AS BIGINT) END AS code
+          FROM unn u JOIN mm m ON m.dim = u.dim),
+        q AS (SELECT vec_id, dim, code FROM cd WHERE vec_id % 100 = 0),
+        s1 AS (SELECT q.vec_id AS qa, c.vec_id AS vb,
+            CAST(SUM(q.code * c.code) AS BIGINT) AS appx
+          FROM q JOIN cd c ON c.dim = q.dim AND c.vec_id <> q.vec_id
+          GROUP BY 1, 2),
+        cand AS (SELECT qa, vb, appx,
+            ROW_NUMBER() OVER (PARTITION BY qa ORDER BY appx DESC, vb)
+              AS apprnk FROM s1),
+        top AS (SELECT qa, vb, appx FROM cand WHERE apprnk <= 25),
+        n AS MATERIALIZED (SELECT vec_id, embedding,
+          sqrt(${duckDot("embedding", "embedding")}) AS nrm FROM embeddings),
+        ex AS (SELECT t.qa, t.vb, t.appx,
+            ${duckDot("a.embedding", "b.embedding")} / (a.nrm * b.nrm) AS cos
+          FROM top t
+          JOIN n a ON a.vec_id = t.qa
+          JOIN n b ON b.vec_id = t.vb),
+        rr AS (SELECT qa, vb, appx, cos,
+            ROW_NUMBER() OVER (PARTITION BY qa ORDER BY cos DESC, vb)
+              AS rnk FROM ex)
+        SELECT qa, vb, rnk, appx, cos FROM rr WHERE rnk <= 5
+        ORDER BY qa, rnk""")),
+
     // SCALAR QUANTIZATION (SQ8) — the memory lever every production
     // vector store pulls before sharding helps: per-dimension min/max
     // over the corpus (a D-row broadcast artifact), each component coded

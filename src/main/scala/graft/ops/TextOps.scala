@@ -587,6 +587,63 @@ object TextOps extends OpModule {
           FROM documents WHERE doc_id % 3 = 2)
         SELECT asset_id, CAST(fi AS INTEGER) AS frame_idx FROM (
           SELECT asset_id, unnest(generate_series(0, nf - 1, 5)) AS fi FROM f) t
-        ORDER BY 1, 2"""))
+        ORDER BY 1, 2""")),
+
+    // REAL pixel resize over the image assets: decode → 2×2 box downscale
+    // (floor of each block mean — integer-exact, Multimodal.resizePgm2x)
+    // → re-encode as a valid P5 container → RE-DECODE the emitted payload
+    // for the graded signature, so the key proves the output container
+    // round-trips, not just the arithmetic. Per-asset integer signatures
+    // (Σ pixel and the position-weighted Σ pixel·(idx+1), row-major) pin
+    // every output pixel and its position — the embed_quantize rendering
+    // for array-shaped outputs. The oracle recomputes every block from
+    // the documents table and the deterministic encode closed-form. One
+    // partition-parallel map, payloads never shuffle or hit the driver.
+    Op("multimodal_resize",
+      (s, dir) => {
+        import graft.multimodal.{MediaCodec, Multimodal}
+        import s.implicits._
+        graft.Tables(s, dir, "documents")
+          .where("doc_id % 3 = 0 AND text IS NOT NULL")
+          .select("doc_id", "text").as[(Long, String)]
+          .map { case (id, text) =>
+            val rz = Multimodal.resizePgm2x(
+              MediaCodec.encode("image", id, text.getBytes("UTF-8")))
+            val (w2, h2, pos) = MediaCodec.pgmHeader(rz)
+            var sum = 0L
+            var sig = 0L
+            var i = 0
+            while (i < w2 * h2) {
+              val v = (rz(pos + i) & 0xff).toLong
+              sum += v
+              sig += v * (i + 1)
+              i += 1
+            }
+            (id, w2.toLong, h2.toLong, sum, sig)
+          }.toDF("asset_id", "w2", "h2", "pix_sum", "pix_sig")
+          .orderBy("asset_id")
+      },
+      Some("""
+        WITH rzb AS MATERIALIZED (SELECT doc_id AS asset_id,
+            CAST(16 + doc_id % 32 AS BIGINT) AS w,
+            CAST(16 + doc_id % 24 AS BIGINT) AS h,
+            CAST(octet_length(encode(text)) AS BIGINT) AS n,
+            list_transform(generate_series(1, length(text)),
+              i -> CAST(ascii(substr(text, i, 1)) AS BIGINT)) AS lb
+          FROM documents WHERE doc_id % 3 = 0 AND text IS NOT NULL),
+        rz AS MATERIALIZED (SELECT asset_id, w // 2 AS w2, h // 2 AS h2,
+            flatten(list_transform(generate_series(0, h // 2 - 1), y ->
+              list_transform(generate_series(0, w // 2 - 1), x ->
+                (lb[CAST((2*y*w + 2*x) % n AS INTEGER) + 1] +
+                 lb[CAST((2*y*w + 2*x + 1) % n AS INTEGER) + 1] +
+                 lb[CAST(((2*y+1)*w + 2*x) % n AS INTEGER) + 1] +
+                 lb[CAST(((2*y+1)*w + 2*x + 1) % n AS INTEGER) + 1]) // 4)))
+              AS px
+          FROM rzb)
+        SELECT asset_id, w2, h2,
+          CAST(list_sum(px) AS BIGINT) AS pix_sum,
+          CAST(list_sum(list_transform(generate_series(1, len(px)),
+            i -> px[i] * i)) AS BIGINT) AS pix_sig
+        FROM rz ORDER BY asset_id"""))
   )
 }

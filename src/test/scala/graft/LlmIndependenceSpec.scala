@@ -95,6 +95,53 @@ class LlmIndependenceSpec extends AnyFunSuite {
     assert(want.values.map(_._2).max > 0)
   }
 
+  test("sim_sq_rerank: in-memory two-stage recomputation matches exactly") {
+    val vecs = Tables(spark, sf, "embeddings").select("vec_id", "embedding")
+      .collect().map(r => r.getAs[Number](0).longValue() ->
+        r.getSeq[Float](1).toArray).sortBy(_._1)
+    val dims = vecs.head._2.length
+    val mn = Array.tabulate(dims)(d => vecs.map(_._2(d)).min.toDouble)
+    val mx = Array.tabulate(dims)(d => vecs.map(_._2(d)).max.toDouble)
+    val codes = vecs.map { case (id, v) =>
+      id -> Array.tabulate(dims) { d =>
+        if (mx(d) == mn(d)) 0L
+        else math.floor((v(d).toDouble - mn(d)) * 255.0 / (mx(d) - mn(d))).toLong
+      }
+    }.toMap
+    def dot(a: Array[Float], b: Array[Float]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { acc += a(i).toDouble * b(i).toDouble; i += 1 }
+      acc
+    }
+    val emb = vecs.toMap
+    val nrm = vecs.map { case (id, v) => id -> math.sqrt(dot(v, v)) }.toMap
+    val want = vecs.map(_._1).filter(_ % 100 == 0).flatMap { qa =>
+      val qc = codes(qa)
+      // stage 1: integer code dot, top-25 by (appx desc, vb)
+      val top = vecs.map(_._1).filter(_ != qa).map { vb =>
+        (vb, codes(vb).zip(qc).map { case (a, b) => a * b }.sum)
+      }.sortBy { case (vb, a) => (-a, vb) }.take(25)
+      // stage 2: exact cosine re-rank of the survivors, top-5
+      top.map { case (vb, appx) =>
+        (vb, appx, dot(emb(qa), emb(vb)) / (nrm(qa) * nrm(vb)))
+      }.sortBy { case (vb, _, c) => (-c, vb) }.take(5).zipWithIndex.map {
+        case ((vb, appx, c), i) => (qa, vb, i + 1) -> ((appx, c))
+      }
+    }.toMap
+    val got = SparkEntry.queries("sim_sq_rerank")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)) ->
+        ((r.getLong(3), r.getDouble(4)))).toMap
+    assert(got == want)
+    assert(want.nonEmpty)
+    // the coded pre-rank genuinely reorders vs the exact rank for at least
+    // one query (otherwise the rerank stage tests nothing)
+    val exact = SparkEntry.queries("sim_topk")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(2)) -> r.getLong(1)).toMap
+    assert(want.keys.exists { case (qa, vb, rnk) =>
+      exact.get((qa, rnk)).exists(_ != vb) } ||
+      want.keySet.map(k => (k._1, k._3)).exists(k => !exact.contains(k)))
+  }
+
   test("sim_hard_negatives: in-memory triplet recomputation matches exactly") {
     val rows = Tables(spark, sf, "embeddings")
       .select("vec_id", "label", "embedding").collect()

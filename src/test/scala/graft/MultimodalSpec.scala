@@ -132,6 +132,34 @@ class MultimodalSpec extends AnyFunSuite {
     assert(r.filter(col("width") > 32 || col("height") > 32).count() == 0)
   }
 
+  test("resizePgm2x: block means exact on a hand-built image; container round-trips") {
+    // 4×4 image with known 2×2 blocks: means 2, 22, 127, and (252+253+
+    // 254+255)/4 = 253 (floor). Output must be a valid P5 the decoder
+    // accepts, at halved dimensions, with exactly those pixels.
+    val pix = Array[Byte](
+      1, 2, 20, 21,
+      2, 3, 23, 25,
+      126, 127, 252.toByte, 253.toByte,
+      127, 128.toByte, 254.toByte, 255.toByte)
+    val rz = Multimodal.resizePgm2x(MediaCodec.encodePgm(4, 4, pix))
+    val (w2, h2, pos) = MediaCodec.pgmHeader(rz)
+    assert((w2, h2) == (2, 2))
+    assert(rz.drop(pos).map(_ & 0xff).toSeq == Seq(2, 22, 127, 253))
+    val d = MediaCodec.decode("image", rz)
+    assert(d.width == 2 && d.height == 2 && d.n_frames == 1)
+    assert(d.meanIntensity == (2 + 22 + 127 + 253) / 4.0)
+    // odd trailing row/column drops: 5×3 → 2×1, blocks read only full 2×2s
+    val odd = Array.tabulate(15)(i => (i * 10 % 256).toByte)
+    val rzo = Multimodal.resizePgm2x(MediaCodec.encodePgm(5, 3, odd))
+    val (wo, ho, po) = MediaCodec.pgmHeader(rzo)
+    assert((wo, ho) == (2, 1))
+    // block (x=0): pixels 0,10,50,60 → 30; block (x=1): 20,30,70,80 → 50
+    assert(rzo.drop(po).map(_ & 0xff).toSeq == Seq(30, 50))
+    // too small to halve fails loudly
+    intercept[IllegalArgumentException](
+      Multimodal.resizePgm2x(MediaCodec.encodePgm(1, 4, Array[Byte](1, 2, 3, 4))))
+  }
+
   test("frame sampling emits ceil(n_frames / k) rows per video") {
     val f = Multimodal.extractFeatures(assets)
     val sampled = Multimodal.sampleFrames(f, everyK = 5)
