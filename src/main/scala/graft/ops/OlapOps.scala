@@ -171,7 +171,156 @@ object OlapOps extends OpModule {
     GROUP BY n_name
     ORDER BY n_name"""
 
+  /** TPC-H Q4 shape — order-priority checking: orders taken in one quarter
+    * with at least ONE late line item, counted per priority. The EXISTS
+    * compiles to a LEFT SEMI join (each order counted once however many
+    * lines are late); the quarter predicate prunes the orders scan FIRST,
+    * so the semi-join probes a quarter-sized build side. All-integer. */
+  private val orderPrioritySql: String = """
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1999-01-01'
+      AND o_orderdate < TIMESTAMP '1999-04-01'
+      AND EXISTS (SELECT 1 FROM lineitem
+        WHERE l_orderkey = o_orderkey
+          AND l_shipdate > o_orderdate + INTERVAL 90 DAY)
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority"""
+
+  /** TPC-H Q6 shape — forecasting revenue change: the discount-band scalar.
+    * One scan, every predicate pushed (ship-date range, discount band,
+    * quantity cap), one map-side-combined decimal sum — the cheapest query
+    * in the book and the purest pushdown test. */
+  private def forecastRevenueSql(d: String => String): String = s"""
+    SELECT ${d("SUM(CAST(l_extendedprice * l_discount AS DECIMAL(38,10)))")}
+        AS revenue_delta,
+      COUNT(*) AS n_items
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1999-01-01'
+      AND l_shipdate < TIMESTAMP '2000-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24"""
+
+  /** TPC-H Q14 shape — promotion effect: promo revenue share of one ship
+    * month. Part attaches by broadcast; both sums are decimal-exact over
+    * the same joined stream (one pass, CASE inside the aggregate — never
+    * two scans); the share is ONE division of the two cast doubles. */
+  private def promoShareSql(d: String => String): String = s"""
+    WITH m AS (
+      SELECT
+        ${d("SUM(CASE WHEN p_type = 'PROMO' THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,10)) ELSE CAST(0 AS DECIMAL(38,10)) END)")}
+          AS promo_rev,
+        ${d("SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,10)))")}
+          AS total_rev
+      FROM lineitem JOIN part ON p_partkey = l_partkey
+      WHERE l_shipdate >= TIMESTAMP '1999-06-01'
+        AND l_shipdate < TIMESTAMP '1999-07-01')
+    SELECT promo_rev, total_rev,
+      100.0 * promo_rev / total_rev AS promo_share
+    FROM m"""
+
+  /** TPC-H Q15 shape — top supplier: the quarter's revenue-per-supplier
+    * aggregate probed by its own maximum (the view + MAX formulation).
+    * The max compares DECIMALS exactly (no double round-trip inside the
+    * predicate), so the winner set is bit-deterministic; ties would all
+    * surface, ordered. Revenue aggregate is one fact-scan shuffle; the
+    * scalar max broadcasts back. */
+  private def topSupplierSql(d: String => String): String = s"""
+    WITH rev AS (
+      SELECT l_suppkey,
+        SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,10))) AS r
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1999-01-01'
+        AND l_shipdate < TIMESTAMP '1999-04-01'
+      GROUP BY l_suppkey)
+    SELECT s_suppkey, s_name, ${d("r")} AS total_rev
+    FROM supplier JOIN rev ON s_suppkey = l_suppkey
+    WHERE r = (SELECT MAX(r) FROM rev)
+    ORDER BY s_suppkey"""
+
+  /** TPC-H Q17 shape — small-quantity-order revenue: line items of one
+    * brand at under half their part's average quantity. The classic
+    * correlated AVG subquery is computed ONCE as a per-part aggregate and
+    * joined back (the decorrelation every optimizer wants; written
+    * explicitly so both engines run the identical shape); the average is
+    * a decimal-exact sum with ONE division, the threshold compare is
+    * per-row IEEE. */
+  private def smallQtyRevenueSql(d: String => String): String = s"""
+    WITH pq AS (
+      SELECT l_partkey AS pk,
+        ${d("SUM(CAST(l_quantity AS DECIMAL(38,10)))")} / COUNT(*) AS avg_q
+      FROM lineitem GROUP BY l_partkey)
+    SELECT ${d("SUM(CAST(l_extendedprice AS DECIMAL(38,10)))")} / 7.0
+        AS avg_yearly,
+      COUNT(*) AS n_items
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    JOIN pq ON pk = p_partkey
+    WHERE p_brand = 'Brand#1' AND l_quantity < 0.5 * avg_q"""
+
+  /** TPC-H Q19 shape — discounted revenue over a DISJUNCTION of brand ×
+    * size × quantity brackets: the predicate-complexity stress. Catalyst
+    * must still (a) push the derivable superset filters to both scans
+    * (brand IN-list + size range to part, quantity range to lineitem) and
+    * (b) keep the join a hash join on partkey with the residual OR as a
+    * post-join filter — never a nested-loop. Decimal-exact revenue +
+    * integer count. */
+  private def bracketRevenueSql(d: String => String): String = s"""
+    SELECT
+      ${d("SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,10)))")}
+        AS revenue,
+      COUNT(*) AS n_items
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+        AND l_quantity BETWEEN 1 AND 20)
+      OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30
+        AND l_quantity BETWEEN 10 AND 30)
+      OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50
+        AND l_quantity BETWEEN 20 AND 40)"""
+
   def ops: Seq[Op] = Seq(
+    Op("olap_order_priority",
+      (s, dir) => {
+        Seq("orders", "lineitem").foreach(view(s, dir, _))
+        s.sql(orderPrioritySql)
+      },
+      Some(orderPrioritySql)),
+
+    Op("olap_forecast_revenue",
+      (s, dir) => {
+        view(s, dir, "lineitem")
+        s.sql(forecastRevenueSql(sparkD))
+      },
+      Some(forecastRevenueSql(duckD))),
+
+    Op("olap_promo_share",
+      (s, dir) => {
+        Seq("lineitem", "part").foreach(view(s, dir, _))
+        s.sql(promoShareSql(sparkD))
+      },
+      Some(promoShareSql(duckD))),
+
+    Op("olap_top_supplier",
+      (s, dir) => {
+        Seq("lineitem", "supplier").foreach(view(s, dir, _))
+        s.sql(topSupplierSql(sparkD))
+      },
+      Some(topSupplierSql(duckD))),
+
+    Op("olap_small_qty_revenue",
+      (s, dir) => {
+        Seq("lineitem", "part").foreach(view(s, dir, _))
+        s.sql(smallQtyRevenueSql(sparkD))
+      },
+      Some(smallQtyRevenueSql(duckD))),
+
+    Op("olap_bracket_revenue",
+      (s, dir) => {
+        Seq("lineitem", "part").foreach(view(s, dir, _))
+        s.sql(bracketRevenueSql(sparkD))
+      },
+      Some(bracketRevenueSql(duckD))),
+
     Op("olap_ship_priority",
       (s, dir) => {
         Seq("customer", "orders", "lineitem").foreach(view(s, dir, _))

@@ -465,4 +465,41 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(p.contains("LeftAnti"), "NOT EXISTS did not plan as anti join:\n" + p)
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("olap_order_priority: EXISTS plans as a semi join; quarter range pushes") {
+    val p = finalPlan("olap_order_priority")
+    assert(p.contains("LeftSemi"), "EXISTS did not plan as semi join:\n" + p)
+    assert(p.contains("GreaterThanOrEqual(o_orderdate"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("olap_forecast_revenue: every predicate reaches the lineitem scan") {
+    val p = finalPlan("olap_forecast_revenue")
+    // the PushedFilters render truncates; assert the leading pushed entry
+    // plus the full predicate set on the scan-side Filter node
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate)"), p)
+    assert(p.contains(">= 0.05)") && p.contains("<= 0.07)"), p)
+    assert(p.contains("< 24.0)"), p)
+    // one scan, no join at all
+    assert(!p.contains("Join"), "the scalar grew a join:\n" + p)
+  }
+
+  test("olap_bracket_revenue: OR brackets keep a hash join; superset filters push") {
+    val p = finalPlan("olap_bracket_revenue")
+    // the disjunction must not degrade the partkey equi-join to a
+    // nested loop, and the derivable brand superset must reach the part
+    // scan as a pushed filter
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"), p)
+    // the derived per-table disjunction reaches the part scan pushed
+    assert(p.contains("Or(Or(And(EqualTo(p_brand"), p)
+  }
+
+  test("olap_small_qty_revenue: decorrelated per-part average joins hash-side") {
+    val p = finalPlan("olap_small_qty_revenue")
+    assert(p.contains("HashAggregate"), p)
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+  }
 }
