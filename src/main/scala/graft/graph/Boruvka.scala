@@ -84,17 +84,22 @@ object Boruvka {
           .select(col("c"),
             when(col("ttgt") === col("c") && col("c") < col("tgt"), col("c"))
               .otherwise(col("tgt")).as("p")))
-        // pointer-jump every chain onto its root
-        var jumping = true
-        var jumps = 0
-        while (jumping && jumps < 32) {
-          jumps += 1
+        // pointer-jump every chain onto its root. Chains are bounded by
+        // the hooked-component count n, so ⌈log₂ n⌉ UNCHECKED jumps reach
+        // every root (after k jumps a pointer covers distance 2^k; roots
+        // self-loop and stay) — one count per round replaces a per-jump
+        // convergence probe, which was a join + driver action apiece and
+        // dominated the key's wall-clock on small component graphs.
+        val n = par.count()
+        val jumps =
+          if (n <= 2) 1
+          else 64 - java.lang.Long.numberOfLeadingZeros(n - 1).toInt
+        var j = 0
+        while (j < jumps) {
           val q = par.select(col("c").as("qc"), col("p").as("qp"))
-          val nxt = cut(par.join(q, col("p") === col("qc"))
+          par = cut(par.join(q, col("p") === col("qc"))
             .select(col("c"), col("qp").as("p")))
-          jumping = !nxt.join(par, Seq("c"))
-            .filter(nxt("p") =!= par("p")).isEmpty
-          par = nxt
+          j += 1
         }
         // relabel: hooked components take their root; untouched ones keep
         // their label (left join + coalesce)

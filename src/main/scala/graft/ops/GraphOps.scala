@@ -14,6 +14,10 @@ import org.apache.spark.sql.functions._
 object GraphOps extends OpModule {
   import GraphSql.withGraph
 
+  /** Test observability: micro-batches folded by stream_mst_maintain. */
+  private[graft] val mstMaintainBatches =
+    new java.util.concurrent.atomic.AtomicLong(0)
+
   /** One-region robustness subgraph shared by the biconnectivity keys:
     * region 3, its nations, and their customers/suppliers, over the
     * in_region/in_nation/colocated labels — connected by construction
@@ -1258,6 +1262,68 @@ object GraphOps extends OpModule {
           .foreach(n => graft.Tables(s, dir, n).createOrReplaceTempView(n))
         graft.graph.Boruvka.msf(
           s.sql(mstPairsSql(e => s"CAST($e AS DOUBLE)")))
+      },
+      Some(mstOracleSql)),
+
+    // STREAMING MSF MAINTENANCE — graph_mst's maintain twin: the spanning
+    // forest kept current as trade slices arrive. Two-level state split
+    // by what actually folds: per-pair weights are ORDER-FREE decimal
+    // sums (each batch's rows aggregate map-side and merge into the
+    // stored nations²-bounded pair relation), while the forest itself is
+    // NOT incrementally foldable under weight UPDATES (a pair's weight
+    // grows as its lineitems arrive, which can evict a previously-chosen
+    // edge), so each batch re-runs Borůvka on the ~300-row pair relation
+    // — at 100 TB that relation is still nations²-bounded, so the
+    // recompute is metadata-cheap and the fact stream is touched exactly
+    // once. (Under INSERT-only edge streams the classic sparsification
+    // identity MSF(G ∪ E') = MSF(MSF(G) ∪ E') would fold the forest too;
+    // weight-accumulating streams break its precondition — documented
+    // trade, same family as stream_phash_maintain's uncapped-pair note.)
+    // Order-free fold ⇒ the batch key's oracle IS this key's oracle.
+    Op("stream_mst_maintain",
+      (s, dir) => {
+        val stage = graft.Staging.dir(s"mstm-src-${dir.hashCode.toHexString}")
+        if (!new java.io.File(s"$stage/_SUCCESS").exists()) {
+          Seq("lineitem", "orders", "customer", "supplier")
+            .foreach(n => graft.Tables(s, dir, n).createOrReplaceTempView(n))
+          s.sql("""SELECT LEAST(s_nationkey, c_nationkey) AS a,
+              GREATEST(s_nationkey, c_nationkey) AS b,
+              CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,10)) AS rev
+            FROM lineitem
+            JOIN orders ON o_orderkey = l_orderkey
+            JOIN customer ON c_custkey = o_custkey
+            JOIN supplier ON s_suppkey = l_suppkey
+            WHERE s_nationkey <> c_nationkey""")
+            .repartitionByRange(3, col("a"), col("b"))
+            .write.mode("overwrite").parquet(stage)
+        }
+        def empty(ddl: String) = s.createDataFrame(
+          new java.util.ArrayList[org.apache.spark.sql.Row](),
+          org.apache.spark.sql.types.StructType.fromDDL(ddl))
+        var pairW = empty("a INT, b INT, w DECIMAL(38,10)")
+        var forest = empty("a INT, b INT, w DOUBLE")
+        val q = s.readStream
+          .schema(org.apache.spark.sql.types.StructType.fromDDL(
+            "a INT, b INT, rev DECIMAL(38,10)"))
+          .option("maxFilesPerTrigger", 1).parquet(stage)
+          .writeStream
+          .option("checkpointLocation", graft.Staging.fresh("mstm-chk"))
+          .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+            GraphOps.mstMaintainBatches.incrementAndGet()
+            val bAgg = batch.groupBy("a", "b")
+              .agg(sum("rev").cast("decimal(38,10)").as("w"))
+            pairW = graft.util.cut(pairW.unionByName(bAgg)
+              .groupBy("a", "b")
+              .agg(sum("w").cast("decimal(38,10)").as("w")))
+            forest = graft.util.cut(graft.graph.Boruvka.msf(
+              pairW.select(col("a"), col("b"),
+                col("w").cast("double").as("w"))))
+            ()
+          }
+          .start()
+        q.processAllAvailable()
+        q.stop()
+        forest.orderBy("a", "b")
       },
       Some(mstOracleSql)),
 

@@ -396,6 +396,19 @@ class PropertyGraphSpec extends AnyFunSuite {
       g.V(col("label") === "customer").select("missing"))
   }
 
+  test("stream_mst_maintain: multi-batch fold equals the batch forest exactly") {
+    val before = graft.ops.GraphOps.mstMaintainBatches.get()
+    val streamed = SparkEntry.queries("stream_mst_maintain")(spark, TestSpark.sf)
+      .collect().map(_.toString).toSeq
+    // the maintenance loop genuinely folded multiple micro-batches (a
+    // single batch would trivially equal the batch pipeline)
+    assert(graft.ops.GraphOps.mstMaintainBatches.get() - before >= 2)
+    val batch = SparkEntry.queries("graph_mst")(spark, TestSpark.sf)
+      .collect().map(_.toString).toSeq
+    assert(streamed == batch)
+    assert(batch.nonEmpty)
+  }
+
   test("traversal DSL: sack()/range()/valueMap() steps, fluent ≡ parsed") {
     // sack: fluent ≡ parsed on the supply-chain walk
     val fluentSack = g.V(col("label") === "order").has(col("val") > 400000)
