@@ -66,6 +66,10 @@ object ScaleBench {
     "dedup_phash", "stream_substring_maintain", "graph_hits",
     // r14b additions: ANN-index maintain, rarity scoring, coreness
     "stream_ivf_maintain", "text_rare_ngrams", "graph_coreness",
+    // r14c additions: spanning forest + its maintain twin, SQ8 two-stage
+    // retrieval, the heaviest of the new OLAP shapes
+    "graph_mst", "stream_mst_maintain", "sim_sq_rerank",
+    "olap_late_suppliers", "olap_ship_priority",
     // text / pipeline
     "text_repetition", "text_tfidf", "text_quality", "corpus_mix",
     // relational linear-scale sanity rows
@@ -83,7 +87,10 @@ object ScaleBench {
     "graph_cc", "graph_pagerank",
     "dedup_minhash", "dedup_cluster", "stream_minhash_maintain",
     "sim_knn_join", "corpus_mix", "text_stats", "win_sessionize",
-    "agg_group", "join_inner", "join_salted")
+    "agg_group", "join_inner", "join_salted",
+    // r14c: hub orders hit the per-(order, supplier) lateness aggregate
+    // and the sack walk fan-out; the MST pair-build rides the fact joins
+    "olap_late_suppliers", "graph_traversal_sack", "graph_mst")
 
   /** Canonical planted-duplicate text for the skew overlay (dedup keys):
     * long enough to shingle, constant so every planted doc lands in the

@@ -215,6 +215,32 @@ final case class Traversal(g: PropertyGraph, df: DataFrame, depth: Int,
     Traversal(g, df.filter(p), depth, None, labels)
   }
 
+  /** Gremlin local(out('l').order().by(id).limit(k)) — PER-TRAVERSER
+    * bounded expansion: each walk continues along at most k out-edges,
+    * chosen deterministically (lowest destination ids; TinkerPop's bare
+    * local(out().limit(k)) is order-undefined — the order().by(id) house
+    * reading makes it replayable). This is the hub guard a traversal
+    * engine needs at scale: a degree-10⁶ vertex contributes k
+    * continuations instead of 10⁶. One row_number window over the edge
+    * set partitioned by source — edge-relation-sized, never walk×edge —
+    * then the same equi-join as a plain step. Drops the bulk frame (the
+    * cap is per-walk-position by nature). */
+  def outLocal(elabel: String, k: Int): Traversal = {
+    require(k >= 1, s"local limit must be >= 1, got $k")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("src")).orderBy(col("dst"))
+    val sacked = df.columns.contains("sack")
+    val ranked = edgeSet(Some(elabel), None).select("src", "dst", "weight")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+    val e =
+      if (sacked) ranked.select(col("src").as(head), col("dst").as(next),
+        org.apache.spark.sql.functions.coalesce(col("weight"), lit(0.0))
+          .as("_lastw"))
+      else ranked.select(col("src").as(head), col("dst").as(next))
+    Traversal(g, df.drop("_lastw").join(e, head), depth + 1, None, labels)
+  }
+
   /** Gremlin g.withSack(init).V()…: arm the per-traverser accumulator.
     * The sack rides the walk matrix as ONE extra column — each subsequent
     * adjacency step exposes its edge's weight as _lastw, and
@@ -1161,6 +1187,14 @@ object Traversal {
       // just-traversed edge's weight; bare sack() is the fold terminal.
       case ("withSack", n) :: tl if n.matches("-?\\d+(\\.\\d+)?") =>
         t = t.withSack(n.toDouble); loop(tl)
+      // local(out('l').limit(k)) — per-traverser bounded expansion
+      case ("local", a) :: tl =>
+        val LocalPat = """out\(\s*'([^']+)'\s*\)\.limit\(\s*(\d+)\s*\)""".r
+        a.trim match {
+          case LocalPat(l, k) => t = t.outLocal(l, k.toInt); loop(tl)
+          case other => throw new IllegalArgumentException(
+            s"local() supports out('label').limit(k), got: $other")
+        }
       case ("sack", "sum") :: ("by", a) :: tl =>
         t = t.sackBy(label(a)); loop(tl)
       case ("sack", "") :: tl => result = Some(t.sackFold()); loop(tl)

@@ -1327,6 +1327,51 @@ object GraphOps extends OpModule {
       },
       Some(mstOracleSql)),
 
+    // Gremlin local(out().limit(k)) — per-traverser bounded expansion
+    // (each big order continues along at most its 2 lowest-id parts):
+    // the HUB GUARD for traversals at scale — a degree-10⁶ vertex emits
+    // k continuations instead of 10⁶. One edge-relation-sized row_number
+    // window, then a plain step join; deterministic by the order().by(id)
+    // house reading of TinkerPop's order-undefined bare limit.
+    Op("graph_traversal_local",
+      (s, dir) => graft.util.sortAll(GraphFixture(s, dir).traverse(
+        "V(label='order').has(val>400000).local(out('contains').limit(2)).path()")),
+      Some(withGraph("""SELECT o.id AS v0, e.dst AS v1
+        FROM vertices o
+        JOIN (SELECT src, dst,
+            ROW_NUMBER() OVER (PARTITION BY src ORDER BY dst) AS rn
+          FROM edges WHERE label = 'contains') e
+          ON e.src = o.id AND e.rn <= 2
+        WHERE o.label = 'order' AND o.val > 400000
+        ORDER BY ALL"""))),
+
+    // sack() composed WITH the local() hub guard — the bounded form of
+    // graph_traversal_sack: both expansions capped per traverser, so the
+    // traverser multiset is ≤ |starts|·2·3 by CONSTRUCTION however hot a
+    // hub part gets. The uncapped key's hub-skew inflation is traverser-
+    // multiset-linear (TinkerPop semantics — every walk exists); THIS
+    // composition is what a user runs when the multiset itself is the
+    // hazard. Skew-certified next to the uncapped key in SCALE.md.
+    Op("graph_traversal_sack_local",
+      (s, dir) => GraphFixture(s, dir).traverse(
+        "V(label='order').has(val>400000).withSack(0)" +
+          ".local(out('contains').limit(2)).sack(sum).by('weight')" +
+          ".local(out('supplied_by').limit(3)).sack(sum).by('weight').sack()"),
+      Some(withGraph("""SELECT e2.dst AS id, COUNT(*) AS n_walks,
+          CAST(CAST(SUM(CAST(e1.weight AS DECIMAL(38,10))) AS VARCHAR)
+            AS DOUBLE) AS total_sack
+        FROM vertices o
+        JOIN (SELECT src, dst, weight,
+            ROW_NUMBER() OVER (PARTITION BY src ORDER BY dst) AS rn
+          FROM edges WHERE label = 'contains') e1
+          ON e1.src = o.id AND e1.rn <= 2
+        JOIN (SELECT src, dst,
+            ROW_NUMBER() OVER (PARTITION BY src ORDER BY dst) AS rn
+          FROM edges WHERE label = 'supplied_by') e2
+          ON e2.src = e1.dst AND e2.rn <= 3
+        WHERE o.label = 'order' AND o.val > 400000
+        GROUP BY e2.dst ORDER BY id"""))),
+
     // Gremlin valueMap() — the full-property terminal: high-balance
     // members of each nation, every vertex property flattened to columns
     // (one row per surviving walk; the in_nation fan-in is 1, so heads

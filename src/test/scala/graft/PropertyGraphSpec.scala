@@ -460,6 +460,25 @@ class PropertyGraphSpec extends AnyFunSuite {
     assert(page.collect().toSeq == prefix.drop(5))
     intercept[IllegalArgumentException](t.orderRange("val", 7, 7))
 
+    // local(out().limit(k)): fluent ≡ parsed; the per-head cap holds and
+    // the kept continuations are exactly the k lowest destination ids
+    val loc = g.V(col("label") === "order").outLocal("contains", 2)
+    val parsedLoc = g.traverse(
+      "V(label='order').local(out('contains').limit(2)).path()")
+    assert(loc.path().collect().map(_.toString).sorted.toSeq ==
+      parsedLoc.collect().map(_.toString).sorted.toSeq)
+    val perHead = loc.path().groupBy("v0").count()
+    assert(perHead.filter(col("count") > 2).count() == 0)
+    val full = g.V(col("label") === "order").out("contains").path()
+    val expectLoc = full.withColumn("rn",
+      row_number().over(org.apache.spark.sql.expressions.Window
+        .partitionBy("v0").orderBy("v1"))).filter(col("rn") <= 2)
+      .select("v0", "v1")
+    assert(loc.path().except(expectLoc).count() == 0 &&
+      expectLoc.except(loc.path()).count() == 0)
+    intercept[IllegalArgumentException](
+      g.traverse("V().local(both('x'))"))
+
     // valueMap: fluent ≡ parsed; one row per walk, full property schema
     val vm = g.V(col("label") === "nation").in("in_nation")
       .has(col("val") > 9000).valueMap()
