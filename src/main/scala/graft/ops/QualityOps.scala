@@ -179,6 +179,27 @@ object QualityOps extends OpModule {
       },
       Some(freshnessSql("epoch_us(ts)"))),
 
+    // DISTRIBUTION-DRIFT audit (the "did this feed change shape" check a
+    // pipeline runs between a reference slice and the current one):
+    // per event class, the value distribution in 10 fixed-width buckets
+    // for both slices, with each bucket's chi-square contribution
+    // (n_cur − e)²/e against the reference shape. Per-BUCKET rows, not
+    // the folded scalar: a 10-term double sum would be accumulation-
+    // order-dependent cross-engine, the per-bucket terms are pure IEEE
+    // from integer counts in one fixed parse order — and the per-bucket
+    // artifact is what a triage dashboard wants anyway. Global min/max
+    // is one scalar broadcast; the bucket/count pass is one map-side-
+    // combinable aggregate; everything downstream is buckets×classes-
+    // bounded. Reference slice = even event ids (deterministic at any
+    // SF; a production deploy keys the slice on time instead — same
+    // plan).
+    Op("dq_drift",
+      (s, dir) => {
+        view(s, dir, "events")
+        s.sql(DqDriftSql)
+      },
+      Some(DqDriftSql)),
+
     // OLAP flagship — market-share report (TPC-H Q8 shape): revenue by
     // supplier-region × order year, each region's share of the year via a
     // window over the aggregate. Two-level structure: the 5-way snowflake
@@ -823,6 +844,37 @@ object QualityOps extends OpModule {
     * parent key is UNIQUE in its table (primary keys), so LEFT JOIN + null
     * probe counts orphans without duplicating children; a NULL child FK
     * matches nothing and counts as an orphan in both engines identically. */
+  /** Drift-audit SQL, ONE text for both engines: integer bucket counts,
+    * per-bucket IEEE chi-square terms in fixed parse order (the expected
+    * count appears three times — written out verbatim so both engines
+    * evaluate the identical expression tree). Buckets with an empty
+    * reference cell have no defined expectation → NULL contribution. */
+  private val DqDriftSql = """
+    WITH mm AS (SELECT MIN(value) AS mn, MAX(value) AS mx FROM events),
+    b AS (SELECT event_type,
+        LEAST(9, GREATEST(0, CAST(floor((value - mm.mn) * 10.0
+          / (mm.mx - mm.mn)) AS INTEGER))) AS bucket,
+        event_id % 2 AS slice
+      FROM events, mm),
+    c AS (SELECT event_type, bucket,
+        SUM(CASE WHEN slice = 0 THEN 1 ELSE 0 END) AS n_ref,
+        SUM(CASE WHEN slice = 1 THEN 1 ELSE 0 END) AS n_cur
+      FROM b GROUP BY 1, 2),
+    t AS (SELECT event_type, SUM(n_ref) AS t_ref, SUM(n_cur) AS t_cur
+      FROM c GROUP BY 1)
+    SELECT c.event_type, c.bucket,
+      CAST(n_ref AS BIGINT) AS n_ref, CAST(n_cur AS BIGINT) AS n_cur,
+      CASE WHEN n_ref > 0 THEN
+        (CAST(n_cur AS DOUBLE) - CAST(n_ref AS DOUBLE)
+           * CAST(t_cur AS DOUBLE) / CAST(t_ref AS DOUBLE))
+        * (CAST(n_cur AS DOUBLE) - CAST(n_ref AS DOUBLE)
+           * CAST(t_cur AS DOUBLE) / CAST(t_ref AS DOUBLE))
+        / (CAST(n_ref AS DOUBLE) * CAST(t_cur AS DOUBLE)
+           / CAST(t_ref AS DOUBLE))
+      ELSE CAST(NULL AS DOUBLE) END AS chi2_contrib
+    FROM c JOIN t ON t.event_type = c.event_type
+    ORDER BY 1, 2"""
+
   private val DqReferentialSql = """
     SELECT * FROM (
       SELECT 'lineitem->orders' AS fk, COUNT(*) AS n_child,
