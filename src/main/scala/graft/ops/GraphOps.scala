@@ -1315,9 +1315,13 @@ object GraphOps extends OpModule {
             pairW = graft.util.cut(pairW.unionByName(bAgg)
               .groupBy("a", "b")
               .agg(sum("w").cast("decimal(38,10)").as("w")))
+            // localThreshold: the pair relation is nations²-bounded by
+            // construction, so every per-batch recompute takes the
+            // executor-local Kruskal path (unique forest ⇒ identical
+            // output to the Borůvka rounds; Boruvka.msf scaladoc)
             forest = graft.util.cut(graft.graph.Boruvka.msf(
               pairW.select(col("a"), col("b"),
-                col("w").cast("double").as("w"))))
+                col("w").cast("double").as("w")), localThreshold = 100000))
             ()
           }
           .start()

@@ -941,5 +941,14 @@ class GraphAlgoIndependenceSpec extends AnyFunSuite {
       .select(least(col("src"), col("dst")).as("a"),
         greatest(col("src"), col("dst")).as("b"), col("weight").as("w"))
     check(contains)
+    // the small-input executor-local Kruskal fallback returns the
+    // IDENTICAL forest (unique under the total order) on both instances
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).toSeq
+    assert(rows(graft.graph.Boruvka.msf(contains, localThreshold = 100000))
+      == rows(graft.graph.Boruvka.msf(contains)))
+    // threshold below the input size keeps the distributed path
+    assert(rows(graft.graph.Boruvka.msf(contains, localThreshold = 10))
+      == rows(graft.graph.Boruvka.msf(contains)))
   }
 }
