@@ -25,6 +25,9 @@ object QualityOps extends OpModule {
   /** Test observability: micro-batches audited by stream_quality_gate. */
   val qualityGateBatches = new java.util.concurrent.atomic.AtomicLong(0)
 
+  /** Test observability: micro-batches folded by stream_drift_maintain. */
+  val driftMaintainBatches = new java.util.concurrent.atomic.AtomicLong(0)
+
   private def view(s: org.apache.spark.sql.SparkSession, dir: String, n: String): Unit =
     Tables(s, dir, n).createOrReplaceTempView(n)
 
@@ -197,6 +200,64 @@ object QualityOps extends OpModule {
       (s, dir) => {
         view(s, dir, "events")
         s.sql(DqDriftSql)
+      },
+      Some(DqDriftSql)),
+
+    // STREAMING DRIFT MAINTENANCE — dq_drift's maintain twin: the
+    // monitoring loop that keeps the drift report current as event
+    // slices arrive. Bucket CALIBRATION (global value min/max) is a
+    // FIXED artifact computed once at stage time — exactly what a
+    // production monitor does (bounds come from the reference snapshot,
+    // never re-derived per batch, or the buckets would shift under the
+    // reader) — and arrivals bucket against it. State = the
+    // buckets×classes-bounded integer count table; per batch one
+    // map-side-combined count aggregate merges in (ORDER-FREE integer
+    // sums ⇒ the batch key's oracle is this key's oracle); the report
+    // tail (shared SQL text) renders from folded state.
+    Op("stream_drift_maintain",
+      (s, dir) => {
+        val stage = graft.Staging.dir(s"dqd-src-${dir.hashCode.toHexString}")
+        if (!new java.io.File(s"$stage/_SUCCESS").exists()) {
+          view(s, dir, "events")
+          s.sql("SELECT event_id, event_type, value FROM events")
+            .repartitionByRange(3, col("event_id"))
+            .write.mode("overwrite").parquet(stage)
+        }
+        val mm = s.read.parquet(stage)
+          .agg(min("value").as("mn"), max("value").as("mx")).head
+        val (mn, mx) = (mm.getDouble(0), mm.getDouble(1))
+        def empty(ddl: String) = s.createDataFrame(
+          new java.util.ArrayList[org.apache.spark.sql.Row](),
+          org.apache.spark.sql.types.StructType.fromDDL(ddl))
+        var counts =
+          empty("event_type STRING, bucket INT, n_ref BIGINT, n_cur BIGINT")
+        val q = s.readStream
+          .schema(org.apache.spark.sql.types.StructType.fromDDL(
+            "event_id BIGINT, event_type STRING, value DOUBLE"))
+          .option("maxFilesPerTrigger", 1).parquet(stage)
+          .writeStream
+          .option("checkpointLocation", graft.Staging.fresh("dqd-chk"))
+          .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+            QualityOps.driftMaintainBatches.incrementAndGet()
+            val b = batch.select(col("event_type"),
+              least(lit(9), greatest(lit(0),
+                floor((col("value") - lit(mn)) * lit(10.0)
+                  / (lit(mx) - lit(mn))).cast("int"))).as("bucket"),
+              (col("event_id") % 2).as("slice"))
+              .groupBy("event_type", "bucket")
+              .agg(sum(when(col("slice") === 0, 1).otherwise(0)).as("n_ref"),
+                sum(when(col("slice") === 1, 1).otherwise(0)).as("n_cur"))
+            counts = graft.util.cut(counts.unionByName(b)
+              .groupBy("event_type", "bucket")
+              .agg(sum("n_ref").as("n_ref"), sum("n_cur").as("n_cur")))
+            ()
+          }
+          .start()
+        q.processAllAvailable()
+        q.stop()
+        counts.createOrReplaceTempView("dqd_counts")
+        s.sql(driftReportSql(
+          "c AS (SELECT event_type, bucket, n_ref, n_cur FROM dqd_counts)"))
       },
       Some(DqDriftSql)),
 
@@ -849,17 +910,12 @@ object QualityOps extends OpModule {
     * count appears three times — written out verbatim so both engines
     * evaluate the identical expression tree). Buckets with an empty
     * reference cell have no defined expectation → NULL contribution. */
-  private val DqDriftSql = """
-    WITH mm AS (SELECT MIN(value) AS mn, MAX(value) AS mx FROM events),
-    b AS (SELECT event_type,
-        LEAST(9, GREATEST(0, CAST(floor((value - mm.mn) * 10.0
-          / (mm.mx - mm.mn)) AS INTEGER))) AS bucket,
-        event_id % 2 AS slice
-      FROM events, mm),
-    c AS (SELECT event_type, bucket,
-        SUM(CASE WHEN slice = 0 THEN 1 ELSE 0 END) AS n_ref,
-        SUM(CASE WHEN slice = 1 THEN 1 ELSE 0 END) AS n_cur
-      FROM b GROUP BY 1, 2),
+  /** The report TAIL over a bucket-count relation `c(event_type, bucket,
+    * n_ref, n_cur)` — shared verbatim by the batch key, its oracle, and
+    * the streaming maintain twin's emit (the fold state IS that
+    * relation). */
+  private def driftReportSql(countsCtes: String): String = s"""
+    WITH $countsCtes,
     t AS (SELECT event_type, SUM(n_ref) AS t_ref, SUM(n_cur) AS t_cur
       FROM c GROUP BY 1)
     SELECT c.event_type, c.bucket,
@@ -874,6 +930,18 @@ object QualityOps extends OpModule {
       ELSE CAST(NULL AS DOUBLE) END AS chi2_contrib
     FROM c JOIN t ON t.event_type = c.event_type
     ORDER BY 1, 2"""
+
+  private val DqDriftSql = driftReportSql("""
+    mm AS (SELECT MIN(value) AS mn, MAX(value) AS mx FROM events),
+    b AS (SELECT event_type,
+        LEAST(9, GREATEST(0, CAST(floor((value - mm.mn) * 10.0
+          / (mm.mx - mm.mn)) AS INTEGER))) AS bucket,
+        event_id % 2 AS slice
+      FROM events, mm),
+    c AS (SELECT event_type, bucket,
+        SUM(CASE WHEN slice = 0 THEN 1 ELSE 0 END) AS n_ref,
+        SUM(CASE WHEN slice = 1 THEN 1 ELSE 0 END) AS n_cur
+      FROM b GROUP BY 1, 2)""")
 
   private val DqReferentialSql = """
     SELECT * FROM (

@@ -214,6 +214,22 @@ class QualityOpsSpec extends AnyFunSuite {
     assert(gated.exists(_._3 > 0), "quarantine rule never fired — vacuous")
   }
 
+  test("stream_drift_maintain folds micro-batches to the exact batch drift report") {
+    val before = ops.QualityOps.driftMaintainBatches.get()
+    val streamed = SparkEntry.queries("stream_drift_maintain")(spark, sf)
+      .collect().map(_.toString).toSeq
+    val nBatches = ops.QualityOps.driftMaintainBatches.get() - before
+    assert(nBatches >= 2, s"expected multiple micro-batches, saw $nBatches")
+    val batch = SparkEntry.queries("dq_drift")(spark, sf)
+      .collect().map(_.toString).toSeq
+    assert(streamed == batch, "folded drift report ≠ batch report")
+    assert(batch.nonEmpty)
+    // the audit is non-vacuous: some bucket genuinely drifts (nonzero
+    // chi-square contribution somewhere)
+    assert(SparkEntry.queries("dq_drift")(spark, sf)
+      .filter("chi2_contrib > 0").count() > 0)
+  }
+
   test("join_asof_nearest picks the closer of backward/forward candidates") {
     val rows = SparkEntry.queries("join_asof_nearest")(spark, sf).collect()
     assert(rows.nonEmpty)
