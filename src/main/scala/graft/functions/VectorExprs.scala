@@ -95,6 +95,67 @@ object FloatDotProduct {
   }
 }
 
+/** Native integer dot product over two BIGINT-array columns — the SQ8
+  * asymmetric-distance kernel (sim_sq_rerank's stage-1 scan): quantized
+  * codes score against quantized codes in pure integer arithmetic, so the
+  * result is EXACT (order-free, no float accumulation at all) and the
+  * candidate cut it ranks is deterministic by construction. Same
+  * static-call codegen shape as [[FloatDotProduct]]; ragged inputs yield
+  * NULL (the zip_with/list_zip contract). */
+case class CodeDotProduct(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = LongType
+
+  private def elemOk(t: DataType): Boolean = t match {
+    case ArrayType(LongType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (elemOk(left.dataType) && elemOk(right.dataType))
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"code_dot needs two array<bigint> args, got ${left.dataType} / ${right.dataType}")
+
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    if (x.numElements() != y.numElements()) null
+    else CodeDotProduct.dot(x, y)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"""
+       if ($a.numElements() != $b.numElements()) {
+         ${ev.isNull} = true;
+       } else {
+         ${ev.value} = graft.functions.CodeDotProduct.dot($a, $b);
+       }""")
+
+  override def prettyName: String = "code_dot"
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+object CodeDotProduct {
+  /** Integer kernel — exact and order-free; SQ8 codes are ≤ 255 so a
+    * 64-dim dot is ≤ 2²² — overflow needs ~2⁴⁷ dims. */
+  def dot(x: ArrayData, y: ArrayData): Long = {
+    val n = x.numElements()
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      acc += x.getLong(i) * y.getLong(i)
+      i += 1
+    }
+    acc
+  }
+}
+
 /** Registration of graft's native functions.
   *
   * Library users: `.config("spark.sql.extensions", "graft.functions.GraftExtensions")`.
@@ -106,6 +167,9 @@ object GraftFunctions {
     (FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[FloatDotProduct].getName, "vec_dot"),
       (c: Seq[Expression]) => FloatDotProduct(c(0), c(1))),
+    (FunctionIdentifier("code_dot"),
+      new ExpressionInfo(classOf[CodeDotProduct].getName, "code_dot"),
+      (c: Seq[Expression]) => CodeDotProduct(c(0), c(1))),
     (FunctionIdentifier("stable_hash64"),
       new ExpressionInfo(classOf[StableHash64].getName, "stable_hash64"),
       (c: Seq[Expression]) => StableHash64(c(0))),

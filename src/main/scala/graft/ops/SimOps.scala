@@ -623,8 +623,7 @@ object SimOps extends OpModule {
           WITH q AS (SELECT vec_id AS qa, codes AS qc FROM $codes
             WHERE vec_id % 100 = 0),
           s1 AS (SELECT q.qa, c.vec_id AS vb,
-              aggregate(zip_with(q.qc, c.codes, (x, y) -> x * y),
-                CAST(0 AS BIGINT), (acc, x) -> acc + x) AS appx
+              code_dot(q.qc, c.codes) AS appx
             FROM $codes c JOIN q ON c.vec_id <> q.qa),
           cand AS (SELECT qa, vb, appx,
               ROW_NUMBER() OVER (PARTITION BY qa ORDER BY appx DESC, vb)
