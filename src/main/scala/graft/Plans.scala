@@ -40,7 +40,13 @@ object Plans {
     "graph_reciprocity", "graph_traversal_cyclic", "graph_traversal_tree",
     "olap_nation_volume", "text_rare_ngrams", "text_diversity",
     "embed_quantize", "graph_traversal_not", "sim_hard_negatives",
-    "graph_traversal_and", "graph_traversal_or")
+    "graph_traversal_and", "graph_traversal_or",
+    "olap_ship_priority", "olap_product_profit", "olap_customer_dist",
+    "olap_large_orders", "olap_late_suppliers", "olap_idle_value_customers",
+    "olap_order_priority", "olap_forecast_revenue", "olap_bracket_revenue",
+    "olap_small_qty_revenue", "graph_mst", "graph_traversal_sack",
+    "graph_traversal_local", "sim_sq_rerank", "multimodal_resize",
+    "source_binaryfile", "dq_drift")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
