@@ -950,5 +950,31 @@ class GraphAlgoIndependenceSpec extends AnyFunSuite {
     // threshold below the input size keeps the distributed path
     assert(rows(graft.graph.Boruvka.msf(contains, localThreshold = 10))
       == rows(graft.graph.Boruvka.msf(contains)))
+
+    // edge cases, both execution paths
+    import spark.implicits._
+    def msfBoth(es: Seq[(Long, Long, Double)]) = {
+      val df = es.toDF("a", "b", "w")
+      val d = rows(graft.graph.Boruvka.msf(df))
+      assert(d == rows(graft.graph.Boruvka.msf(df, localThreshold = 1000)))
+      d
+    }
+    // empty graph → empty forest
+    assert(msfBoth(Seq.empty).isEmpty)
+    // single edge → that edge
+    assert(msfBoth(Seq((1L, 2L, 5.0))).size == 1)
+    // parallel edges: only the lighter one can be picked
+    assert(msfBoth(Seq((1L, 2L, 5.0), (1L, 2L, 3.0)))
+      == Seq("[1,2,3.0]"))
+    // equal weights everywhere: the (w, a, b) tiebreak still yields ONE
+    // deterministic spanning tree of the 4-cycle (3 edges, smallest pairs)
+    assert(msfBoth(Seq((1L, 2L, 1.0), (2L, 3L, 1.0), (3L, 4L, 1.0),
+      (1L, 4L, 1.0))) == Seq("[1,2,1.0]", "[1,4,1.0]", "[2,3,1.0]"))
+    // negative weights are legal for MSF (no cycles to relax)
+    assert(msfBoth(Seq((1L, 2L, -5.0), (2L, 3L, 4.0), (1L, 3L, -1.0)))
+      == Seq("[1,2,-5.0]", "[1,3,-1.0]"))
+    // two components → a forest, one tree each
+    assert(msfBoth(Seq((1L, 2L, 1.0), (2L, 3L, 2.0), (1L, 3L, 3.0),
+      (10L, 11L, 1.0))).size == 3)
   }
 }
