@@ -123,6 +123,18 @@ class Round5OpsSpec extends AnyFunSuite {
     assert(bad.count() == 0)
   }
 
+  test("agg_corr matches Spark's built-in corr to float tolerance") {
+    val got = SparkEntry.queries("agg_corr")(spark, sf)
+      .select("corr_items_qty").head.getDouble(0)
+    val ref = Tables(spark, sf, "lineitem").groupBy("l_orderkey")
+      .agg(count(lit(1)).cast("double").as("x"),
+        sum(col("l_quantity").cast("decimal(38,10)")).cast("double").as("y"))
+      .agg(corr("x", "y")).head.getDouble(0)
+    assert(math.abs(got - ref) < 1e-9, s"got $got ref $ref")
+    // non-degenerate: item count and total quantity genuinely correlate
+    assert(got > 0.5)
+  }
+
   test("agg_kurtosis matches Spark's built-in kurtosis to float tolerance") {
     val k = SparkEntry.queries("agg_kurtosis")(spark, sf)
       .select("o_orderstatus", "kurt")
