@@ -443,11 +443,17 @@ class PropertyGraphSpec extends AnyFunSuite {
       .out("supplied_by").sackFold()
     assert(oneSack.collect().map(_.toString).sorted.toSeq ==
       fluentSack.collect().map(_.toString).sorted.toSeq)
-    // sack misuse fails loudly
+    // sack misuse fails loudly — fluent and parsed forms
     intercept[IllegalArgumentException](
       g.V(lit(true)).out("by").sackBy("weight"))
     intercept[IllegalArgumentException](
       g.V(lit(true)).withSack(0.0).sackBy("weight"))
+    intercept[IllegalArgumentException](
+      g.traverse("V().withSack(x).out('by').sack()"))
+    intercept[IllegalArgumentException](
+      g.traverse("V().withSack(0).sack(sum).by('weight').ids()"))
+    intercept[IllegalArgumentException](
+      g.traverse("V().order().by('val').range(5, 2)"))
 
     // range: fluent ≡ parsed, and [5, 15) is exactly rows 5..14 of the
     // limit-15 prefix of the same ordering
