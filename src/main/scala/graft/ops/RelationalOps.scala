@@ -212,6 +212,39 @@ object RelationalOps extends OpModule {
       },
       Some("SELECT doc_id, text FROM documents ORDER BY doc_id")),
 
+    // Hadoop SEQUENCEFILE ingest — the classic key-value container the
+    // Hadoop-lineage pipelines this engine replaces still hold archives
+    // in. Staged once per fixture dir as (LongWritable, Text) via
+    // saveAsSequenceFile (RDD API — the format IS an RDD-level container;
+    // this is the rare per-partition-imperative case the Spark-first rule
+    // carves out), read back block-splittably with sc.sequenceFile and
+    // lifted straight into a DataFrame with an explicit schema. Values
+    // round-trip as tab-joined fields, base64-framed like source_text so
+    // ANY status string is line- and tab-safe by construction.
+    Op("source_sequencefile",
+      (s, dir) => {
+        import s.implicits._
+        val stage = graft.Staging.dir(s"src-seq-${dir.hashCode.toHexString}")
+        if (!new java.io.File(s"$stage/seq/_SUCCESS").exists()) {
+          val src = Tables(s, dir, "orders")
+            .select("o_orderkey", "o_orderstatus", "o_totalprice")
+            .as[(Long, String, Double)]
+          src.rdd.map { case (k, st, tp) =>
+            (k, java.util.Base64.getEncoder.encodeToString(
+              s"$st\t$tp".getBytes("UTF-8")))
+          }.saveAsSequenceFile(s"$stage/seq")
+        }
+        s.sparkContext.sequenceFile[Long, String](s"$stage/seq")
+          .toDF("o_orderkey", "payload")
+          .select(col("o_orderkey"),
+            split(unbase64(col("payload")).cast("string"), "\t").as("f"))
+          .select(col("o_orderkey"), col("f").getItem(0).as("o_orderstatus"),
+            col("f").getItem(1).cast("double").as("o_totalprice"))
+          .orderBy("o_orderkey")
+      },
+      Some("""SELECT o_orderkey, o_orderstatus, o_totalprice
+        FROM orders ORDER BY o_orderkey""")),
+
     // BINARY-FILE ingest — the shape raw media corpora arrive in (one
     // opaque file per asset): Spark's `binaryFile` source lists the
     // directory, parallelizes by file, and hands back (path, length,
