@@ -337,3 +337,99 @@ case class TokenizeGenerator(child: Expression) extends Generator
   override protected def withNewChildrenInternal(cs: IndexedSeq[Expression]): Expression =
     copy(child = cs.head)
 }
+
+/** Count–Min sketch (Cormode–Muthukrishnan '05) over int64 keys: 3 hash
+  * rows of exact cell counts, PER-ROW PRIME widths (61/67/71). The widths
+  * matter: with one shared width w, the rows' linear hashes
+  * (Aⱼ·x + Bⱼ) mod P mod w collide on exactly the same key pairs whenever
+  * the P-wrap doesn't engage (any Δ ≡ 0 mod w collides in EVERY row, so
+  * min-of-rows buys nothing); coprime widths push all-row collisions out
+  * to Δ ≡ 0 mod lcm(61,67,71) = 290 057.
+  *
+  * The hash family is public arithmetic — ((Aⱼ·(x mod P) + Bⱼ) mod P) mod
+  * Wⱼ with P = 1e9+7 — so the DuckDB oracle replays every cell as a plain
+  * GROUP BY count and every estimate as LEAST over the three looked-up
+  * cells: the sketch is exact-replayable, not just bounds-checkable.
+  *
+  * Scale shape: the buffer is one flat 199-long array; update is three
+  * array adds, merge is an elementwise vector add — ORDER-FREE and
+  * map-side combinable, so a 100 TB group shuffles 199 longs per partial,
+  * never rows. The same order-freedom is what makes the streaming twin
+  * (stream_countmin_maintain) fold ≡ batch bit-for-bit. */
+case class CountMinSketch(
+    child: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[Array[Long]] {
+  import CountMinSketch._
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case LongType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"count_min needs a BIGINT column, got $t")
+  }
+
+  override def createAggregationBuffer(): Array[Long] = new Array[Long](Cells)
+
+  override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val x = v.asInstanceOf[Long]
+      var j = 0
+      while (j < Rows) { buf(Off(j) + bucket(j, x)) += 1; j += 1 }
+    }
+    buf
+  }
+
+  override def merge(b1: Array[Long], b2: Array[Long]): Array[Long] = {
+    var i = 0
+    while (i < Cells) { b1(i) += b2(i); i += 1 }
+    b1
+  }
+
+  override def eval(buf: Array[Long]): Any = new GenericArrayData(buf.clone())
+
+  override def serialize(buf: Array[Long]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(8 * Cells)
+    var i = 0
+    while (i < Cells) { bb.putLong(buf(i)); i += 1 }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Long] = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val buf = new Array[Long](Cells)
+    var i = 0
+    while (i < Cells) { buf(i) = bb.getLong; i += 1 }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(o: Int): CountMinSketch =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): CountMinSketch =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(cs: IndexedSeq[Expression]): Expression =
+    copy(child = cs.head)
+  override def prettyName: String = "count_min"
+}
+
+object CountMinSketch {
+  final val P = 1000000007L
+  final val Rows = 3
+  final val A = Array(131L, 137L, 139L)
+  final val B = Array(7L, 11L, 13L)
+  /** Per-row prime widths (see class doc for why they must differ). */
+  final val W = Array(61, 67, 71)
+  /** Flat-array offsets of each row: 0, 61, 128. */
+  final val Off = Array(0, W(0), W(0) + W(1))
+  final val Cells = W.sum
+
+  /** Non-negative keys assumed (fixture ids are); a negative x would need a
+    * pmod in both engines, and DuckDB's % is dividend-signed like Spark's. */
+  def bucket(j: Int, x: Long): Int =
+    (((A(j) * (x % P) + B(j)) % P) % W(j)).toInt
+}

@@ -196,6 +196,9 @@ object GraftFunctions {
         }
         TopKRows(c(0), c(1), c(2), k).toAggregateExpression()
       }),
+    (FunctionIdentifier("count_min"),
+      new ExpressionInfo(classOf[CountMinSketch].getName, "count_min"),
+      (c: Seq[Expression]) => CountMinSketch(c(0)).toAggregateExpression()),
     (FunctionIdentifier("tokenize"),
       new ExpressionInfo(classOf[TokenizeGenerator].getName, "tokenize"),
       (c: Seq[Expression]) => TokenizeGenerator(c(0))),

@@ -128,6 +128,132 @@ object CustomExprOps extends OpModule {
       },
       Some(s"""SELECT o_orderstatus, COUNT(*) AS n,
         ${num.DSUM("o_totalprice")} AS total
-        FROM orders WHERE o_orderstatus = 'F' GROUP BY 1 ORDER BY 1"""))
+        FROM orders WHERE o_orderstatus = 'F' GROUP BY 1 ORDER BY 1""")),
+
+    // COUNT–MIN SKETCH frequency estimation (graft.functions.CountMinSketch
+    // — d=3 prime-width rows, order-free merge). The report: for each probe
+    // key (user_id % 13 = 0 — a fixed auditable panel), the exact count
+    // next to the sketch estimate. The Spark side goes THROUGH the UDAF
+    // (build per-group sketches, then pure array lookups); the DuckDB
+    // oracle replays every consulted CELL as a GROUP BY count over the
+    // public hash family and takes the same LEAST — an exact cross-engine
+    // replay of the estimator, not a tolerance check. With 150 users over
+    // 61/67/71-wide rows the fixture genuinely collides (est > exact on
+    // some probes), so the min-of-rows estimator is exercised, not idle.
+    Op("agg_countmin",
+      (s, dir) => {
+        GraftFunctions.register(s)
+        Tables(s, dir, "events").createOrReplaceTempView("events")
+        s.sql(s"""
+          WITH sk AS (SELECT event_type, count_min(user_id) AS sk
+            FROM events GROUP BY 1),
+          p AS (SELECT event_type, user_id, COUNT(*) AS exact_n FROM events
+            WHERE user_id % 13 = 0 GROUP BY 1, 2)
+          SELECT p.event_type, p.user_id, p.exact_n,
+            LEAST(
+              element_at(sk.sk, CAST(${cmBucket(0, "p.user_id")} AS INT) + 1),
+              element_at(sk.sk, 61 + CAST(${cmBucket(1, "p.user_id")} AS INT) + 1),
+              element_at(sk.sk, 128 + CAST(${cmBucket(2, "p.user_id")} AS INT) + 1)
+            ) AS est_n
+          FROM p JOIN sk ON sk.event_type = p.event_type
+          ORDER BY p.event_type, p.user_id""")
+      },
+      Some(countMinOracleSql)),
+
+    // STREAMING MAINTENANCE twin: the sketch kept current across
+    // micro-batches. State = the (event_type, cell, count) table plus the
+    // probe panel's exact counts; per batch ONE map-side-combined UDAF
+    // pass sketches the new arrivals and the fold is an integer cell add —
+    // ORDER-FREE, so the batch key's oracle is this key's oracle verbatim
+    // (the defining property of a mergeable sketch: fold ≡ batch exactly,
+    // not approximately). The report tail renders from folded state by
+    // joining each probe to its three cells.
+    Op("stream_countmin_maintain",
+      (s, dir) => {
+        GraftFunctions.register(s)
+        val stage = graft.Staging.dir(s"cms-src-${dir.hashCode.toHexString}")
+        if (!new java.io.File(s"$stage/_SUCCESS").exists()) {
+          Tables(s, dir, "events").createOrReplaceTempView("events")
+          s.sql("SELECT event_id, event_type, user_id FROM events")
+            .repartitionByRange(3, col("event_id"))
+            .write.mode("overwrite").parquet(stage)
+        }
+        def empty(ddl: String) = s.createDataFrame(
+          new java.util.ArrayList[org.apache.spark.sql.Row](),
+          org.apache.spark.sql.types.StructType.fromDDL(ddl))
+        var cells = empty("event_type STRING, i INT, n BIGINT")
+        var probes = empty("event_type STRING, user_id BIGINT, exact_n BIGINT")
+        val q = s.readStream
+          .schema(org.apache.spark.sql.types.StructType.fromDDL(
+            "event_id BIGINT, event_type STRING, user_id BIGINT"))
+          .option("maxFilesPerTrigger", 1).parquet(stage)
+          .writeStream
+          .option("checkpointLocation", graft.Staging.fresh("cms-chk"))
+          .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+            CustomExprOps.cmMaintainBatches.incrementAndGet()
+            val bc = batch.groupBy("event_type")
+              .agg(expr("count_min(user_id)").as("sk"))
+              .select(col("event_type"),
+                posexplode(col("sk")).as(Seq("i", "n")))
+            cells = graft.util.cut(cells.unionByName(bc)
+              .groupBy("event_type", "i").agg(sum("n").as("n")))
+            val bp = batch.filter(col("user_id") % 13 === 0)
+              .groupBy("event_type", "user_id")
+              .agg(count(lit(1)).as("exact_n"))
+            probes = graft.util.cut(probes.unionByName(bp)
+              .groupBy("event_type", "user_id")
+              .agg(sum("exact_n").as("exact_n")))
+            ()
+          }
+          .start()
+        q.processAllAvailable()
+        q.stop()
+        cells.createOrReplaceTempView("cm_cells")
+        probes.createOrReplaceTempView("cm_probes")
+        s.sql(s"""
+          SELECT p.event_type, p.user_id, p.exact_n,
+            LEAST(c0.n, c1.n, c2.n) AS est_n
+          FROM cm_probes p
+          JOIN cm_cells c0 ON c0.event_type = p.event_type
+            AND c0.i = CAST(${cmBucket(0, "p.user_id")} AS INT)
+          JOIN cm_cells c1 ON c1.event_type = p.event_type
+            AND c1.i = 61 + CAST(${cmBucket(1, "p.user_id")} AS INT)
+          JOIN cm_cells c2 ON c2.event_type = p.event_type
+            AND c2.i = 128 + CAST(${cmBucket(2, "p.user_id")} AS INT)
+          ORDER BY p.event_type, p.user_id""")
+      },
+      Some(countMinOracleSql))
   )
+
+  /** Spec hook: stream_countmin_maintain must see several micro-batches. */
+  val cmMaintainBatches = new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** Row-j Count–Min bucket of `x` — the SAME arithmetic in Spark SQL,
+    * DuckDB SQL, and [[graft.functions.CountMinSketch.bucket]]. */
+  private def cmBucket(j: Int, x: String): String = {
+    val (a, b, w) = (graft.functions.CountMinSketch.A(j),
+      graft.functions.CountMinSketch.B(j),
+      graft.functions.CountMinSketch.W(j))
+    s"($a * ($x % 1000000007) + $b) % 1000000007 % $w"
+  }
+
+  /** The estimator replayed cell-by-cell from raw events (no sketch): what
+    * Count–Min MUST equal by construction. */
+  private def countMinOracleSql: String = s"""
+    WITH base AS (SELECT event_type, user_id,
+        ${cmBucket(0, "user_id")} AS b0,
+        ${cmBucket(1, "user_id")} AS b1,
+        ${cmBucket(2, "user_id")} AS b2
+      FROM events),
+    c0 AS (SELECT event_type, b0, COUNT(*) AS n FROM base GROUP BY 1, 2),
+    c1 AS (SELECT event_type, b1, COUNT(*) AS n FROM base GROUP BY 1, 2),
+    c2 AS (SELECT event_type, b2, COUNT(*) AS n FROM base GROUP BY 1, 2),
+    p AS (SELECT event_type, user_id, b0, b1, b2, COUNT(*) AS exact_n
+      FROM base WHERE user_id % 13 = 0 GROUP BY 1, 2, 3, 4, 5)
+    SELECT p.event_type, p.user_id, p.exact_n,
+      LEAST(c0.n, c1.n, c2.n) AS est_n
+    FROM p JOIN c0 ON c0.event_type = p.event_type AND c0.b0 = p.b0
+    JOIN c1 ON c1.event_type = p.event_type AND c1.b1 = p.b1
+    JOIN c2 ON c2.event_type = p.event_type AND c2.b2 = p.b2
+    ORDER BY p.event_type, p.user_id"""
 }
