@@ -412,6 +412,27 @@ object ExtraOps extends OpModule {
 
   /** Engine-portable SQL shared by both sides of ts_zscore (the
     * agg_stats_exact decimal-moments pattern, then per-row z). */
+  /** One text, both engines (see ts_changepoint's op comment). */
+  private val ChangepointSql = """
+    WITH s AS (SELECT event_type, event_id, ts,
+        CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS q FROM events),
+    agg AS (SELECT event_type, COUNT(*) AS n, SUM(q) AS sq
+      FROM s GROUP BY 1),
+    c AS (SELECT event_type, event_id,
+        ROW_NUMBER() OVER (PARTITION BY event_type
+          ORDER BY ts, event_id) AS i,
+        SUM(q) OVER (PARTITION BY event_type ORDER BY ts, event_id
+          ROWS UNBOUNDED PRECEDING) AS cum
+      FROM s),
+    st AS (SELECT c.event_type, c.event_id, c.i,
+        CAST(ABS(c.cum * a.n - c.i * a.sq) AS BIGINT) AS stat
+      FROM c JOIN agg a ON a.event_type = c.event_type)
+    SELECT event_type, event_id AS cp_event_id, CAST(i AS BIGINT) AS cp_idx,
+      stat AS cusum_stat
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+        ORDER BY stat DESC, i) AS rn FROM st) z
+    WHERE rn = 1 ORDER BY event_type"""
+
   private val ZscoreSql = """
     WITH m AS (SELECT event_type, COUNT(*) AS n,
         CAST(SUM(CAST(value AS DECIMAL(38,10))) AS DOUBLE) AS sx,
@@ -516,6 +537,22 @@ object ExtraOps extends OpModule {
         s.sql(ZscoreSql)
       },
       Some(ZscoreSql)),
+
+    // CHANGEPOINT detection — CUSUM argmax per series (Page '54 / the
+    // offline single-changepoint form): the time point where the series'
+    // cumulative deviation from its own mean peaks. ALL-INTEGER inside:
+    // values quantize to cents, and the mean never materializes — the
+    // statistic |cum_i·n − i·S| is the ×n-scaled |Σ_{j≤i}(x_j − x̄)|, so
+    // cross-engine equality is BIGINT equality, no float accumulation
+    // order anywhere (agg_skew's quantization discipline applied to a
+    // window). One ordered window pass per series + one broadcast moment
+    // row; the argmax is a 1-row-per-series window over the same pass.
+    Op("ts_changepoint",
+      (s, dir) => {
+        view(s, dir, "events")
+        s.sql(ChangepointSql)
+      },
+      Some(ChangepointSql)),
 
     // BANDED interval-overlap join — how interval joins partition at
     // 100 TB: each interval explodes into the (bounded-count) week bands

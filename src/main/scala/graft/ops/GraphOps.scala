@@ -1331,6 +1331,35 @@ object GraphOps extends OpModule {
       },
       Some(mstOracleSql)),
 
+    // Greedy maximal MATCHING on the cross-nation trade pairs (the MST
+    // key's weighted instance): the locally-heaviest mutual-best BSP
+    // (graft.graph.Matching — ½-approx of max-weight matching, unique
+    // under the (w DESC, a, b) total order). The DuckDB oracle replays
+    // the rounds UNROLLED (12 = ⌊25/2⌋ bounds the true count; converged
+    // rounds see an empty edge set and emit nothing), so the match set,
+    // weights AND round tags are exact cross-engine.
+    Op("graph_matching",
+      (s, dir) => {
+        Seq("lineitem", "orders", "customer", "supplier")
+          .foreach(n => graft.Tables(s, dir, n).createOrReplaceTempView(n))
+        graft.graph.Matching.greedy(
+          s.sql(mstPairsSql(e => s"CAST($e AS DOUBLE)")))
+      },
+      Some(matchingOracleSql)),
+
+    // DENSEST SUBGRAPH (Charikar peel, parallel ε=1 form —
+    // graft.graph.Densest): each round drops every vertex with
+    // deg·n ≤ 4·e (all-integer test), the density-max snapshot wins.
+    // Emits the full peel trajectory (r, n, e, is_best) — the trajectory
+    // is the audit artifact AND gives the oracle a row per round to
+    // verify, not just the argmax. The events star collapses in round 1
+    // (degree-1 event vertices are always ≤ average), leaving the
+    // order/part/customer core as the dense snapshot.
+    Op("graph_densest",
+      (s, dir) => graft.graph.Densest.peel(
+        GraphFixture(s, dir).undirectedEdges),
+      Some(densestOracleSql)),
+
     // Gremlin local(out().limit(k)) — per-traverser bounded expansion
     // (each big order continues along at most its 2 lowest-id parts):
     // the HUB GUARD for traversals at scale — a degree-10⁶ vertex emits
@@ -2424,5 +2453,69 @@ object GraphOps extends OpModule {
       .map(r => s"SELECT a, b, w FROM sel$r").mkString(" UNION ALL ")
     s"""WITH $pairs, $comp0, $roundCtes
       SELECT DISTINCT a, b, w FROM ($union) f ORDER BY a, b"""
+  }
+
+  /** Greedy matching UNROLLED for the DuckDB oracle: 12 mutual-best rounds
+    * (⌊25/2⌋ matches bound the round count on the nation pair graph;
+    * converged rounds pass empty sets through). Same (w DESC, a, b)
+    * nomination order as Matching.greedy's min-struct. */
+  private def matchingOracleSql: String = {
+    val rounds = 12
+    val pairs = s"pairs AS MATERIALIZED (${mstPairsSql(e =>
+      s"CAST(CAST($e AS VARCHAR) AS DOUBLE)")})"
+    val e0 = "me0 AS MATERIALIZED (SELECT a, b, w FROM pairs)"
+    val roundCtes = (1 to rounds).map { r =>
+      s"""mh$r AS (SELECT a AS v, a, b, w FROM me${r - 1}
+           UNION ALL SELECT b, a, b, w FROM me${r - 1}),
+         mb$r AS MATERIALIZED (SELECT v, a, b, w FROM (
+           SELECT *, ROW_NUMBER() OVER (PARTITION BY v
+             ORDER BY w DESC, a, b) AS rn FROM mh$r) z WHERE rn = 1),
+         mm$r AS MATERIALIZED (SELECT x.a, x.b, x.w FROM mb$r x
+           JOIN mb$r y ON y.v = x.b AND y.a = x.a AND y.b = x.b
+           WHERE x.v = x.a),
+         mv$r AS (SELECT a AS id FROM mm$r UNION SELECT b FROM mm$r),
+         me$r AS MATERIALIZED (SELECT e.a, e.b, e.w FROM me${r - 1} e
+           LEFT JOIN mv$r p ON p.id = e.a LEFT JOIN mv$r q ON q.id = e.b
+           WHERE p.id IS NULL AND q.id IS NULL)"""
+    }.mkString(", ")
+    val union = (1 to rounds)
+      .map(r => s"SELECT CAST($r AS INTEGER) AS r, a, b, w FROM mm$r")
+      .mkString(" UNION ALL ")
+    s"WITH $pairs, $e0, $roundCtes SELECT r, a, b, w FROM ($union) f ORDER BY r, a, b"
+  }
+
+  /** Charikar peel UNROLLED (6 rounds — the ε=1 halving gives ⌈log₂⌉-many;
+    * sf0.01 converges in 3; empty rounds emit nothing via WHERE n > 0). */
+  private def densestOracleSql: String = {
+    val rounds = 6
+    val base = """dund AS MATERIALIZED (SELECT DISTINCT LEAST(src, dst) AS a,
+        GREATEST(src, dst) AS b FROM edges WHERE src <> dst),
+      dv1 AS MATERIALIZED (SELECT a AS id FROM dund UNION SELECT b FROM dund),
+      de1 AS MATERIALIZED (SELECT a, b FROM dund)"""
+    val roundCtes = (1 to rounds).map { r =>
+      s"""ds$r AS (SELECT (SELECT COUNT(*) FROM dv$r) AS n,
+           (SELECT COUNT(*) FROM de$r) AS e),
+         ddeg$r AS (SELECT v.id, COALESCE(d.d, 0) AS d FROM dv$r v
+           LEFT JOIN (SELECT id, COUNT(*) AS d FROM (
+             SELECT a AS id FROM de$r UNION ALL SELECT b FROM de$r) x
+             GROUP BY 1) d ON d.id = v.id),
+         drem$r AS (SELECT id FROM ddeg$r, ds$r WHERE d * n <= 4 * e),
+         dv${r + 1} AS MATERIALIZED (SELECT v.id FROM dv$r v
+           LEFT JOIN drem$r p ON p.id = v.id WHERE p.id IS NULL),
+         de${r + 1} AS MATERIALIZED (SELECT e.a, e.b FROM de$r e
+           LEFT JOIN drem$r p ON p.id = e.a LEFT JOIN drem$r q ON q.id = e.b
+           WHERE p.id IS NULL AND q.id IS NULL)"""
+    }.mkString(", ")
+    val stats = (1 to rounds)
+      .map(r => s"""SELECT CAST($r AS INTEGER) AS r, n AS n_vertices,
+        e AS n_edges FROM ds$r WHERE n > 0""")
+      .mkString(" UNION ALL ")
+    withGraph(
+      s"""SELECT r, n_vertices, n_edges,
+        CASE WHEN ROW_NUMBER() OVER (ORDER BY
+          CAST(n_edges AS DOUBLE) / n_vertices DESC, r) = 1
+          THEN 1 ELSE 0 END AS is_best
+        FROM dstats ORDER BY r""",
+      extra = s"$base, $roundCtes, dstats AS ($stats)")
   }
 }

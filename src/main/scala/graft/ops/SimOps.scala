@@ -765,7 +765,56 @@ object SimOps extends OpModule {
           SELECT 'knn', nq.n, knnh.hits FROM nq, knnh
           UNION ALL
           SELECT 'multitable', nq.n, mth.hits FROM nq, mth) r
-        ORDER BY method"""))
+        ORDER BY method""")),
+
+    // MAXIMUM-INNER-PRODUCT top-k (the recommender serving shape: score =
+    // item prior × relevance — the fixture's unit-norm embeddings make raw
+    // MIPS degenerate to cosine, so the graded key carries a deterministic
+    // per-item 16-level weight (1 + id%16)/4, exactly the popularity factor real
+    // MIPS systems rank by). EXACT result with a NORM-BOUND PRUNE
+    // (Cauchy–Schwarz: score ≤ w·‖x‖·‖q‖, so once τ = the kth-best score
+    // among the top-50-by-(w·‖x‖) candidates is known, only vectors with
+    // w·‖x‖·‖q‖ ≥ τ can enter the final top-k): phase 1 touches 50
+    // vectors per query, phase 2 scans the provably-sufficient tail —
+    // at 100 TB that's a bounds-indexed scan over a norm-sorted layout,
+    // never the full corpus. The 1e-6 absolute slack absorbs float
+    // wobble in the bound itself (sign-safe, unlike a relative factor);
+    // the BRUTE-FORCE oracle proves the prune lossless at gate SF.
+    Op("sim_mips",
+      (s, dir) => s.sql(s"""
+        WITH n AS (SELECT vec_id, embedding, nrm,
+          CAST(1 + vec_id % 16 AS DOUBLE) / 4 AS pw FROM ${normView(s, dir)}),
+        q AS (SELECT vec_id AS qa, embedding AS eq, nrm AS nq FROM n
+          WHERE vec_id % 100 = 0),
+        cand AS (SELECT vec_id, embedding, pw FROM n
+          ORDER BY pw * nrm DESC, vec_id LIMIT 50),
+        tau AS (SELECT qa, MIN(sc) AS tau FROM (
+          SELECT q.qa, c.pw * vec_dot(q.eq, c.embedding) AS sc,
+            ROW_NUMBER() OVER (PARTITION BY q.qa
+              ORDER BY c.pw * vec_dot(q.eq, c.embedding) DESC, c.vec_id) AS rn
+          FROM q JOIN cand c ON c.vec_id <> q.qa) z
+          WHERE rn <= 5 GROUP BY qa),
+        scored AS (SELECT q.qa, n.vec_id AS vb,
+            n.pw * vec_dot(q.eq, n.embedding) AS score
+          FROM q JOIN tau t ON t.qa = q.qa
+          JOIN n ON n.vec_id <> q.qa
+            AND n.pw * n.nrm * q.nq >= t.tau - 1e-6)
+        SELECT qa, vb, rnk, score FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY qa
+            ORDER BY score DESC, vb) AS rnk FROM scored) z
+        WHERE rnk <= 5 ORDER BY qa, rnk"""),
+      Some(s"""
+        WITH n AS MATERIALIZED (SELECT vec_id, embedding,
+          CAST(1 + vec_id % 16 AS DOUBLE) / 4 AS pw FROM embeddings),
+        q AS (SELECT vec_id AS qa, embedding AS eq FROM n
+          WHERE vec_id % 100 = 0),
+        scored AS (SELECT q.qa, n.vec_id AS vb,
+            n.pw * ${duckDot("q.eq", "n.embedding")} AS score
+          FROM q JOIN n ON n.vec_id <> q.qa)
+        SELECT qa, vb, rnk, score FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY qa
+            ORDER BY score DESC, vb) AS rnk FROM scored) z
+        WHERE rnk <= 5 ORDER BY qa, rnk"""))
   )
 
   private val duckDds: String => String =

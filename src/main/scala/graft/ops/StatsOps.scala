@@ -326,6 +326,44 @@ object StatsOps extends OpModule {
       },
       Some(corrSql(e => s"CAST(CAST($e AS VARCHAR) AS DOUBLE)"))),
 
+    // HLL SKETCH RE-AGGREGATION — the property that makes approx-distinct
+    // usable at 100 TB: per-group DataSketches HLL sketches (Spark's
+    // hll_sketch_agg, lgK=12) MERGE into a global sketch via
+    // hll_union_agg without touching rows again — the rollup never
+    // rescans the fact table. Graded with the hard-contract pattern
+    // (agg_approx_distinct / agg_approx_quantile family): every per-group
+    // estimate AND the merged global estimate must land within ±5% of
+    // the exact count (lgK=12's σ≈0.8%, so the bound is ~6σ — a drifted
+    // sketch or a broken merge fails the hash compare), and the exact
+    // counts themselves are graded verbatim.
+    Op("agg_hll_merge",
+      (s, dir) => {
+        Tables(s, dir, "events").createOrReplaceTempView("events")
+        s.sql("""
+          WITH g AS (SELECT event_type,
+            hll_sketch_agg(user_id, 12) AS sk,
+            COUNT(DISTINCT user_id) AS exact_n FROM events GROUP BY 1),
+          per AS (SELECT event_type, exact_n,
+            (hll_sketch_estimate(sk) >= CAST(0.95 * exact_n AS BIGINT)
+             AND hll_sketch_estimate(sk) <= CAST(1.05 * exact_n AS BIGINT))
+              AS est_ok FROM g),
+          tot AS (SELECT COUNT(DISTINCT user_id) AS exact_n FROM events),
+          m AS (SELECT hll_sketch_estimate(hll_union_agg(sk)) AS est FROM g)
+          SELECT event_type, exact_n, est_ok FROM per
+          UNION ALL
+          SELECT 'ALL', tot.exact_n,
+            (m.est >= CAST(0.95 * tot.exact_n AS BIGINT)
+             AND m.est <= CAST(1.05 * tot.exact_n AS BIGINT))
+          FROM tot, m
+          ORDER BY event_type""")
+      },
+      Some("""
+        SELECT event_type, COUNT(DISTINCT user_id) AS exact_n, TRUE AS est_ok
+        FROM events GROUP BY 1
+        UNION ALL
+        SELECT 'ALL', COUNT(DISTINCT user_id), TRUE FROM events
+        ORDER BY event_type""")),
+
     Op("agg_skew",
       (s, dir) => {
         Tables(s, dir, "orders").createOrReplaceTempView("orders")

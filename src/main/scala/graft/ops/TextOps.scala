@@ -644,6 +644,50 @@ object TextOps extends OpModule {
           CAST(list_sum(px) AS BIGINT) AS pix_sum,
           CAST(list_sum(list_transform(generate_series(1, len(px)),
             i -> px[i] * i)) AS BIGINT) AS pix_sig
-        FROM rz ORDER BY asset_id"""))
+        FROM rz ORDER BY asset_id""")),
+
+    // COLLOCATION MINING — statistically-bound word pairs, the phrase-
+    // extraction pass of vocabulary induction (word2vec's phrase pass,
+    // BPE's semantic cousin). Association strength is observed/expected
+    // LIFT in integer ppm — floor(1e6 · c(xy) · N / (c(x)·c(y))) — the
+    // log-free PMI ordering (log is monotone, so the ranking is PMI's
+    // ranking, minus the cross-engine transcendental hazard; same design
+    // as text_rare_ngrams' rank form). Corpus-linear: one bigram explode
+    // + one unigram explode, both map-side-combined counts; the lift join
+    // touches only the c(xy) ≥ 5 survivors. Top-10 by (lift DESC, pair).
+    Op("text_collocations",
+      (s, dir) => {
+        graft.Tables(s, dir, "documents").createOrReplaceTempView("documents")
+        s.sql(s"""
+          WITH t AS (SELECT ${sparkToks("text")} AS toks FROM documents),
+          u AS (SELECT tok, COUNT(*) AS c FROM t
+            LATERAL VIEW explode(toks) e AS tok GROUP BY 1),
+          nu AS (SELECT SUM(c) AS n FROM u),
+          b AS (SELECT x, y, COUNT(*) AS cxy FROM (
+            SELECT element_at(toks, i) AS x, element_at(toks, i + 1) AS y
+            FROM t LATERAL VIEW explode(sequence(1, size(toks) - 1)) e AS i
+            WHERE size(toks) >= 2) p GROUP BY 1, 2)
+          SELECT x, y, cxy, lift_ppm FROM (
+            SELECT b.x, b.y, b.cxy,
+              (1000000 * b.cxy * nu.n) DIV (ux.c * uy.c) AS lift_ppm
+            FROM b JOIN u ux ON ux.tok = b.x JOIN u uy ON uy.tok = b.y
+            CROSS JOIN nu WHERE b.cxy >= 5) z
+          ORDER BY lift_ppm DESC, x, y LIMIT 10""")
+      },
+      Some(s"""
+        WITH t AS (SELECT ${duckToks("text")} AS toks FROM documents),
+        u AS (SELECT tok, COUNT(*) AS c FROM (
+          SELECT unnest(toks) AS tok FROM t) e GROUP BY 1),
+        nu AS (SELECT SUM(c) AS n FROM u),
+        b AS (SELECT x, y, COUNT(*) AS cxy FROM (
+          SELECT toks[i] AS x, toks[i + 1] AS y FROM t,
+            unnest(generate_series(1, len(toks) - 1)) AS g(i)
+          WHERE len(toks) >= 2) p GROUP BY 1, 2)
+        SELECT x, y, cxy, lift_ppm FROM (
+          SELECT b.x, b.y, b.cxy,
+            CAST((1000000 * b.cxy * nu.n) // (ux.c * uy.c) AS BIGINT) AS lift_ppm
+          FROM b JOIN u ux ON ux.tok = b.x JOIN u uy ON uy.tok = b.y
+          CROSS JOIN nu WHERE b.cxy >= 5) z
+        ORDER BY lift_ppm DESC, x, y LIMIT 10"""))
   )
 }

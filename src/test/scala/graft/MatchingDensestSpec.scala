@@ -1,0 +1,101 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** In-memory recomputations for graph_matching and graph_densest — the
+  * independence net (LlmIndependenceSpec pattern): a plain-Scala replay of
+  * each algorithm on collected inputs must equal the distributed output
+  * row-for-row, plus the structural properties that define the algorithms
+  * (matching validity + maximality; peel-trajectory density argmax). */
+class MatchingDensestSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def pairs(): Seq[(Long, Long, Double)] = {
+    Seq("lineitem", "orders", "customer", "supplier")
+      .foreach(n => Tables(spark, TestSpark.sf, n).createOrReplaceTempView(n))
+    spark.sql("""
+      SELECT CAST(LEAST(s_nationkey, c_nationkey) AS BIGINT) AS a,
+             CAST(GREATEST(s_nationkey, c_nationkey) AS BIGINT) AS b,
+             CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,10))) AS DOUBLE) AS w
+      FROM lineitem
+      JOIN orders ON o_orderkey = l_orderkey
+      JOIN customer ON c_custkey = o_custkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      WHERE s_nationkey <> c_nationkey GROUP BY 1, 2""")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+  }
+
+  /** Plain-Scala greedy mutual-best matching under (w DESC, a, b). */
+  private def refMatching(edges: Seq[(Long, Long, Double)]): Seq[(Int, Long, Long, Double)] = {
+    var e = edges
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Long, Double)]
+    var r = 1
+    while (e.nonEmpty) {
+      val best = scala.collection.mutable.Map.empty[Long, (Long, Long, Double)]
+      def ord(t: (Long, Long, Double)) = (-t._3, t._1, t._2)
+      for (t @ (a, b, _) <- e; v <- Seq(a, b))
+        if (!best.contains(v) ||
+          Ordering[(Double, Long, Long)].lt(ord(t), ord(best(v)))) best(v) = t
+      val m = e.filter(t => best(t._1) == t && best(t._2) == t)
+      val mv = m.flatMap(t => Seq(t._1, t._2)).toSet
+      out ++= m.map(t => (r, t._1, t._2, t._3))
+      e = e.filterNot(t => mv(t._1) || mv(t._2))
+      r += 1
+    }
+    out.sortBy(t => (t._1, t._2, t._3)).toSeq
+  }
+
+  test("graph_matching equals the in-memory greedy replay") {
+    val got = SparkEntry.queries("graph_matching")(spark, TestSpark.sf)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    val want = refMatching(pairs())
+    assert(got == want)
+    assert(got.nonEmpty)
+  }
+
+  test("graph_matching is a valid MAXIMAL matching") {
+    val m = SparkEntry.queries("graph_matching")(spark, TestSpark.sf)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSeq
+    val touched = m.flatMap(t => Seq(t._1, t._2))
+    assert(touched.distinct.size == touched.size, "a vertex is matched twice")
+    val mv = touched.toSet
+    val uncovered = pairs().filter(t => !mv(t._1) && !mv(t._2))
+    assert(uncovered.isEmpty, s"not maximal: ${uncovered.take(3)} addable")
+  }
+
+  /** Plain-Scala ε=1 Charikar peel over collected undirected edges. */
+  private def refPeel(edges: Seq[(Long, Long)]): Seq[(Int, Long, Long)] = {
+    val adj = scala.collection.mutable.Map.empty[Long, scala.collection.mutable.Set[Long]]
+    for ((a, b) <- edges) {
+      adj.getOrElseUpdate(a, scala.collection.mutable.Set.empty) += b
+      adj.getOrElseUpdate(b, scala.collection.mutable.Set.empty) += a
+    }
+    var v = adj.keySet.toSet
+    val rows = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Long)]
+    var r = 1
+    while (v.nonEmpty) {
+      val n = v.size.toLong
+      val e = v.toSeq.map(x => adj(x).size).sum / 2
+      rows += ((r, n, e))
+      val rem = v.filter(x => adj(x).size * n <= 4 * e)
+      for (x <- rem) { for (u <- adj(x)) adj(u) -= x; adj -= x }
+      v --= rem
+      r += 1
+    }
+    rows.toSeq
+  }
+
+  test("graph_densest trajectory equals the in-memory peel; is_best is the density argmax") {
+    val got = SparkEntry.queries("graph_densest")(spark, TestSpark.sf)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSeq
+    val edges = graph.GraphFixture(spark, TestSpark.sf).undirectedEdges
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val want = refPeel(edges)
+    assert(got.map(t => (t._1, t._2, t._3)) == want)
+    val best = got.maxBy(t => (t._3.toDouble / t._2, -t._1))
+    assert(got.filter(_._4 == 1).map(_._1) == Seq(best._1))
+    // the best snapshot strictly beats the full graph unless it IS round 1
+    assert(best._3.toDouble / best._2 >=
+      want.head._3.toDouble / want.head._2)
+  }
+}

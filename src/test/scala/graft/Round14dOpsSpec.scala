@@ -1,0 +1,93 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** In-memory recomputations for the round-14d relational/sim/text keys
+  * (sim_mips, text_collocations, ts_changepoint, agg_hll_merge) — each
+  * replayed in plain Scala on collected fixture rows and compared to the
+  * distributed output, independent of the DuckDB oracle. */
+class Round14dOpsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("sim_mips equals the brute-force weighted-dot replay; prune is selective") {
+    val emb = Tables(spark, TestSpark.sf, "embeddings")
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def dot(a: Array[Float], b: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+      s
+    }
+    def pw(id: Long): Double = (1 + id % 16).toDouble / 4
+    val queries = emb.keys.filter(_ % 100 == 0).toSeq.sorted
+    val want = (for (qa <- queries) yield {
+      emb.toSeq.filter(_._1 != qa)
+        .map { case (vb, e) => (vb, pw(vb) * dot(emb(qa), e)) }
+        .sortBy { case (vb, sc) => (-sc, vb) }.take(5).zipWithIndex
+        .map { case ((vb, sc), i) => (qa, vb, i + 1, sc) }
+    }).flatten
+    val got = SparkEntry.queries("sim_mips")(spark, TestSpark.sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSeq
+    assert(got == want)
+    // the norm-bound prune must actually skip vectors for at least one
+    // query at this weight spread (otherwise the two-phase shape is idle)
+    val nrm = emb.map { case (id, e) => id -> math.sqrt(dot(e, e)) }
+    val cand = emb.keys.toSeq.sortBy(id => (-pw(id) * nrm(id), id)).take(50)
+    val pruned = queries.exists { qa =>
+      val tau = cand.filter(_ != qa)
+        .map(c => pw(c) * dot(emb(qa), emb(c)))
+        .sortBy(-_).take(5).min
+      emb.keys.exists(vb => vb != qa && pw(vb) * nrm(vb) * nrm(qa) < tau - 1e-6)
+    }
+    assert(pruned, "prune never fired — two-phase scan is degenerate")
+  }
+
+  test("text_collocations equals the in-memory lift replay") {
+    val texts = Tables(spark, TestSpark.sf, "documents")
+      .select("text").collect().map(_.getString(0)).toSeq
+    val toks = texts.map(_.split(" ", -1).toSeq)
+    val uni = toks.flatten.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val nu = uni.values.sum
+    val big = toks.flatMap(t => t.zip(t.drop(1)))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val want = big.toSeq.filter(_._2 >= 5)
+      .map { case ((x, y), cxy) =>
+        (x, y, cxy, 1000000L * cxy * nu / (uni(x) * uni(y))) }
+      .sortBy { case (x, y, _, l) => (-l, x, y) }.take(10)
+    val got = SparkEntry.queries("text_collocations")(spark, TestSpark.sf)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == want)
+    assert(got.nonEmpty)
+  }
+
+  test("ts_changepoint equals the in-memory CUSUM argmax") {
+    val ev = Tables(spark, TestSpark.sf, "events")
+      .select("event_type", "event_id", "ts", "value").collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        r.getTimestamp(2).getTime * 1000 + r.getTimestamp(2).getNanos / 1000 % 1000,
+        r.getDouble(3)))
+    val want = ev.groupBy(_._1).toSeq.map { case (t, rows) =>
+      val ordered = rows.sortBy(r => (r._3, r._2))
+      val q = ordered.map(r => math.floor(r._4 * 100 + 0.5).toLong)
+      val n = q.size.toLong
+      val sq = q.sum
+      val stats = q.scanLeft(0L)(_ + _).drop(1).zipWithIndex.map {
+        case (cum, i0) => (i0 + 1, math.abs(cum * n - (i0 + 1) * sq)) }
+      val (bi, bstat) = stats.maxBy { case (i, st) => (st, -i) }
+      (t, ordered(bi - 1)._2, bi.toLong, bstat)
+    }.sortBy(_._1)
+    val got = SparkEntry.queries("ts_changepoint")(spark, TestSpark.sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == want)
+  }
+
+  test("agg_hll_merge: every bound holds and the panel covers all types + ALL") {
+    val rows = SparkEntry.queries("agg_hll_merge")(spark, TestSpark.sf).collect()
+    assert(rows.map(_.getString(0)).contains("ALL"))
+    assert(rows.length >= 2)
+    for (r <- rows) assert(r.getBoolean(2), s"estimate out of ±5%: $r")
+    val types = Tables(spark, TestSpark.sf, "events")
+      .select("event_type").distinct().count()
+    assert(rows.length == types + 1)
+  }
+}
