@@ -362,5 +362,39 @@ object OlapOps extends OpModule {
         Seq("customer", "orders", "nation").foreach(view(s, dir, _))
         s.sql(idleValueCustomersSql(sparkD))
       },
-      Some(idleValueCustomersSql(duckD))))
+      Some(idleValueCustomersSql(duckD))),
+
+    // MARKET-BASKET association rules — the a-priori 2-itemset pass over
+    // order baskets: parts that co-occur in orders more than their
+    // popularities predict, scored by integer-ppm lift (the
+    // text_collocations estimator on transactional data). Plan shape: the
+    // candidate pairs come from ONE self-equi-join of the distinct
+    // (order, part) item list on the basket key — per-basket C(k,2) with
+    // k ≈ items/order, so pair volume stays linear in baskets at any
+    // scale (never part×part); support counts and the pair counts are
+    // both map-side-combined; the lift join touches only the
+    // support-≥3 survivors.
+    Op("olap_basket_lift",
+      (s, dir) => {
+        view(s, dir, "lineitem")
+        s.sql(basketLiftSql("DIV"))
+      },
+      Some(basketLiftSql("//"))))
+
+  /** Shared basket-lift text, modulo the integer-division spelling. */
+  private def basketLiftSql(idiv: String): String = s"""
+    WITH items AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+      FROM lineitem),
+    nb AS (SELECT COUNT(DISTINCT o) AS n FROM items),
+    sup AS (SELECT p, COUNT(*) AS c FROM items GROUP BY 1),
+    pairs AS (SELECT a.p AS pa, b.p AS pb, COUNT(*) AS cab
+      FROM items a JOIN items b ON a.o = b.o AND a.p < b.p GROUP BY 1, 2)
+    SELECT pa, pb, cab, lift_ppm FROM (
+      SELECT pr.pa, pr.pb, pr.cab,
+        CAST((1000000 * pr.cab * nb.n) $idiv (sa.c * sb.c) AS BIGINT)
+          AS lift_ppm
+      FROM pairs pr JOIN sup sa ON sa.p = pr.pa
+      JOIN sup sb ON sb.p = pr.pb CROSS JOIN nb
+      WHERE pr.cab >= 3) z
+    ORDER BY lift_ppm DESC, pa, pb LIMIT 15"""
 }

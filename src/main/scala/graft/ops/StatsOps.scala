@@ -9,6 +9,9 @@ import org.apache.spark.sql.functions._
   * and pivot tables. */
 object StatsOps extends OpModule {
 
+  /** Spec hook: stream_hll_maintain must see several micro-batches. */
+  val hllMaintainBatches = new java.util.concurrent.atomic.AtomicLong(0)
+
   def ops: Seq[Op] = Seq(
 
     // Exact continuous-interpolation percentiles per group. Both engines use
@@ -349,6 +352,78 @@ object StatsOps extends OpModule {
               AS est_ok FROM g),
           tot AS (SELECT COUNT(DISTINCT user_id) AS exact_n FROM events),
           m AS (SELECT hll_sketch_estimate(hll_union_agg(sk)) AS est FROM g)
+          SELECT event_type, exact_n, est_ok FROM per
+          UNION ALL
+          SELECT 'ALL', tot.exact_n,
+            (m.est >= CAST(0.95 * tot.exact_n AS BIGINT)
+             AND m.est <= CAST(1.05 * tot.exact_n AS BIGINT))
+          FROM tot, m
+          ORDER BY event_type""")
+      },
+      Some("""
+        SELECT event_type, COUNT(DISTINCT user_id) AS exact_n, TRUE AS est_ok
+        FROM events GROUP BY 1
+        UNION ALL
+        SELECT 'ALL', COUNT(DISTINCT user_id), TRUE FROM events
+        ORDER BY event_type""")),
+
+    // STREAMING HLL MAINTENANCE — agg_hll_merge's maintain twin, closing
+    // the sketch-maintain family (minhash/phash/countmin/ivf/…): per
+    // micro-batch ONE hll_sketch_agg pass over the arrivals, folded into
+    // the per-group sketch state via hll_union_agg (register max is
+    // ORDER-FREE, so incremental unions see the same registers as the
+    // one-shot sketch and the batch key's oracle is this key's oracle).
+    // The exact-count side folds as the distinct (group, key) pair state —
+    // cardinality-bounded, the standard streaming-dedup state shape. The
+    // report tail is agg_hll_merge's: per-group and merged-global
+    // estimates against their ±5% hard contracts.
+    Op("stream_hll_maintain",
+      (s, dir) => {
+        val stage = graft.Staging.dir(s"hllm-src-${dir.hashCode.toHexString}")
+        if (!new java.io.File(s"$stage/_SUCCESS").exists()) {
+          Tables(s, dir, "events").createOrReplaceTempView("events")
+          s.sql("SELECT event_id, event_type, user_id FROM events")
+            .repartitionByRange(3, col("event_id"))
+            .write.mode("overwrite").parquet(stage)
+        }
+        def empty(ddl: String) = s.createDataFrame(
+          new java.util.ArrayList[org.apache.spark.sql.Row](),
+          org.apache.spark.sql.types.StructType.fromDDL(ddl))
+        var sk = empty("event_type STRING, sk BINARY")
+        var pairs = empty("event_type STRING, user_id BIGINT")
+        val q = s.readStream
+          .schema(org.apache.spark.sql.types.StructType.fromDDL(
+            "event_id BIGINT, event_type STRING, user_id BIGINT"))
+          .option("maxFilesPerTrigger", 1).parquet(stage)
+          .writeStream
+          .option("checkpointLocation", graft.Staging.fresh("hllm-chk"))
+          .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+            StatsOps.hllMaintainBatches.incrementAndGet()
+            val bs = batch.groupBy("event_type")
+              .agg(expr("hll_sketch_agg(user_id, 12)").as("sk"))
+            sk = graft.util.cut(sk.unionByName(bs)
+              .groupBy("event_type")
+              .agg(expr("hll_union_agg(sk)").as("sk")))
+            pairs = graft.util.cut(pairs.unionByName(
+              batch.select("event_type", "user_id")).distinct())
+            ()
+          }
+          .start()
+        q.processAllAvailable()
+        q.stop()
+        sk.createOrReplaceTempView("hll_state")
+        pairs.createOrReplaceTempView("hll_pairs")
+        s.sql("""
+          WITH ex AS (SELECT event_type, COUNT(*) AS exact_n
+            FROM hll_pairs GROUP BY 1),
+          per AS (SELECT g.event_type, ex.exact_n,
+            (hll_sketch_estimate(g.sk) >= CAST(0.95 * ex.exact_n AS BIGINT)
+             AND hll_sketch_estimate(g.sk) <= CAST(1.05 * ex.exact_n AS BIGINT))
+              AS est_ok
+            FROM hll_state g JOIN ex ON ex.event_type = g.event_type),
+          tot AS (SELECT COUNT(DISTINCT user_id) AS exact_n FROM hll_pairs),
+          m AS (SELECT hll_sketch_estimate(hll_union_agg(sk)) AS est
+            FROM hll_state)
           SELECT event_type, exact_n, est_ok FROM per
           UNION ALL
           SELECT 'ALL', tot.exact_n,

@@ -81,6 +81,39 @@ class Round14dOpsSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("stream_hll_maintain fold == batch report, over >1 micro-batch") {
+    val before = ops.StatsOps.hllMaintainBatches.get()
+    val streamed = SparkEntry.queries("stream_hll_maintain")(spark, TestSpark.sf)
+      .collect().map(_.toSeq).toSeq
+    val batch = SparkEntry.queries("agg_hll_merge")(spark, TestSpark.sf)
+      .collect().map(_.toSeq).toSeq
+    assert(ops.StatsOps.hllMaintainBatches.get() - before >= 2,
+      "maintain loop must fold multiple micro-batches")
+    assert(streamed == batch)
+  }
+
+  test("olap_basket_lift equals the in-memory a-priori pair replay") {
+    val items = Tables(spark, TestSpark.sf, "lineitem")
+      .select("l_orderkey", "l_partkey").distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val nb = items.map(_._1).distinct.size.toLong
+    val sup = items.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val pairs = items.groupBy(_._1).values.toSeq
+      .flatMap { basket =>
+        val ps = basket.map(_._2).sorted
+        for (i <- ps.indices; j <- (i + 1) until ps.size) yield (ps(i), ps(j))
+      }
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val want = pairs.toSeq.filter(_._2 >= 3)
+      .map { case ((pa, pb), cab) =>
+        (pa, pb, cab, 1000000L * cab * nb / (sup(pa) * sup(pb))) }
+      .sortBy { case (pa, pb, _, l) => (-l, pa, pb) }.take(15)
+    val got = SparkEntry.queries("olap_basket_lift")(spark, TestSpark.sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == want)
+    assert(got.nonEmpty)
+  }
+
   test("agg_hll_merge: every bound holds and the panel covers all types + ALL") {
     val rows = SparkEntry.queries("agg_hll_merge")(spark, TestSpark.sf).collect()
     assert(rows.map(_.getString(0)).contains("ALL"))
