@@ -30,35 +30,154 @@ object Matching {
   /** Greedy mutual-best matching over undirected weighted `edges0`
     * (columns a, b, w; canonical a < b, unique (a, b)). Returns
     * (r, a, b, w): the matched edges tagged with the round that matched
-    * them, sorted by (r, a, b). */
-  def greedy(edges0: DataFrame): DataFrame = {
+    * them, sorted by (r, a, b).
+    *
+    * `localThreshold` > 0 enables the SMALL-REMAINDER TAIL (the
+    * Boruvka.msf hybrid): once the surviving edge relation fits under
+    * the threshold, the remaining rounds replay executor-locally in one
+    * task — the SAME deterministic round semantics (round tags continue),
+    * so BSP-only and hybrid outputs are identical (pinned in
+    * MatchingDensestSpec). Maximal matching genuinely needs many rounds
+    * on hub-and-chain graphs (the mutual-best handshake matches a hub at
+    * most once per round), and the late rounds touch metadata-scale
+    * remainders — paying a full distributed barrier apiece for them is
+    * pure overhead at any deployment size. */
+  def greedy(edges0: DataFrame, localThreshold: Long = 0L): DataFrame = {
     val spark = edges0.sparkSession
     var e = cut(edges0.select("a", "b", "w"))
+    var cnt = e.count()
     var out = spark.createDataFrame(
       new java.util.ArrayList[org.apache.spark.sql.Row](),
       org.apache.spark.sql.types.StructType.fromDDL(
         "r INT, a BIGINT, b BIGINT, w DOUBLE"))
     var r = 1
     // ⌊V/2⌋ bounds the true round count; 64 is a runaway backstop only.
-    while (r <= 64 && !e.isEmpty) {
+    // THREE actions per round — the cut of the nomination frame, the cut
+    // of the shrunken edge list, and its count. Everything else (the
+    // handshake join, the matched-vertex set, the per-round output slice)
+    // stays LAZY over the two checkpointed frames: per-round fixed action
+    // latency, not data volume, dominates a many-round BSP on a shrinking
+    // relation, so the loop's job count is the thing to engineer down.
+    while (r <= 64 && cnt > 0 && cnt > localThreshold) {
       val half = e.select(col("a").as("v"), col("a"), col("b"), col("w"))
         .unionAll(e.select(col("b").as("v"), col("a"), col("b"), col("w")))
-      val best = half
+      // CUT the nomination frame before the handshake: both join sides
+      // derive from it, and an uncut plan would run the (dominant)
+      // min-struct aggregate twice per round.
+      val best = cut(half
         .groupBy("v")
         .agg(min(struct((-col("w")).as("nw"), col("a"), col("b"))).as("s"))
         .select(col("v"), col("s.a").as("a"), col("s.b").as("b"),
-          (-col("s.nw")).as("w"))
+          (-col("s.nw")).as("w")))
       val m = cut(best.filter(col("v") === col("a")).drop("v")
         .join(best.filter(col("v") === col("b")).select("a", "b"),
           Seq("a", "b"), "left_semi"))
-      val mv = m.select(col("a").as("mid"))
-        .unionAll(m.select(col("b").as("mid"))).distinct()
+      // ≤ 2·matched rows, V/2-bounded — broadcast by construction (a cut
+      // frame has no stats, AQE can't see it; deployments with larger
+      // matches per round swap the hint for a stats-aware choice).
+      val mv = broadcast(m.select(col("a").as("mid"))
+        .unionAll(m.select(col("b").as("mid"))))
       out = out.unionByName(m.select(lit(r).as("r"), col("a"), col("b"), col("w")))
       e = cut(e.join(mv, e("a") === mv("mid"), "left_anti")
         .join(mv, e("b") === mv("mid"), "left_anti"))
+      cnt = e.count()
       r += 1
     }
+    if (cnt > 0) out = out.unionByName(localTail(e, r))
     cut(out).orderBy("r", "a", "b")
+  }
+
+  /** The matching WITHOUT round tags (a, b, w) — for consumers like the
+    * vertex cover that only need the edge set. Same BSP head; the local
+    * tail is the SEQUENTIAL greedy scan (edges in (w DESC, a, b) order,
+    * take iff both endpoints free), which computes the IDENTICAL edge set
+    * to the round loop: locally-greedy = globally-greedy under a total
+    * order (Preis '99 — the round algorithm peels successive local
+    * minima, the scan takes the same edges in rank order; equivalence
+    * pinned in MatchingDensestSpec). One O(E log E) pass instead of
+    * per-round O(E) passes — the right tail shape when the remainder
+    * still has many rounds left. */
+  def maximalMatching(edges0: DataFrame, localThreshold: Long = 0L): DataFrame = {
+    val spark = edges0.sparkSession
+    var e = cut(edges0.select("a", "b", "w"))
+    var cnt = e.count()
+    var out = spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](),
+      org.apache.spark.sql.types.StructType.fromDDL(
+        "a BIGINT, b BIGINT, w DOUBLE"))
+    var r = 1
+    while (r <= 64 && cnt > 0 && cnt > localThreshold) {
+      val half = e.select(col("a").as("v"), col("a"), col("b"), col("w"))
+        .unionAll(e.select(col("b").as("v"), col("a"), col("b"), col("w")))
+      val best = cut(half
+        .groupBy("v")
+        .agg(min(struct((-col("w")).as("nw"), col("a"), col("b"))).as("s"))
+        .select(col("v"), col("s.a").as("a"), col("s.b").as("b"),
+          (-col("s.nw")).as("w")))
+      val m = cut(best.filter(col("v") === col("a")).drop("v")
+        .join(best.filter(col("v") === col("b")).select("a", "b"),
+          Seq("a", "b"), "left_semi"))
+      val mv = broadcast(m.select(col("a").as("mid"))
+        .unionAll(m.select(col("b").as("mid"))))
+      out = out.unionByName(m.select(col("a"), col("b"), col("w")))
+      e = cut(e.join(mv, e("a") === mv("mid"), "left_anti")
+        .join(mv, e("b") === mv("mid"), "left_anti"))
+      cnt = e.count()
+      r += 1
+    }
+    if (cnt > 0) {
+      val schema = org.apache.spark.sql.types.StructType.fromDDL(
+        "a BIGINT, b BIGINT, w DOUBLE")
+      val rdd = e.select("a", "b", "w").coalesce(1).rdd.mapPartitions { it =>
+        val es = it.map(row => (row.getLong(0), row.getLong(1),
+          row.getDouble(2))).toArray
+        java.util.Arrays.sort(es, Ordering.by[(Long, Long, Double), (Double, Long, Long)](
+          t => (-t._3, t._1, t._2)))
+        val used = new java.util.HashSet[Long]()
+        es.iterator.filter { case (a, b, _) =>
+          if (used.contains(a) || used.contains(b)) false
+          else { used.add(a); used.add(b); true }
+        }.map { case (a, b, w) => org.apache.spark.sql.Row(a, b, w) }
+      }
+      out = out.unionByName(spark.createDataFrame(rdd, schema))
+    }
+    cut(out)
+  }
+
+  /** Executor-local continuation: the identical mutual-best round loop
+    * over the (threshold-bounded) remainder in one task — one coalesced
+    * partition, never a driver collect (Boruvka.localMsf's shape). */
+  private def localTail(e: DataFrame, r0: Int): DataFrame = {
+    val spark = e.sparkSession
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "r INT, a BIGINT, b BIGINT, w DOUBLE")
+    val rdd = e.select("a", "b", "w").coalesce(1).rdd.mapPartitions { it =>
+      var es = it.map(row => (row.getLong(0), row.getLong(1),
+        row.getDouble(2))).toArray
+      val out = scala.collection.mutable.ArrayBuffer
+        .empty[org.apache.spark.sql.Row]
+      var r = r0
+      while (es.nonEmpty) {
+        val best = scala.collection.mutable
+          .Map.empty[Long, (Double, Long, Long)]
+        es.foreach { case (a, b, w) =>
+          val k = (-w, a, b)
+          Seq(a, b).foreach { v =>
+            if (!best.contains(v) ||
+              Ordering[(Double, Long, Long)].lt(k, best(v))) best(v) = k
+          }
+        }
+        val m = es.filter { case (a, b, w) =>
+          best(a) == ((-w, a, b)) && best(b) == ((-w, a, b)) }
+        val mv = m.flatMap(t => Seq(t._1, t._2)).toSet
+        m.foreach { case (a, b, w) =>
+          out += org.apache.spark.sql.Row(r, a, b, w) }
+        es = es.filter(t => !mv(t._1) && !mv(t._2))
+        r += 1
+      }
+      out.iterator
+    }
+    spark.createDataFrame(rdd, schema)
   }
 }
 
@@ -78,29 +197,52 @@ object Densest {
 
   /** Peel `und` (columns a, b; canonical a < b, distinct). Returns one row
     * per non-empty round: (r, n_vertices, n_edges, is_best) with is_best
-    * marking the density-maximal snapshot (ties → earliest round). */
+    * marking the density-maximal snapshot (ties → earliest round).
+    *
+    * Loop state is the DEGREE frame (id, d) — one row per surviving
+    * vertex — so each round is: ONE scalar aggregate over it (n and Σd =
+    * 2e together), a survivor filter, and the edge shrink. The shrink is
+    * two SEMI-joins against the survivor set, not anti-joins against the
+    * removed set: the ε=1 rule keeps < n/2 vertices per round, so the
+    * JOINED side collapses geometrically and is explicitly broadcast
+    * (a cut frame has no stats — AQE can't discover broadcastability on
+    * its own), making the dominant first rounds map-side over the big
+    * edge list with zero edge shuffle. */
   def peel(und0: DataFrame): DataFrame = {
     val spark = und0.sparkSession
     var e = cut(und0.select("a", "b"))
-    var v = cut(e.select(col("a").as("id"))
-      .unionAll(e.select(col("b").as("id"))).distinct())
+    def degOf(ed: DataFrame, verts: Option[DataFrame]): DataFrame = {
+      val cnt = ed.select(col("a").as("id"))
+        .unionAll(ed.select(col("b").as("id")))
+        .groupBy("id").agg(count(lit(1)).as("d"))
+      verts match {
+        case None => cnt
+        case Some(v) => v.join(cnt, Seq("id"), "left")
+          .select(col("id"), coalesce(col("d"), lit(0L)).as("d"))
+      }
+    }
+    var deg = cut(degOf(e, None))
     val stats = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Long)]
     var r = 1
-    while (r <= 64 && !v.isEmpty) {
-      val n = v.count()
-      val ecnt = e.count()
-      stats += ((r, n, ecnt))
-      val deg = v.join(
-        e.select(col("a").as("id")).unionAll(e.select(col("b").as("id")))
-          .groupBy("id").agg(count(lit(1)).as("d")),
-        Seq("id"), "left")
-        .select(col("id"), coalesce(col("d"), lit(0L)).as("d"))
-      val rem = deg.filter(col("d") * lit(n) <= lit(4L) * lit(ecnt))
-        .select("id")
-      v = cut(v.join(rem, Seq("id"), "left_anti"))
-      e = cut(e.join(rem, e("a") === rem("id"), "left_anti")
-        .join(rem, e("b") === rem("id"), "left_anti"))
-      r += 1
+    var done = false
+    while (r <= 64 && !done) {
+      val row = deg.agg(count(lit(1)).as("n"), sum("d").as("sd")).head
+      val n = row.getLong(0)
+      if (n == 0) done = true
+      else {
+        val ecnt = if (row.isNullAt(1)) 0L else row.getLong(1) / 2
+        stats += ((r, n, ecnt))
+        val surv = cut(deg
+          .filter(col("d") * lit(n) > lit(4L) * lit(ecnt)).select("id"))
+        // < n/2 by the ε=1 rule, but guard the hint anyway: at deployment
+        // scale an early round's survivor set can exceed executor memory,
+        // and a shuffle semi-join is the correct fallback there.
+        val sb = if (surv.count() <= 4000000) broadcast(surv) else surv
+        e = cut(e.join(sb, e("a") === sb("id"), "left_semi")
+          .join(sb, e("b") === sb("id"), "left_semi"))
+        deg = cut(degOf(e, Some(surv)))
+        r += 1
+      }
     }
     import spark.implicits._
     // Density compare on the few-row stats frame: one IEEE division of

@@ -131,6 +131,24 @@ object Multimodal {
     MediaCodec.encodePgm(w2, h2, out)
   }
 
+  /** Audio decimate-by-2: adjacent-pair box average over the PCM-u8
+    * stream, re-emitted as a valid WAV at half the sample rate — the
+    * audio twin of [[resizePgm2x]] (an odd tail sample drops, exactly
+    * like resize drops an odd row/column). */
+  def resampleWav2x(payload: Array[Byte]): Array[Byte] = {
+    val (sr, ch, bits, off, len) = MediaCodec.wavHeader(payload)
+    require(ch == 1 && bits == 8, s"resample needs PCM u8 mono, got $ch ch / $bits-bit")
+    val n2 = len / 2
+    val out = new Array[Byte](n2)
+    var i = 0
+    while (i < n2) {
+      out(i) = (((payload(off + 2 * i) & 0xff) +
+        (payload(off + 2 * i + 1) & 0xff)) / 2).toByte
+      i += 1
+    }
+    MediaCodec.encodeWav(out, sr / 2)
+  }
+
   /** Frame-sample stage: every k-th frame index per video asset —
     * one-to-many, the flatMap shape of real frame extraction. */
   def sampleFrames(ds: Dataset[Features], everyK: Int): DataFrame = {

@@ -1360,6 +1360,34 @@ object GraphOps extends OpModule {
         GraphFixture(s, dir).undirectedEdges),
       Some(densestOracleSql)),
 
+    // VERTEX COVER 2-approximation — the endpoints of a MAXIMAL matching
+    // (the Gavril/Yannakakis bound: any maximal matching's endpoint set
+    // covers every edge and is ≤ 2·OPT, since OPT must hit each matched
+    // edge separately). Runs the same mutual-best BSP as graph_matching
+    // on the FULL undirected graph (weights constant ⇒ the nomination
+    // order degrades to lexicographic (a, b)); the oracle replays all
+    // rounds unrolled (13 at gate SF; 16 leaves slack — converged rounds
+    // pass empty sets). Covering is the third classic graph-approximation
+    // family after matching and densest-subgraph.
+    Op("graph_vertex_cover",
+      (s, dir) => {
+        // localThreshold = what one task comfortably scans (~50 MB of
+        // edge pairs). Below it the sequential greedy runs in one task —
+        // at bench SF the whole relation is that small, so the adaptive
+        // path goes local (measured: matching needs ~40 slowly-shrinking
+        // BSP rounds here, each a full barrier for metadata-scale work);
+        // the 10× scale probe (14M edges) and any deployment-scale run
+        // engage the BSP head first. graph_matching keeps threshold 0,
+        // so the round loop itself stays exercised at every SF, and
+        // MatchingDensestSpec pins hybrid ≡ BSP output equality.
+        val m = graft.graph.Matching.maximalMatching(
+          GraphFixture(s, dir).undirectedEdges.withColumn("w", lit(1.0)),
+          localThreshold = 2000000)
+        m.select(col("a").as("id")).unionAll(m.select(col("b").as("id")))
+          .distinct().orderBy("id")
+      },
+      Some(vertexCoverOracleSql)),
+
     // Gremlin local(out().limit(k)) — per-traverser bounded expansion
     // (each big order continues along at most its 2 lowest-id parts):
     // the HUB GUARD for traversals at scale — a degree-10⁶ vertex emits
@@ -2482,6 +2510,35 @@ object GraphOps extends OpModule {
       .map(r => s"SELECT CAST($r AS INTEGER) AS r, a, b, w FROM mm$r")
       .mkString(" UNION ALL ")
     s"WITH $pairs, $e0, $roundCtes SELECT r, a, b, w FROM ($union) f ORDER BY r, a, b"
+  }
+
+  /** Unweighted mutual-best matching UNROLLED over the full undirected
+    * graph (16 rounds; gate SF converges in 13) — endpoints = the
+    * 2-approx vertex cover. Lexicographic (a, b) nomination order. */
+  private def vertexCoverOracleSql: String = {
+    val rounds = 16
+    val base = """uund AS MATERIALIZED (SELECT DISTINCT LEAST(src, dst) AS a,
+        GREATEST(src, dst) AS b FROM edges WHERE src <> dst),
+      ue0 AS MATERIALIZED (SELECT a, b FROM uund)"""
+    val roundCtes = (1 to rounds).map { r =>
+      s"""uh$r AS (SELECT a AS v, a, b FROM ue${r - 1}
+           UNION ALL SELECT b, a, b FROM ue${r - 1}),
+         ub$r AS MATERIALIZED (SELECT v, a, b FROM (
+           SELECT *, ROW_NUMBER() OVER (PARTITION BY v ORDER BY a, b) AS rn
+           FROM uh$r) z WHERE rn = 1),
+         um$r AS MATERIALIZED (SELECT x.a, x.b FROM ub$r x
+           JOIN ub$r y ON y.v = x.b AND y.a = x.a AND y.b = x.b
+           WHERE x.v = x.a),
+         uv$r AS (SELECT a AS id FROM um$r UNION SELECT b FROM um$r),
+         ue$r AS MATERIALIZED (SELECT e.a, e.b FROM ue${r - 1} e
+           LEFT JOIN uv$r p ON p.id = e.a LEFT JOIN uv$r q ON q.id = e.b
+           WHERE p.id IS NULL AND q.id IS NULL)"""
+    }.mkString(", ")
+    val union = (1 to rounds)
+      .map(r => s"SELECT a AS id FROM um$r UNION ALL SELECT b FROM um$r")
+      .mkString(" UNION ALL ")
+    withGraph(s"SELECT DISTINCT id FROM ($union) f ORDER BY id",
+      extra = s"$base, $roundCtes")
   }
 
   /** Charikar peel UNROLLED (6 rounds — the ε=1 halving gives ⌈log₂⌉-many;

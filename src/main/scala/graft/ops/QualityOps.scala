@@ -203,6 +203,23 @@ object QualityOps extends OpModule {
       },
       Some(DqDriftSql)),
 
+    // K-ANONYMITY audit — the privacy gate a training-data release runs
+    // before shipping quasi-identifiable rows: group by the
+    // quasi-identifier tuple (nation × market segment × coarsened
+    // balance band) and surface every equivalence class smaller than
+    // k=5 — the rows a release must suppress or generalize. One
+    // map-side-combined aggregate over the QI tuple; the violation
+    // filter touches the #classes-sized frame, never the fact scan
+    // twice. The band coarsening (FLOOR(bal/1000)) is itself the
+    // standard generalization lever — tightening it is how the audit
+    // iterates toward zero violations.
+    Op("dq_kanon",
+      (s, dir) => {
+        view(s, dir, "customer")
+        s.sql(KanonSql)
+      },
+      Some(KanonSql)),
+
     // STREAMING DRIFT MAINTENANCE — dq_drift's maintain twin: the
     // monitoring loop that keeps the drift report current as event
     // slices arrive. Bucket CALIBRATION (global value min/max) is a
@@ -930,6 +947,15 @@ object QualityOps extends OpModule {
       ELSE CAST(NULL AS DOUBLE) END AS chi2_contrib
     FROM c JOIN t ON t.event_type = c.event_type
     ORDER BY 1, 2"""
+
+  /** One text, both engines (see dq_kanon's op comment). */
+  private val KanonSql = """
+    WITH q AS (SELECT c_nationkey, c_mktsegment,
+        CAST(FLOOR(c_acctbal / 1000) AS BIGINT) AS bal_band FROM customer),
+    g AS (SELECT c_nationkey, c_mktsegment, bal_band, COUNT(*) AS n
+      FROM q GROUP BY 1, 2, 3)
+    SELECT c_nationkey, c_mktsegment, bal_band, n FROM g WHERE n < 5
+    ORDER BY c_nationkey, c_mktsegment, bal_band"""
 
   private val DqDriftSql = driftReportSql("""
     mm AS (SELECT MIN(value) AS mn, MAX(value) AS mx FROM events),

@@ -646,6 +646,57 @@ object TextOps extends OpModule {
             i -> px[i] * i)) AS BIGINT) AS pix_sig
         FROM rz ORDER BY asset_id""")),
 
+    // AUDIO RESAMPLE — the decimate-by-2 stage of an audio-ingest
+    // pipeline, multimodal_resize's PCM twin: adjacent-sample box
+    // average over the decoded u8 stream, RE-EMITTED as a valid
+    // half-rate WAV, graded from a RE-DECODE of the emitted container
+    // (header walk included — a malformed emit fails the parse, not
+    // just the sums). Closed-form oracle: every output sample
+    // recomputed from the documents table (ASCII corpus ⇒ byte ≡ char;
+    // same convention as the resize oracle). Partition-parallel map;
+    // payloads never shuffle or hit the driver.
+    Op("multimodal_resample",
+      (s, dir) => {
+        import graft.multimodal.{MediaCodec, Multimodal}
+        import s.implicits._
+        graft.Tables(s, dir, "documents")
+          .where("doc_id % 3 = 1 AND text IS NOT NULL")
+          .select("doc_id", "text").as[(Long, String)]
+          .map { case (id, text) =>
+            val rz = Multimodal.resampleWav2x(
+              MediaCodec.encode("audio", id, text.getBytes("UTF-8")))
+            val (sr2, _, _, off, len) = MediaCodec.wavHeader(rz)
+            var sum = 0L
+            var sig = 0L
+            var i = 0
+            while (i < len) {
+              val v = (rz(off + i) & 0xff).toLong
+              sum += v
+              sig += v * (i + 1)
+              i += 1
+            }
+            (id, sr2.toLong, len.toLong, sum, sig)
+          }.toDF("asset_id", "sr2", "n2", "samp_sum", "samp_sig")
+          .orderBy("asset_id")
+      },
+      Some("""
+        WITH a AS MATERIALIZED (SELECT doc_id AS asset_id,
+            CAST(octet_length(encode(text)) AS BIGINT) AS n,
+            list_transform(generate_series(1, length(text)),
+              i -> CAST(ascii(substr(text, i, 1)) AS BIGINT)) AS sb
+          FROM documents WHERE doc_id % 3 = 1 AND text IS NOT NULL),
+        rs AS MATERIALIZED (SELECT asset_id, n // 2 AS n2,
+            list_transform(generate_series(0, n // 2 - 1), i ->
+              (sb[CAST(2*i AS INTEGER) + 1] +
+               sb[CAST(2*i + 1 AS INTEGER) + 1]) // 2) AS smp
+          FROM a)
+        SELECT asset_id, CAST(4000 AS BIGINT) AS sr2, n2,
+          CAST(COALESCE(list_sum(smp), 0) AS BIGINT) AS samp_sum,
+          CAST(COALESCE(list_sum(list_transform(
+            generate_series(1, len(smp)), i -> smp[i] * i)), 0) AS BIGINT)
+            AS samp_sig
+        FROM rs ORDER BY asset_id""")),
+
     // COLLOCATION MINING — statistically-bound word pairs, the phrase-
     // extraction pass of vocabulary induction (word2vec's phrase pass,
     // BPE's semantic cousin). Association strength is observed/expected

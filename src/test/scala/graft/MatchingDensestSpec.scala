@@ -63,6 +63,44 @@ class MatchingDensestSpec extends AnyFunSuite {
     assert(uncovered.isEmpty, s"not maximal: ${uncovered.take(3)} addable")
   }
 
+  test("graph_vertex_cover covers every edge and is exactly 2x its matching") {
+    val cover = SparkEntry.queries("graph_vertex_cover")(spark, TestSpark.sf)
+      .collect().map(_.getLong(0)).toSet
+    val edges = graph.GraphFixture(spark, TestSpark.sf).undirectedEdges
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val uncovered = edges.filterNot(e => cover(e._1) || cover(e._2))
+    assert(uncovered.isEmpty, s"uncovered edges: ${uncovered.take(3)}")
+    // replay the unweighted mutual-best matching; endpoints == the cover
+    var e = edges
+    val mv = scala.collection.mutable.Set.empty[Long]
+    var nMatched = 0
+    while (e.nonEmpty) {
+      val best = scala.collection.mutable.Map.empty[Long, (Long, Long)]
+      for (t @ (a, b) <- e; v <- Seq(a, b))
+        if (!best.contains(v) || Ordering[(Long, Long)].lt(t, best(v))) best(v) = t
+      val m = e.filter(t => best(t._1) == t && best(t._2) == t)
+      nMatched += m.size
+      mv ++= m.flatMap(t => Seq(t._1, t._2))
+      e = e.filterNot(t => mv(t._1) || mv(t._2))
+    }
+    assert(cover == mv.toSet)
+    assert(cover.size == 2 * nMatched) // matched endpoints are disjoint
+  }
+
+  test("maximalMatching: sequential local tail == BSP rounds (edge-set equality)") {
+    val und = graph.GraphFixture(spark, TestSpark.sf).undirectedEdges
+      .withColumn("w", org.apache.spark.sql.functions.lit(1.0))
+    val bsp = graph.Matching.greedy(und, localThreshold = 0)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val local = graph.Matching.maximalMatching(und, localThreshold = Long.MaxValue)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val hybrid = graph.Matching.maximalMatching(und, localThreshold = 2000)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(bsp == local, "sequential greedy diverged from the BSP rounds")
+    assert(bsp == hybrid, "hybrid head+tail diverged from the BSP rounds")
+    assert(bsp.nonEmpty)
+  }
+
   /** Plain-Scala ε=1 Charikar peel over collected undirected edges. */
   private def refPeel(edges: Seq[(Long, Long)]): Seq[(Int, Long, Long)] = {
     val adj = scala.collection.mutable.Map.empty[Long, scala.collection.mutable.Set[Long]]

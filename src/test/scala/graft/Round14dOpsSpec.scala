@@ -114,6 +114,46 @@ class Round14dOpsSpec extends AnyFunSuite {
     assert(got.nonEmpty)
   }
 
+  test("multimodal_resample equals the closed-form pair-average replay") {
+    val docs = Tables(spark, TestSpark.sf, "documents")
+      .where("doc_id % 3 = 1 AND text IS NOT NULL")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    val want = docs.map { case (id, text) =>
+      val b = text.getBytes("UTF-8").map(_ & 0xff)
+      val smp = (0 until b.length / 2).map(i => (b(2 * i) + b(2 * i + 1)) / 2)
+      (id, 4000L, smp.size.toLong,
+        smp.map(_.toLong).sum,
+        smp.zipWithIndex.map { case (v, i) => v.toLong * (i + 1) }.sum)
+    }.sortBy(_._1)
+    val got = SparkEntry.queries("multimodal_resample")(spark, TestSpark.sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    assert(got == want)
+    assert(got.nonEmpty)
+    // the emitted container is a VALID half-rate WAV end-to-end
+    val (id, text) = docs.head
+    val rz = multimodal.Multimodal.resampleWav2x(
+      multimodal.MediaCodec.encode("audio", id, text.getBytes("UTF-8")))
+    val d = multimodal.MediaCodec.decode("audio", rz)
+    assert(d.width == 4000 && d.n_frames == text.getBytes("UTF-8").length / 2)
+  }
+
+  test("dq_kanon reports exactly the sub-k equivalence classes") {
+    val cust = Tables(spark, TestSpark.sf, "customer")
+      .select("c_nationkey", "c_mktsegment", "c_acctbal").collect()
+      .map(r => (r.getInt(0), r.getString(1),
+        math.floor(r.getDouble(2) / 1000).toLong))
+    val want = cust.groupBy(identity).view.mapValues(_.size.toLong).toSeq
+      .filter(_._2 < 5)
+      .map { case ((n, m, b), c) => (n, m, b, c) }
+      .sortBy { case (n, m, b, _) => (n, m, b) }
+    val got = SparkEntry.queries("dq_kanon")(spark, TestSpark.sf)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == want)
+    assert(got.nonEmpty, "fixture should have sub-k classes at this banding")
+  }
+
   test("agg_hll_merge: every bound holds and the panel covers all types + ALL") {
     val rows = SparkEntry.queries("agg_hll_merge")(spark, TestSpark.sf).collect()
     assert(rows.map(_.getString(0)).contains("ALL"))
