@@ -256,3 +256,50 @@ object Densest {
       .orderBy("r")
   }
 }
+
+/** Deterministic maximal independent set — the id-ordered local-minimum
+  * rounds (Luby's algorithm with the vertex id as the fixed priority, so
+  * the result is THE lexicographically-greedy MIS — unique, replayable,
+  * and equal to the sequential smallest-id-first scan). With canonical
+  * (a < b) edges the per-round winner test collapses to set algebra: a
+  * vertex has an alive smaller neighbor iff it appears as some edge's `b`,
+  * so winners = alive ∖ {b-side of alive edges} — one anti-join, no
+  * neighborhood explosion. Winners' neighbors die; edges shrink to the
+  * alive×alive rest. Hub-first ids (regions/nations carry the smallest
+  * ids in the fixture encoding) collapse the graph in ~3 rounds. */
+object Mis {
+
+  /** MIS over the support of `und0` (columns a, b; canonical a < b,
+    * distinct). Returns the MIS vertex ids, sorted. */
+  def greedy(und0: DataFrame): DataFrame = {
+    var e = cut(und0.select("a", "b"))
+    var alive = cut(e.select(col("a").as("id"))
+      .unionAll(e.select(col("b").as("id"))).distinct())
+    var out = alive.sparkSession.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](),
+      org.apache.spark.sql.types.StructType.fromDDL("id BIGINT"))
+    var r = 1
+    var aliveCnt = alive.count()
+    while (r <= 64 && aliveCnt > 0) {
+      // Hints guarded by cheap counts on already-materialized frames: cut
+      // frames carry no stats, so AQE can't see broadcastability, but an
+      // adversarial round can have O(V) winners where shuffle is right.
+      def hinted(df: DataFrame): DataFrame =
+        if (df.count() <= 4000000) broadcast(df) else df
+      val losers = e.select(col("b").as("id")).distinct()
+      val winners = cut(alive.join(losers, Seq("id"), "left_anti"))
+      val wb = hinted(winners)
+      val dead = e.join(wb, e("a") === wb("id"), "left_semi")
+        .select(col("b").as("id")).distinct()
+      out = out.unionByName(winners)
+      alive = cut(alive.join(winners, Seq("id"), "left_anti")
+        .join(dead, Seq("id"), "left_anti"))
+      val ab = hinted(alive)
+      e = cut(e.join(ab, e("a") === ab("id"), "left_semi")
+        .join(ab, e("b") === ab("id"), "left_semi"))
+      aliveCnt = alive.count()
+      r += 1
+    }
+    cut(out).orderBy("id")
+  }
+}

@@ -1388,6 +1388,19 @@ object GraphOps extends OpModule {
       },
       Some(vertexCoverOracleSql)),
 
+    // MAXIMAL INDEPENDENT SET — Luby's rounds with the vertex id as the
+    // fixed priority (⇒ THE lexicographically-greedy MIS, unique and
+    // exactly replayable). Canonical edges collapse the winner test to
+    // one anti-join (graft.graph.Mis scaladoc); 3 rounds at gate SF —
+    // the fixture's smallest ids are its biggest hubs, so neighborhoods
+    // die fast. Completes the approximation trio with graph_matching
+    // (edges) and graph_vertex_cover (their complement-flavored dual:
+    // an MIS is exactly the complement of a minimal vertex cover).
+    Op("graph_mis",
+      (s, dir) => graft.graph.Mis.greedy(
+        GraphFixture(s, dir).undirectedEdges),
+      Some(misOracleSql)),
+
     // Gremlin local(out().limit(k)) — per-traverser bounded expansion
     // (each big order continues along at most its 2 lowest-id parts):
     // the HUB GUARD for traversals at scale — a degree-10⁶ vertex emits
@@ -2538,6 +2551,34 @@ object GraphOps extends OpModule {
       .map(r => s"SELECT a AS id FROM um$r UNION ALL SELECT b FROM um$r")
       .mkString(" UNION ALL ")
     withGraph(s"SELECT DISTINCT id FROM ($union) f ORDER BY id",
+      extra = s"$base, $roundCtes")
+  }
+
+  /** Id-priority MIS UNROLLED (6 rounds; gate SF converges in 3 —
+    * converged rounds pass empty sets through). */
+  private def misOracleSql: String = {
+    val rounds = 6
+    val base = """mund AS MATERIALIZED (SELECT DISTINCT LEAST(src, dst) AS a,
+        GREATEST(src, dst) AS b FROM edges WHERE src <> dst),
+      ma1 AS MATERIALIZED (SELECT a AS id FROM mund UNION SELECT b FROM mund),
+      mie1 AS MATERIALIZED (SELECT a, b FROM mund)"""
+    val roundCtes = (1 to rounds).map { r =>
+      s"""mw$r AS MATERIALIZED (SELECT v.id FROM ma$r v
+           LEFT JOIN (SELECT DISTINCT b FROM mie$r) l ON l.b = v.id
+           WHERE l.b IS NULL),
+         md$r AS (SELECT DISTINCT e.b AS id FROM mie$r e
+           JOIN mw$r w ON w.id = e.a),
+         ma${r + 1} AS MATERIALIZED (SELECT v.id FROM ma$r v
+           LEFT JOIN mw$r w ON w.id = v.id
+           LEFT JOIN md$r d ON d.id = v.id
+           WHERE w.id IS NULL AND d.id IS NULL),
+         mie${r + 1} AS MATERIALIZED (SELECT e.a, e.b FROM mie$r e
+           JOIN ma${r + 1} x ON x.id = e.a
+           JOIN ma${r + 1} y ON y.id = e.b)"""
+    }.mkString(", ")
+    val union = (1 to rounds).map(r => s"SELECT id FROM mw$r")
+      .mkString(" UNION ALL ")
+    withGraph(s"SELECT id FROM ($union) f ORDER BY id",
       extra = s"$base, $roundCtes")
   }
 

@@ -379,7 +379,40 @@ object OlapOps extends OpModule {
         view(s, dir, "lineitem")
         s.sql(basketLiftSql("DIV"))
       },
-      Some(basketLiftSql("//"))))
+      Some(basketLiftSql("//"))),
+
+    // PARETO / revenue-concentration headline — "how many customers carry
+    // 80% of revenue": per-customer decimal-exact revenue, one cumulative
+    // window over the customer-sized aggregate (never window-over-fact),
+    // and the 80% cutoff as an INTEGER decimal compare (cum·10 vs
+    // total·8 — no rational crosses the engines). A customer is in the
+    // covering prefix iff the revenue BEFORE it hasn't reached the
+    // threshold, so the prefix is minimal and deterministic under the
+    // (rev DESC, custkey) total order.
+    Op("olap_pareto",
+      (s, dir) => {
+        view(s, dir, "orders")
+        s.sql(paretoSql(sparkD))
+      },
+      Some(paretoSql(duckD))))
+
+  /** Shared pareto text, modulo the engine's DECIMAL→DOUBLE cast seam. */
+  private def paretoSql(d: String => String): String = s"""
+    WITH r AS (SELECT o_custkey,
+        SUM(CAST(o_totalprice AS DECIMAL(38,10))) AS rev
+      FROM orders GROUP BY 1),
+    t AS (SELECT SUM(rev) AS total, COUNT(*) AS n_all FROM r),
+    c AS (SELECT o_custkey, rev,
+        SUM(rev) OVER (ORDER BY rev DESC, o_custkey
+          ROWS UNBOUNDED PRECEDING) AS cum
+      FROM r),
+    p AS (SELECT c.o_custkey, c.rev, c.cum FROM c, t
+      WHERE (c.cum - c.rev) * 10 < t.total * 8)
+    SELECT COUNT(*) AS n_customers, t.n_all,
+      ${d("MAX(p.cum)")} AS covered_rev,
+      ${d("t.total")} AS total_rev,
+      ${d("MAX(p.cum)")} / ${d("t.total")} AS share
+    FROM p, t GROUP BY t.n_all, t.total"""
 
   /** Shared basket-lift text, modulo the integer-division spelling. */
   private def basketLiftSql(idiv: String): String = s"""

@@ -101,6 +101,25 @@ class MatchingDensestSpec extends AnyFunSuite {
     assert(bsp.nonEmpty)
   }
 
+  test("graph_mis is independent, maximal, and equals the greedy-by-id replay") {
+    val mis = SparkEntry.queries("graph_mis")(spark, TestSpark.sf)
+      .collect().map(_.getLong(0)).toSet
+    val edges = graph.GraphFixture(spark, TestSpark.sf).undirectedEdges
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // independence: no edge inside the set
+    assert(edges.forall(e => !(mis(e._1) && mis(e._2))))
+    // maximality: every non-member has a member neighbor
+    val adj = edges.flatMap(e => Seq(e._1 -> e._2, e._2 -> e._1))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val support = adj.keySet
+    assert((support -- mis).forall(v => adj(v).exists(mis)))
+    // lexicographic-greedy replay: smallest-id-first sequential scan
+    val want = scala.collection.mutable.Set.empty[Long]
+    for (v <- support.toSeq.sorted)
+      if (!adj(v).exists(want)) want += v
+    assert(mis == want.toSet)
+  }
+
   /** Plain-Scala ε=1 Charikar peel over collected undirected edges. */
   private def refPeel(edges: Seq[(Long, Long)]): Seq[(Int, Long, Long)] = {
     val adj = scala.collection.mutable.Map.empty[Long, scala.collection.mutable.Set[Long]]

@@ -154,6 +154,28 @@ class Round14dOpsSpec extends AnyFunSuite {
     assert(got.nonEmpty, "fixture should have sub-k classes at this banding")
   }
 
+  test("olap_pareto equals the in-memory concentration replay") {
+    val rev = Tables(spark, TestSpark.sf, "orders")
+      .select("o_custkey", "o_totalprice").collect()
+      .map(r => (r.getLong(0), BigDecimal(r.getDouble(1)).setScale(10)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toSeq
+      .sortBy { case (k, v) => (-v, k) }
+    val total = rev.map(_._2).sum
+    var cum = BigDecimal(0)
+    var n = 0
+    var covered = BigDecimal(0)
+    for ((_, v) <- rev) {
+      if (cum * 10 < total * 8) { cum += v; n += 1; covered = cum }
+      else cum += v
+    }
+    val row = SparkEntry.queries("olap_pareto")(spark, TestSpark.sf).collect()(0)
+    assert(row.getLong(0) == n.toLong)
+    assert(row.getLong(1) == rev.size.toLong)
+    assert(math.abs(row.getDouble(2) - covered.toDouble) < 1e-6)
+    assert(row.getDouble(4) >= 0.8 && row.getDouble(4) <= 1.0)
+    assert(n < rev.size, "the 80% prefix should be a strict subset")
+  }
+
   test("agg_hll_merge: every bound holds and the panel covers all types + ALL") {
     val rows = SparkEntry.queries("agg_hll_merge")(spark, TestSpark.sf).collect()
     assert(rows.map(_.getString(0)).contains("ALL"))
