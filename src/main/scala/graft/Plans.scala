@@ -46,7 +46,11 @@ object Plans {
     "olap_order_priority", "olap_forecast_revenue", "olap_bracket_revenue",
     "olap_small_qty_revenue", "graph_mst", "graph_traversal_sack",
     "graph_traversal_local", "sim_sq_rerank", "multimodal_resize",
-    "source_binaryfile", "dq_drift")
+    "source_binaryfile", "dq_drift",
+    "agg_countmin", "graph_matching", "graph_densest", "graph_mis",
+    "graph_vertex_cover", "sim_mips", "text_collocations",
+    "ts_changepoint", "agg_hll_merge", "olap_basket_lift", "olap_pareto",
+    "dq_kanon", "multimodal_resample")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -377,9 +377,17 @@ object OlapOps extends OpModule {
     Op("olap_basket_lift",
       (s, dir) => {
         view(s, dir, "lineitem")
-        s.sql(basketLiftSql("DIV"))
+        // Spark INLINES the items CTE at every reference (4×: both pair
+        // sides, support, basket count) — re-running the DISTINCT over
+        // the fact scan each time. Materialize it once (Views scaladoc;
+        // DuckDB gets the same via AS MATERIALIZED).
+        val items = graft.Views.materialize(s, dir, "basketitems",
+          "SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem")
+        s.sql(basketLiftSql("DIV", items, ""))
       },
-      Some(basketLiftSql("//"))),
+      Some(basketLiftSql("//",
+        "(SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem) z",
+        "MATERIALIZED "))),
 
     // PARETO / revenue-concentration headline — "how many customers carry
     // 80% of revenue": per-customer decimal-exact revenue, one cumulative
@@ -414,10 +422,10 @@ object OlapOps extends OpModule {
       ${d("MAX(p.cum)")} / ${d("t.total")} AS share
     FROM p, t GROUP BY t.n_all, t.total"""
 
-  /** Shared basket-lift text, modulo the integer-division spelling. */
-  private def basketLiftSql(idiv: String): String = s"""
-    WITH items AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
-      FROM lineitem),
+  /** Shared basket-lift text, modulo the integer-division spelling and
+    * the (materialized) item-list relation. */
+  private def basketLiftSql(idiv: String, itemsRel: String, mat: String): String = s"""
+    WITH items AS $mat(SELECT o, p FROM $itemsRel),
     nb AS (SELECT COUNT(DISTINCT o) AS n FROM items),
     sup AS (SELECT p, COUNT(*) AS c FROM items GROUP BY 1),
     pairs AS (SELECT a.p AS pa, b.p AS pb, COUNT(*) AS cab

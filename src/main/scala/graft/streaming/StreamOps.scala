@@ -355,6 +355,40 @@ object StreamOps extends OpModule {
         WHERE p.event_type = 'purchase'
         GROUP BY 1, 2 ORDER BY 1""")),
 
+    // LEFT OUTER stream-stream join, batch twin — the semantics delta
+    // from stream_stream_join is the NULL-PADDED row: a purchase with no
+    // prior click still emits (n_prior_clicks = 0). In the true streaming
+    // execution (StreamingSpec "left-outer stream-stream join") that row
+    // can only emit once BOTH watermarks pass the purchase's join window
+    // — the engine must prove no future click can match before padding —
+    // so the spec drives the watermark past end-of-data with a sentinel
+    // and asserts the zero-click purchases actually appear. Same
+    // one-shuffle-per-side, state-bounded-by-watermark shape as the
+    // inner form.
+    Op("stream_stream_left_join",
+      (s, dir) => {
+        val ev = Tables(s, dir, "events")
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id").as("p_id"), col("user_id"), col("ts").as("p_ts"))
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
+        purchases.join(clicks,
+            col("user_id") === col("c_user") &&
+              col("c_ts") <= col("p_ts") &&
+              col("c_ts") >= col("p_ts") - expr("INTERVAL 30 MINUTES"),
+            "left_outer")
+          .groupBy("p_id", "user_id")
+          .agg(count(col("c_ts")).as("n_prior_clicks"))
+          .orderBy("p_id")
+      },
+      Some("""SELECT p.event_id AS p_id, p.user_id,
+        COUNT(c.ts) AS n_prior_clicks
+        FROM events p LEFT JOIN events c ON c.user_id = p.user_id
+          AND c.event_type = 'click'
+          AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL '30 minutes'
+        WHERE p.event_type = 'purchase'
+        GROUP BY 1, 2 ORDER BY 1""")),
+
     // Typed stateful path: per-user running purchase count over the ordered
     // timeline. Secondary sort — repartition by user, sort WITHIN partitions
     // by (user, ts, id), then a constant-memory scan per partition. Unlike a

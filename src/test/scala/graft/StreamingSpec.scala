@@ -81,6 +81,58 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.count() > 0)
   }
 
+  test("left-outer stream-stream join: zero-click purchases emit after the watermark passes") {
+    // Own source dir: the watermark must be driven PAST end-of-data for
+    // the engine to prove no future click can match and emit the
+    // null-padded rows — a far-future sentinel click (user −1, matches
+    // nothing) does that.
+    val dir = java.nio.file.Files.createTempDirectory("graft-lojoin").toString
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"${TestSpark.sf}/events.parquet"),
+      java.nio.file.Paths.get(s"$dir/events.parquet"))
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val maxTs = Tables(spark, TestSpark.sf, "events")
+      .agg(max(col("ts"))).collect()(0).getTimestamp(0)
+    val sentinel = new java.sql.Timestamp(maxTs.getTime + 6 * 3600 * 1000L)
+    val schema = Tables(spark, TestSpark.sf, "events").schema
+    // BOTH sides need a sentinel: the global watermark is the MIN of the
+    // two sides' watermarks, and a null-padded purchase can only emit
+    // once that global mark passes its whole join window — without the
+    // purchase sentinel the latest real purchase stays withheld forever.
+    spark.createDataFrame(
+      java.util.Arrays.asList(
+        Row(-1L, sentinel, -1L, "click", 0.0, "{}"),
+        Row(-2L, sentinel, -1L, "purchase", 0.0, "{}")),
+      schema).write.mode("append").parquet(dir)
+    val ev = Streams.readEvents(spark, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
+        col("ts").as("p_ts"))
+      .withWatermark("p_ts", "10 minutes")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
+      .withWatermark("c_ts", "10 minutes")
+    val joined = purchases.join(clicks,
+      expr("""p_user = c_user AND c_ts <= p_ts
+        AND c_ts >= p_ts - INTERVAL 30 MINUTES"""), "left_outer")
+    val got = runToMemory(joined, "t_lojoin", mode = "append")
+      .filter(col("p_user") >= 0)
+    val bev = Tables(spark, TestSpark.sf, "events")
+    val want = bev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
+        col("ts").as("p_ts"))
+      .join(bev.filter(col("event_type") === "click")
+        .select(col("user_id").as("c_user"), col("ts").as("c_ts")),
+        expr("""p_user = c_user AND c_ts <= p_ts
+          AND c_ts >= p_ts - INTERVAL 30 MINUTES"""), "left_outer")
+    assert(got.count() == want.count())
+    val zerosGot = got.filter(col("c_ts").isNull).count()
+    val zerosWant = want.filter(col("c_ts").isNull).count()
+    assert(zerosGot == zerosWant)
+    assert(zerosGot > 0, "fixture should have clickless purchases")
+  }
+
   test("streaming file sink: parquet sink + checkpoint, read-back == batch") {
     val outDir = java.nio.file.Files.createTempDirectory("graft-fsink").toString
     val q = Streams.dedupEvents(Streams.readEvents(spark, srcDir))
