@@ -128,16 +128,24 @@ object Matching {
     if (cnt > 0) {
       val schema = org.apache.spark.sql.types.StructType.fromDDL(
         "a BIGINT, b BIGINT, w DOUBLE")
-      val rdd = e.select("a", "b", "w").coalesce(1).rdd.mapPartitions { it =>
-        val es = it.map(row => (row.getLong(0), row.getLong(1),
-          row.getDouble(2))).toArray
-        java.util.Arrays.sort(es, Ordering.by[(Long, Long, Double), (Double, Long, Long)](
-          t => (-t._3, t._1, t._2)))
+      // Sort DISTRIBUTEDLY (Tungsten range sort), CUT, then scan the rank
+      // order through one task. The cut between sort and coalesce is
+      // load-bearing twice over: (a) `orderBy(...).coalesce(1)` collapses
+      // the whole sort into ONE partition (measured 33–80 s at the 10×
+      // probe vs ~3 s distributed); (b) localCheckpoint freezes partition
+      // order, and coalesce(1) without shuffle concatenates the
+      // range-sorted partitions in index order — so the stream arrives
+      // globally sorted and the greedy scan is one O(E) pass with a
+      // free-set (the inherently sequential step of greedy matching).
+      val sorted = cut(e.select("a", "b", "w")
+        .orderBy(col("w").desc, col("a"), col("b")))
+      val rdd = sorted.coalesce(1).rdd.mapPartitions { it =>
         val used = new java.util.HashSet[Long]()
-        es.iterator.filter { case (a, b, _) =>
+        it.filter { row =>
+          val a = row.getLong(0); val b = row.getLong(1)
           if (used.contains(a) || used.contains(b)) false
           else { used.add(a); used.add(b); true }
-        }.map { case (a, b, w) => org.apache.spark.sql.Row(a, b, w) }
+        }
       }
       out = out.unionByName(spark.createDataFrame(rdd, schema))
     }

@@ -1371,18 +1371,19 @@ object GraphOps extends OpModule {
     // family after matching and densest-subgraph.
     Op("graph_vertex_cover",
       (s, dir) => {
-        // localThreshold = what one task comfortably scans (~50 MB of
-        // edge pairs). Below it the sequential greedy runs in one task —
-        // at bench SF the whole relation is that small, so the adaptive
-        // path goes local (measured: matching needs ~40 slowly-shrinking
-        // BSP rounds here, each a full barrier for metadata-scale work);
-        // the 10× scale probe (14M edges) and any deployment-scale run
-        // engage the BSP head first. graph_matching keeps threshold 0,
-        // so the round loop itself stays exercised at every SF, and
-        // MatchingDensestSpec pins hybrid ≡ BSP output equality.
+        // localThreshold = what one task comfortably scans (16M edge
+        // pairs ≈ 400 MB). Maximal matching's round count GROWS with
+        // graph size on hub-and-chain graphs (measured decay ~10%/round:
+        // sf0.1 needs ~40 rounds, 10× needs ~60 — each a full barrier
+        // for work that shrinks toward metadata scale), so the BSP head
+        // is worth paying only while the remainder exceeds one task's
+        // scan; past that the sequential tail IS the scale-correct plan
+        // (locally-greedy = globally-greedy, MatchingDensestSpec pins
+        // hybrid ≡ BSP). graph_matching keeps threshold 0 so the round
+        // loop itself stays exercised at every SF.
         val m = graft.graph.Matching.maximalMatching(
           GraphFixture(s, dir).undirectedEdges.withColumn("w", lit(1.0)),
-          localThreshold = 2000000)
+          localThreshold = 16000000)
         m.select(col("a").as("id")).unionAll(m.select(col("b").as("id")))
           .distinct().orderBy("id")
       },
