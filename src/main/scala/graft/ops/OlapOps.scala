@@ -402,7 +402,40 @@ object OlapOps extends OpModule {
         view(s, dir, "orders")
         s.sql(paretoSql(sparkD))
       },
-      Some(paretoSql(duckD))))
+      Some(paretoSql(duckD))),
+
+    // RFM SEGMENTATION — the classic customer-value grid (recency ×
+    // frequency × monetary quartiles): one customer-sized aggregate off
+    // the fact table, three NTILE windows over that aggregate (never
+    // window-over-fact; each is one sort of the customer relation), and
+    // a ≤64-cell segment rollup. Deterministic tie placement via the
+    // (metric, custkey) total orders makes the quartile assignment — and
+    // therefore every cell count — exactly replayable cross-engine.
+    Op("olap_rfm",
+      (s, dir) => {
+        view(s, dir, "orders")
+        s.sql(rfmSql(sparkD))
+      },
+      Some(rfmSql(duckD))))
+
+  /** Shared RFM text, modulo the engine's DECIMAL→DOUBLE cast seam.
+    * Quartile boundaries via NTILE(4) under TOTAL orders (metric, then
+    * custkey) — deterministic tie placement, so both engines bucket
+    * identically even on tied metrics. */
+  private def rfmSql(d: String => String): String = s"""
+    WITH per_cust AS (SELECT o_custkey,
+        MAX(o_orderdate) AS last_order,
+        COUNT(*) AS freq,
+        SUM(CAST(o_totalprice AS DECIMAL(38,10))) AS mon
+      FROM orders GROUP BY 1),
+    q AS (SELECT o_custkey, freq, mon,
+        NTILE(4) OVER (ORDER BY last_order DESC, o_custkey) AS r_q,
+        NTILE(4) OVER (ORDER BY freq DESC, o_custkey) AS f_q,
+        NTILE(4) OVER (ORDER BY mon DESC, o_custkey) AS m_q
+      FROM per_cust)
+    SELECT r_q, f_q, m_q, COUNT(*) AS n_customers,
+      ${d("SUM(mon)")} AS mon_sum
+    FROM q GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"""
 
   /** Shared pareto text, modulo the engine's DECIMAL→DOUBLE cast seam. */
   private def paretoSql(d: String => String): String = s"""

@@ -176,6 +176,44 @@ class Round14dOpsSpec extends AnyFunSuite {
     assert(n < rev.size, "the 80% prefix should be a strict subset")
   }
 
+  test("olap_rfm equals the in-memory quartile replay") {
+    // o_orderdate is TIMESTAMP_NTZ; the ISO string orders chronologically
+    val per = Tables(spark, TestSpark.sf, "orders")
+      .select(org.apache.spark.sql.functions.col("o_custkey"),
+        org.apache.spark.sql.functions.col("o_orderdate").cast("string"),
+        org.apache.spark.sql.functions.col("o_totalprice")).collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        BigDecimal(r.getDouble(2)).setScale(10)))
+      .groupBy(_._1).map { case (c, rows) =>
+        (c, rows.map(_._2).max, rows.size.toLong, rows.map(_._3).sum) }.toSeq
+    def ntile4[K: Ordering](keyed: Seq[(Long, K)]): Map[Long, Int] = {
+      val sorted = keyed.sortBy(_._2).map(_._1)
+      val n = sorted.size
+      val base = n / 4
+      val rem = n % 4
+      val sizes = (0 until 4).map(i => base + (if (i < rem) 1 else 0))
+      val bounds = sizes.scanLeft(0)(_ + _)
+      (for (q <- 0 until 4; i <- bounds(q) until bounds(q + 1))
+        yield sorted(i) -> (q + 1)).toMap
+    }
+    val rq = ntile4(per.map(t => t._1 -> ((t._2, t._1))))(
+      Ordering.Tuple2(Ordering.String.reverse, Ordering.Long))
+    val fq = ntile4(per.map(t => t._1 -> (-t._3, t._1)))
+    val mq = ntile4(per.map(t => t._1 -> (-t._4, t._1)))
+    val want = per.groupBy(t => (rq(t._1), fq(t._1), mq(t._1))).toSeq
+      .map { case ((r, f, m), rows) =>
+        (r, f, m, rows.size.toLong, rows.map(_._4).sum.toDouble) }
+      .sortBy(t => (t._1, t._2, t._3))
+    val got = SparkEntry.queries("olap_rfm")(spark, TestSpark.sf)
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getInt(2),
+        r.getLong(3), r.getDouble(4))).toSeq
+    assert(got.map(t => (t._1, t._2, t._3, t._4)) ==
+      want.map(t => (t._1, t._2, t._3, t._4)))
+    got.zip(want).foreach { case (g, w) =>
+      assert(math.abs(g._5 - w._5) < 1e-6, s"$g vs $w") }
+    assert(got.map(_._4).sum == per.size.toLong)
+  }
+
   test("agg_hll_merge: every bound holds and the panel covers all types + ALL") {
     val rows = SparkEntry.queries("agg_hll_merge")(spark, TestSpark.sf).collect()
     assert(rows.map(_.getString(0)).contains("ALL"))
