@@ -181,8 +181,12 @@ object CustomExprOps extends OpModule {
         def empty(ddl: String) = s.createDataFrame(
           new java.util.ArrayList[org.apache.spark.sql.Row](),
           org.apache.spark.sql.types.StructType.fromDDL(ddl))
-        var cells = empty("event_type STRING, i INT, n BIGINT")
-        var probes = empty("event_type STRING, user_id BIGINT, exact_n BIGINT")
+        // ONE tagged state frame (kind 'c' → sketch cell at index k,
+        // kind 'p' → probe key k's exact count): both halves fold with
+        // the same order-free integer sum, so merging them costs one
+        // lineage cut per batch instead of two — per-batch fixed action
+        // latency is the maintain family's dominant cost at bench SF.
+        var state = empty("kind STRING, event_type STRING, k BIGINT, n BIGINT")
         val q = s.readStream
           .schema(org.apache.spark.sql.types.StructType.fromDDL(
             "event_id BIGINT, event_type STRING, user_id BIGINT"))
@@ -193,23 +197,29 @@ object CustomExprOps extends OpModule {
             CustomExprOps.cmMaintainBatches.incrementAndGet()
             val bc = batch.groupBy("event_type")
               .agg(expr("count_min(user_id)").as("sk"))
-              .select(col("event_type"),
-                posexplode(col("sk")).as(Seq("i", "n")))
-            cells = graft.util.cut(cells.unionByName(bc)
-              .groupBy("event_type", "i").agg(sum("n").as("n")))
+              .select(lit("c").as("kind"), col("event_type"),
+                posexplode(col("sk")).as(Seq("k", "n")))
+              .select(col("kind"), col("event_type"),
+                col("k").cast("long").as("k"), col("n"))
             val bp = batch.filter(col("user_id") % 13 === 0)
               .groupBy("event_type", "user_id")
-              .agg(count(lit(1)).as("exact_n"))
-            probes = graft.util.cut(probes.unionByName(bp)
-              .groupBy("event_type", "user_id")
-              .agg(sum("exact_n").as("exact_n")))
+              .agg(count(lit(1)).as("n"))
+              .select(lit("p").as("kind"), col("event_type"),
+                col("user_id").as("k"), col("n"))
+            state = graft.util.cut(state.unionByName(bc).unionByName(bp)
+              .groupBy("kind", "event_type", "k").agg(sum("n").as("n")))
             ()
           }
           .start()
         q.processAllAvailable()
         q.stop()
-        cells.createOrReplaceTempView("cm_cells")
-        probes.createOrReplaceTempView("cm_probes")
+        state.filter(col("kind") === "c")
+          .select(col("event_type"), col("k").cast("int").as("i"), col("n"))
+          .createOrReplaceTempView("cm_cells")
+        state.filter(col("kind") === "p")
+          .select(col("event_type"), col("k").as("user_id"),
+            col("n").as("exact_n"))
+          .createOrReplaceTempView("cm_probes")
         s.sql(s"""
           SELECT p.event_type, p.user_id, p.exact_n,
             LEAST(c0.n, c1.n, c2.n) AS est_n
