@@ -311,3 +311,95 @@ object Mis {
     cut(out).orderBy("id")
   }
 }
+
+/** Distributed greedy graph coloring — ITERATED lexicographic MIS: color
+  * class k is the id-priority MIS of the graph left after classes 1..k−1
+  * (each layer delegates to [[Mis]]'s round loop). This equals SEQUENTIAL
+  * greedy coloring in ascending id order (class 1 is exactly the lex MIS —
+  * a vertex takes color 1 iff no smaller neighbor did — and inductively
+  * class k is the lex MIS of the remainder), which is what makes the
+  * hybrid sound: above `localThreshold` the layers run as BSP MIS rounds,
+  * below it ONE task colors the remainder sequentially (ascending id,
+  * smallest color unused by smaller neighbors), with the class↔layer
+  * equivalence pinned in MatchingDensestSpec. Colors used ≤ Δ+1; the
+  * fixture's layered id encoding (regions < nations < customers < …)
+  * converges in 3 colors. */
+object Coloring {
+
+  /** Color the support of `und0` (columns a, b; canonical a < b,
+    * distinct). Returns (id, color), sorted by id. */
+  def greedy(und0: DataFrame, localThreshold: Long = 0L): DataFrame = {
+    val spark = und0.sparkSession
+    var remE = cut(und0.select("a", "b"))
+    var remV = cut(remE.select(col("a").as("id"))
+      .unionAll(remE.select(col("b").as("id"))).distinct())
+    var cnt = remE.count()
+    var out = spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](),
+      org.apache.spark.sql.types.StructType.fromDDL("id BIGINT, color INT"))
+    var c = 1
+    while (c <= 64 && cnt > 0 && cnt > localThreshold) {
+      val mis = Mis.greedy(remE).select(col("id"))
+      val supp = remE.select(col("a").as("id"))
+        .unionAll(remE.select(col("b").as("id"))).distinct()
+      val isolated = remV.join(supp, Seq("id"), "left_anti")
+      val layer = cut(mis.unionAll(isolated))
+      out = out.unionByName(layer.select(col("id"), lit(c).as("color")))
+      remV = cut(remV.join(layer, Seq("id"), "left_anti"))
+      val rb = broadcast(remV)
+      remE = cut(remE.join(rb, remE("a") === rb("id"), "left_semi")
+        .join(rb, remE("b") === rb("id"), "left_semi"))
+      cnt = remE.count()
+      c += 1
+    }
+    if (cnt > 0) {
+      // Sequential tail: greedy color the remainder in one task (the
+      // cover-tail discipline — distributed sort is unnecessary here
+      // because coloring consumes adjacency, not rank order). Edges
+      // arrive as smaller→larger lists keyed by the larger endpoint;
+      // ascending-id mex over already-colored smaller neighbors.
+      val base = c - 1
+      val schema = org.apache.spark.sql.types.StructType.fromDDL(
+        "id BIGINT, color INT")
+      val rdd = remE.select("a", "b").coalesce(1).rdd.mapPartitions { it =>
+        val smaller = new java.util.HashMap[Long, java.util.ArrayList[Long]]()
+        val verts = new java.util.TreeSet[Long]()
+        it.foreach { row =>
+          val a = row.getLong(0); val b = row.getLong(1)
+          verts.add(a); verts.add(b)
+          smaller.computeIfAbsent(b, _ => new java.util.ArrayList[Long]())
+            .add(a)
+        }
+        val color = new java.util.HashMap[Long, Int]()
+        val vi = verts.iterator()
+        val outRows = scala.collection.mutable.ArrayBuffer
+          .empty[org.apache.spark.sql.Row]
+        while (vi.hasNext) {
+          val v = vi.next()
+          val usedList = smaller.get(v)
+          val used = new java.util.HashSet[Int]()
+          if (usedList != null) {
+            val ui = usedList.iterator()
+            while (ui.hasNext) used.add(color.get(ui.next()))
+          }
+          var k = 1
+          while (used.contains(k)) k += 1
+          color.put(v, k)
+          outRows += org.apache.spark.sql.Row(v, base + k)
+        }
+        outRows.iterator
+      }
+      val tail = spark.createDataFrame(rdd, schema)
+      // remaining vertices with no remaining edges take the first free color
+      val supp = remE.select(col("a").as("id"))
+        .unionAll(remE.select(col("b").as("id"))).distinct()
+      val iso = remV.join(supp, Seq("id"), "left_anti")
+        .select(col("id"), lit(c).as("color"))
+      out = out.unionByName(tail).unionByName(iso)
+    } else if (!remV.isEmpty) {
+      // edges exhausted but vertices remain (all isolated): one layer
+      out = out.unionByName(remV.select(col("id"), lit(c).as("color")))
+    }
+    cut(out).orderBy("id")
+  }
+}

@@ -1402,6 +1402,19 @@ object GraphOps extends OpModule {
         GraphFixture(s, dir).undirectedEdges),
       Some(misOracleSql)),
 
+    // GREEDY COLORING — iterated lexicographic MIS (color class k = the
+    // id-priority MIS of what classes 1..k−1 left behind), ≡ sequential
+    // greedy in ascending id order (graft.graph.Coloring scaladoc). The
+    // fixture's layered id encoding converges in 3 colors (χ ≥ 3 — the
+    // colocated triangles force it, so the greedy bound is TIGHT here).
+    // Oracle: 5 layers × 4 MIS rounds unrolled, nested. Same adaptive
+    // hybrid as the cover: sequential below one task's scan, BSP layers
+    // above (equivalence pinned in spec).
+    Op("graph_coloring",
+      (s, dir) => graft.graph.Coloring.greedy(
+        GraphFixture(s, dir).undirectedEdges, localThreshold = 16000000),
+      Some(coloringOracleSql)),
+
     // Gremlin local(out().limit(k)) — per-traverser bounded expansion
     // (each big order continues along at most its 2 lowest-id parts):
     // the HUB GUARD for traversals at scale — a degree-10⁶ vertex emits
@@ -2581,6 +2594,54 @@ object GraphOps extends OpModule {
       .mkString(" UNION ALL ")
     withGraph(s"SELECT id FROM ($union) f ORDER BY id",
       extra = s"$base, $roundCtes")
+  }
+
+  /** Iterated-MIS coloring UNROLLED, nested: 5 layers (gate SF uses 3)
+    * × 4 id-priority MIS rounds each (gate SF layers use ≤ 3); converged
+    * layers/rounds pass empty sets through. */
+  private def coloringOracleSql: String = {
+    val layers = 5
+    val rounds = 4
+    val base = """cund AS MATERIALIZED (SELECT DISTINCT LEAST(src, dst) AS a,
+        GREATEST(src, dst) AS b FROM edges WHERE src <> dst),
+      crv1 AS MATERIALIZED (SELECT a AS id FROM cund UNION SELECT b FROM cund),
+      cre1 AS MATERIALIZED (SELECT a, b FROM cund)"""
+    val layerCtes = (1 to layers).map { l =>
+      val mis0 = s"""ca${l}_1 AS MATERIALIZED (SELECT a AS id FROM cre$l
+          UNION SELECT b FROM cre$l),
+        cie${l}_1 AS MATERIALIZED (SELECT a, b FROM cre$l)"""
+      val misRounds = (1 to rounds).map { j =>
+        s"""cw${l}_$j AS MATERIALIZED (SELECT v.id FROM ca${l}_$j v
+             LEFT JOIN (SELECT DISTINCT b FROM cie${l}_$j) x ON x.b = v.id
+             WHERE x.b IS NULL),
+           cd${l}_$j AS (SELECT DISTINCT e.b AS id FROM cie${l}_$j e
+             JOIN cw${l}_$j w ON w.id = e.a),
+           ca${l}_${j + 1} AS MATERIALIZED (SELECT v.id FROM ca${l}_$j v
+             LEFT JOIN cw${l}_$j w ON w.id = v.id
+             LEFT JOIN cd${l}_$j d ON d.id = v.id
+             WHERE w.id IS NULL AND d.id IS NULL),
+           cie${l}_${j + 1} AS MATERIALIZED (SELECT e.a, e.b FROM cie${l}_$j e
+             JOIN ca${l}_${j + 1} x ON x.id = e.a
+             JOIN ca${l}_${j + 1} y ON y.id = e.b)"""
+      }.mkString(", ")
+      val misUnion = (1 to rounds).map(j => s"SELECT id FROM cw${l}_$j")
+        .mkString(" UNION ALL ")
+      s"""$mis0, $misRounds,
+        clay$l AS MATERIALIZED (SELECT id FROM ($misUnion) m
+          UNION ALL
+          SELECT v.id FROM crv$l v LEFT JOIN ca${l}_1 s ON s.id = v.id
+          WHERE s.id IS NULL),
+        crv${l + 1} AS MATERIALIZED (SELECT v.id FROM crv$l v
+          LEFT JOIN clay$l y ON y.id = v.id WHERE y.id IS NULL),
+        cre${l + 1} AS MATERIALIZED (SELECT e.a, e.b FROM cre$l e
+          JOIN crv${l + 1} x ON x.id = e.a
+          JOIN crv${l + 1} y ON y.id = e.b)"""
+    }.mkString(", ")
+    val union = (1 to layers)
+      .map(l => s"SELECT id, CAST($l AS INTEGER) AS color FROM clay$l")
+      .mkString(" UNION ALL ")
+    withGraph(s"SELECT id, color FROM ($union) f ORDER BY id",
+      extra = s"$base, $layerCtes")
   }
 
   /** Charikar peel UNROLLED (6 rounds — the ε=1 halving gives ⌈log₂⌉-many;

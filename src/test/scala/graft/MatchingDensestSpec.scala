@@ -120,6 +120,33 @@ class MatchingDensestSpec extends AnyFunSuite {
     assert(mis == want.toSet)
   }
 
+  test("graph_coloring is proper, equals the greedy-by-id replay, hybrid == BSP") {
+    val got = SparkEntry.queries("graph_coloring")(spark, TestSpark.sf)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val edges = graph.GraphFixture(spark, TestSpark.sf).undirectedEdges
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // proper: no edge within a color class
+    assert(edges.forall(e => got(e._1) != got(e._2)))
+    // sequential greedy-by-id replay (color classes = iterated lex MIS)
+    val smaller = edges.groupBy(_._2).view.mapValues(_.map(_._1)).toMap
+    val want = scala.collection.mutable.Map.empty[Long, Int]
+    for (v <- got.keys.toSeq.sorted) {
+      val used = smaller.getOrElse(v, Seq.empty).map(want).toSet
+      want(v) = Iterator.from(1).find(k => !used(k)).get
+    }
+    assert(got == want.toMap)
+    // hybrid path (BSP head, threshold forces at least one BSP layer)
+    // equals pure BSP and pure sequential
+    val und = graph.GraphFixture(spark, TestSpark.sf).undirectedEdges
+    val bsp = graph.Coloring.greedy(und, localThreshold = 0)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val hybrid = graph.Coloring.greedy(und, localThreshold = 500)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(bsp == got)
+    assert(hybrid == got)
+    assert(got.values.max >= 3, "colocated triangles force >= 3 colors")
+  }
+
   /** Plain-Scala ε=1 Charikar peel over collected undirected edges. */
   private def refPeel(edges: Seq[(Long, Long)]): Seq[(Int, Long, Long)] = {
     val adj = scala.collection.mutable.Map.empty[Long, scala.collection.mutable.Set[Long]]
