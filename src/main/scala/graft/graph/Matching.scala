@@ -353,40 +353,45 @@ object Coloring {
       c += 1
     }
     if (cnt > 0) {
-      // Sequential tail: greedy color the remainder in one task (the
-      // cover-tail discipline — distributed sort is unnecessary here
-      // because coloring consumes adjacency, not rank order). Edges
-      // arrive as smaller→larger lists keyed by the larger endpoint;
-      // ascending-id mex over already-colored smaller neighbors.
+      // Sequential tail as a STREAMING mex pass: edges arrive sorted by
+      // (b, a) — distributed Tungsten sort, cut before coalesce(1) (the
+      // cover-tail lesson: `orderBy(...).coalesce(1)` collapses the sort
+      // into one partition) — so each vertex's smaller-neighbor group is
+      // contiguous and every smaller endpoint is already resolved when
+      // its group arrives: a vertex first seen as `a` that was never a
+      // `b` has no smaller neighbors (its smaller-edges would have keyed
+      // to an earlier group) ⇒ color 1 on sight. One O(E) scan, one
+      // color map, no adjacency materialization.
       val base = c - 1
       val schema = org.apache.spark.sql.types.StructType.fromDDL(
         "id BIGINT, color INT")
-      val rdd = remE.select("a", "b").coalesce(1).rdd.mapPartitions { it =>
-        val smaller = new java.util.HashMap[Long, java.util.ArrayList[Long]]()
-        val verts = new java.util.TreeSet[Long]()
-        it.foreach { row =>
-          val a = row.getLong(0); val b = row.getLong(1)
-          verts.add(a); verts.add(b)
-          smaller.computeIfAbsent(b, _ => new java.util.ArrayList[Long]())
-            .add(a)
-        }
-        val color = new java.util.HashMap[Long, Int]()
-        val vi = verts.iterator()
+      val sortedE = cut(remE.select("a", "b").orderBy("b", "a"))
+      val rdd = sortedE.coalesce(1).rdd.mapPartitions { it =>
+        val color = new java.util.HashMap[Long, Integer]()
         val outRows = scala.collection.mutable.ArrayBuffer
           .empty[org.apache.spark.sql.Row]
-        while (vi.hasNext) {
-          val v = vi.next()
-          val usedList = smaller.get(v)
-          val used = new java.util.HashSet[Int]()
-          if (usedList != null) {
-            val ui = usedList.iterator()
-            while (ui.hasNext) used.add(color.get(ui.next()))
-          }
+        val used = new java.util.HashSet[Int]()
+        var curB = Long.MinValue
+        var open = false
+        def flush(): Unit = if (open) {
           var k = 1
           while (used.contains(k)) k += 1
-          color.put(v, k)
-          outRows += org.apache.spark.sql.Row(v, base + k)
+          color.put(curB, k)
+          outRows += org.apache.spark.sql.Row(curB, base + k)
+          used.clear()
         }
+        it.foreach { row =>
+          val a = row.getLong(0); val b = row.getLong(1)
+          if (!open || b != curB) { flush(); curB = b; open = true }
+          var ca = color.get(a)
+          if (ca == null) {
+            ca = Integer.valueOf(1)
+            color.put(a, ca)
+            outRows += org.apache.spark.sql.Row(a, base + 1)
+          }
+          used.add(ca.intValue())
+        }
+        flush()
         outRows.iterator
       }
       val tail = spark.createDataFrame(rdd, schema)
