@@ -278,17 +278,27 @@ object Densest {
 object Mis {
 
   /** MIS over the support of `und0` (columns a, b; canonical a < b,
-    * distinct). Returns the MIS vertex ids, sorted. */
-  def greedy(und0: DataFrame): DataFrame = {
+    * distinct). Returns the MIS vertex ids, sorted.
+    *
+    * `localThreshold` > 0 enables the sequential tail (the family's
+    * hybrid): the lexicographic MIS equals the greedy-by-id scan (add v
+    * iff no smaller neighbor was added), so once the remaining edge
+    * relation fits one task it streams through the same (b, a)-sorted
+    * mex-style pass the coloring tail uses — a vertex first seen as `a`
+    * that was never a `b` has no smaller neighbors and joins the MIS on
+    * sight. Hybrid ≡ BSP equality pinned in MatchingDensestSpec. */
+  def greedy(und0: DataFrame, localThreshold: Long = 0L): DataFrame = {
+    val spark = und0.sparkSession
     var e = cut(und0.select("a", "b"))
     var alive = cut(e.select(col("a").as("id"))
       .unionAll(e.select(col("b").as("id"))).distinct())
-    var out = alive.sparkSession.createDataFrame(
+    var out = spark.createDataFrame(
       new java.util.ArrayList[org.apache.spark.sql.Row](),
       org.apache.spark.sql.types.StructType.fromDDL("id BIGINT"))
     var r = 1
     var aliveCnt = alive.count()
-    while (r <= 64 && aliveCnt > 0) {
+    var eCnt = e.count()
+    while (r <= 64 && aliveCnt > 0 && eCnt > localThreshold) {
       // Hints guarded by cheap counts on already-materialized frames: cut
       // frames carry no stats, so AQE can't see broadcastability, but an
       // adversarial round can have O(V) winners where shuffle is right.
@@ -306,7 +316,46 @@ object Mis {
       e = cut(e.join(ab, e("a") === ab("id"), "left_semi")
         .join(ab, e("b") === ab("id"), "left_semi"))
       aliveCnt = alive.count()
+      eCnt = e.count()
       r += 1
+    }
+    if (aliveCnt > 0 && eCnt > 0) {
+      // Sequential tail: greedy-by-id over the (b, a)-sorted stream (cut
+      // between sort and coalesce — the cover-tail lesson).
+      val schema = org.apache.spark.sql.types.StructType.fromDDL("id BIGINT")
+      val sortedE = cut(e.select("a", "b").orderBy("b", "a"))
+      val rdd = sortedE.coalesce(1).rdd.mapPartitions { it =>
+        val inMis = new java.util.HashMap[Long, java.lang.Boolean]()
+        val outRows = scala.collection.mutable.ArrayBuffer
+          .empty[org.apache.spark.sql.Row]
+        var curB = Long.MinValue
+        var open = false
+        var blocked = false
+        def flush(): Unit = if (open) {
+          inMis.put(curB, java.lang.Boolean.valueOf(!blocked))
+          if (!blocked) outRows += org.apache.spark.sql.Row(curB)
+        }
+        it.foreach { row =>
+          val a = row.getLong(0); val b = row.getLong(1)
+          if (!open || b != curB) { flush(); curB = b; open = true; blocked = false }
+          var ma = inMis.get(a)
+          if (ma == null) {
+            ma = java.lang.Boolean.TRUE
+            inMis.put(a, ma)
+            outRows += org.apache.spark.sql.Row(a)
+          }
+          if (ma.booleanValue()) blocked = true
+        }
+        flush()
+        outRows.iterator
+      }
+      out = out.unionByName(spark.createDataFrame(rdd, schema))
+      // alive vertices with no remaining edges are trivially in the MIS
+      val supp = e.select(col("a").as("id"))
+        .unionAll(e.select(col("b").as("id"))).distinct()
+      out = out.unionByName(alive.join(supp, Seq("id"), "left_anti"))
+    } else if (aliveCnt > 0) {
+      out = out.unionByName(alive) // all isolated ⇒ all in the MIS
     }
     cut(out).orderBy("id")
   }

@@ -1397,9 +1397,17 @@ object GraphOps extends OpModule {
     // die fast. Completes the approximation trio with graph_matching
     // (edges) and graph_vertex_cover (their complement-flavored dual:
     // an MIS is exactly the complement of a minimal vertex cover).
+    // localThreshold here is SMALLER than the cover's: MIS's round count
+    // does NOT grow with graph size (≤ 4 id-priority rounds at every
+    // measured scale), so the BSP stays optimal above one task's scan —
+    // measured at the 10× probe: BSP 14.7 s vs sequential 27.1 s on 14M
+    // edges, while at bench SF the sequential scan wins 2.6 vs 4.3 s.
+    // The 2M threshold takes the minimum of the two paths at each scale
+    // (the probe ratio is therefore a PATH-SWITCH artifact — base times
+    // the sequential fast path, 10× the BSP — documented in SCALE.md).
     Op("graph_mis",
       (s, dir) => graft.graph.Mis.greedy(
-        GraphFixture(s, dir).undirectedEdges),
+        GraphFixture(s, dir).undirectedEdges, localThreshold = 2000000),
       Some(misOracleSql)),
 
     // GREEDY COLORING — iterated lexicographic MIS (color class k = the

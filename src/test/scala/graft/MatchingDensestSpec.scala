@@ -118,6 +118,15 @@ class MatchingDensestSpec extends AnyFunSuite {
     for (v <- support.toSeq.sorted)
       if (!adj(v).exists(want)) want += v
     assert(mis == want.toSet)
+    // hybrid paths (pure BSP / pure sequential / mixed) agree
+    val und = graph.GraphFixture(spark, TestSpark.sf).undirectedEdges
+    val bsp = graph.Mis.greedy(und, localThreshold = 0)
+      .collect().map(_.getLong(0)).toSet
+    val seq = graph.Mis.greedy(und, localThreshold = Long.MaxValue)
+      .collect().map(_.getLong(0)).toSet
+    val mixed = graph.Mis.greedy(und, localThreshold = 2000)
+      .collect().map(_.getLong(0)).toSet
+    assert(bsp == mis && seq == mis && mixed == mis)
   }
 
   test("graph_coloring is proper, equals the greedy-by-id replay, hybrid == BSP") {
