@@ -149,6 +149,40 @@ class ApproxPropSpec extends AnyFunSuite {
       prop).passed)
   }
 
+  test("vertex cover <= 2*OPT (exhaustive minimum) and coloring <= maxdeg+1") {
+    val prop = Prop.forAll(graphGen) { edges =>
+      edges.isEmpty || {
+        // greedy maximal matching endpoints = the shipped cover
+        val used = scala.collection.mutable.Set.empty[Long]
+        edges.sortBy(t => (t._1, t._2)).foreach { case (a, b) =>
+          if (!used(a) && !used(b)) { used += a; used += b } }
+        // exhaustive minimum vertex cover over the support
+        val vs = edges.flatMap(e => Seq(e._1, e._2)).distinct.toArray
+        var opt = vs.length
+        for (m <- 0 until (1 << vs.length)) {
+          val in = vs.zipWithIndex.collect {
+            case (v, i) if (m & (1 << i)) != 0 => v }.toSet
+          if (edges.forall(e => in(e._1) || in(e._2)))
+            opt = math.min(opt, in.size)
+        }
+        val coverOk = used.size <= 2 * opt
+        // greedy-by-id coloring never exceeds Δ+1
+        val smaller = edges.groupBy(_._2).view.mapValues(_.map(_._1)).toMap
+        val color = scala.collection.mutable.Map.empty[Long, Int]
+        for (v <- vs.sorted) {
+          val u = smaller.getOrElse(v, Seq.empty).map(color).toSet
+          color(v) = Iterator.from(1).find(k => !u(k)).get
+        }
+        val deg = edges.flatMap(e => Seq(e._1, e._2))
+          .groupBy(identity).values.map(_.size).max
+        coverOk && color.values.max <= deg + 1
+      }
+    }
+    assert(org.scalacheck.Test.check(
+      org.scalacheck.Test.Parameters.default.withMinSuccessfulTests(60),
+      prop).passed)
+  }
+
   test("distributed Matching/Mis/Coloring/Densest hold their properties on random graphs") {
     import spark.implicits._
     val graphs = Seq(42, 7, 99, 1234, 31337).map { seed =>
