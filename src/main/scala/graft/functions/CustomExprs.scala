@@ -428,8 +428,12 @@ object CountMinSketch {
   final val Off = Array(0, W(0), W(0) + W(1))
   final val Cells = W.sum
 
-  /** Non-negative keys assumed (fixture ids are); a negative x would need a
-    * pmod in both engines, and DuckDB's % is dividend-signed like Spark's. */
+  /** Works for the FULL Long domain: count_min is registered as a general
+    * SQL function, so negative keys must hash to a valid cell (JVM % is
+    * dividend-signed — a plain % would throw for row 0 and silently land
+    * rows 1–2 inside the PREVIOUS row's cells). floorMod everywhere; the
+    * engine-side SQL replays (CustomExprOps.cmBucket) mirror with pmod /
+    * DuckDB's arithmetic equivalent. */
   def bucket(j: Int, x: Long): Int =
-    (((A(j) * (x % P) + B(j)) % P) % W(j)).toInt
+    Math.floorMod(Math.floorMod(A(j) * Math.floorMod(x, P) + B(j), P), W(j).toLong).toInt
 }

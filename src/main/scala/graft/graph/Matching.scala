@@ -51,14 +51,21 @@ object Matching {
       org.apache.spark.sql.types.StructType.fromDDL(
         "r INT, a BIGINT, b BIGINT, w DOUBLE"))
     var r = 1
-    // ⌊V/2⌋ bounds the true round count; 64 is a runaway backstop only.
+    // ⌊V/2⌋ bounds the true round count; 64 is a runaway backstop only —
+    // but localTail materializes its input in ONE task, so the backstop
+    // may only exit once the remainder fits a single task's scan
+    // (adversarial monotone path weights need ~E/2 rounds; funneling an
+    // O(E) remainder into toArray would be a single-executor OOM). The
+    // loop always terminates: the globally max-weight edge is mutual-best
+    // every round, so cnt strictly decreases.
     // THREE actions per round — the cut of the nomination frame, the cut
     // of the shrunken edge list, and its count. Everything else (the
     // handshake join, the matched-vertex set, the per-round output slice)
     // stays LAZY over the two checkpointed frames: per-round fixed action
     // latency, not data volume, dominates a many-round BSP on a shrinking
     // relation, so the loop's job count is the thing to engineer down.
-    while (r <= 64 && cnt > 0 && cnt > localThreshold) {
+    val oneTaskCap = 16000000L
+    while (cnt > 0 && cnt > localThreshold && (r <= 64 || cnt > oneTaskCap)) {
       val half = e.select(col("a").as("v"), col("a"), col("b"), col("w"))
         .unionAll(e.select(col("b").as("v"), col("a"), col("b"), col("w")))
       // CUT the nomination frame before the handshake: both join sides
@@ -395,7 +402,11 @@ object Coloring {
       val layer = cut(mis.unionAll(isolated))
       out = out.unionByName(layer.select(col("id"), lit(c).as("color")))
       remV = cut(remV.join(layer, Seq("id"), "left_anti"))
-      val rb = broadcast(remV)
+      // remV shrinks by only ONE MIS layer per iteration and can stay
+      // ~|V| for many layers — guard the hint like Mis.greedy/Densest.peel
+      // (a cut frame has no stats, so AQE can't pick broadcast itself,
+      // but an O(V) remainder must take the shuffle semi-join).
+      val rb = if (remV.count() <= 4000000) broadcast(remV) else remV
       remE = cut(remE.join(rb, remE("a") === rb("id"), "left_semi")
         .join(rb, remE("b") === rb("id"), "left_semi"))
       cnt = remE.count()

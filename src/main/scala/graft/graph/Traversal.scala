@@ -41,9 +41,16 @@ import org.apache.spark.sql.functions._
   * Both compile to the same plan.
   */
 final case class Traversal(g: PropertyGraph, df: DataFrame, depth: Int,
-    bulk: Option[DataFrame] = None, labels: Map[String, Int] = Map.empty) {
+    bulk: Option[DataFrame] = None, labels: Map[String, Int] = Map.empty,
+    edgeHead: Boolean = false) {
   private def head = s"v$depth"
   private def next = s"v${depth + 1}"
+
+  /** Pending-edge columns staged by outE/inE/bothE until a vertex step
+    * (inV/outV/otherV) resolves them. `label`/`weight`/`vis` use the raw
+    * edge-property names so has() predicates read identically on edge and
+    * vertex traversers. */
+  private val EdgeCols = Seq("_esrc", "_edst", "label", "weight", "vis")
 
   private def edgeSet(elabel: Option[String], epred: Option[Column]): DataFrame = {
     val byLabel = elabel.fold(g.edges)(l => g.edges.filter(col("label") === l))
@@ -52,6 +59,8 @@ final case class Traversal(g: PropertyGraph, df: DataFrame, depth: Int,
 
   private def step(elabel: Option[String], epred: Option[Column],
       from: String, to: String): Traversal = {
+    require(!edgeHead,
+      "vertex step on an edge traverser: resolve with inV()/outV()/otherV() first")
     val es = edgeSet(elabel, epred)
     // Sack-armed chains (withSack) ride the just-traversed edge's weight
     // along as _lastw so a following sack(sum).by('weight') can fold it in;
@@ -123,11 +132,90 @@ final case class Traversal(g: PropertyGraph, df: DataFrame, depth: Int,
     Traversal(g, df.drop("_lastw").join(u, head), depth + 1, b, labels)
   }
 
-  /** Filter the traversal head by a predicate over the head vertex's
-    * attributes (`id`, `label`, `name`, `vis`, `val`) — Gremlin has().
-    * The attributes are joined on, filtered, and dropped, so the walk
-    * columns stay the only state the chain carries. */
+  // ——— edge-granular steps (Gremlin outE/inE/bothE + inV/outV/otherV):
+  // the EDGE becomes the traverser, so edge-property predicates apply
+  // mid-walk and the walk continues from whichever endpoint the user
+  // picks. The walk matrix stays the carrier: the edge rides as pending
+  // columns (never a new vertex position) until a vertex step resolves
+  // it — one equi-join per outE/inE half, a codegen'd filter per has(),
+  // a projection per inV/outV/otherV; no new shuffle beyond the join the
+  // collapsed out(l, epred) form already pays. Bulk drops (the pending
+  // predicate is edge-dependent); sack chains keep working — the
+  // resolving vertex step stages the traversed edge's weight as _lastw
+  // exactly like out/in/both do.
+
+  private def stepEdge(elabel: Option[String], from: String): Traversal = {
+    require(!edgeHead,
+      "edge step on an edge traverser: resolve with inV()/outV()/otherV() first")
+    val e = g.edges.transform(es =>
+        elabel.fold(es)(l => es.filter(col("label") === l)))
+      .select(col(from).as(head), col("src").as("_esrc"),
+        col("dst").as("_edst"), col("label"), col("weight"), col("vis"))
+    Traversal(g, df.drop("_lastw").join(e, head), depth, None, labels,
+      edgeHead = true)
+  }
+
+  /** Gremlin outE(label): walk onto the out-edge itself. */
+  def outE(elabel: String): Traversal = stepEdge(Some(elabel), "src")
+  def outE(): Traversal = stepEdge(None, "src")
+
+  /** Gremlin inE(label): walk onto the in-edge itself. */
+  def inE(elabel: String): Traversal = stepEdge(Some(elabel), "dst")
+  def inE(): Traversal = stepEdge(None, "dst")
+
+  /** Gremlin bothE(label): the edge traverser from either endpoint —
+    * union of the two direction halves (an edge with BOTH endpoints in
+    * the walk set is traversed once from each, per TinkerPop). */
+  def bothE(elabel: String): Traversal = bothEImpl(Some(elabel))
+  def bothE(): Traversal = bothEImpl(None)
+  private def bothEImpl(elabel: Option[String]): Traversal = {
+    require(!edgeHead,
+      "edge step on an edge traverser: resolve with inV()/outV()/otherV() first")
+    val es = g.edges.transform(e =>
+      elabel.fold(e)(l => e.filter(col("label") === l)))
+    def half(from: String) = es.select(col(from).as(head),
+      col("src").as("_esrc"), col("dst").as("_edst"),
+      col("label"), col("weight"), col("vis"))
+    Traversal(g, df.drop("_lastw").join(
+      half("src").unionAll(half("dst")), head), depth, None, labels,
+      edgeHead = true)
+  }
+
+  private def resolveEdge(pick: Column): Traversal = {
+    require(edgeHead, "inV()/outV()/otherV() need an edge traverser " +
+      "(outE/inE/bothE first)")
+    val keep = df.columns.filterNot(EdgeCols.contains)
+    val sacked = df.columns.contains("sack")
+    val withNext = df.withColumn(next, pick)
+    val resolved =
+      if (sacked) withNext.withColumn("_lastw",
+        org.apache.spark.sql.functions.coalesce(col("weight"), lit(0.0)))
+        .select((keep :+ next :+ "_lastw").map(col): _*)
+      else withNext.select((keep :+ next).map(col): _*)
+    Traversal(g, resolved, depth + 1, None, labels)
+  }
+
+  /** The edge's head vertex (Gremlin inV()). */
+  def inV(): Traversal = resolveEdge(col("_edst"))
+
+  /** The edge's tail vertex (Gremlin outV()). */
+  def outV(): Traversal = resolveEdge(col("_esrc"))
+
+  /** The endpoint NOT walked from (Gremlin otherV()) — the step that
+    * makes bothE useful: whichever end matched the previous head, the
+    * walk continues at the other one. */
+  def otherV(): Traversal = resolveEdge(
+    when(col(head) === col("_esrc"), col("_edst")).otherwise(col("_esrc")))
+
+  /** Filter the traversal head by a predicate over the head element's
+    * attributes — Gremlin has(). On a VERTEX head (`id`, `label`, `name`,
+    * `vis`, `val`): the attributes are joined on, filtered, and dropped,
+    * so the walk columns stay the only state the chain carries. On an
+    * EDGE head (`label`, `weight`, `vis` after outE/inE/bothE): the
+    * pending edge columns are already in the frame, so the predicate is
+    * one codegen'd filter — no join at all. */
   def has(pred: Column): Traversal = {
+    if (edgeHead) return copy(df = df.filter(pred))
     val keep = df.columns
     val v = g.vertices.withColumnRenamed("id", head)
     val b = bulk.map(bf => bf.join(g.vertices.withColumnRenamed("id", "h"), "h")
@@ -657,10 +745,12 @@ final case class Traversal(g: PropertyGraph, df: DataFrame, depth: Int,
     case None    => df.select(col(head).as("id")).distinct()
   }
 
-  /** Head-vertex attribute per surviving walk (Gremlin values('attr') —
-    * one row per walk, not deduped, matching Gremlin's stream semantics). */
+  /** Head-element attribute per surviving walk (Gremlin values('attr') —
+    * one row per walk, not deduped, matching Gremlin's stream semantics).
+    * On an edge traverser the attribute is a pending column — no join. */
   def values(attr: String): DataFrame =
-    df.join(g.vertices.withColumnRenamed("id", head), head).select(col(attr))
+    if (edgeHead) df.select(col(attr))
+    else df.join(g.vertices.withColumnRenamed("id", head), head).select(col(attr))
 
   /** Number of surviving walks (Gremlin's terminal count() fold) — reads
     * the vertex-sized bulk frame when the chain preserved it. */
@@ -866,6 +956,15 @@ object Traversal {
       case (t, ("out", a))  => t.out(label(a))
       case (t, ("in", a))   => t.in(label(a))
       case (t, ("both", a)) => t.both(label(a))
+      case (t, ("outE", ""))  => t.outE()
+      case (t, ("inE", ""))   => t.inE()
+      case (t, ("bothE", "")) => t.bothE()
+      case (t, ("outE", a))  => t.outE(label(a))
+      case (t, ("inE", a))   => t.inE(label(a))
+      case (t, ("bothE", a)) => t.bothE(label(a))
+      case (t, ("inV", ""))    => t.inV()
+      case (t, ("outV", ""))   => t.outV()
+      case (t, ("otherV", "")) => t.otherV()
       case (t, ("has", a))  => t.has(pred(a))
       case (t, ("simplePath", "")) => t.simplePath()
       case (t, ("dedup", ""))      => t.dedup()
@@ -973,7 +1072,8 @@ object Traversal {
   }
 
   /** Compile a chain string — `V(<pred>?)` then any of
-    * `out('l')/in('l')/both('l')/has(<pred>)/simplePath()/dedup()/
+    * `out('l')/in('l')/both('l')/outE('l')/inE('l')/bothE('l')/
+    * inV()/outV()/otherV()/has(<pred>)/simplePath()/dedup()/
     * as('x')/where(neq('x'))/repeat(stepChain).times(n) (unrolled on the
     * walk matrix; where() legal in the body)/
     * repeat(body).until(<pred>).times(n)/repeat(body).emit().times(n)/
@@ -1015,6 +1115,15 @@ object Traversal {
       case ("out", a) :: tl  => t = t.out(label(a)); loop(tl)
       case ("in", a) :: tl   => t = t.in(label(a)); loop(tl)
       case ("both", a) :: tl => t = t.both(label(a)); loop(tl)
+      case ("outE", "") :: tl  => t = t.outE(); loop(tl)
+      case ("inE", "") :: tl   => t = t.inE(); loop(tl)
+      case ("bothE", "") :: tl => t = t.bothE(); loop(tl)
+      case ("outE", a) :: tl  => t = t.outE(label(a)); loop(tl)
+      case ("inE", a) :: tl   => t = t.inE(label(a)); loop(tl)
+      case ("bothE", a) :: tl => t = t.bothE(label(a)); loop(tl)
+      case ("inV", "") :: tl    => t = t.inV(); loop(tl)
+      case ("outV", "") :: tl   => t = t.outV(); loop(tl)
+      case ("otherV", "") :: tl => t = t.otherV(); loop(tl)
       case ("has", a) :: tl  => t = t.has(pred(a)); loop(tl)
       case ("simplePath", "") :: tl => t = t.simplePath(); loop(tl)
       case ("cyclicPath", "") :: tl => t = t.cyclicPath(); loop(tl)

@@ -244,7 +244,12 @@ object CustomExprOps extends OpModule {
     val (a, b, w) = (graft.functions.CountMinSketch.A(j),
       graft.functions.CountMinSketch.B(j),
       graft.functions.CountMinSketch.W(j))
-    s"($a * ($x % 1000000007) + $b) % 1000000007 % $w"
+    // Floor-mod spelled portably (Spark AND DuckDB % are dividend-signed):
+    // ((t % m) + m) % m. Mirrors CountMinSketch.bucket's Math.floorMod so
+    // negative keys replay to the same cell in all three places. The inner
+    // x % P may stay signed — congruent values mod P floor-mod equal.
+    s"((((($a * ($x % 1000000007) + $b) % 1000000007) + 1000000007) " +
+      s"% 1000000007 % $w) + $w) % $w"
   }
 
   /** The estimator replayed cell-by-cell from raw events (no sketch): what

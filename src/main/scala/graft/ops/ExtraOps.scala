@@ -425,7 +425,8 @@ object ExtraOps extends OpModule {
           ROWS UNBOUNDED PRECEDING) AS cum
       FROM s),
     st AS (SELECT c.event_type, c.event_id, c.i,
-        CAST(ABS(c.cum * a.n - c.i * a.sq) AS BIGINT) AS stat
+        CAST(ABS(CAST(c.cum AS DECIMAL(38,0)) * a.n
+          - CAST(c.i AS DECIMAL(38,0)) * a.sq) AS BIGINT) AS stat
       FROM c JOIN agg a ON a.event_type = c.event_type)
     SELECT event_type, event_id AS cp_event_id, CAST(i AS BIGINT) AS cp_idx,
       stat AS cusum_stat
@@ -665,18 +666,33 @@ object ExtraOps extends OpModule {
     // representative: the first dedup pass every multimodal corpus runs
     // (identical image/audio files under different ids). Map-side-combined
     // hash groupBy; payload bytes never shuffle — only their 128-bit
-    // digests do, which is the point at 100 TB.
+    // digests do, which is the point at 100 TB. The fixture corpus has no
+    // byte-identical texts at any tested SF (r12–r14: 0-row vacuous gate
+    // pass), so the graded corpus is documents PLUS a deterministic
+    // re-crawl slice (every 97th doc re-ingested under a shifted id) —
+    // identical in both engines — so the gate certifies actual duplicate
+    // grouping and canonical-id election, not an empty relation.
     Op("multimodal_dedup",
       (s, dir) => {
         view(s, dir, "documents")
-        s.sql("""SELECT md5(encode(text, 'utf-8')) AS checksum,
+        s.sql("""WITH corpus AS (
+            SELECT doc_id, text FROM documents
+            UNION ALL
+            SELECT doc_id + 10000000, text FROM documents
+            WHERE doc_id % 97 = 0)
+          SELECT md5(encode(text, 'utf-8')) AS checksum,
             COUNT(*) AS n_copies, MIN(doc_id) AS canonical_id
-          FROM documents GROUP BY 1 HAVING COUNT(*) > 1
+          FROM corpus GROUP BY 1 HAVING COUNT(*) > 1
           ORDER BY checksum""")
       },
-      Some("""SELECT md5(text) AS checksum,
+      Some("""WITH corpus AS (
+          SELECT doc_id, text FROM documents
+          UNION ALL
+          SELECT doc_id + 10000000, text FROM documents
+          WHERE doc_id % 97 = 0)
+        SELECT md5(text) AS checksum,
           COUNT(*) AS n_copies, MIN(doc_id) AS canonical_id
-        FROM documents GROUP BY 1 HAVING COUNT(*) > 1
+        FROM corpus GROUP BY 1 HAVING COUNT(*) > 1
         ORDER BY checksum""")),
 
     // Time-interval RANGE frame — the rolling-window-by-TIME aggregation

@@ -1841,8 +1841,14 @@ object GraphOps extends OpModule {
     // collect; the collection size is the user's own result.
     Op("graph_traversal_group",
       (s, dir) => GraphFixture(s, dir).traverse(
-        "V(label='order').has(val>480000).out('by').group().by('vis').by('name')"),
-      Some(withGraph("""SELECT c.vis AS vis, list_sort(list(c.name)) AS vals
+        "V(label='order').has(val>480000).out('by').group().by('vis').by('name')")
+        // Graded rendering: the grouped fold stays an ARRAY in the fluent
+        // API, but the gate comparator row-sorts by every column, so the
+        // collection is emitted as its canonical joined string (the
+        // agg_collect convention).
+        .withColumn("vals", concat_ws(",", col("vals"))),
+      Some(withGraph("""SELECT c.vis AS vis,
+        array_to_string(list_sort(list(c.name)), ',') AS vals
         FROM vertices o JOIN edges e ON e.src = o.id AND e.label = 'by'
         JOIN vertices c ON c.id = e.dst
         WHERE o.label = 'order' AND o.val > 480000
@@ -1869,6 +1875,74 @@ object GraphOps extends OpModule {
             WHERE x.src = c.id AND x.label = 'colocated' AND s3.val > 0)) w
         JOIN vertices v ON v.id = w.h
         GROUP BY 1 ORDER BY 1"""))),
+
+    // ——— edge-granular traversal steps (outE/inE/bothE + inV/outV/otherV):
+    // the EDGE is the traverser, so edge-property predicates apply
+    // mid-walk without sack() workarounds. Each is one edge equi-join +
+    // a codegen'd filter + a projection — no shuffle beyond what the
+    // collapsed out(l, epred) form pays (see Traversal.stepEdge).
+
+    // outE().has(edge).inV(): big orders' heavy line items — the edge
+    // filter (contains.weight = summed quantity) prunes the fan-out on
+    // the edge scan, mid-walk.
+    Op("graph_traversal_oute",
+      (s, dir) => GraphFixture(s, dir).traverse(
+        "V(label='order').has(val>400000).outE('contains').has(weight>40)" +
+          ".inV().groupCount().by('label')"),
+      Some(withGraph("""SELECT v.label, COUNT(*) AS n_walks
+        FROM vertices o
+        JOIN edges e ON e.src = o.id AND e.label = 'contains'
+          AND e.weight > 40
+        JOIN vertices v ON v.id = e.dst
+        WHERE o.label = 'order' AND o.val > 400000
+        GROUP BY 1 ORDER BY 1"""))),
+
+    // inE().has(edge).outV(): who reaches a nation over a secret edge —
+    // the in-edge traverser with an edge-visibility filter, resolved at
+    // the tail vertex.
+    Op("graph_traversal_ine",
+      (s, dir) => GraphFixture(s, dir).traverse(
+        "V(label='nation').inE('in_nation').has(vis='secret').outV()" +
+          ".groupCount().by('label')"),
+      Some(withGraph("""SELECT v.label, COUNT(*) AS n_walks
+        FROM vertices n
+        JOIN edges e ON e.dst = n.id AND e.label = 'in_nation'
+          AND e.vis = 'secret'
+        JOIN vertices v ON v.id = e.src
+        WHERE n.label = 'nation'
+        GROUP BY 1 ORDER BY 1"""))),
+
+    // bothE().has(edge).otherV(): the undirected edge walk — secret
+    // parties traverse their public colocation edges from EITHER side
+    // and continue at the opposite endpoint (customers hit the src half,
+    // suppliers the dst half — both directions of bothE exercised in one
+    // key).
+    Op("graph_traversal_bothe_otherv",
+      (s, dir) => GraphFixture(s, dir).traverse(
+        "V(vis='secret').bothE('colocated').has(vis='public').otherV()" +
+          ".groupCount().by('label')"),
+      Some(withGraph("""SELECT w.label, COUNT(*) AS n_walks
+        FROM vertices s
+        JOIN edges e ON (e.src = s.id OR e.dst = s.id)
+          AND e.label = 'colocated' AND e.vis = 'public'
+        JOIN vertices w
+          ON w.id = CASE WHEN e.src = s.id THEN e.dst ELSE e.src END
+        WHERE s.vis = 'secret'
+        GROUP BY 1 ORDER BY 1"""))),
+
+    // dedup() as a GRADED step: overlapping union branches duplicate
+    // walks (every public colocation arrives via both branches);
+    // dedup() collapses the walk multiset to distinct paths — one
+    // walk-bounded distinct — before the count fold.
+    Op("graph_traversal_dedup",
+      (s, dir) => GraphFixture(s, dir).traverse(
+        "V(label='customer').has(val>9000)" +
+          ".union(out('colocated'), out('colocated', vis='public'))" +
+          ".dedup().count()"),
+      Some(withGraph("""SELECT COUNT(*) AS n_walks FROM (
+        SELECT DISTINCT c.id, e.dst FROM vertices c
+        JOIN edges e ON e.src = c.id AND e.label = 'colocated'
+        WHERE c.label = 'customer' AND c.val > 9000) z"""))),
 
     // path().by('attr') modulator (walk rendered through an attribute):
     // top-balance customers' full membership chain by NAME —
@@ -2345,7 +2419,10 @@ object GraphOps extends OpModule {
           .select(col("s1"), col("s2"), col("common"),
             (col("common").cast("double") /
               (col("d1") + col("d2") - col("common"))).as("jaccard"))
-          .filter(col("jaccard") >= 0.2)
+          // 0.1, not 0.2: sf0.01's max pair score is 0.189, so the old
+          // threshold graded an empty relation (r12–r14 vacuous-pass);
+          // 0.1 keeps the gate row populated at every tested SF.
+          .filter(col("jaccard") >= 0.1)
           .orderBy("s1", "s2")
       },
       Some(withGraph("""SELECT s1, s2, common,
@@ -2354,7 +2431,7 @@ object GraphOps extends OpModule {
           FROM sb a JOIN sb b ON b.src = a.src AND a.dst < b.dst
           GROUP BY 1, 2) c
         JOIN dg x ON x.sup = c.s1 JOIN dg y ON y.sup = c.s2
-        WHERE CAST(common AS DOUBLE) / (x.d + y.d - common) >= 0.2
+        WHERE CAST(common AS DOUBLE) / (x.d + y.d - common) >= 0.1
         ORDER BY s1, s2""",
         extra = """sb AS MATERIALIZED (SELECT src, dst FROM edges
             WHERE label = 'supplied_by'),
@@ -2548,10 +2625,14 @@ object GraphOps extends OpModule {
   }
 
   /** Unweighted mutual-best matching UNROLLED over the full undirected
-    * graph (16 rounds; gate SF converges in 13) — endpoints = the
-    * 2-approx vertex cover. Lexicographic (a, b) nomination order. */
+    * graph — endpoints = the 2-approx vertex cover. Lexicographic (a, b)
+    * nomination order. DEPTH: gate SF (sf0.01) converges in 13 rounds and
+    * round count grows ~50% per 10× SF (measured r14d), so 24 covers
+    * ~sf1; converged rounds pass EMPTY sets through (near-free). If the
+    * oracle is ever run on a fixture deeper than its unroll, the ORACLE
+    * is the broken side — bump here, the Spark loop is depth-adaptive. */
   private def vertexCoverOracleSql: String = {
-    val rounds = 16
+    val rounds = 24
     val base = """uund AS MATERIALIZED (SELECT DISTINCT LEAST(src, dst) AS a,
         GREATEST(src, dst) AS b FROM edges WHERE src <> dst),
       ue0 AS MATERIALIZED (SELECT a, b FROM uund)"""
@@ -2576,10 +2657,12 @@ object GraphOps extends OpModule {
       extra = s"$base, $roundCtes")
   }
 
-  /** Id-priority MIS UNROLLED (6 rounds; gate SF converges in 3 —
-    * converged rounds pass empty sets through). */
+  /** Id-priority MIS UNROLLED (gate SF converges in 3; lex-MIS depth is
+    * O(log V) expected on random-id graphs — 10 rounds is >3× gate
+    * headroom; converged rounds pass empty sets through. A fixture deeper
+    * than the unroll breaks the ORACLE side — bump here). */
   private def misOracleSql: String = {
-    val rounds = 6
+    val rounds = 10
     val base = """mund AS MATERIALIZED (SELECT DISTINCT LEAST(src, dst) AS a,
         GREATEST(src, dst) AS b FROM edges WHERE src <> dst),
       ma1 AS MATERIALIZED (SELECT a AS id FROM mund UNION SELECT b FROM mund),
@@ -2604,12 +2687,14 @@ object GraphOps extends OpModule {
       extra = s"$base, $roundCtes")
   }
 
-  /** Iterated-MIS coloring UNROLLED, nested: 5 layers (gate SF uses 3)
-    * × 4 id-priority MIS rounds each (gate SF layers use ≤ 3); converged
-    * layers/rounds pass empty sets through. */
+  /** Iterated-MIS coloring UNROLLED, nested: 6 layers (gate SF uses 3,
+    * layer count ≤ Δ+1) × 5 id-priority MIS rounds each (gate SF layers
+    * use ≤ 3, O(log V) expected); converged layers/rounds pass empty
+    * sets through, so the headroom is near-free at the gate. A fixture
+    * deeper than the unroll breaks the ORACLE side — bump here. */
   private def coloringOracleSql: String = {
-    val layers = 5
-    val rounds = 4
+    val layers = 6
+    val rounds = 5
     val base = """cund AS MATERIALIZED (SELECT DISTINCT LEAST(src, dst) AS a,
         GREATEST(src, dst) AS b FROM edges WHERE src <> dst),
       crv1 AS MATERIALIZED (SELECT a AS id FROM cund UNION SELECT b FROM cund),
@@ -2652,10 +2737,12 @@ object GraphOps extends OpModule {
       extra = s"$base, $layerCtes")
   }
 
-  /** Charikar peel UNROLLED (6 rounds — the ε=1 halving gives ⌈log₂⌉-many;
-    * sf0.01 converges in 3; empty rounds emit nothing via WHERE n > 0). */
+  /** Charikar peel UNROLLED — the ε=1 halving bounds true depth at
+    * ⌈log₂ V⌉ (~14 at V=10k), so 14 rounds covers ANY fixture the bound
+    * admits up to 16k surviving vertices post-round-1; sf0.01 converges
+    * in 3; empty rounds emit nothing via WHERE n > 0 (near-free). */
   private def densestOracleSql: String = {
-    val rounds = 6
+    val rounds = 14
     val base = """dund AS MATERIALIZED (SELECT DISTINCT LEAST(src, dst) AS a,
         GREATEST(src, dst) AS b FROM edges WHERE src <> dst),
       dv1 AS MATERIALIZED (SELECT a AS id FROM dund UNION SELECT b FROM dund),

@@ -383,9 +383,9 @@ object OlapOps extends OpModule {
         // DuckDB gets the same via AS MATERIALIZED).
         val items = graft.Views.materialize(s, dir, "basketitems",
           "SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem")
-        s.sql(basketLiftSql("DIV", items, ""))
+        s.sql(basketLiftSql("DIV", "DECIMAL(38,0)", items, ""))
       },
-      Some(basketLiftSql("//",
+      Some(basketLiftSql("//", "HUGEINT",
         "(SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem) z",
         "MATERIALIZED "))),
 
@@ -455,9 +455,13 @@ object OlapOps extends OpModule {
       ${d("MAX(p.cum)")} / ${d("t.total")} AS share
     FROM p, t GROUP BY t.n_all, t.total"""
 
-  /** Shared basket-lift text, modulo the integer-division spelling and
-    * the (materialized) item-list relation. */
-  private def basketLiftSql(idiv: String, itemsRel: String, mat: String): String = s"""
+  /** Shared basket-lift text, modulo the integer-division spelling, the
+    * 128-bit widening type (Spark DECIMAL(38,0) / DuckDB HUGEINT — Spark's
+    * non-ANSI BIGINT product wraps SILENTLY at ~1e13 pair counts while
+    * DuckDB promotes or errors; widening keeps the engines identical to
+    * 1e38) and the (materialized) item-list relation. */
+  private def basketLiftSql(idiv: String, wide: String, itemsRel: String,
+      mat: String): String = s"""
     WITH items AS $mat(SELECT o, p FROM $itemsRel),
     nb AS (SELECT COUNT(DISTINCT o) AS n FROM items),
     sup AS (SELECT p, COUNT(*) AS c FROM items GROUP BY 1),
@@ -465,7 +469,8 @@ object OlapOps extends OpModule {
       FROM items a JOIN items b ON a.o = b.o AND a.p < b.p GROUP BY 1, 2)
     SELECT pa, pb, cab, lift_ppm FROM (
       SELECT pr.pa, pr.pb, pr.cab,
-        CAST((1000000 * pr.cab * nb.n) $idiv (sa.c * sb.c) AS BIGINT)
+        CAST((CAST(1000000 AS $wide) * pr.cab * nb.n)
+          $idiv (CAST(sa.c AS $wide) * sb.c) AS BIGINT)
           AS lift_ppm
       FROM pairs pr JOIN sup sa ON sa.p = pr.pa
       JOIN sup sb ON sb.p = pr.pb CROSS JOIN nb

@@ -774,16 +774,31 @@ object SimOps extends OpModule {
     // MIPS systems rank by). EXACT result with a NORM-BOUND PRUNE
     // (Cauchy–Schwarz: score ≤ w·‖x‖·‖q‖, so once τ = the kth-best score
     // among the top-50-by-(w·‖x‖) candidates is known, only vectors with
-    // w·‖x‖·‖q‖ ≥ τ can enter the final top-k): phase 1 touches 50
-    // vectors per query, phase 2 scans the provably-sufficient tail —
-    // at 100 TB that's a bounds-indexed scan over a norm-sorted layout,
-    // never the full corpus. The 1e-6 absolute slack absorbs float
-    // wobble in the bound itself (sign-safe, unlike a relative factor);
-    // the BRUTE-FORCE oracle proves the prune lossless at gate SF.
+    // w·‖x‖·‖q‖ ≥ τ can enter the final top-k). Phase 2 is a BAND
+    // EQUI-JOIN, not a theta probe of the corpus (r14's shape measured
+    // 12.2× at 10× — pair-quadratic): every corpus vector is bucketed
+    // into one of 64 linear bands over w·‖x‖; each query explodes ONLY
+    // the band ids whose UPPER bound clears its (τ−ε)/‖q‖ cutoff (≤64
+    // small rows per query), and the join is a hash/SMJ on the band id
+    // with the exact bound as a residual filter. Losslessness: a vector
+    // with w·‖x‖ ≥ cutoff has band ≥ floor((cutoff−lo)/step), so every
+    // survivor of the old theta predicate is in a probed band; the
+    // residual filter re-applies the exact predicate inside the band.
+    // 64 keys over 32 shuffle partitions is deliberate — AQE's skew
+    // split subdivides any fat band at runtime. The 1e-6 absolute slack
+    // absorbs float wobble in the bound itself (sign-safe, unlike a
+    // relative factor); the BRUTE-FORCE oracle proves the prune lossless
+    // at gate SF. At 100 TB the band id is a partition column of the
+    // vector layout and probing bands = partition pruning.
     Op("sim_mips",
       (s, dir) => s.sql(s"""
         WITH n AS (SELECT vec_id, embedding, nrm,
           CAST(1 + vec_id % 16 AS DOUBLE) / 4 AS pw FROM ${normView(s, dir)}),
+        bnd AS (SELECT MIN(pw * nrm) AS lo,
+          (MAX(pw * nrm) - MIN(pw * nrm)) / 64 + 1e-12 AS step FROM n),
+        nb AS (SELECT vec_id, embedding, pw, pw * nrm AS pwn,
+          CAST(LEAST(63, FLOOR((pw * nrm - lo) / step)) AS INT) AS band
+          FROM n CROSS JOIN bnd),
         q AS (SELECT vec_id AS qa, embedding AS eq, nrm AS nq FROM n
           WHERE vec_id % 100 = 0),
         cand AS (SELECT vec_id, embedding, pw FROM n
@@ -794,11 +809,16 @@ object SimOps extends OpModule {
               ORDER BY c.pw * vec_dot(q.eq, c.embedding) DESC, c.vec_id) AS rn
           FROM q JOIN cand c ON c.vec_id <> q.qa) z
           WHERE rn <= 5 GROUP BY qa),
-        scored AS (SELECT q.qa, n.vec_id AS vb,
-            n.pw * vec_dot(q.eq, n.embedding) AS score
-          FROM q JOIN tau t ON t.qa = q.qa
-          JOIN n ON n.vec_id <> q.qa
-            AND n.pw * n.nrm * q.nq >= t.tau - 1e-6)
+        qb AS (SELECT q.qa, q.eq, q.nq, t.tau,
+          explode(sequence(CAST(GREATEST(0, LEAST(63,
+            FLOOR(((t.tau - 1e-6) / q.nq - lo) / step))) AS INT),
+            64 - 1)) AS band
+          FROM q JOIN tau t ON t.qa = q.qa CROSS JOIN bnd),
+        scored AS (SELECT qb.qa, nb.vec_id AS vb,
+            nb.pw * vec_dot(qb.eq, nb.embedding) AS score
+          FROM qb JOIN nb ON nb.band = qb.band
+            AND nb.vec_id <> qb.qa
+            AND nb.pwn * qb.nq >= qb.tau - 1e-6)
         SELECT qa, vb, rnk, score FROM (
           SELECT *, ROW_NUMBER() OVER (PARTITION BY qa
             ORDER BY score DESC, vb) AS rnk FROM scored) z

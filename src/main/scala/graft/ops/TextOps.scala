@@ -700,7 +700,10 @@ object TextOps extends OpModule {
     // COLLOCATION MINING — statistically-bound word pairs, the phrase-
     // extraction pass of vocabulary induction (word2vec's phrase pass,
     // BPE's semantic cousin). Association strength is observed/expected
-    // LIFT in integer ppm — floor(1e6 · c(xy) · N / (c(x)·c(y))) — the
+    // LIFT in integer ppm — floor(1e6 · c(xy) · N / (c(x)·c(y))), the
+    // products widened to 128 bits (Spark DECIMAL(38,0) / DuckDB HUGEINT:
+    // Spark's non-ANSI BIGINT product wraps silently near 1e13-token
+    // corpora while DuckDB promotes — widening keeps both exact) — the
     // log-free PMI ordering (log is monotone, so the ranking is PMI's
     // ranking, minus the cross-engine transcendental hazard; same design
     // as text_rare_ngrams' rank form). Corpus-linear: one bigram explode
@@ -720,7 +723,8 @@ object TextOps extends OpModule {
             WHERE size(toks) >= 2) p GROUP BY 1, 2)
           SELECT x, y, cxy, lift_ppm FROM (
             SELECT b.x, b.y, b.cxy,
-              (1000000 * b.cxy * nu.n) DIV (ux.c * uy.c) AS lift_ppm
+              CAST((CAST(1000000 AS DECIMAL(38,0)) * b.cxy * nu.n)
+                DIV (CAST(ux.c AS DECIMAL(38,0)) * uy.c) AS BIGINT) AS lift_ppm
             FROM b JOIN u ux ON ux.tok = b.x JOIN u uy ON uy.tok = b.y
             CROSS JOIN nu WHERE b.cxy >= 5) z
           ORDER BY lift_ppm DESC, x, y LIMIT 10""")
@@ -736,7 +740,8 @@ object TextOps extends OpModule {
           WHERE len(toks) >= 2) p GROUP BY 1, 2)
         SELECT x, y, cxy, lift_ppm FROM (
           SELECT b.x, b.y, b.cxy,
-            CAST((1000000 * b.cxy * nu.n) // (ux.c * uy.c) AS BIGINT) AS lift_ppm
+            CAST((CAST(1000000 AS HUGEINT) * b.cxy * nu.n)
+              // (CAST(ux.c AS HUGEINT) * uy.c) AS BIGINT) AS lift_ppm
           FROM b JOIN u ux ON ux.tok = b.x JOIN u uy ON uy.tok = b.y
           CROSS JOIN nu WHERE b.cxy >= 5) z
         ORDER BY lift_ppm DESC, x, y LIMIT 10"""))

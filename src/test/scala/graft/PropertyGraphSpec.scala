@@ -1065,6 +1065,91 @@ class PropertyGraphSpec extends AnyFunSuite {
     assert(fluent == parsed)
   }
 
+  test("traversal DSL: outE/inE + inV/outV ≡ collapsed edge-predicate steps") {
+    // outE('l').has(epred).inV() is exactly out('l', epred)
+    val collapsed = g.V(col("label") === "order")
+      .out("contains", col("weight") > 30).groupCount("label").collect().toSeq
+    val viaEdge = g.V(col("label") === "order")
+      .outE("contains").has(col("weight") > 30).inV()
+      .groupCount("label").collect().toSeq
+    assert(viaEdge == collapsed && viaEdge.nonEmpty)
+    // inE('l').has(epred).outV() is the same walk set from the far side
+    val viaIn = g.V(col("label") === "part")
+      .inE("contains").has(col("weight") > 30).outV()
+      .groupCount("label").collect().toSeq
+    val rawIn = g.edges
+      .filter(col("label") === "contains" && col("weight") > 30).count()
+    assert(viaIn.map(_.getLong(1)).sum == rawIn)
+    // fluent ≡ parsed
+    val parsed = g.traverse(
+      "V(label='order').outE('contains').has(weight>30).inV()" +
+        ".groupCount().by('label')").collect().toSeq
+    assert(parsed == viaEdge)
+  }
+
+  test("traversal DSL: bothE/otherV traverses each matching edge from both ends") {
+    // per-walk identity: otherV lands on the endpoint that is NOT the
+    // previous head — check every walk row (start from ALL vertices so
+    // both direction halves fire even on the tiny sf0.001 fixture)
+    val t = g.V(lit(true)).bothE("colocated")
+      .has(col("vis") === "public").otherV()
+    val bad = t.df.filter(!(col("v1") =!= col("v0"))).count()
+    assert(bad == 0)
+    // every endpoint is in the start set, so each matching edge is
+    // traversed exactly twice — once from each side
+    val pub = g.edges.filter(col("label") === "colocated" &&
+      col("vis") === "public").count()
+    assert(t.count().head.getLong(0) == 2 * pub && pub > 0)
+    // fluent ≡ parsed
+    val parsed = g.traverse(
+      "V().bothE('colocated').has(vis='public').otherV()" +
+        ".groupCount().by('label')").collect().toSeq
+    val fluent = t.groupCount("label").collect().toSeq
+    assert(parsed == fluent)
+  }
+
+  test("traversal DSL: edge traverser values()/sack() read the pending edge") {
+    // values('weight') on an edge head returns the edge property stream
+    val viaEdge = g.V(col("label") === "order").outE("contains").values("weight")
+      .agg(sum("weight")).head.getDouble(0)
+    val raw = g.edges.filter(col("label") === "contains")
+      .agg(sum("weight")).head.getDouble(0)
+    assert(math.abs(viaEdge - raw) < 1e-6)
+    // sack(sum) folds the weight of the edge resolved by otherV/inV —
+    // identical to the vertex-step sack over the same walk
+    val viaVertexStep = g.V(col("label") === "order").withSack(0.0)
+      .out("contains").sackBy("weight").sackFold()
+      .agg(sum("total_sack")).head.getDouble(0)
+    val viaEdgeStep = g.V(col("label") === "order").withSack(0.0)
+      .outE("contains").inV().sackBy("weight").sackFold()
+      .agg(sum("total_sack")).head.getDouble(0)
+    assert(math.abs(viaVertexStep - viaEdgeStep) < 1e-6)
+  }
+
+  test("traversal DSL: misuse of edge steps fails loudly") {
+    intercept[IllegalArgumentException] {
+      g.V(col("label") === "order").otherV()
+    }
+    intercept[IllegalArgumentException] {
+      g.V(col("label") === "order").outE("contains").out("by")
+    }
+    intercept[IllegalArgumentException] {
+      g.V(col("label") === "order").outE("contains").outE("contains")
+    }
+  }
+
+  test("traversal DSL: dedup collapses exactly the union-overlap duplicates") {
+    val dup = g.V(col("label") === "customer")
+      .union(_.out("colocated"), _.out("colocated", col("vis") === "public"))
+    val total = dup.count().head.getLong(0)
+    val deduped = dup.dedup().count().head.getLong(0)
+    val all = g.edges.filter(col("label") === "colocated").count()
+    val pub = g.edges.filter(col("label") === "colocated" &&
+      col("vis") === "public").count()
+    assert(total == all + pub)
+    assert(deduped == all && pub > 0)
+  }
+
   test("katz: sinks score β=1, scores are 4^-k-grained, in-degree monotone at k=1") {
     val k1 = g.katz(1)
     val indeg = g.edges.groupBy(col("dst").as("id"))
