@@ -219,6 +219,51 @@ object GraphSql {
     (Seq(und, lp0) ++ steps).mkString(", ")
   }
 
+  /** Unrolled synchronous Louvain sweeps lu0..lu<sweeps> mirroring
+    * [[Louvain.oneLevel]] exactly: per sweep, only parity class
+    * (id + sweep) % 2 = 0 evaluates moves; candidate communities =
+    * neighbor communities ∪ own, integer gain score 2m·k_iC − k_i·tot'_C
+    * widened to DECIMAL(38,0), move iff strictly better than staying,
+    * ties → smallest community id. */
+  def louvainChain(sweeps: Int): String = {
+    val base = """luund AS MATERIALIZED (SELECT DISTINCT LEAST(src, dst) AS a,
+        GREATEST(src, dst) AS b FROM edges WHERE src <> dst),
+      luh AS MATERIALIZED (SELECT a AS i, b AS j FROM luund
+        UNION ALL SELECT b, a FROM luund),
+      ludeg AS MATERIALIZED (SELECT i AS id, COUNT(*) AS deg FROM luh
+        GROUP BY 1),
+      lum AS (SELECT SUM(deg) AS m2 FROM ludeg),
+      lu0 AS MATERIALIZED (SELECT id, id AS comm FROM ludeg)"""
+    val steps = (1 to sweeps).map { t =>
+      s"""lukic$t AS (SELECT h.i, p.comm AS cc, COUNT(*) AS k
+           FROM luh h JOIN lu${t - 1} p ON p.id = h.j GROUP BY 1, 2),
+         lutot$t AS (SELECT p.comm AS cc, SUM(d.deg) AS tot
+           FROM lu${t - 1} p JOIN ludeg d ON d.id = p.id GROUP BY 1),
+         lucand$t AS (SELECT i, cc, MAX(k) AS k FROM (
+           SELECT i, cc, k FROM lukic$t WHERE (i + $t) % 2 = 0
+           UNION ALL SELECT id, comm, 0 FROM lu${t - 1}
+           WHERE (id + $t) % 2 = 0) z GROUP BY 1, 2),
+         lusc$t AS (SELECT c.i, c.cc, o.comm AS own,
+             CAST(m.m2 AS DECIMAL(38,0)) * c.k
+               - CAST(d.deg AS DECIMAL(38,0))
+                 * (t.tot - CASE WHEN c.cc = o.comm THEN d.deg ELSE 0 END)
+               AS score
+           FROM lucand$t c JOIN lu${t - 1} o ON o.id = c.i
+           JOIN ludeg d ON d.id = c.i
+           JOIN lutot$t t ON t.cc = c.cc CROSS JOIN lum m),
+         lu$t AS MATERIALIZED (SELECT i AS id, cc AS comm FROM (
+           SELECT s.i, s.cc, ROW_NUMBER() OVER (PARTITION BY s.i
+             ORDER BY s.score DESC, s.cc) AS rn
+           FROM lusc$t s
+           JOIN (SELECT i, score AS stay FROM lusc$t WHERE cc = own) y
+             ON y.i = s.i
+           WHERE s.cc = s.own OR s.score > y.stay) q WHERE rn = 1
+           UNION ALL SELECT id, comm FROM lu${t - 1}
+           WHERE (id + $t) % 2 = 1)"""
+    }
+    (Seq(base) ++ steps).mkString(", ")
+  }
+
   /** Unrolled k-core peel kc1..kc<rounds> mirroring PropertyGraph.kCore:
     * each round keeps vertices whose degree over surviving edges is ≥ k. */
   /** The undirected distinct edge set every peel chain starts from. */
@@ -283,6 +328,39 @@ object GraphSql {
            SELECT w.*, a.nxt, ROW_NUMBER() OVER (PARTITION BY w.walk_id
              ORDER BY md5(w.walk_id || '#' || $i || '#' || a.nxt), a.nxt) AS rn
            FROM w${i - 1} w JOIN adj a ON a.cur = w.v${i - 1}) t WHERE rn = 1)"""
+    }
+    (Seq(und, adj, w0) ++ steps).mkString(", ")
+  }
+
+  /** Unrolled node2vec-biased walks nw0..nw<len> mirroring
+    * [[PropertyGraph.biasedWalks]] exactly: per step, candidate key =
+    * 60-bit md5 integer DIV its quantized node2vec weight (wRet when
+    * returning to the previous vertex, wOne when the candidate neighbors
+    * it, wFar otherwise; step 1 all-wOne), min (key, nxt) wins. */
+  def n2vChain(len: Int, seedPred: String,
+      wRet: Long, wOne: Long, wFar: Long): String = {
+    val und = """und AS MATERIALIZED (SELECT DISTINCT LEAST(src, dst) AS a,
+      GREATEST(src, dst) AS b FROM edges WHERE src <> dst)"""
+    val adj = """adj AS MATERIALIZED (SELECT a AS cur, b AS nxt FROM und
+      UNION ALL SELECT b, a FROM und)"""
+    val w0 = s"nw0 AS (SELECT id AS walk_id, id AS v0 FROM vertices WHERE $seedPred)"
+    def hk(i: Int) =
+      s"CAST('0x' || substr(md5(w.walk_id || '#' || $i || '#' || a.nxt), 1, 15) AS BIGINT)"
+    val steps = (1 to len).map { i =>
+      val prev = (0 until i).map(j => s"v$j").mkString(", ")
+      val wt =
+        if (i == 1) s"$wOne"
+        else s"""CASE WHEN a.nxt = w.v${i - 2} THEN $wRet
+             WHEN z.cur IS NOT NULL THEN $wOne ELSE $wFar END"""
+      val distJoin =
+        if (i == 1) ""
+        else s"LEFT JOIN adj z ON z.cur = w.v${i - 2} AND z.nxt = a.nxt"
+      s"""nw$i AS MATERIALIZED (SELECT walk_id, $prev, nxt AS v$i FROM (
+           SELECT w.walk_id, $prev, a.nxt, ROW_NUMBER() OVER (
+             PARTITION BY w.walk_id
+             ORDER BY ${hk(i)} // ($wt), a.nxt) AS rn
+           FROM nw${i - 1} w JOIN adj a ON a.cur = w.v${i - 1} $distJoin) t
+           WHERE rn = 1)"""
     }
     (Seq(und, adj, w0) ++ steps).mkString(", ")
   }

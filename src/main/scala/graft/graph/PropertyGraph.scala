@@ -1468,4 +1468,58 @@ final case class PropertyGraph(vertices: DataFrame, edges: DataFrame) {
     }
     walks
   }
+
+  /** node2vec-BIASED walks (Grover–Leskovec '16) — the p/q in-out bias
+    * embedding pipelines actually train on, over [[randomWalks]]'s
+    * md5-rank determinism. Per step from v with previous vertex t, each
+    * candidate x carries node2vec's α: 1/p when x = t (return), 1 when x
+    * neighbors t (BFS-ish), 1/q otherwise (DFS-ish). The weighted draw is
+    * QUANTIZED-INTEGER: candidates are ranked by h(x) DIV w(x) (h = the
+    * walk-seeded 60-bit md5 integer, w = α in micro-units) — a larger
+    * weight shrinks the key and wins proportionally more often, a
+    * monotone integer surrogate for weighted sampling that avoids the
+    * exponential-clock's log (transcendentals are banned from oracle'd
+    * outputs; see graft.num) and replays EXACTLY in DuckDB
+    * (GraphSql.n2vChain). Step 1 has no t: all candidates weigh wOne,
+    * node2vec's uniform first step.
+    *
+    * The dist-1 test is one equi-join of the candidate frame against the
+    * (unique-pair) adjacency on (t, x) — walk-bounded work, no new
+    * shuffle shape vs the uniform walk; at 100 TB both walk families are
+    * Σdeg(frontier)-sized per level, never graph-sized. */
+  def biasedWalks(seeds: DataFrame, len: Int,
+      wRet: Long, wOne: Long, wFar: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val und = undirectedEdges
+    val adj = und.select(col("a").as("cur"), col("b").as("nxt"))
+      .unionAll(und.select(col("b").as("cur"), col("a").as("nxt")))
+    var walks = seeds.select(col("id").as("walk_id"), col("id").as("v0"))
+    for (i <- 1 to len) {
+      val w = Window.partitionBy("walk_id").orderBy(col("key"), col("nxt"))
+      val h = expr("CAST(conv(substring(md5(concat_ws('#', walk_id, " +
+        s"$i, nxt)), 1, 15), 16, 10) AS BIGINT)")
+      val keyed =
+        if (i == 1)
+          walks.join(adj, col("v0") === col("cur"))
+            .withColumn("_h", h)
+            .withColumn("key", expr(s"_h DIV $wOne"))
+        else {
+          val t = col(s"v${i - 2}")
+          val adj1 = adj.select(col("cur").as("_t"), col("nxt").as("_x"),
+            lit(1).as("_is1"))
+          walks.join(adj, col(s"v${i - 1}") === col("cur"))
+            .join(adj1, t === col("_t") && col("nxt") === col("_x"), "left")
+            .withColumn("_w", when(col("nxt") === t, wRet)
+              .when(col("_is1") === 1, wOne).otherwise(wFar))
+            .withColumn("_h", h)
+            .withColumn("key", expr("_h DIV _w"))
+        }
+      walks = keyed
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .withColumnRenamed("nxt", s"v$i")
+        .drop("cur", "key", "rn", "_t", "_x", "_is1", "_w", "_h")
+    }
+    walks
+  }
 }

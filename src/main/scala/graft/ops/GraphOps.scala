@@ -2,7 +2,7 @@ package graft.ops
 
 import graft.{Op, OpModule}
 import graft.functions.GraftFunctions
-import graft.graph.{GraphFixture, GraphSql}
+import graft.graph.{GraphFixture, GraphSql, Louvain}
 import org.apache.spark.sql.functions._
 
 /** Graph operator keys (SURVEY.md §2.10) over the derived property graph.
@@ -2320,6 +2320,25 @@ object GraphOps extends OpModule {
         "SELECT walk_id, v0, v1, v2, v3, v4 FROM w4 ORDER BY walk_id",
         extra = GraphSql.rwChain(4, "label = 'customer' AND id % 100 = 0")))),
 
+    // node2vec-BIASED walks (p=2, q=0.5 → DFS-leaning in-out bias, the
+    // variant embedding pipelines train on): same seeds/length/md5
+    // determinism as graph_random_walk, with each step's candidates
+    // ranked by h DIV w(α) — α from node2vec's (1/p, 1, 1/q) by the
+    // candidate's distance to the PREVIOUS vertex; quantized micro-unit
+    // weights keep both engines integer-exact (PropertyGraph.biasedWalks).
+    Op("graph_node2vec_walk",
+      (s, dir) => {
+        val g = GraphFixture(s, dir)
+        g.biasedWalks(g.vertices.filter(col("label") === "customer" &&
+          col("id") % 100 === 0), 4,
+          wRet = 500000L, wOne = 1000000L, wFar = 2000000L)
+          .orderBy("walk_id")
+      },
+      Some(withGraph(
+        "SELECT walk_id, v0, v1, v2, v3, v4 FROM nw4 ORDER BY walk_id",
+        extra = GraphSql.n2vChain(4, "label = 'customer' AND id % 100 = 0",
+          500000L, 1000000L, 2000000L)))),
+
     // Bipartite projection: customers sharing a colocated supplier →
     // co-occurrence pair counts, summarized as a histogram (pair list is
     // quadratic per supplier; the projection is generated per-supplier —
@@ -2394,6 +2413,19 @@ object GraphOps extends OpModule {
         extra = GraphSql.lpChain(3) + """,
           su AS (SELECT DISTINCT LEAST(src, dst) AS a,
             GREATEST(src, dst) AS b FROM edges WHERE src <> dst)"""))),
+
+    // MODULARITY-OPTIMIZING community detection — one Louvain level as 4
+    // parity-scheduled synchronous sweeps (see graph/Louvain.scala: the
+    // BSP-shaped Louvain whose unrolled-SQL replay is exact;
+    // graph_labelprop propagates without an objective, graph_modularity
+    // scores a given labeling — this key MOVES vertices to improve the
+    // score). Integer gain in DECIMAL(38,0); ties → smallest community
+    // id; fixed sweeps make the oracle finite, the lp3 discipline.
+    Op("graph_louvain",
+      (s, dir) => Louvain.oneLevel(GraphFixture(s, dir).undirectedEdges, 4),
+      Some(withGraph(
+        "SELECT id, comm FROM lu4 ORDER BY id",
+        extra = GraphSql.louvainChain(4)))),
 
     // Neighborhood Jaccard (link prediction): supplier pairs scored by
     // overlap of their in-neighbor part sets. Candidates come from one

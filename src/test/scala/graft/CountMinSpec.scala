@@ -41,6 +41,32 @@ class CountMinSpec extends AnyFunSuite {
       assert(got(t).sameElements(refSketch(keys)), s"cells diverge for $t")
   }
 
+  test("negative keys hash to valid cells and match the SQL replay") {
+    // count_min is a general SQL function: the full Long domain must land
+    // inside the owning row's cell range (a signed % would throw for row 0
+    // and silently corrupt the previous row's cells for rows 1-2).
+    val keys = Seq(-1L, Long.MinValue, -1000000007L, -42L, 7L, 0L)
+    for (x <- keys; j <- 0 until Rows) {
+      val b = bucket(j, x)
+      assert(b >= 0 && b < W(j), s"bucket($j, $x) = $b out of range")
+    }
+    // engine agreement: the UDAF's cells equal the in-memory recomputation
+    assert(sketchOf(keys).sameElements(refSketch(keys)))
+    // and the portable SQL bucket spelling (CustomExprOps.cmBucket's
+    // ((t%m)+m)%m form) lands on the same cell in Spark SQL
+    for (j <- 0 until Rows) {
+      val (a, b, w) = (A(j), B(j), W(j))
+      val sqlB = spark.sql(
+        s"""SELECT ((((($a * (k % 1000000007) + $b) % 1000000007)
+           + 1000000007) % 1000000007 % $w) + $w) % $w AS bkt
+           FROM VALUES (-1L), (${Long.MinValue}L), (-1000000007L), (-42L)
+           AS t(k)""").collect().map(_.getLong(0))
+      val scalaB = Seq(-1L, Long.MinValue, -1000000007L, -42L)
+        .map(x => bucket(j, x).toLong)
+      assert(sqlB.toSeq == scalaB, s"SQL replay diverges on row $j")
+    }
+  }
+
   test("estimate is one-sided: est >= exact for every probe, every group") {
     val rows = SparkEntry.queries("agg_countmin")(spark, TestSpark.sf).collect()
     assert(rows.nonEmpty)

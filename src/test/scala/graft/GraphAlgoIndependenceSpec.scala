@@ -58,6 +58,113 @@ class GraphAlgoIndependenceSpec extends AnyFunSuite {
     assert(lbl.values.toSet.size > 1, "single community — vacuous")
   }
 
+  test("graph_louvain: 4 parity-scheduled sweeps recomputed independently") {
+    // Semantics under test (graph/Louvain.oneLevel / GraphSql.louvainChain):
+    // undirected DISTINCT simple edges; per sweep only parity class
+    // (id + sweep) % 2 = 0 evaluates score(i,C) = 2m·k_iC − k_i·(tot_C −
+    // [C = own]·k_i) over neighbor communities ∪ own (previous sweep's
+    // assignment), moves iff the best strictly beats staying, ties →
+    // smallest community id; the other parity keeps its community.
+    val und = rawEdges.collect { case (s, d, _) if s != d =>
+      (math.min(s, d), math.max(s, d)) }.distinct
+    val adj = new mutable.HashMap[Long, mutable.ArrayBuffer[Long]]
+    und.foreach { case (a, b) =>
+      adj.getOrElseUpdate(a, new mutable.ArrayBuffer) += b
+      adj.getOrElseUpdate(b, new mutable.ArrayBuffer) += a
+    }
+    val deg: Map[Long, Long] = adj.view.mapValues(_.size.toLong).toMap
+    val m2 = BigInt(deg.values.sum)
+    var comm: Map[Long, Long] = deg.keys.map(id => id -> id).toMap
+    for (t <- 1 to 4) {
+      val tot = new mutable.HashMap[Long, Long].withDefaultValue(0L)
+      for ((id, d) <- deg) tot(comm(id)) += d
+      comm = deg.keys.map { i =>
+        val own = comm(i)
+        if ((i + t) % 2 != 0) i -> own else {
+        val kic = new mutable.HashMap[Long, Long].withDefaultValue(0L)
+        adj(i).foreach(j => kic(comm(j)) += 1L)
+        val cands = (kic.keySet + own).toSeq
+        def score(c: Long): BigInt =
+          m2 * BigInt(kic(c)) - BigInt(deg(i)) *
+            BigInt(tot(c) - (if (c == own) deg(i) else 0L))
+        val stay = score(own)
+        val best = cands.filter(c => c == own || score(c) > stay)
+          .minBy(c => (-score(c), c))
+        i -> best
+        }
+      }.toMap
+    }
+    val got = SparkEntry.queries("graph_louvain")(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == comm, "Spark Louvain diverges from in-memory sweeps")
+    // the move rule must actually help: modularity of the swept labeling
+    // strictly exceeds the all-singletons start on this fixture
+    def q(lbl: Map[Long, Long]): Double = {
+      val m = und.size.toDouble
+      val intra = und.count { case (a, b) => lbl(a) == lbl(b) }
+      val sa2 = lbl.keys.groupBy(lbl).values
+        .map(vs => vs.map(deg(_)).sum.toDouble).map(x => x * x).sum
+      intra / m - sa2 / (4 * m * m)
+    }
+    assert(q(comm) > q(deg.keys.map(id => id -> id).toMap),
+      "4 scheduled sweeps did not improve modularity over singletons")
+  }
+
+  test("graph_node2vec_walk: biased walks recomputed independently (JDK md5)") {
+    // Semantics under test (PropertyGraph.biasedWalks / GraphSql.n2vChain):
+    // per step i from v (previous t), candidate x is keyed by
+    // h(walk#i#x) DIV w where h = first 15 md5 hex chars as a 60-bit int
+    // and w = 500000 if x = t, 1000000 if x ~ t, 2000000 otherwise
+    // (step 1: all 1000000); min (key, x) wins. Recomputed here with
+    // java.security.MessageDigest — no Spark, no shared SQL text.
+    val und = rawEdges.collect { case (s, d, _) if s != d =>
+      (math.min(s, d), math.max(s, d)) }.distinct
+    val adj = new mutable.HashMap[Long, mutable.ArrayBuffer[Long]]
+    und.foreach { case (a, b) =>
+      adj.getOrElseUpdate(a, new mutable.ArrayBuffer) += b
+      adj.getOrElseUpdate(b, new mutable.ArrayBuffer) += a
+    }
+    val adjSet: Map[Long, Set[Long]] =
+      adj.view.mapValues(_.toSet).toMap.withDefaultValue(Set.empty)
+    def h60(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      java.lang.Long.parseLong(
+        d.map(b => f"$b%02x").mkString.substring(0, 15), 16)
+    }
+    val seeds = g.vertices
+      .filter(col("label") === "customer" && col("id") % 100 === 0)
+      .select("id").collect().map(_.getLong(0)).sorted
+    val want = seeds.map { s =>
+      var walk = Vector(s)
+      for (i <- 1 to 4) {
+        val v = walk.last
+        val t = if (i >= 2) Some(walk(i - 2)) else None
+        val next = adjSet(v).toSeq.map { x =>
+          val w = t match {
+            case None => 1000000L
+            case Some(tv) if x == tv => 500000L
+            case Some(tv) if adjSet(tv)(x) => 1000000L
+            case _ => 2000000L
+          }
+          (h60(s"$s#$i#$x") / w, x)
+        }.min._2
+        walk :+= next
+      }
+      s -> walk
+    }.toMap
+    val got = SparkEntry.queries("graph_node2vec_walk")(spark, sf).collect()
+      .map(r => r.getLong(0) -> (0 to 4).map(j => r.getLong(j + 1)).toVector)
+      .toMap
+    assert(got == want, "Spark biased walk diverges from JDK-md5 recompute")
+    // the bias must bind: with these weights at least one walk differs
+    // from the uniform md5-rank walk over the same seeds
+    val uniform = SparkEntry.queries("graph_random_walk")(spark, sf).collect()
+      .map(r => r.getLong(0) -> (0 to 4).map(j => r.getLong(j + 1)).toVector)
+      .toMap
+    assert(got != uniform, "p/q bias never changed any step — vacuous")
+  }
+
   test("graph_sssp: reversed BFS to region landmarks recomputed independently") {
     // min hops FOLLOWING OUT-EDGES to the nearest region, bound 8 — i.e.
     // BFS from all region vertices over REVERSED edges.
