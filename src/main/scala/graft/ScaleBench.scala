@@ -525,6 +525,44 @@ object ScaleBench {
     System.out.flush()
   }
 
+  /** Like-for-like BSP coloring probe (r14 verdict ask #6):
+    * `ScaleBench coloringbsp [baseDir] [K]` — times graph_coloring with
+    * the sequential tail DISABLED (graft.graph.coloringLocalThreshold=0,
+    * so every measurement runs the layered-MIS BSP head) at base and K×,
+    * uniform AND skew, fresh session per side (the fixture memo is
+    * per-(session, dir)), min-of-2 after one untimed JIT pass. This is
+    * the same BSP/BSP evidence graph_mis has (SCALE.md): the shipped
+    * adaptive key switches paths across the threshold, so its raw probe
+    * ratio compares DIFFERENT plans; this mode pins the head's own
+    * scaling. */
+  def coloringBspMain(args: Array[String]): Unit = {
+    val base = args.headOption.getOrElse(
+      sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+    val k = args.drop(1).headOption.map(_.toInt).getOrElse(10)
+    val spark = Bench.session(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+    val outU = Staging.dir(s"scale-x$k")
+    val outS = Staging.dir(s"skew-x$k")
+    build(spark, base, outU, k)
+    build(spark, base, outS, k, skewize)
+    def once(d: String): Double = {
+      val s2 = spark.newSession()
+      s2.conf.set("graft.graph.coloringLocalThreshold", "0")
+      graft.graph.GraphFixture(s2, d).edges.count() // graph build untimed
+      val t0 = System.nanoTime()
+      SparkEntry.queries("graph_coloring")(s2, d).count()
+      (System.nanoTime() - t0) / 1e9
+    }
+    once(base) // one untimed JIT/codegen pass
+    val body = Seq("base" -> base, "uniform" -> outU, "skew" -> outS)
+      .map { case (side, d) =>
+        val t = math.min(once(d), once(d))
+        s""""$side":${f"$t%.2f"}"""
+      }.mkString(",")
+    spark.stop()
+    println(s"""{"metric":"coloring_bsp","k":$k,$body}""")
+    System.out.flush()
+  }
+
   /** Targeted key probe: `ScaleBench probe [baseDir] [K] keys...` —
     * builds the K× blow-up, warms ONLY the graph build (not the full
     * artifact suite: a single-key A/B should not pay 18 minutes of
@@ -615,6 +653,8 @@ object ScaleBench {
     if (args.headOption.contains("bcfrontier"))
       return bcFrontierMain(args.drop(1))
     if (args.headOption.contains("bcbatch")) return bcBatchMain(args.drop(1))
+    if (args.headOption.contains("coloringbsp"))
+      return coloringBspMain(args.drop(1))
     if (args.headOption.contains("probe")) return probeMain(args.drop(1))
     if (args.headOption.contains("probecount"))
       return probeCountMain(args.drop(1))

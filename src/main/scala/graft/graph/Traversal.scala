@@ -42,7 +42,8 @@ import org.apache.spark.sql.functions._
   */
 final case class Traversal(g: PropertyGraph, df: DataFrame, depth: Int,
     bulk: Option[DataFrame] = None, labels: Map[String, Int] = Map.empty,
-    edgeHead: Boolean = false) {
+    edgeHead: Boolean = false,
+    sideSets: Map[String, DataFrame] = Map.empty) {
   private def head = s"v$depth"
   private def next = s"v${depth + 1}"
 
@@ -77,7 +78,7 @@ final case class Traversal(g: PropertyGraph, df: DataFrame, depth: Int,
       bf.join(eb, "h").groupBy("h2").agg(sum("cnt").as("cnt"))
         .withColumnRenamed("h2", "h")
     }
-    Traversal(g, df.drop("_lastw").join(e, head), depth + 1, b, labels)
+    Traversal(g, df.drop("_lastw").join(e, head), depth + 1, b, labels, sideSets = sideSets)
   }
 
   /** Follow out-edges labeled `elabel` (Gremlin out(label)). */
@@ -129,7 +130,7 @@ final case class Traversal(g: PropertyGraph, df: DataFrame, depth: Int,
       bf.join(ub, "h").groupBy("h2").agg(sum("cnt").as("cnt"))
         .withColumnRenamed("h2", "h")
     }
-    Traversal(g, df.drop("_lastw").join(u, head), depth + 1, b, labels)
+    Traversal(g, df.drop("_lastw").join(u, head), depth + 1, b, labels, sideSets = sideSets)
   }
 
   // ——— edge-granular steps (Gremlin outE/inE/bothE + inV/outV/otherV):
@@ -152,7 +153,7 @@ final case class Traversal(g: PropertyGraph, df: DataFrame, depth: Int,
       .select(col(from).as(head), col("src").as("_esrc"),
         col("dst").as("_edst"), col("label"), col("weight"), col("vis"))
     Traversal(g, df.drop("_lastw").join(e, head), depth, None, labels,
-      edgeHead = true)
+      edgeHead = true, sideSets = sideSets)
   }
 
   /** Gremlin outE(label): walk onto the out-edge itself. */
@@ -178,7 +179,7 @@ final case class Traversal(g: PropertyGraph, df: DataFrame, depth: Int,
       col("label"), col("weight"), col("vis"))
     Traversal(g, df.drop("_lastw").join(
       half("src").unionAll(half("dst")), head), depth, None, labels,
-      edgeHead = true)
+      edgeHead = true, sideSets = sideSets)
   }
 
   private def resolveEdge(pick: Column): Traversal = {
@@ -192,7 +193,7 @@ final case class Traversal(g: PropertyGraph, df: DataFrame, depth: Int,
         org.apache.spark.sql.functions.coalesce(col("weight"), lit(0.0)))
         .select((keep :+ next :+ "_lastw").map(col): _*)
       else withNext.select((keep :+ next).map(col): _*)
-    Traversal(g, resolved, depth + 1, None, labels)
+    Traversal(g, resolved, depth + 1, None, labels, sideSets = sideSets)
   }
 
   /** The edge's head vertex (Gremlin inV()). */
@@ -221,7 +222,7 @@ final case class Traversal(g: PropertyGraph, df: DataFrame, depth: Int,
     val b = bulk.map(bf => bf.join(g.vertices.withColumnRenamed("id", "h"), "h")
       .filter(pred).select("h", "cnt"))
     Traversal(g, df.join(v, head).filter(pred).select(keep.head, keep.tail: _*),
-      depth, b, labels)
+      depth, b, labels, sideSets = sideSets)
   }
 
   /** Keep only simple walks — no vertex visited twice (Gremlin
@@ -233,7 +234,7 @@ final case class Traversal(g: PropertyGraph, df: DataFrame, depth: Int,
     else {
       val distinctPairs = (for { i <- 0 until depth; j <- (i + 1) to depth }
         yield col(s"v$i") =!= col(s"v$j")).reduce(_ && _)
-      Traversal(g, df.filter(distinctPairs), depth, None, labels)
+      Traversal(g, df.filter(distinctPairs), depth, None, labels, sideSets = sideSets)
     }
 
   /** Keep only walks that REVISIT a vertex — Gremlin cyclicPath(), the
@@ -243,16 +244,16 @@ final case class Traversal(g: PropertyGraph, df: DataFrame, depth: Int,
     * empty (TinkerPop agrees: a single-element path has no repeats).
     * Drops the bulk frame for simplePath's reason. */
   def cyclicPath(): Traversal =
-    if (depth == 0) Traversal(g, df.limit(0), depth, None, labels)
+    if (depth == 0) Traversal(g, df.limit(0), depth, None, labels, sideSets = sideSets)
     else {
       val anyRepeat = (for { i <- 0 until depth; j <- (i + 1) to depth }
         yield col(s"v$i") === col(s"v$j")).reduce(_ || _)
-      Traversal(g, df.filter(anyRepeat), depth, None, labels)
+      Traversal(g, df.filter(anyRepeat), depth, None, labels, sideSets = sideSets)
     }
 
   /** Collapse duplicate walks (Gremlin dedup() over the current path).
     * Drops the bulk frame: multiplicity is exactly what dedup removes. */
-  def dedup(): Traversal = Traversal(g, df.distinct(), depth, None, labels)
+  def dedup(): Traversal = Traversal(g, df.distinct(), depth, None, labels, sideSets = sideSets)
 
   /** Gremlin sample(n), deterministic: keep the n walks minimizing
     * md5(v0#v1#…#vK) — a hash-seeded uniform sample both engines replay
@@ -270,7 +271,43 @@ final case class Traversal(g: PropertyGraph, df: DataFrame, depth: Int,
     val sampled = df
       .orderBy(h +: (0 to depth).map(i => col(s"v$i")): _*)
       .limit(n).select(cols: _*)
-    Traversal(g, sampled, depth, None, labels)
+    Traversal(g, sampled, depth, None, labels, sideSets = sideSets)
+  }
+
+  /** Gremlin aggregate('x') — the eager side-effect collection step: the
+    * DISTINCT current heads are remembered under `name` for later
+    * `where(within('x'))` / `where(without('x'))` membership filters
+    * ("collect the premium set here, test against it there" — the
+    * TinkerPop idiom a per-element engine runs as a barrier + HashSet).
+    * DF-rendered, the set is a vertex-id frame and each later membership
+    * test is one semi/anti join — vertex-bounded state, never walk-sized,
+    * and nothing materializes on the driver. Reads the bulk frame when
+    * the chain kept one (the set is per-HEAD, exactly what bulk holds). */
+  def aggregate(name: String): Traversal = {
+    require(!edgeHead, "aggregate() wants a vertex traverser")
+    val set = bulk match {
+      case Some(b) => b.select(col("h").as("_sideid")).distinct()
+      case None    => df.select(col(head).as("_sideid")).distinct()
+    }
+    copy(sideSets = sideSets + (name -> set))
+  }
+
+  /** Gremlin where(P.within('x')) — keep walks whose head is in the
+    * aggregate('x') side set: one LEFT SEMI join against the collected
+    * vertex-id frame (the bulk frame filters the same way — membership
+    * is per-head, which per-head counts CAN see, so bulking survives). */
+  def whereWithin(name: String): Traversal = sideFilter(name, "left_semi")
+
+  /** Gremlin where(P.without('x')) — the complement: LEFT ANTI. */
+  def whereWithout(name: String): Traversal = sideFilter(name, "left_anti")
+
+  private def sideFilter(name: String, how: String): Traversal = {
+    val set = sideSets.getOrElse(name, throw new IllegalArgumentException(
+      s"where(within/without('$name')): no aggregate('$name') in this chain"))
+    copy(
+      df = df.join(set.withColumnRenamed("_sideid", head), Seq(head), how),
+      bulk = bulk.map(_.join(set.withColumnRenamed("_sideid", "h"),
+        Seq("h"), how)))
   }
 
   /** Gremlin as('name'): label the CURRENT walk position for later
@@ -300,7 +337,7 @@ final case class Traversal(g: PropertyGraph, df: DataFrame, depth: Int,
       case "gte" => h >= o
       case other => throw new IllegalArgumentException(s"where: unknown P.$other")
     }
-    Traversal(g, df.filter(p), depth, None, labels)
+    Traversal(g, df.filter(p), depth, None, labels, sideSets = sideSets)
   }
 
   /** Gremlin local(out('l').order().by(id).limit(k)) — PER-TRAVERSER
@@ -326,7 +363,7 @@ final case class Traversal(g: PropertyGraph, df: DataFrame, depth: Int,
         org.apache.spark.sql.functions.coalesce(col("weight"), lit(0.0))
           .as("_lastw"))
       else ranked.select(col("src").as(head), col("dst").as(next))
-    Traversal(g, df.drop("_lastw").join(e, head), depth + 1, None, labels)
+    Traversal(g, df.drop("_lastw").join(e, head), depth + 1, None, labels, sideSets = sideSets)
   }
 
   /** Gremlin g.withSack(init).V()…: arm the per-traverser accumulator.
@@ -336,7 +373,7 @@ final case class Traversal(g: PropertyGraph, df: DataFrame, depth: Int,
     * frame (simplePath's rule): per-head counts cannot carry per-walk
     * sacks — the walk matrix is the accumulator's state. */
   def withSack(init: Double): Traversal =
-    Traversal(g, df.withColumn("sack", lit(init)), depth, None, labels)
+    Traversal(g, df.withColumn("sack", lit(init)), depth, None, labels, sideSets = sideSets)
 
   /** Gremlin sack(sum).by('weight') directly after an adjacency step: fold
     * the JUST-TRAVERSED edge's weight into the sack. TinkerPop phrases the
@@ -571,7 +608,7 @@ final case class Traversal(g: PropertyGraph, df: DataFrame, depth: Int,
         Some(rs.flatMap(_.bulk).reduce(_ unionAll _)
           .groupBy("h").agg(sum("cnt").as("cnt")))
       else None
-    Traversal(g, u, d, b, labels)
+    Traversal(g, u, d, b, labels, sideSets = sideSets)
   }
 
   /** Gremlin choose(pred, onTrue, onFalse): per-walk if/then/else routed
@@ -608,7 +645,7 @@ final case class Traversal(g: PropertyGraph, df: DataFrame, depth: Int,
       val cov = rdf.select(parentCols.map(col): _*).distinct()
       covered = Some(covered.fold(cov)(_ unionAll cov))
     }
-    Traversal(g, acc.get, d, None, labels)
+    Traversal(g, acc.get, d, None, labels, sideSets = sideSets)
   }
 
   /** Gremlin optional(branch): per walk, the branch's continuations when
@@ -634,7 +671,7 @@ final case class Traversal(g: PropertyGraph, df: DataFrame, depth: Int,
       (d, i) => d.withColumn(s"v$i", col(head)))
     val walkCols = (0 to r.depth).map(i => col(s"v$i"))
     Traversal(g, r.df.select(walkCols: _*)
-      .unionAll(stayed.select(walkCols: _*)), r.depth, None, labels)
+      .unionAll(stayed.select(walkCols: _*)), r.depth, None, labels, sideSets = sideSets)
   }
 
   /** Gremlin not(branch): keep the walks whose branch produces NO
@@ -650,7 +687,7 @@ final case class Traversal(g: PropertyGraph, df: DataFrame, depth: Int,
     val parentCols = (0 to depth).map(i => s"v$i")
     val covered = r.df.select(parentCols.map(col): _*).distinct()
     Traversal(g, df.join(covered, parentCols, "left_anti"), depth, None,
-      labels)
+      labels, sideSets = sideSets)
   }
 
   /** Gremlin and(b1, b2, …): keep walks covered by EVERY branch — the
@@ -667,7 +704,7 @@ final case class Traversal(g: PropertyGraph, df: DataFrame, depth: Int,
       d.join(r.df.select(parentCols.map(col): _*).distinct(),
         parentCols, "left_semi")
     }
-    Traversal(g, filtered, depth, None, labels)
+    Traversal(g, filtered, depth, None, labels, sideSets = sideSets)
   }
 
   /** Gremlin or(b1, b2, …): keep walks covered by AT LEAST ONE branch —
@@ -683,7 +720,7 @@ final case class Traversal(g: PropertyGraph, df: DataFrame, depth: Int,
       r.df.select(parentCols.map(col): _*)
     }.reduce(_ unionAll _).distinct()
     Traversal(g, df.join(covered, parentCols, "left_semi"), depth, None,
-      labels)
+      labels, sideSets = sideSets)
   }
 
   /** The walk matrix: one row per surviving walk, columns v0..vK. */
@@ -878,6 +915,16 @@ object Traversal {
     private val Pat = """(eq|neq|lt|gt|lte|gte)\(\s*'([^']+)'\s*\)""".r
     def unapply(arg: String): Option[(String, String)] = arg.trim match {
       case Pat(cmp, l) => Some((cmp, l))
+      case _ => None
+    }
+  }
+
+  /** Matches a `within('x')` / `without('x')` where-argument — Gremlin's
+    * membership predicates against an aggregate('x') side set. */
+  private object WithinPred {
+    private val Pat = """(within|without)\(\s*'([^']+)'\s*\)""".r
+    def unapply(arg: String): Option[(String, String)] = arg.trim match {
+      case Pat(m, nm) => Some((m, nm))
       case _ => None
     }
   }
@@ -1256,6 +1303,10 @@ object Traversal {
       case ("or", a) :: tl =>
         t = t.or(splitTop(a).map(branchFn): _*); loop(tl)
       case ("where", WherePred(cmp, l)) :: tl => t = t.where(cmp, l); loop(tl)
+      case ("aggregate", a) :: tl => t = t.aggregate(label(a)); loop(tl)
+      case ("where", WithinPred(m, nm)) :: tl =>
+        t = if (m == "within") t.whereWithin(nm) else t.whereWithout(nm)
+        loop(tl)
       case ("select", a) :: tl =>
         result = Some(t.select(a.split(",").map(label).toIndexedSeq: _*)); loop(tl)
       case ("groupCount", "") :: ("by", a) :: tl =>

@@ -1070,6 +1070,29 @@ object GraphOps extends OpModule {
           WHERE o.dst = c.id AND o.label = 'by' AND ov.val > 400000))
         ORDER BY c.id"""))),
 
+    // aggregate('x') + where(without('x')) — TinkerPop's side-effect
+    // collection step and its membership filter: collect the premium
+    // customers into 'prem' at the chain start, walk to their colocated
+    // suppliers and back to ALL customers sharing one, and keep the ones
+    // NOT themselves premium — "similar-but-not-premium customers", the
+    // lookalike-audience query. The collected set is a vertex-id frame;
+    // the membership test is one ANTI join (within() is the SEMI twin,
+    // exercised by spec) — vertex-bounded state, never walk-sized. The
+    // oracle is the NOT IN form a SQL engine plans to the same anti-join.
+    Op("graph_traversal_aggregate",
+      (s, dir) => GraphFixture(s, dir).traverse(
+        "V(label='customer').has(val>9500).aggregate('prem')" +
+          ".out('colocated').in('colocated').where(without('prem')).ids()")
+        .orderBy("id"),
+      Some(withGraph("""SELECT DISTINCT e2.src AS id
+        FROM vertices p
+        JOIN edges e1 ON e1.src = p.id AND e1.label = 'colocated'
+        JOIN edges e2 ON e2.dst = e1.dst AND e2.label = 'colocated'
+        WHERE p.label = 'customer' AND p.val > 9500
+          AND e2.src NOT IN (SELECT id FROM vertices
+            WHERE label = 'customer' AND val > 9500)
+        ORDER BY id"""))),
+
     // tree() terminal — the walk set folded into its prefix tree, rendered
     // as weighted (depth, parent, child) edges (see Traversal.tree for why
     // the edge list IS the distributed form of TinkerPop's nested map).
@@ -1418,9 +1441,15 @@ object GraphOps extends OpModule {
     // Oracle: 5 layers × 4 MIS rounds unrolled, nested. Same adaptive
     // hybrid as the cover: sequential below one task's scan, BSP layers
     // above (equivalence pinned in spec).
+    // The threshold is conf-overridable (like rootBatchBits) so the
+    // like-for-like BSP/BSP scale probe can force the layered-MIS head
+    // at every SF (ScaleBench coloringbsp).
     Op("graph_coloring",
       (s, dir) => graft.graph.Coloring.greedy(
-        GraphFixture(s, dir).undirectedEdges, localThreshold = 16000000),
+        GraphFixture(s, dir).undirectedEdges,
+        localThreshold = s.conf
+          .getOption("graft.graph.coloringLocalThreshold")
+          .map(_.toLong).getOrElse(16000000L)),
       Some(coloringOracleSql)),
 
     // Gremlin local(out().limit(k)) — per-traverser bounded expansion
@@ -2426,6 +2455,61 @@ object GraphOps extends OpModule {
       Some(withGraph(
         "SELECT id, comm FROM lu4 ORDER BY id",
         extra = GraphSql.louvainChain(4)))),
+
+    // CONDUCTANCE of the label-propagation communities — the cut-quality
+    // score modularity doesn't see (a community can score high Q yet leak
+    // half its volume through a thin frontier; φ(C) = cut(C) /
+    // min(vol(C), 2m − vol(C)) is the bottleneck measure sparsest-cut
+    // theory bounds). Both Σ-terms are INTEGER aggregates over the simple
+    // undirected graph (cut: one boundary-edge scan exploded to both end
+    // communities; vol: one degree join) — map-side combined, community-
+    // sized outputs; the closing division is fixed-order IEEE. Scores any
+    // stored labeling — lp3 here so the artifact is shared with
+    // graph_modularity (louvain's communities plug in the same way).
+    Op("graph_conductance",
+      (s, dir) => {
+        val g = GraphFixture(s, dir)
+        val lbl = g.lp3
+        val und = g.undirectedEdges
+        val m = und.count()
+        val boundary = und
+          .join(lbl.select(col("id").as("a"), col("lp_label").as("la")), "a")
+          .join(lbl.select(col("id").as("b"), col("lp_label").as("lb")), "b")
+          .filter(col("la") =!= col("lb"))
+          .select(explode(array(col("la"), col("lb"))).as("lp_label"))
+          .groupBy("lp_label").agg(count(lit(1)).as("cut"))
+        val denom = least(col("vol"), lit(2 * m) - col("vol"))
+        g.undDegrees.join(lbl, "id")
+          .groupBy("lp_label").agg(sum("d").as("vol"))
+          .join(boundary, Seq("lp_label"), "left")
+          .select(col("lp_label"),
+            coalesce(col("cut"), lit(0L)).as("cut"), col("vol"),
+            when(denom === 0, lit(0.0))
+              .otherwise(coalesce(col("cut"), lit(0L)).cast("double")
+                / denom.cast("double")).as("phi"))
+          .orderBy("lp_label")
+      },
+      Some(withGraph(
+        """SELECT lv.lbl AS lp_label, COALESCE(lc.cut, 0) AS cut, lv.vol,
+          CASE WHEN LEAST(lv.vol, 2 * mm.m - lv.vol) = 0 THEN 0.0
+            ELSE CAST(COALESCE(lc.cut, 0) AS DOUBLE)
+              / CAST(LEAST(lv.vol, 2 * mm.m - lv.vol) AS DOUBLE) END AS phi
+        FROM lv CROSS JOIN mm LEFT JOIN lc ON lc.lbl = lv.lbl
+        ORDER BY lp_label""",
+        extra = GraphSql.lpChain(3) + """,
+          su AS (SELECT DISTINCT LEAST(src, dst) AS a,
+            GREATEST(src, dst) AS b FROM edges WHERE src <> dst),
+          dg AS (SELECT id, COUNT(*) AS dd FROM (SELECT a AS id FROM su
+            UNION ALL SELECT b FROM su) z GROUP BY 1),
+          mm AS (SELECT COUNT(*) AS m FROM su),
+          lv AS (SELECT l.lbl, CAST(SUM(d.dd) AS BIGINT) AS vol
+            FROM lp3 l JOIN dg d ON d.id = l.id GROUP BY 1),
+          bd AS (SELECT x.lbl AS la, y.lbl AS lb FROM su u
+            JOIN lp3 x ON x.id = u.a JOIN lp3 y ON y.id = u.b
+            WHERE x.lbl <> y.lbl),
+          lc AS (SELECT lbl, COUNT(*) AS cut FROM (
+            SELECT la AS lbl FROM bd UNION ALL SELECT lb FROM bd) z
+            GROUP BY 1)"""))),
 
     // Neighborhood Jaccard (link prediction): supplier pairs scored by
     // overlap of their in-neighbor part sets. Candidates come from one

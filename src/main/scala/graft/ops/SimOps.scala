@@ -26,6 +26,10 @@ object SimOps extends OpModule {
   private[graft] val ivfMaintainBatches =
     new java.util.concurrent.atomic.AtomicLong(0)
 
+  /** Batch counter for stream_pq_maintain (same spec hook). */
+  private[graft] val pqMaintainBatches =
+    new java.util.concurrent.atomic.AtomicLong(0)
+
   /** Normalized embeddings (vector + its norm), materialized once per
     * (session, dir) and shared by every similarity/embedding-dedup key —
     * Spark would otherwise inline-recompute the norms per CTE reference. */
@@ -398,6 +402,93 @@ object SimOps extends OpModule {
   /** The stats fold over an already-aggregated (cell, n) relation —
     * shared by the batch key (counts derived from the inverted file) and
     * stream_ivf_maintain (counts maintained incrementally as state). */
+  /** Per-dimension SQ8 min/max (the offline scalar-quantizer model): a
+    * D-row broadcast artifact shared by the SQ code builders and the PQ
+    * maintain twin (arrivals are coded against the SNAPSHOT model — nobody
+    * re-fits min/max per micro-batch). */
+  private def sqMmView(s: org.apache.spark.sql.SparkSession, dir: String): String = {
+    val unn = unnView(s, dir)
+    graft.Views.materialize(s, dir, "sqmm", s"""
+      SELECT dim, CAST(MIN(v) AS DOUBLE) AS mn, CAST(MAX(v) AS DOUBLE) AS mx
+      FROM $unn GROUP BY dim""")
+  }
+
+  /** Long-form SQ8 codes (vec_id, dim, code ∈ [0,255]) — the shared input
+    * of the array-form sqcodes view (sim_sq_rerank) and the PQ family.
+    * Exactly embed_quantize's arithmetic; see that op's scaladoc for the
+    * cross-engine bit-reproducibility argument. */
+  private def sqLongView(s: org.apache.spark.sql.SparkSession, dir: String): String = {
+    val unn = unnView(s, dir)
+    val mm = sqMmView(s, dir)
+    graft.Views.materialize(s, dir, "sqlong", s"""
+      SELECT u.vec_id, u.dim,
+        CASE WHEN m.mx = m.mn THEN CAST(0 AS BIGINT)
+          ELSE CAST(floor((CAST(u.v AS DOUBLE) - m.mn) * 255.0
+            / (m.mx - m.mn)) AS BIGINT) END AS code
+      FROM $unn u JOIN $mm m ON m.dim = u.dim""")
+  }
+
+  /** PQ codebook (j ∈ [1,16], dim, code): the sub-codes of the 16 corpus
+    * vectors with the smallest 60-bit md5 rank — the deterministic
+    * sampled codebook (random-sample codebooks are the classic PQ
+    * baseline; k-means refinement would buy distortion, not correctness,
+    * and would cost cross-engine reproducibility). ~1k rows, broadcast
+    * everywhere it is used. */
+  private def pqCbView(s: org.apache.spark.sql.SparkSession, dir: String): String = {
+    val sl = sqLongView(s, dir)
+    graft.Views.materialize(s, dir, "pqcb", s"""
+      WITH rk AS (SELECT vec_id, ROW_NUMBER() OVER (ORDER BY
+          ${sparkHash60("CAST(vec_id AS STRING)")}, vec_id) AS j
+        FROM (SELECT DISTINCT vec_id FROM $sl) z)
+      SELECT rk.j, c.dim, c.code FROM rk JOIN $sl c ON c.vec_id = rk.vec_id
+      WHERE rk.j <= 16""")
+  }
+
+  /** PQ assignments (vec_id, s ∈ [0,8), j): per 8-dim subspace, the
+    * codebook entry minimizing the integer L2 distance over SQ codes,
+    * ties to the lowest j — 8 small ints replace 64 floats (32× smaller
+    * than fp32; 4× smaller again than SQ8). The distance build is the
+    * corpus's (vec_id, dim, code) stream equi-joined to the broadcast
+    * codebook on dim — map-side combined into (vec_id, s, j) partials,
+    * never an all-pairs shape. */
+  private[graft] def pqAsgView(s: org.apache.spark.sql.SparkSession, dir: String): String = {
+    val sl = sqLongView(s, dir)
+    val cb = pqCbView(s, dir)
+    graft.Views.materialize(s, dir, "pqasg", s"""
+      WITH dist AS (SELECT v.vec_id, v.dim div 8 AS s, c.j,
+          SUM((v.code - c.code) * (v.code - c.code)) AS d
+        FROM $sl v JOIN $cb c ON c.dim = v.dim GROUP BY 1, 2, 3)
+      SELECT vec_id, s, j FROM (SELECT vec_id, s, j,
+        ROW_NUMBER() OVER (PARTITION BY vec_id, s ORDER BY d, j) AS rn
+        FROM dist) t WHERE rn = 1""")
+  }
+
+  /** DuckDB replay of the whole PQ model chain (codes → codebook →
+    * assignments), shared by the sim_pq_adc and stream_pq_maintain
+    * oracles. Ends with `asg` (vec_id, s, j) and leaves `cd` (long-form
+    * codes) open for the caller. */
+  private val duckPqPre: String = s"""
+    unn AS MATERIALIZED (SELECT vec_id, i - 1 AS dim,
+        CAST(embedding[i] AS DOUBLE) AS v
+      FROM embeddings, unnest(generate_series(1, len(embedding))) AS g(i)),
+    mm AS (SELECT dim, MIN(v) AS mn, MAX(v) AS mx FROM unn GROUP BY dim),
+    cd AS MATERIALIZED (SELECT u.vec_id, u.dim,
+        CASE WHEN m.mx = m.mn THEN CAST(0 AS BIGINT)
+          ELSE CAST(floor((u.v - m.mn) * 255.0 / (m.mx - m.mn))
+            AS BIGINT) END AS code
+      FROM unn u JOIN mm m ON m.dim = u.dim),
+    rk AS (SELECT vec_id, ROW_NUMBER() OVER (ORDER BY
+        ${duckHash60("CAST(vec_id AS VARCHAR)")}, vec_id) AS j
+      FROM (SELECT DISTINCT vec_id FROM cd) z),
+    cb AS MATERIALIZED (SELECT rk.j, c.dim, c.code
+      FROM rk JOIN cd c ON c.vec_id = rk.vec_id WHERE rk.j <= 16),
+    dist AS (SELECT v.vec_id, v.dim // 8 AS s, c.j,
+        SUM((v.code - c.code) * (v.code - c.code)) AS d
+      FROM cd v JOIN cb c ON c.dim = v.dim GROUP BY 1, 2, 3),
+    asg AS MATERIALIZED (SELECT vec_id, s, j FROM (SELECT vec_id, s, j,
+        ROW_NUMBER() OVER (PARTITION BY vec_id, s ORDER BY d, j) AS rn
+      FROM dist) t WHERE rn = 1)"""
+
   private def ivfStatsFromCounts(rel: String): String = s"""
       SELECT CAST(SUM(n) AS BIGINT) AS n_vectors,
         CAST(COUNT(*) AS BIGINT) AS n_cells,
@@ -604,21 +695,12 @@ object SimOps extends OpModule {
     // the whole pipeline exactly oracle-able.
     Op("sim_sq_rerank",
       (s, dir) => {
-        val unn = unnView(s, dir)
         val nv = normView(s, dir)
         val codes = graft.Views.materialize(s, dir, "sqcodes", s"""
-          WITH mm AS (SELECT dim, CAST(MIN(v) AS DOUBLE) AS mn,
-              CAST(MAX(v) AS DOUBLE) AS mx
-            FROM $unn GROUP BY dim),
-          cd AS (SELECT u.vec_id, u.dim,
-              CASE WHEN m.mx = m.mn THEN CAST(0 AS BIGINT)
-                ELSE CAST(floor((CAST(u.v AS DOUBLE) - m.mn) * 255.0
-                  / (m.mx - m.mn)) AS BIGINT) END AS code
-            FROM $unn u JOIN mm m ON m.dim = u.dim)
           SELECT vec_id,
             transform(array_sort(collect_list(struct(dim, code))),
               x -> x.code) AS codes
-          FROM cd GROUP BY vec_id""")
+          FROM ${sqLongView(s, dir)} GROUP BY vec_id""")
         s.sql(s"""
           WITH q AS (SELECT vec_id AS qa, codes AS qc FROM $codes
             WHERE vec_id % 100 = 0),
@@ -834,7 +916,152 @@ object SimOps extends OpModule {
         SELECT qa, vb, rnk, score FROM (
           SELECT *, ROW_NUMBER() OVER (PARTITION BY qa
             ORDER BY score DESC, vb) AS rnk FROM scored) z
-        WHERE rnk <= 5 ORDER BY qa, rnk"""))
+        WHERE rnk <= 5 ORDER BY qa, rnk""")),
+
+    // PRODUCT-QUANTIZATION ADC RETRIEVAL — the compression step past SQ8
+    // that production vector indexes (IVF-PQ) actually serve from: each
+    // vector is 8 codebook ids (one per 8-dim subspace) — 32× smaller
+    // than fp32 — and a query scans the corpus WITHOUT touching vectors
+    // at all: it precomputes an 8×16 lookup table of integer inner
+    // products (its own SQ sub-codes × every codebook entry), and the
+    // approximate score of vector v is 8 LUT lookups summed. Here the
+    // LUT-scan is declarative: corpus assignments (vec_id, s, j) equi-
+    // join the broadcast LUT on (s, j) and SUM — the corpus side carries
+    // 8 small ints per vector, the classic asymmetric-distance scan
+    // shape. Stage 2 re-ranks the 25 ADC survivors per query against
+    // full-precision floats (sim_sq_rerank's tail — exact per-row IEEE).
+    // Everything before the final cosine is BIGINT ⇒ exactly oracle-able;
+    // the codebook is md5-sampled (deterministic — see pqCbView). At
+    // 100 TB: model (codebook+LUT) broadcasts, codes scan partition-
+    // parallel, stage 2 touches 25 vectors per query regardless of
+    // corpus size.
+    Op("sim_pq_adc",
+      (s, dir) => {
+        val sl = sqLongView(s, dir)
+        val cb = pqCbView(s, dir)
+        val asg = pqAsgView(s, dir)
+        val nv = normView(s, dir)
+        // Nested-subquery form, NOT a WITH chain: when the persisted view
+        // artifacts above are still unmaterialized, Spark 4.1's InlineCTE
+        // rule fails plan validation on this query's CTE chain
+        // (PLAN_VALIDATION_FAILED_RULE_IN_BATCH — resolved plan becomes
+        // unresolved after inlining). Subqueries express the identical
+        // plan and never enter that rule.
+        s.sql(s"""
+          SELECT qa, vb, rnk, appx, cos FROM (
+            SELECT qa, vb, appx, cos, ROW_NUMBER() OVER (PARTITION BY qa
+                ORDER BY cos DESC, vb) AS rnk
+            FROM (
+              SELECT t.qa, t.vb, t.appx,
+                vec_dot(a2.embedding, b2.embedding)
+                  / (a2.nrm * b2.nrm) AS cos
+              FROM (
+                SELECT qa, vb, appx FROM (
+                  SELECT qa, vb, appx, ROW_NUMBER() OVER (PARTITION BY qa
+                      ORDER BY appx DESC, vb) AS rn
+                  FROM (
+                    SELECT l.qa, a.vec_id AS vb, SUM(l.ip) AS appx
+                    FROM $asg a JOIN (
+                      SELECT q.vec_id AS qa, q.dim div 8 AS s, c.j,
+                        SUM(q.code * c.code) AS ip
+                      FROM (SELECT vec_id, dim, code FROM $sl
+                        WHERE vec_id % 100 = 0) q
+                      JOIN $cb c ON c.dim = q.dim GROUP BY 1, 2, 3) l
+                      ON l.s = a.s AND l.j = a.j
+                    WHERE a.vec_id <> l.qa GROUP BY 1, 2) z0) z1
+                WHERE rn <= 25) t
+              JOIN $nv a2 ON a2.vec_id = t.qa
+              JOIN $nv b2 ON b2.vec_id = t.vb) z2) z3
+          WHERE rnk <= 5 ORDER BY qa, rnk""")
+      },
+      Some(s"""
+        WITH $duckPqPre,
+        q AS (SELECT vec_id, dim, code FROM cd WHERE vec_id % 100 = 0),
+        lut AS (SELECT q.vec_id AS qa, q.dim // 8 AS s, c.j,
+            SUM(q.code * c.code) AS ip
+          FROM q JOIN cb c ON c.dim = q.dim GROUP BY 1, 2, 3),
+        appx AS (SELECT l.qa, a.vec_id AS vb,
+            CAST(SUM(l.ip) AS BIGINT) AS appx
+          FROM asg a JOIN lut l ON l.s = a.s AND l.j = a.j
+          WHERE a.vec_id <> l.qa GROUP BY 1, 2),
+        top AS (SELECT qa, vb, appx FROM (SELECT qa, vb, appx,
+            ROW_NUMBER() OVER (PARTITION BY qa
+              ORDER BY appx DESC, vb) AS rn
+          FROM appx) t WHERE rn <= 25),
+        n AS MATERIALIZED (SELECT vec_id, embedding,
+          sqrt(${duckDot("embedding", "embedding")}) AS nrm FROM embeddings),
+        ex AS (SELECT t.qa, t.vb, t.appx,
+            ${duckDot("a.embedding", "b.embedding")} / (a.nrm * b.nrm) AS cos
+          FROM top t JOIN n a ON a.vec_id = t.qa
+          JOIN n b ON b.vec_id = t.vb)
+        SELECT qa, vb, CAST(rnk AS INTEGER) AS rnk, appx, cos
+        FROM (SELECT qa, vb, appx, cos,
+            ROW_NUMBER() OVER (PARTITION BY qa
+              ORDER BY cos DESC, vb) AS rnk
+          FROM ex) t WHERE rnk <= 5 ORDER BY qa, rnk""")),
+
+    // STREAMING PQ-INDEX MAINTENANCE — the PQ family's maintain twin,
+    // exactly stream_ivf_maintain's contract at a finer granularity: the
+    // codebook and the per-dim SQ min/max are the OFFLINE model (trained
+    // on a snapshot; nobody refits per arrival), the STATE is the 8×16
+    // occupancy grid of (subspace, codeword) — 128 rows whatever the
+    // corpus. Per batch: the batch's dims join the broadcast model, one
+    // grid-sized count merge. Assignment depends only on (vector, model)
+    // ⇒ the fold is ORDER-FREE and lands bit-for-bit on the batch
+    // pipeline's occupancy; the oracle replays the full PQ chain and
+    // counts. The grid is what an operator watches for codebook
+    // staleness (a drifting corpus concentrates mass on few codewords).
+    Op("stream_pq_maintain",
+      (s, dir) => {
+        val stage = graft.Staging.dir(s"pqm-src-${dir.hashCode.toHexString}")
+        if (!new java.io.File(s"$stage/_SUCCESS").exists())
+          Tables(s, dir, "embeddings").select("vec_id", "embedding")
+            .repartitionByRange(3, col("vec_id"))
+            .write.mode("overwrite").parquet(stage)
+        val cb = pqCbView(s, dir)
+        val mm = sqMmView(s, dir)
+        var counts = s.createDataFrame(
+          new java.util.ArrayList[org.apache.spark.sql.Row](),
+          org.apache.spark.sql.types.StructType.fromDDL(
+            "s BIGINT, j INT, n BIGINT"))
+        val q = s.readStream
+          .schema(org.apache.spark.sql.types.StructType.fromDDL(
+            "vec_id BIGINT, embedding ARRAY<FLOAT>"))
+          .option("maxFilesPerTrigger", 1).parquet(stage)
+          .writeStream
+          .option("checkpointLocation", graft.Staging.fresh("pqm-chk"))
+          .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+            SimOps.pqMaintainBatches.incrementAndGet()
+            val bs = batch.sparkSession
+            batch.createOrReplaceTempView("pqm_batch")
+            val bc = bs.sql(s"""
+              WITH u AS (SELECT vec_id, dim, v FROM pqm_batch
+                LATERAL VIEW posexplode(embedding) t AS dim, v),
+              cdb AS (SELECT u.vec_id, u.dim,
+                  CASE WHEN m.mx = m.mn THEN CAST(0 AS BIGINT)
+                    ELSE CAST(floor((CAST(u.v AS DOUBLE) - m.mn) * 255.0
+                      / (m.mx - m.mn)) AS BIGINT) END AS code
+                FROM u JOIN $mm m ON m.dim = u.dim),
+              dist AS (SELECT v.vec_id, v.dim div 8 AS s, c.j,
+                  SUM((v.code - c.code) * (v.code - c.code)) AS d
+                FROM cdb v JOIN $cb c ON c.dim = v.dim GROUP BY 1, 2, 3),
+              a AS (SELECT vec_id, s, j FROM (SELECT vec_id, s, j,
+                  ROW_NUMBER() OVER (PARTITION BY vec_id, s
+                    ORDER BY d, j) AS rn FROM dist) t WHERE rn = 1)
+              SELECT s, j, COUNT(*) AS n FROM a GROUP BY s, j""")
+            counts = graft.util.cut(counts.unionAll(bc)
+              .groupBy("s", "j").agg(sum("n").as("n")))
+            ()
+          }
+          .start()
+        q.processAllAvailable()
+        q.stop()
+        counts.orderBy("s", "j")
+      },
+      Some(s"""
+        WITH $duckPqPre
+        SELECT s, CAST(j AS INTEGER) AS j, COUNT(*) AS n
+        FROM asg GROUP BY s, j ORDER BY s, j"""))
   )
 
   private val duckDds: String => String =

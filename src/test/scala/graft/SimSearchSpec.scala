@@ -118,6 +118,80 @@ class SimSearchSpec extends AnyFunSuite {
       s"imbalance $imb vs $nCells cells — quantizer degenerate?")
   }
 
+  test("PQ assignments: in-memory recomputation (codes, codebook, argmin)") {
+    // Independent replay of the full PQ model chain in plain Scala from
+    // the parquet floats: SQ8 codes (per-dim min/max + floor), md5-ranked
+    // 16-vector codebook, per-subspace integer-L2 argmin with ties to the
+    // lowest codeword — must equal the engine's pqasg artifact row for
+    // row. This is the independence leg (the DuckDB oracle shares SQL
+    // idioms; this shares nothing).
+    val rows = Tables(spark, sf, "embeddings")
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+    val dims = rows.head._2.length
+    val mn = Array.tabulate(dims)(d => rows.map(_._2(d).toDouble).min)
+    val mx = Array.tabulate(dims)(d => rows.map(_._2(d).toDouble).max)
+    def codes(v: Array[Float]): Array[Long] = Array.tabulate(dims) { d =>
+      if (mx(d) == mn(d)) 0L
+      else math.floor((v(d).toDouble - mn(d)) * 255.0 / (mx(d) - mn(d))).toLong
+    }
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h60(x: Long): Long = {
+      val hex = md.digest(x.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(15)
+      java.lang.Long.parseLong(hex, 16)
+    }
+    val cb = rows.map { case (id, _) => (h60(id), id) }.sorted.take(16)
+      .map(_._2).zipWithIndex
+      .map { case (id, i) => (i + 1, codes(rows.find(_._1 == id).get._2)) }
+    val want = (for {
+      (id, v) <- rows
+      s <- 0 until dims / 8
+    } yield {
+      val vc = codes(v)
+      val best = cb.map { case (j, cc) =>
+        val d = (8 * s until 8 * s + 8)
+          .map(d0 => { val x = vc(d0) - cc(d0); x * x }).sum
+        (d, j)
+      }.min
+      (id, s.toLong, best._2)
+    }).toSet
+    val got = spark.sql(
+      s"SELECT vec_id, s, j FROM ${ops.SimOps.pqAsgView(spark, sf)}")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got == want)
+  }
+
+  test("stream_pq_maintain: incremental fold equals the batch occupancy") {
+    // same contract as the IVF twin: any slicing folded against the
+    // offline model (codebook + per-dim min/max) lands exactly on the
+    // batch assignments' occupancy grid, and the run must actually see
+    // multiple micro-batches.
+    val before = graft.ops.SimOps.pqMaintainBatches.get()
+    val got = SparkEntry.queries("stream_pq_maintain")(spark, sf)
+      .collect().map(_.toSeq)
+    assert(graft.ops.SimOps.pqMaintainBatches.get() >= before + 2,
+      "expected the staged source to arrive in multiple micro-batches")
+    val want = spark.sql(s"""SELECT s, j, COUNT(*) AS n
+      FROM ${ops.SimOps.pqAsgView(spark, sf)}
+      GROUP BY s, j ORDER BY s, j""").collect().map(_.toSeq)
+    assert(got.toSeq == want.toSeq)
+  }
+
+  test("sim_pq_adc: exact tail, no self matches, ADC cos bounded by exact") {
+    val pq = SparkEntry.queries("sim_pq_adc")(spark, sf)
+    assert(pq.filter(col("qa") === col("vb")).count() == 0)
+    assert(pq.groupBy("qa").count().filter(col("count") > 5).count() == 0)
+    // stage-2 cosine of the PQ rank-1 can never exceed the exact top-1
+    // (sim_topk is ground truth; ADC only CUTS candidates).
+    val e1 = exact.filter(col("rnk") === 1)
+      .select(col("qa"), col("cos").as("ce"))
+    val p1 = pq.filter(col("rnk") === 1).select(col("qa"), col("cos").as("cp"))
+    val j = e1.join(p1, "qa")
+    assert(j.count() > 0)
+    assert(j.filter(col("cp") > col("ce") + 1e-12).count() == 0)
+  }
+
   test("graph_upsert: auditors inserted, every 7th supplier deleted") {
     val up = SparkEntry.queries("graph_upsert")(spark, sf).collect()
       .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
