@@ -59,39 +59,53 @@ object Louvain {
       .withColumnRenamed("i", "id"))
     // 2m: one 1-row scalar action, sweep-invariant.
     val m2 = deg.agg(sum("deg")).head.getLong(0)
+    // NO broadcast hints on the vertex-sized sweep frames: five
+    // driver-collected broadcast builds per sweep × 4 sweeps cost more
+    // than the sort-merge exchanges they replace (measured 15.3 → 19.2 s
+    // at sf0.1 when hinted — the Mis/Coloring guard pattern pays off only
+    // for ONE shrinking frame per round, not five stable ones).
+    def hinted(df: DataFrame): DataFrame = df
     var c = cut(deg.select(col("id"), col("id").as("comm")))
     var t = 1
     while (t <= sweeps) {
-      val kic = half
-        .join(c.select(col("id").as("j"), col("comm").as("cc")), "j")
-        .groupBy("i", "cc").agg(count(lit(1)).as("k"))
-      val tot = c.join(deg, "id").groupBy("comm").agg(sum("deg").as("tot"))
-      val own = c.select(col("id").as("i"), col("comm").as("own"))
       // Only this sweep's parity class evaluates moves (see scaladoc);
-      // the filter lands before the candidate fold, so the sweep's
-      // window/join work is half-sized too.
+      // the filter lands on the HALF-EDGE STREAM before the gain fold,
+      // so the sweep's dominant shuffle is half-sized too.
       val elig = (col("i") + lit(t.toLong)) % 2 === 0
+      val kic = half.filter(elig)
+        .join(hinted(c.select(col("id").as("j"), col("comm").as("cc"))), "j")
+        .groupBy("i", "cc").agg(count(lit(1)).as("k"))
+      val tot = c.join(hinted(deg), "id")
+        .groupBy("comm").agg(sum("deg").as("tot"))
+      val own = c.select(col("id").as("i"), col("comm").as("own"))
+        .filter(elig)
       // Own community is always a candidate (k_i,own may be 0 when no
       // neighbor shares it) — the MAX(k) fold dedups it against kic.
-      val cand = kic.filter(elig)
-        .unionByName(own.filter(elig).select(col("i"), col("own").as("cc"),
+      val cand = kic
+        .unionByName(own.select(col("i"), col("own").as("cc"),
           lit(0L).as("k")))
         .groupBy("i", "cc").agg(max("k").as("k"))
       val scored = cand
-        .join(own, "i")
-        .join(deg.select(col("id").as("i"), col("deg")), "i")
-        .join(tot.withColumnRenamed("comm", "cc"), "cc")
+        .join(hinted(own), "i")
+        .join(hinted(deg.select(col("id").as("i"), col("deg"))), "i")
+        .join(hinted(tot.withColumnRenamed("comm", "cc")), "cc")
         .withColumn("score",
           lit(m2).cast("decimal(38,0)") * col("k")
             - col("deg").cast("decimal(38,0)") *
               (col("tot") - when(col("cc") === col("own"), col("deg"))
                 .otherwise(lit(0L))))
-      val stay = scored.filter(col("cc") === col("own"))
-        .select(col("i"), col("score").as("stay"))
-      val picked = scored.join(stay, "i")
+      // stay score via a WINDOW over the same per-vertex partitioning the
+      // pick below uses — NOT a scored⋈scored self-join: Spark INLINES a
+      // twice-referenced subplan, so the self-join form executed the
+      // whole sweep chain (kic + 3 joins) twice per sweep. Every i has
+      // exactly one cc = own row (cand unions it in), so the MAX is total.
+      val byI = Window.partitionBy("i")
+      val picked = scored
+        .withColumn("stay", max(when(col("cc") === col("own"),
+          col("score"))).over(byI))
         .filter(col("cc") === col("own") || col("score") > col("stay"))
         .withColumn("rn", row_number().over(
-          Window.partitionBy("i").orderBy(col("score").desc, col("cc"))))
+          byI.orderBy(col("score").desc, col("cc"))))
         .filter(col("rn") === 1)
         .select(col("i").as("id"), col("cc").as("comm"))
       c = cut(picked.unionByName(

@@ -1389,6 +1389,12 @@ final case class PropertyGraph(vertices: DataFrame, edges: DataFrame) {
     * final iteration, freed by GC with the instance. */
   lazy val lp3: DataFrame = labelPropagation(3)
 
+  /** Stored one-level Louvain communities (4 parity-scheduled sweeps) —
+    * the same stored-labeling discipline as [[lp3]]: the sweep loop is
+    * the expensive part, its consumers (the graded key, conductance/
+    * modularity-style scoring) are vertex-sized folds. */
+  lazy val lu4: DataFrame = Louvain.oneLevel(undirectedEdges, 4)
+
   def labelPropagation(iters: Int): DataFrame = {
     // und is the stored [[undByA]] index — pre-hash-partitioned by the
     // receiving vertex `a` (explicit partition count so AQE doesn't

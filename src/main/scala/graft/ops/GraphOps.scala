@@ -2,7 +2,7 @@ package graft.ops
 
 import graft.{Op, OpModule}
 import graft.functions.GraftFunctions
-import graft.graph.{GraphFixture, GraphSql, Louvain}
+import graft.graph.{GraphFixture, GraphSql}
 import org.apache.spark.sql.functions._
 
 /** Graph operator keys (SURVEY.md §2.10) over the derived property graph.
@@ -2451,7 +2451,7 @@ object GraphOps extends OpModule {
     // score). Integer gain in DECIMAL(38,0); ties → smallest community
     // id; fixed sweeps make the oracle finite, the lp3 discipline.
     Op("graph_louvain",
-      (s, dir) => Louvain.oneLevel(GraphFixture(s, dir).undirectedEdges, 4),
+      (s, dir) => GraphFixture(s, dir).lu4,
       Some(withGraph(
         "SELECT id, comm FROM lu4 ORDER BY id",
         extra = GraphSql.louvainChain(4)))),
