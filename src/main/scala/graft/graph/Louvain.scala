@@ -59,13 +59,16 @@ object Louvain {
       .withColumnRenamed("i", "id"))
     // 2m: one 1-row scalar action, sweep-invariant.
     val m2 = deg.agg(sum("deg")).head.getLong(0)
-    // NO broadcast hints on the vertex-sized sweep frames: five
-    // driver-collected broadcast builds per sweep × 4 sweeps cost more
-    // than the sort-merge exchanges they replace (measured 15.3 → 19.2 s
-    // at sf0.1 when hinted — the Mis/Coloring guard pattern pays off only
-    // for ONE shrinking frame per round, not five stable ones).
-    def hinted(df: DataFrame): DataFrame = df
-    var c = cut(deg.select(col("id"), col("id").as("comm")))
+    // NO broadcast hints on the vertex-sized sweep frames: driver-
+    // collected broadcast builds per sweep × 4 sweeps cost more than the
+    // sort-merge exchanges they replace (measured 15.3 → 19.2 s at sf0.1
+    // when hinted — the Mis/Coloring guard pattern pays off only for ONE
+    // shrinking frame per round, not several stable ones). AQE's runtime
+    // stats still broadcast the community-sized tot join dynamically.
+    // The loop state FUSES deg into the assignment frame (id, comm, deg):
+    // deg is sweep-invariant, and carrying it drops two per-sweep joins
+    // (the separate own/deg lookups) plus tot's deg join.
+    var c = cut(deg.select(col("id"), col("id").as("comm"), col("deg")))
     var t = 1
     while (t <= sweeps) {
       // Only this sweep's parity class evaluates moves (see scaladoc);
@@ -73,12 +76,11 @@ object Louvain {
       // so the sweep's dominant shuffle is half-sized too.
       val elig = (col("i") + lit(t.toLong)) % 2 === 0
       val kic = half.filter(elig)
-        .join(hinted(c.select(col("id").as("j"), col("comm").as("cc"))), "j")
+        .join(c.select(col("id").as("j"), col("comm").as("cc")), "j")
         .groupBy("i", "cc").agg(count(lit(1)).as("k"))
-      val tot = c.join(hinted(deg), "id")
-        .groupBy("comm").agg(sum("deg").as("tot"))
-      val own = c.select(col("id").as("i"), col("comm").as("own"))
-        .filter(elig)
+      val tot = c.groupBy("comm").agg(sum("deg").as("tot"))
+      val own = c.select(col("id").as("i"), col("comm").as("own"),
+        col("deg")).filter(elig)
       // Own community is always a candidate (k_i,own may be 0 when no
       // neighbor shares it) — the MAX(k) fold dedups it against kic.
       val cand = kic
@@ -86,9 +88,8 @@ object Louvain {
           lit(0L).as("k")))
         .groupBy("i", "cc").agg(max("k").as("k"))
       val scored = cand
-        .join(hinted(own), "i")
-        .join(hinted(deg.select(col("id").as("i"), col("deg"))), "i")
-        .join(hinted(tot.withColumnRenamed("comm", "cc")), "cc")
+        .join(own, "i")
+        .join(tot.withColumnRenamed("comm", "cc"), "cc")
         .withColumn("score",
           lit(m2).cast("decimal(38,0)") * col("k")
             - col("deg").cast("decimal(38,0)") *
@@ -107,11 +108,11 @@ object Louvain {
         .withColumn("rn", row_number().over(
           byI.orderBy(col("score").desc, col("cc"))))
         .filter(col("rn") === 1)
-        .select(col("i").as("id"), col("cc").as("comm"))
+        .select(col("i").as("id"), col("cc").as("comm"), col("deg"))
       c = cut(picked.unionByName(
         c.filter((col("id") + lit(t.toLong)) % 2 =!= 0)))
       t += 1
     }
-    c.orderBy("id")
+    c.select("id", "comm").orderBy("id")
   }
 }
