@@ -96,6 +96,140 @@ object PipelineOps extends OpModule {
         FROM cnt c LEFT JOIN ks ON ks.lang = c.lang
         ORDER BY 1""")),
 
+    // IMPORTANCE-WEIGHTED SAMPLING — the per-row generalization of
+    // corpus_mix's class-rate thresholding (DSIR-family curation: sample
+    // docs proportionally to a per-doc weight — here n_chars, i.e.
+    // length-proportional token-budget sampling; any integer quality or
+    // domain-match score plugs into the same comparison): keep doc iff
+    // h(doc)·wmax < w(doc)·2⁶⁰, h uniform on [0, 2⁶⁰) — E[keep] =
+    // w/wmax per doc, deterministic across engines/runs/partitionings.
+    // Products in DECIMAL(38,0) (h·wmax crosses 2⁶³ immediately). Per-row
+    // map + a 1-row broadcast of wmax — the same plan at 100 TB. Emits
+    // per-source audit rows (orig/kept counts, char masses, kept-id
+    // checksum).
+    Op("corpus_importance_sample",
+      (s, dir) => {
+        view(s, dir, "documents")
+        s.sql(s"""
+          WITH h AS (SELECT doc_id, source, n_chars,
+            (${sparkHash60("CAST(doc_id AS STRING)")}) AS hv FROM documents),
+          mx AS (SELECT MAX(n_chars) AS wmax FROM documents),
+          kept AS (SELECT h.doc_id, h.source, h.n_chars
+            FROM h CROSS JOIN mx
+            WHERE CAST(h.hv AS DECIMAL(38,0)) * wmax
+              < CAST(h.n_chars AS DECIMAL(38,0)) * ${1L << 60}),
+          ks AS (SELECT source, COUNT(*) AS n_kept,
+            SUM(n_chars) AS kept_chars, SUM(doc_id) AS id_sum
+            FROM kept GROUP BY 1),
+          base AS (SELECT source, COUNT(*) AS n_docs,
+            SUM(n_chars) AS sum_chars FROM documents GROUP BY 1)
+          SELECT b.source, b.n_docs, b.sum_chars,
+            COALESCE(ks.n_kept, CAST(0 AS BIGINT)) AS n_kept,
+            COALESCE(ks.kept_chars, CAST(0 AS BIGINT)) AS kept_chars,
+            COALESCE(ks.id_sum, CAST(0 AS BIGINT)) AS id_sum
+          FROM base b LEFT JOIN ks ON ks.source = b.source
+          ORDER BY 1""")
+      },
+      Some(s"""
+        WITH h AS (SELECT doc_id, source, n_chars,
+          (${duckHash60("CAST(doc_id AS VARCHAR)")}) AS hv FROM documents),
+        mx AS (SELECT MAX(n_chars) AS wmax FROM documents),
+        kept AS (SELECT h.doc_id, h.source, h.n_chars
+          FROM h CROSS JOIN mx
+          WHERE CAST(h.hv AS DECIMAL(38,0)) * wmax
+            < CAST(h.n_chars AS DECIMAL(38,0)) * ${1L << 60}),
+        ks AS (SELECT source, COUNT(*) AS n_kept,
+          CAST(SUM(n_chars) AS BIGINT) AS kept_chars,
+          CAST(SUM(doc_id) AS BIGINT) AS id_sum
+          FROM kept GROUP BY 1),
+        base AS (SELECT source, COUNT(*) AS n_docs,
+          CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+          FROM documents GROUP BY 1)
+        SELECT b.source, b.n_docs, b.sum_chars,
+          COALESCE(ks.n_kept, CAST(0 AS BIGINT)) AS n_kept,
+          COALESCE(ks.kept_chars, CAST(0 AS BIGINT)) AS kept_chars,
+          COALESCE(ks.id_sum, CAST(0 AS BIGINT)) AS id_sum
+        FROM base b LEFT JOIN ks ON ks.source = b.source
+        ORDER BY 1""")),
+
+    // TOKEN-BUDGET SELECTION — "fill a fixed token budget with the
+    // best-scoring docs" (the curation step after scoring: rank by
+    // quality, cut at the budget). Score = type-token ratio in ppm
+    // (integer div — exact both engines); budget = ⌊total tokens / 5⌋.
+    // The cut is computed WITHOUT a global doc sort: scores live in a
+    // ppm-BOUNDED domain (≤ 10⁶ + 1 distinct values), so phase 1
+    // aggregates tokens per score level (map-side combined,
+    // domain-bounded output) and runs the cumulative window over THAT;
+    // phase 2 keeps every doc strictly above the boundary score and
+    // tie-resolves only the boundary class by (doc_id) order against the
+    // remaining budget — the per-doc window runs over one score class,
+    // never the corpus. (The naive ORDER BY score global window is one
+    // task holding every doc row — the vertex-cover-tail collapse shape;
+    // this is the bounded-domain rewrite that survives 100 TB.)
+    Op("corpus_token_budget",
+      (s, dir) => {
+        view(s, dir, "documents")
+        val toks = sparkToks("text")
+        s.sql(s"""
+          WITH sc AS (SELECT doc_id, source, size($toks) AS n_tok,
+            (1000000 * CAST(size(array_distinct($toks)) AS BIGINT))
+              div size($toks) AS score
+            FROM documents),
+          agg AS (SELECT score, SUM(n_tok) AS t FROM sc GROUP BY score),
+          cum AS (SELECT score, SUM(t) OVER (ORDER BY score DESC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumt
+            FROM agg),
+          bud AS (SELECT SUM(n_tok) div 5 AS b FROM sc),
+          bound AS (SELECT MAX(score) AS sb FROM cum CROSS JOIN bud
+            WHERE cumt > b),
+          rb AS (SELECT b - COALESCE(
+              (SELECT MAX(cumt) FROM cum CROSS JOIN bud WHERE cumt <= b),
+              CAST(0 AS BIGINT)) AS r
+            FROM bud),
+          btie AS (SELECT doc_id, source, n_tok FROM (
+              SELECT sc.*, SUM(n_tok) OVER (ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS bcum
+              FROM sc CROSS JOIN bound WHERE sc.score = bound.sb) z
+            CROSS JOIN rb WHERE bcum <= rb.r),
+          kept AS (SELECT doc_id, source, n_tok FROM sc CROSS JOIN bound
+              WHERE bound.sb IS NULL OR sc.score > bound.sb
+            UNION ALL SELECT doc_id, source, n_tok FROM btie)
+          SELECT source, COUNT(*) AS n_kept, SUM(n_tok) AS kept_toks,
+            SUM(doc_id) AS id_sum
+          FROM kept GROUP BY 1 ORDER BY 1""")
+      },
+      Some(s"""
+        WITH sc AS (SELECT doc_id, source,
+          len(${duckToks("text")}) AS n_tok,
+          (1000000 * len(list_distinct(${duckToks("text")})))
+            // len(${duckToks("text")}) AS score
+          FROM documents),
+        agg AS (SELECT score, CAST(SUM(n_tok) AS BIGINT) AS t
+          FROM sc GROUP BY score),
+        cum AS (SELECT score, CAST(SUM(t) OVER (ORDER BY score DESC
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+          AS cumt FROM agg),
+        bud AS (SELECT CAST(SUM(n_tok) AS BIGINT) // 5 AS b FROM sc),
+        bound AS (SELECT MAX(score) AS sb FROM cum CROSS JOIN bud
+          WHERE cumt > b),
+        rb AS (SELECT b - COALESCE(
+            (SELECT MAX(cumt) FROM cum CROSS JOIN bud WHERE cumt <= b),
+            CAST(0 AS BIGINT)) AS r
+          FROM bud),
+        btie AS (SELECT doc_id, source, n_tok FROM (
+            SELECT sc.*, CAST(SUM(n_tok) OVER (ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+              AS bcum
+            FROM sc CROSS JOIN bound WHERE sc.score = bound.sb) z
+          CROSS JOIN rb WHERE bcum <= rb.r),
+        kept AS (SELECT doc_id, source, n_tok FROM sc CROSS JOIN bound
+            WHERE bound.sb IS NULL OR sc.score > bound.sb
+          UNION ALL SELECT doc_id, source, n_tok FROM btie)
+        SELECT source, COUNT(*) AS n_kept,
+          CAST(SUM(n_tok) AS BIGINT) AS kept_toks,
+          CAST(SUM(doc_id) AS BIGINT) AS id_sum
+        FROM kept GROUP BY 1 ORDER BY 1""")),
+
     // Train/eval DECONTAMINATION — the overlap audit every LLM training
     // pipeline runs before shipping a dataset: find training documents that
     // share any 5-word shingle with a held-out benchmark/eval set (here the

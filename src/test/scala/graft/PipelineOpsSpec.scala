@@ -20,6 +20,58 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(rows("train") > rows.getOrElse("test", 0L))
   }
 
+  test("corpus_importance_sample: in-memory replay of the weighted gate") {
+    // Independent replay: JDK MessageDigest 60-bit hash, the same
+    // h·wmax < w·2^60 acceptance in BigInt — per-source kept counts,
+    // char masses, and id checksums must match exactly.
+    val docs = Tables(spark, sf, "documents")
+      .select("doc_id", "source", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h60(x: Long): BigInt = BigInt(
+      md.digest(x.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(15), 16)
+    val wmax = docs.map(_._3).max
+    val kept = docs.filter { case (id, _, w) =>
+      h60(id) * wmax < BigInt(w) * (BigInt(1) << 60) }
+    val want = docs.groupBy(_._2).map { case (src, ds) =>
+      val k = kept.filter(_._2 == src)
+      (src, ds.length.toLong, ds.map(_._3).sum, k.length.toLong,
+        k.map(_._3).sum, k.map(_._1).sum)
+    }.toSet
+    val got = SparkEntry.queries("corpus_importance_sample")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSet
+    assert(got == want)
+    assert(kept.nonEmpty && kept.length < docs.length,
+      "fixture should exercise both acceptance outcomes")
+  }
+
+  test("corpus_token_budget: budget respected, kept set is the greedy cut") {
+    // In-memory greedy replay: score docs by type-token ppm, sort
+    // (score DESC, doc_id), take while cumulative tokens fit the 20%
+    // budget — the bounded-domain two-phase cut must equal this exactly.
+    val docs = Tables(spark, sf, "documents")
+      .select("doc_id", "source", "text").collect()
+      .map { r =>
+        val toks = r.getString(2).split(" ", -1)
+        (r.getLong(0), r.getString(1), toks.length.toLong,
+          1000000L * toks.distinct.length / toks.length)
+      }
+    val budget = docs.map(_._3).sum / 5
+    var cum = 0L
+    val kept = docs.sortBy { case (id, _, _, sc) => (-sc, id) }
+      .takeWhile { case (_, _, n, _) => { cum += n; cum <= budget } }
+    val want = kept.groupBy(_._2).map { case (src, ds) =>
+      (src, ds.length.toLong, ds.map(_._3).sum, ds.map(_._1).sum) }.toSet
+    val got = SparkEntry.queries("corpus_token_budget")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    assert(got == want)
+    assert(kept.map(_._3).sum <= budget)
+    assert(kept.nonEmpty && kept.length < docs.length)
+  }
+
   test("text_pack conserves docs and tokens, pack ids contiguous per source") {
     val rows = SparkEntry.queries("text_pack")(spark, sf)
       .orderBy("source", "pack_id").collect()
