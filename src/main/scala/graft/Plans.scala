@@ -50,7 +50,14 @@ object Plans {
     "agg_countmin", "graph_matching", "graph_densest", "graph_mis",
     "graph_vertex_cover", "sim_mips", "text_collocations",
     "ts_changepoint", "agg_hll_merge", "olap_basket_lift", "olap_pareto",
-    "dq_kanon", "multimodal_resample")
+    "dq_kanon", "multimodal_resample",
+    // r15 showcase: the PQ-ADC LUT scan, the side-effect/edge traversal
+    // steps, louvain/conductance, the biased walks, and the two curation
+    // cuts (sim_mips above now snapshots its banded equi-join form)
+    "sim_pq_adc", "graph_traversal_aggregate",
+    "graph_traversal_oute", "graph_traversal_dedup", "graph_louvain",
+    "graph_conductance", "graph_node2vec_walk",
+    "corpus_importance_sample", "corpus_token_budget")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
