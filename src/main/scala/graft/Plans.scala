@@ -54,7 +54,7 @@ object Plans {
     // r15 showcase: the PQ-ADC LUT scan, the side-effect/edge traversal
     // steps, louvain/conductance, the biased walks, and the two curation
     // cuts (sim_mips above now snapshots its banded equi-join form)
-    "sim_pq_adc", "graph_traversal_aggregate",
+    "sim_pq_adc", "graph_traversal_aggregate", "graph_traversal_where_by",
     "graph_traversal_oute", "graph_traversal_dedup", "graph_louvain",
     "graph_conductance", "graph_node2vec_walk",
     "corpus_importance_sample", "corpus_token_budget")

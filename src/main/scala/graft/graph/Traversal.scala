@@ -340,6 +340,33 @@ final case class Traversal(g: PropertyGraph, df: DataFrame, depth: Int,
     Traversal(g, df.filter(p), depth, None, labels, sideSets = sideSets)
   }
 
+  /** Gremlin where(P.<cmp>('name')).by('attr') — the ATTRIBUTE-comparing
+    * form of [[where]]: keep walks where the head's `attr` compares to
+    * the labeled step's `attr` ("colocated suppliers in the SAME
+    * visibility class", "orders larger than their customer's balance").
+    * Two narrow (id, attr) vertex projections joined on head and on the
+    * labeled position — column-pruned scans, broadcast-able at any
+    * realistic vertex width — then one codegen'd column-vs-column
+    * filter. Drops the bulk frame (reads the walk prefix). */
+  def whereBy(cmp: String, name: String, attr: String): Traversal = {
+    val oCol = s"v${labels.getOrElse(name, throw new IllegalArgumentException(
+      s"no as('$name') step in this chain"))}"
+    val j = df
+      .join(g.vertices.select(col("id").as(head), col(attr).as("_wbh")), head)
+      .join(g.vertices.select(col("id").as(oCol), col(attr).as("_wbo")), oCol)
+    val h = col("_wbh"); val o = col("_wbo")
+    val p = cmp match {
+      case "eq"  => h === o
+      case "neq" => h =!= o
+      case "lt"  => h < o
+      case "gt"  => h > o
+      case "lte" => h <= o
+      case "gte" => h >= o
+      case other => throw new IllegalArgumentException(s"where: unknown P.$other")
+    }
+    copy(df = j.filter(p).drop("_wbh", "_wbo"), bulk = None)
+  }
+
   /** Gremlin local(out('l').order().by(id).limit(k)) — PER-TRAVERSER
     * bounded expansion: each walk continues along at most k out-edges,
     * chosen deterministically (lowest destination ids; TinkerPop's bare
@@ -1302,6 +1329,8 @@ object Traversal {
         t = t.and(splitTop(a).map(branchFn): _*); loop(tl)
       case ("or", a) :: tl =>
         t = t.or(splitTop(a).map(branchFn): _*); loop(tl)
+      case ("where", WherePred(cmp, l)) :: ("by", a) :: tl =>
+        t = t.whereBy(cmp, l, label(a)); loop(tl)
       case ("where", WherePred(cmp, l)) :: tl => t = t.where(cmp, l); loop(tl)
       case ("aggregate", a) :: tl => t = t.aggregate(label(a)); loop(tl)
       case ("where", WithinPred(m, nm)) :: tl =>

@@ -1093,6 +1093,23 @@ object GraphOps extends OpModule {
             WHERE label = 'customer' AND val > 9500)
         ORDER BY id"""))),
 
+    // where(P.lt('a')).by('val') — the ATTRIBUTE-comparing where modulator
+    // (TinkerPop's cross-step property predicate): customers whose account
+    // balance is below some order's total price — the "order exceeds the
+    // customer's balance" credit screen. Two narrow (id, val) projections
+    // + one codegen'd column filter; the oracle is the equivalent theta
+    // condition on the joined vertex attributes.
+    Op("graph_traversal_where_by",
+      (s, dir) => GraphFixture(s, dir).traverse(
+        "V(label='order').as('a').out('by').where(lt('a')).by('val').ids()")
+        .orderBy("id"),
+      Some(withGraph("""SELECT DISTINCT e.dst AS id
+        FROM vertices o
+        JOIN edges e ON e.src = o.id AND e.label = 'by'
+        JOIN vertices cv ON cv.id = e.dst
+        WHERE o.label = 'order' AND cv.val < o.val
+        ORDER BY id"""))),
+
     // tree() terminal — the walk set folded into its prefix tree, rendered
     // as weighted (depth, parent, child) edges (see Traversal.tree for why
     // the edge list IS the distributed form of TinkerPop's nested map).

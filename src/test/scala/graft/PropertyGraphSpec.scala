@@ -61,6 +61,29 @@ class PropertyGraphSpec extends AnyFunSuite {
       "fixture should exercise both sides of the membership filter")
   }
 
+  test("whereBy: fluent == parsed, lt/gte partition the walk set") {
+    def base = g.V(col("label") === "order").as("a").out("by")
+    val parsed = g.traverse(
+      "V(label='order').as('a').out('by').where(lt('a')).by('val').ids()")
+      .collect().map(_.getLong(0)).toSet
+    val lt = base.whereBy("lt", "a", "val").ids()
+      .collect().map(_.getLong(0)).toSet
+    assert(parsed == lt)
+    val gte = base.whereBy("gte", "a", "val").ids()
+      .collect().map(_.getLong(0)).toSet
+    val all = base.ids().collect().map(_.getLong(0)).toSet
+    // lt/gte partition WALKS; head sets may overlap (a customer can sit
+    // below one order and above another) but must cover the step's heads
+    assert((lt union gte) == all)
+    assert(lt.nonEmpty && gte.nonEmpty,
+      "fixture should exercise both comparison outcomes")
+    // walk-level partition: counts add up
+    val nLt = base.whereBy("lt", "a", "val").count().head().getLong(0)
+    val nGte = base.whereBy("gte", "a", "val").count().head().getLong(0)
+    val nAll = base.count().head().getLong(0)
+    assert(nLt + nGte == nAll)
+  }
+
   test("conductance: identities vs the undirected graph (cut/vol/phi)") {
     val r = SparkEntry.queries("graph_conductance")(spark, TestSpark.sf)
       .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2),
