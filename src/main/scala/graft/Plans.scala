@@ -56,7 +56,7 @@ object Plans {
     // cuts (sim_mips above now snapshots its banded equi-join form)
     "sim_pq_adc", "graph_traversal_aggregate", "graph_traversal_where_by",
     "graph_traversal_oute", "graph_traversal_dedup", "graph_louvain",
-    "graph_conductance", "graph_node2vec_walk",
+    "graph_conductance", "graph_node2vec_walk", "graph_leiden_refine",
     "corpus_importance_sample", "corpus_token_budget")
 
   def main(args: Array[String]): Unit = {

@@ -2473,6 +2473,47 @@ object GraphOps extends OpModule {
         "SELECT id, comm FROM lu4 ORDER BY id",
         extra = GraphSql.louvainChain(4)))),
 
+    // LEIDEN-STYLE REFINEMENT of the louvain communities — the
+    // well-connectedness repair Leiden (Traag et al. '19) adds over
+    // Louvain: a community that is INTERNALLY DISCONNECTED (its vertices
+    // only connect through outsiders) is split into its connected pieces.
+    // One CC pass over the INTRA-community edge subset (PairCC hook+jump
+    // to fixpoint — the dedup-cluster machinery; the intra relation is a
+    // fraction of the edge list by construction), refined label = the
+    // piece's min vertex id; vertices with no intra edge become
+    // singletons. Oracle: the louvain chain + a 16-iteration min-label
+    // flood over the intra CTE (same depth contract as graph_cc — intra
+    // diameters are bounded by the full graph's). Together with
+    // graph_louvain (move), graph_conductance / graph_modularity (score),
+    // this completes the community-detection loop a production pipeline
+    // runs.
+    Op("graph_leiden_refine",
+      (s, dir) => {
+        val g = GraphFixture(s, dir)
+        val lbl = g.lu4
+        val intra = g.undirectedEdges
+          .join(lbl.select(col("id").as("a"), col("comm").as("ca")), "a")
+          .join(lbl.select(col("id").as("b"), col("comm").as("cb")), "b")
+          .filter(col("ca") === col("cb"))
+          .select(col("a").as("da"), col("b").as("db"))
+        val pieces = graft.graph.PairCC.labelsConverged(intra)
+          .withColumnRenamed("lbl", "refined")
+        lbl.join(pieces, Seq("id"), "left")
+          .select(col("id"), col("comm"),
+            coalesce(col("refined"), col("id")).as("refined"))
+          .orderBy("id")
+      },
+      Some(withGraph(
+        """SELECT l.id, u.comm, l.lbl AS refined FROM l16 l
+          JOIN lu4 u ON u.id = l.id ORDER BY l.id""",
+        extra = GraphSql.louvainChain(4) + """,
+          intra AS MATERIALIZED (SELECT u.a AS src, u.b AS dst
+            FROM luund u
+            JOIN lu4 x ON x.id = u.a JOIN lu4 y ON y.id = u.b
+            WHERE x.comm = y.comm),
+          """ + GraphSql.ccChain(16, edgesRel = "intra",
+            verticesRel = "lu4")))),
+
     // CONDUCTANCE of the label-propagation communities — the cut-quality
     // score modularity doesn't see (a community can score high Q yet leak
     // half its volume through a thin frontier; φ(C) = cut(C) /

@@ -110,6 +110,46 @@ class GraphAlgoIndependenceSpec extends AnyFunSuite {
       "4 scheduled sweeps did not improve modularity over singletons")
   }
 
+  test("graph_leiden_refine: union-find over intra edges recomputed " +
+      "independently") {
+    // Semantics under test: refined label = min vertex id of the
+    // connected piece within the vertex's OWN louvain community (edges
+    // crossing communities don't connect pieces); no-intra-edge vertices
+    // are singletons. Recomputed with plain union-find from the raw
+    // edge list + the graded louvain labeling.
+    val comm = SparkEntry.queries("graph_louvain")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val parent = new mutable.HashMap[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    rawEdges.foreach { case (s, d, _) =>
+      if (s != d && comm.get(s) == comm.get(d) && comm.contains(s)) {
+        val (rs, rd) = (find(s), find(d))
+        if (rs != rd) parent(math.max(rs, rd)) = math.min(rs, rd)
+      }
+    }
+    val want = comm.keys.map { id =>
+      // union-find roots are min-id only after full path compression
+      // with min-directed unions (done above: larger root points at
+      // smaller) — find() yields the piece min
+      (id, comm(id), find(id))
+    }.toSet
+    val got = SparkEntry.queries("graph_leiden_refine")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == want)
+    // refinement identities: every piece sits inside one community, and
+    // the piece label is a member of the piece
+    val byPiece = got.groupBy(_._3)
+    byPiece.foreach { case (p, rows) =>
+      assert(rows.map(_._2).size >= 1 && rows.map(_._2).toSeq.distinct.size == 1,
+        s"piece $p spans communities")
+      assert(rows.exists(_._1 == p), s"piece label $p not a member")
+      assert(rows.map(_._1).min == p, s"piece label $p is not the min id")
+    }
+  }
+
   test("graph_node2vec_walk: biased walks recomputed independently (JDK md5)") {
     // Semantics under test (PropertyGraph.biasedWalks / GraphSql.n2vChain):
     // per step i from v (previous t), candidate x is keyed by
