@@ -1395,6 +1395,24 @@ final case class PropertyGraph(vertices: DataFrame, edges: DataFrame) {
     * modularity-style scoring) are vertex-sized folds. */
   lazy val lu4: DataFrame = Louvain.oneLevel(undirectedEdges, 4)
 
+  /** Stored Leiden-style refinement of [[lu4]] (id, comm, refined):
+    * connected pieces within each louvain community via one PairCC
+    * fixpoint pass over the intra-community edges — the third stored
+    * labeling (lp3, lu4, this); consumers are vertex-sized folds. */
+  lazy val leidenRefined: DataFrame = {
+    val lbl = lu4
+    val intra = undirectedEdges
+      .join(lbl.select(col("id").as("a"), col("comm").as("ca")), "a")
+      .join(lbl.select(col("id").as("b"), col("comm").as("cb")), "b")
+      .filter(col("ca") === col("cb"))
+      .select(col("a").as("da"), col("b").as("db"))
+    val pieces = PairCC.labelsConverged(intra)
+      .withColumnRenamed("lbl", "refined")
+    graft.util.cut(lbl.join(pieces, Seq("id"), "left")
+      .select(col("id"), col("comm"),
+        coalesce(col("refined"), col("id")).as("refined")))
+  }
+
   def labelPropagation(iters: Int): DataFrame = {
     // und is the stored [[undByA]] index — pre-hash-partitioned by the
     // receiving vertex `a` (explicit partition count so AQE doesn't

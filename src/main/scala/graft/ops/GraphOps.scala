@@ -2488,21 +2488,7 @@ object GraphOps extends OpModule {
     // this completes the community-detection loop a production pipeline
     // runs.
     Op("graph_leiden_refine",
-      (s, dir) => {
-        val g = GraphFixture(s, dir)
-        val lbl = g.lu4
-        val intra = g.undirectedEdges
-          .join(lbl.select(col("id").as("a"), col("comm").as("ca")), "a")
-          .join(lbl.select(col("id").as("b"), col("comm").as("cb")), "b")
-          .filter(col("ca") === col("cb"))
-          .select(col("a").as("da"), col("b").as("db"))
-        val pieces = graft.graph.PairCC.labelsConverged(intra)
-          .withColumnRenamed("lbl", "refined")
-        lbl.join(pieces, Seq("id"), "left")
-          .select(col("id"), col("comm"),
-            coalesce(col("refined"), col("id")).as("refined"))
-          .orderBy("id")
-      },
+      (s, dir) => GraphFixture(s, dir).leidenRefined.orderBy("id"),
       Some(withGraph(
         """SELECT l.id, u.comm, l.lbl AS refined FROM l16 l
           JOIN lu4 u ON u.id = l.id ORDER BY l.id""",
