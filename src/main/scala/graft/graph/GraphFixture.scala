@@ -199,6 +199,33 @@ object GraphSql {
     (Seq(und, l0) ++ steps).mkString(", ")
   }
 
+  /** Unrolled min-label FLOOD + POINTER-JUMP rounds l0..l<iters> — the
+    * doubling variant of [[ccChain]] for SUBGRAPH components whose
+    * diameter is NOT bounded by the full graph's (removing
+    * inter-community edges can LENGTHEN intra shortest paths, so a fixed
+    * flood depth inherited from graph_cc is unsafe there — r15 ADVICE).
+    * Each round floods one hop (f_i: min over neighbors) then jumps
+    * lbl ← min(lbl, lbl(lbl)) (l_i) — the Shiloach–Vishkin-style
+    * hook+jump that PairCC runs to fixpoint on the engine side; label
+    * chains collapse geometrically, so 12 rounds converge for any
+    * component this harness can hold (bump `iters` here if a fixture
+    * ever ships components where a 12-round flood+jump has not
+    * converged — the spec's recomputation oracle would catch it). */
+  def ccJumpChain(iters: Int, edgesRel: String = "edges",
+      verticesRel: String = "vertices"): String = {
+    val und = s"und AS MATERIALIZED (SELECT src AS a, dst AS b FROM $edgesRel UNION SELECT dst, src FROM $edgesRel)"
+    val l0 = s"l0 AS MATERIALIZED (SELECT id, id AS lbl FROM $verticesRel)"
+    val steps = (1 to iters).flatMap { i =>
+      Seq(
+        s"""f$i AS (SELECT l.id, LEAST(l.lbl, COALESCE(MIN(p.lbl), l.lbl)) AS lbl
+           FROM l${i - 1} l LEFT JOIN und u ON u.a = l.id
+           LEFT JOIN l${i - 1} p ON p.id = u.b GROUP BY l.id, l.lbl)""",
+        s"""l$i AS MATERIALIZED (SELECT f.id, LEAST(f.lbl, COALESCE(j.lbl, f.lbl)) AS lbl
+           FROM f$i f LEFT JOIN f$i j ON j.id = f.lbl)""")
+    }
+    (Seq(und, l0) ++ steps).mkString(", ")
+  }
+
   /** Unrolled deterministic label propagation lp0..lp<iters> mirroring
     * PropertyGraph.labelPropagation: per vertex, adopt the most frequent
     * neighbor label, ties to the smallest label; isolated vertices keep

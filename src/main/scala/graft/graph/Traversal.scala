@@ -302,6 +302,12 @@ final case class Traversal(g: PropertyGraph, df: DataFrame, depth: Int,
   def whereWithout(name: String): Traversal = sideFilter(name, "left_anti")
 
   private def sideFilter(name: String, how: String): Traversal = {
+    // Same guard as aggregate(): on an edge traverser the head column
+    // holds the ANCHOR VERTEX, so a membership test would silently join
+    // the side set against the wrong element kind (Gremlin's semantics
+    // here are edge membership) — fail loudly instead; step through
+    // inV/outV/otherV first.
+    require(!edgeHead, "where(within/without(...)) wants a vertex traverser")
     val set = sideSets.getOrElse(name, throw new IllegalArgumentException(
       s"where(within/without('$name')): no aggregate('$name') in this chain"))
     copy(

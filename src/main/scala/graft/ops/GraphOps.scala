@@ -2481,23 +2481,25 @@ object GraphOps extends OpModule {
     // to fixpoint — the dedup-cluster machinery; the intra relation is a
     // fraction of the edge list by construction), refined label = the
     // piece's min vertex id; vertices with no intra edge become
-    // singletons. Oracle: the louvain chain + a 16-iteration min-label
-    // flood over the intra CTE (same depth contract as graph_cc — intra
-    // diameters are bounded by the full graph's). Together with
+    // singletons. Oracle: the louvain chain + a flood+JUMP doubling
+    // chain over the intra CTE (ccJumpChain — a fixed flood depth is
+    // NOT safe here: dropping inter-community edges can lengthen intra
+    // shortest paths past the full graph's diameter, while the engine
+    // side runs PairCC to full convergence). Together with
     // graph_louvain (move), graph_conductance / graph_modularity (score),
     // this completes the community-detection loop a production pipeline
     // runs.
     Op("graph_leiden_refine",
       (s, dir) => GraphFixture(s, dir).leidenRefined.orderBy("id"),
       Some(withGraph(
-        """SELECT l.id, u.comm, l.lbl AS refined FROM l16 l
+        """SELECT l.id, u.comm, l.lbl AS refined FROM l12 l
           JOIN lu4 u ON u.id = l.id ORDER BY l.id""",
         extra = GraphSql.louvainChain(4) + """,
           intra AS MATERIALIZED (SELECT u.a AS src, u.b AS dst
             FROM luund u
             JOIN lu4 x ON x.id = u.a JOIN lu4 y ON y.id = u.b
             WHERE x.comm = y.comm),
-          """ + GraphSql.ccChain(16, edgesRel = "intra",
+          """ + GraphSql.ccJumpChain(12, edgesRel = "intra",
             verticesRel = "lu4")))),
 
     // CONDUCTANCE of the label-propagation communities — the cut-quality

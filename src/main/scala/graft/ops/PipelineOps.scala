@@ -161,11 +161,21 @@ object PipelineOps extends OpModule {
     // aggregates tokens per score level (map-side combined,
     // domain-bounded output) and runs the cumulative window over THAT;
     // phase 2 keeps every doc strictly above the boundary score and
-    // tie-resolves only the boundary class by (doc_id) order against the
-    // remaining budget — the per-doc window runs over one score class,
-    // never the corpus. (The naive ORDER BY score global window is one
-    // task holding every doc row — the vertex-cover-tail collapse shape;
-    // this is the bounded-domain rewrite that survives 100 TB.)
+    // tie-resolves only the boundary class against the remaining budget.
+    // The class tie-break itself is TWO-LEVEL (r16 — the r15 form ran
+    // one ORDER BY doc_id window over the whole class, which a
+    // degenerate score distribution could make corpus-sized, exactly
+    // the single-task collapse the score rewrite avoids): the boundary
+    // class hash-bands into 1024 md5 buckets, a cumulative window over
+    // the ≤1024-row band aggregate finds the boundary BAND, and the
+    // per-doc window runs only inside that one band — so the largest
+    // unpartitioned window anywhere in the plan is ~class/1024 rows
+    // even when every doc shares one score. Tie order is (band,
+    // doc_id): deterministic and identical cross-engine, which is all
+    // the fill-the-last-tokens contract requires. (The naive ORDER BY
+    // score global window is one task holding every doc row — the
+    // vertex-cover-tail collapse shape; this is the bounded-domain
+    // rewrite that survives 100 TB.)
     Op("corpus_token_budget",
       (s, dir) => {
         view(s, dir, "documents")
@@ -186,11 +196,28 @@ object PipelineOps extends OpModule {
               (SELECT MAX(cumt) FROM cum CROSS JOIN bud WHERE cumt <= b),
               CAST(0 AS BIGINT)) AS r
             FROM bud),
-          btie AS (SELECT doc_id, source, n_tok FROM (
-              SELECT sc.*, SUM(n_tok) OVER (ORDER BY doc_id
-                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS bcum
-              FROM sc CROSS JOIN bound WHERE sc.score = bound.sb) z
-            CROSS JOIN rb WHERE bcum <= rb.r),
+          bcl AS (SELECT sc.doc_id, sc.source, sc.n_tok,
+              (${sparkHash("CAST(sc.doc_id AS STRING)")}) % 1024 AS band
+            FROM sc CROSS JOIN bound WHERE sc.score = bound.sb),
+          bagg AS (SELECT band, SUM(n_tok) AS t FROM bcl GROUP BY band),
+          bcum AS (SELECT band, SUM(t) OVER (ORDER BY band
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumt
+            FROM bagg),
+          bb AS (SELECT MIN(band) AS v FROM bcum CROSS JOIN rb
+            WHERE cumt > rb.r),
+          rb2 AS (SELECT rb.r - COALESCE(
+              (SELECT MAX(cumt) FROM bcum CROSS JOIN rb WHERE cumt <= rb.r),
+              CAST(0 AS BIGINT)) AS r2
+            FROM rb),
+          btie AS (
+            SELECT bcl.doc_id, bcl.source, bcl.n_tok
+            FROM bcl CROSS JOIN bb WHERE bcl.band < bb.v
+            UNION ALL
+            SELECT doc_id, source, n_tok FROM (
+              SELECT bcl.*, SUM(n_tok) OVER (ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS dcum
+              FROM bcl CROSS JOIN bb WHERE bcl.band = bb.v) z
+            CROSS JOIN rb2 WHERE dcum <= rb2.r2),
           kept AS (SELECT doc_id, source, n_tok FROM sc CROSS JOIN bound
               WHERE bound.sb IS NULL OR sc.score > bound.sb
             UNION ALL SELECT doc_id, source, n_tok FROM btie)
@@ -216,12 +243,30 @@ object PipelineOps extends OpModule {
             (SELECT MAX(cumt) FROM cum CROSS JOIN bud WHERE cumt <= b),
             CAST(0 AS BIGINT)) AS r
           FROM bud),
-        btie AS (SELECT doc_id, source, n_tok FROM (
-            SELECT sc.*, CAST(SUM(n_tok) OVER (ORDER BY doc_id
+        bcl AS (SELECT sc.doc_id, sc.source, sc.n_tok,
+            (${duckHash("CAST(sc.doc_id AS VARCHAR)")}) % 1024 AS band
+          FROM sc CROSS JOIN bound WHERE sc.score = bound.sb),
+        bagg AS (SELECT band, CAST(SUM(n_tok) AS BIGINT) AS t
+          FROM bcl GROUP BY band),
+        bcum AS (SELECT band, CAST(SUM(t) OVER (ORDER BY band
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+          AS cumt FROM bagg),
+        bb AS (SELECT MIN(band) AS v FROM bcum CROSS JOIN rb
+          WHERE cumt > rb.r),
+        rb2 AS (SELECT rb.r - COALESCE(
+            (SELECT MAX(cumt) FROM bcum CROSS JOIN rb WHERE cumt <= rb.r),
+            CAST(0 AS BIGINT)) AS r2
+          FROM rb),
+        btie AS (
+          SELECT bcl.doc_id, bcl.source, bcl.n_tok
+          FROM bcl CROSS JOIN bb WHERE bcl.band < bb.v
+          UNION ALL
+          SELECT doc_id, source, n_tok FROM (
+            SELECT bcl.*, CAST(SUM(n_tok) OVER (ORDER BY doc_id
               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
-              AS bcum
-            FROM sc CROSS JOIN bound WHERE sc.score = bound.sb) z
-          CROSS JOIN rb WHERE bcum <= rb.r),
+              AS dcum
+            FROM bcl CROSS JOIN bb WHERE bcl.band = bb.v) z
+          CROSS JOIN rb2 WHERE dcum <= rb2.r2),
         kept AS (SELECT doc_id, source, n_tok FROM sc CROSS JOIN bound
             WHERE bound.sb IS NULL OR sc.score > bound.sb
           UNION ALL SELECT doc_id, source, n_tok FROM btie)

@@ -60,7 +60,12 @@ class PipelineOpsSpec extends AnyFunSuite {
       }
     val budget = docs.map(_._3).sum / 5
     var cum = 0L
-    val kept = docs.sortBy { case (id, _, _, sc) => (-sc, id) }
+    // Tie order inside the boundary score class is (md5 band, doc_id) —
+    // the r16 two-level tie-break; above-boundary classes are kept in
+    // full, so folding the band into the global sort replays the exact
+    // cut (full bands kept while they fit, then an in-band doc prefix —
+    // both takeWhile-shaped).
+    val kept = docs.sortBy { case (id, _, _, sc) => (-sc, band(id), id) }
       .takeWhile { case (_, _, n, _) => { cum += n; cum <= budget } }
     val want = kept.groupBy(_._2).map { case (src, ds) =>
       (src, ds.length.toLong, ds.map(_._3).sum, ds.map(_._1).sum) }.toSet
@@ -70,6 +75,47 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(got == want)
     assert(kept.map(_._3).sum <= budget)
     assert(kept.nonEmpty && kept.length < docs.length)
+  }
+
+  /** The op's boundary-band function, replayed on the JVM: 60-bit md5
+    * prefix mod P (textsql.sparkHash), then mod 1024. */
+  private def band(id: Long): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val h = BigInt(md.digest(id.toString.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(15), 16)
+    ((h % ops.textsql.P) % 1024).toLong
+  }
+
+  test("corpus_token_budget: degenerate all-one-score corpus stays exact") {
+    // Every doc scores the same ppm (all-distinct tokens → 10^6), so the
+    // ENTIRE corpus is the boundary class — the shape whose tie-break
+    // window was corpus-sized before the r16 banding. The two-level cut
+    // must still equal the in-memory greedy replay, and the boundary
+    // band's per-doc window input must be ~1/1024 of the class.
+    val dir = java.nio.file.Files.createTempDirectory("tokbudget").toString
+    val n = 500
+    val docs = (1 to n).map { i =>
+      // i distinct words, all unique within the doc → score 1e6 for all
+      val words = (0 until (i % 7) + 3).map(w => s"w${i}x$w")
+      (i.toLong, s"src${i % 3}", words.mkString(" "))
+    }
+    import spark.implicits._
+    docs.toDF("doc_id", "source", "text")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = SparkEntry.queries("corpus_token_budget")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    val toks = docs.map { case (id, src, t) =>
+      (id, src, t.split(" ", -1).length.toLong) }
+    val budget = toks.map(_._3).sum / 5
+    var cum = 0L
+    val kept = toks.sortBy { case (id, _, _) => (band(id), id) }
+      .takeWhile { case (_, _, k) => { cum += k; cum <= budget } }
+    val want = kept.groupBy(_._2).map { case (src, ds) =>
+      (src, ds.length.toLong, ds.map(_._3).sum, ds.map(_._1).sum) }.toSet
+    assert(got == want)
+    assert(kept.nonEmpty && kept.map(_._3).sum <= budget)
   }
 
   test("text_pack conserves docs and tokens, pack ids contiguous per source") {
