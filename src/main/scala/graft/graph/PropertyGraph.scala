@@ -1413,6 +1413,16 @@ final case class PropertyGraph(vertices: DataFrame, edges: DataFrame) {
         coalesce(col("refined"), col("id")).as("refined")))
   }
 
+  /** Stored node2vec walk matrix — the graded biased-walk corpus (4-step
+    * walks from every 100th customer, p=2/q=0.5 micro-unit weights),
+    * stored like the labelings (lp3/lu4): the per-step join/window loop
+    * is the expensive part and TWO keys consume the same matrix
+    * (graph_node2vec_walk emits it; graph_walk_skipgrams explodes it
+    * into (center, context) training pairs). */
+  lazy val n2v4: DataFrame = graft.util.cut(biasedWalks(
+    vertices.filter(col("label") === "customer" && col("id") % 100 === 0),
+    4, wRet = 500000L, wOne = 1000000L, wFar = 2000000L))
+
   def labelPropagation(iters: Int): DataFrame = {
     // und is the stored [[undByA]] index — pre-hash-partitioned by the
     // receiving vertex `a` (explicit partition count so AQE doesn't

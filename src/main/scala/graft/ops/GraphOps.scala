@@ -2373,15 +2373,30 @@ object GraphOps extends OpModule {
     // candidate's distance to the PREVIOUS vertex; quantized micro-unit
     // weights keep both engines integer-exact (PropertyGraph.biasedWalks).
     Op("graph_node2vec_walk",
-      (s, dir) => {
-        val g = GraphFixture(s, dir)
-        g.biasedWalks(g.vertices.filter(col("label") === "customer" &&
-          col("id") % 100 === 0), 4,
-          wRet = 500000L, wOne = 1000000L, wFar = 2000000L)
-          .orderBy("walk_id")
-      },
+      (s, dir) => GraphFixture(s, dir).n2v4.orderBy("walk_id"),
       Some(withGraph(
         "SELECT walk_id, v0, v1, v2, v3, v4 FROM nw4 ORDER BY walk_id",
+        extra = GraphSql.n2vChain(4, "label = 'customer' AND id % 100 = 0",
+          500000L, 1000000L, 2000000L)))),
+
+    // WALK→SKIP-GRAM PAIR EXPORT — the step embedding pipelines actually
+    // train on: the stored node2vec walk matrix exploded into (center,
+    // context, dist) pairs within a ±2 window (word2vec's training-data
+    // shape over walk "sentences" — DeepWalk/node2vec both feed exactly
+    // this to the skip-gram objective), counted per pair. One text both
+    // engines: a 14-arm column-pair union over the walk relation + one
+    // map-side-combined aggregate — walk-bounded by construction (14
+    // rows per walk before combine), no join at all; at 100 TB the pair
+    // stream shuffles once on (center, context), pair-vocabulary-sized.
+    // Reads the SAME stored n2v4 artifact as graph_node2vec_walk — the
+    // walk loop never re-runs.
+    Op("graph_walk_skipgrams",
+      (s, dir) => {
+        GraphFixture(s, dir).n2v4.createOrReplaceTempView("n2vwalks")
+        s.sql(skipgramSql("n2vwalks"))
+      },
+      Some(withGraph(
+        skipgramSql("nw4"),
         extra = GraphSql.n2vChain(4, "label = 'customer' AND id % 100 = 0",
           500000L, 1000000L, 2000000L)))),
 
@@ -2693,6 +2708,20 @@ object GraphOps extends OpModule {
       CAST(COALESCE(ch.h, 0) AS INTEGER) AS coreness
       FROM $vRel v LEFT JOIN ch4 ch ON ch.id = v.id)"""
     (Seq(base) ++ rounds :+ fin).mkString(", ")
+  }
+
+  /** graph_walk_skipgrams body, one text both engines: every ordered
+    * position pair of the 5-column walk matrix within window 2 (14 arms),
+    * counted per (center, context, dist). */
+  private def skipgramSql(rel: String): String = {
+    val pairs = for {
+      i <- 0 to 4; j <- 0 to 4
+      if i != j && math.abs(i - j) <= 2
+    } yield s"SELECT v$i AS center, v$j AS context, " +
+      s"CAST(${math.abs(i - j)} AS INTEGER) AS dist FROM $rel"
+    s"""SELECT center, context, dist, COUNT(*) AS n FROM (
+      ${pairs.mkString(" UNION ALL ")}) p
+    GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"""
   }
 
   private def corenessSql(vRel: String, eRel: String): String =

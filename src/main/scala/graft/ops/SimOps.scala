@@ -315,6 +315,72 @@ object SimOps extends OpModule {
         FROM scored)
       SELECT qa, vb, rnk, cos FROM ranked WHERE rnk <= 3"""
 
+  /** Probe-cell selection as ONE nested single-SELECT text (qa, cell),
+    * shared verbatim by the Spark view and the DuckDB oracle CTE of
+    * sim_ivfpq: per query (vec_id % 100 = 0), the nprobe =
+    * max(2, ⌈√k⌉) centroids nearest by cosine (exact-decimal dot over
+    * the per-dim stream / IEEE sqrt+divide — the same arithmetic
+    * [[ivfProbeSql]]'s cn2/np/qc/probe CTEs run for sim_ivf, spelled
+    * WITHOUT a WITH chain so the Spark side can materialize it as a
+    * view body; Spark 4.1's InlineCTE rule mis-validates WITH chains
+    * over unmaterialized persisted views). */
+  private def probeSelSql(ds: String => String, unnRel: String,
+      cRel: String): String = s"""
+      SELECT qa, cell FROM (
+        SELECT qc.qa, qc.cell, ROW_NUMBER() OVER (PARTITION BY qc.qa
+            ORDER BY qc.dot / cn.cn DESC, qc.cell) AS pr
+        FROM (SELECT u.vec_id AS qa, ce.cell,
+              ${ds("CAST(u.v AS DOUBLE) * ce.c")} AS dot
+            FROM $unnRel u JOIN $cRel ce ON ce.dim = u.dim
+            WHERE u.vec_id % 100 = 0 GROUP BY u.vec_id, ce.cell) qc
+        JOIN (SELECT cell, sqrt(${ds("c * c")}) AS cn
+            FROM $cRel GROUP BY cell) cn ON cn.cell = qc.cell) t
+      WHERE pr <= (SELECT GREATEST(2, CAST(ceil(sqrt(CAST(COUNT(*)
+          AS DOUBLE))) AS BIGINT))
+        FROM (SELECT DISTINCT cell FROM $cRel) dc)"""
+
+  /** The composed IVF-PQ serving query, one nested text both dialects
+    * (sim_pq_adc's ADC machinery fronted by the probed-cells
+    * restriction): LUT build (query SQ codes × broadcast codebook →
+    * 8×16 integer table per query), candidates = the probed cells'
+    * inverted-file rows ONLY (probe ⋈ assignment on cell — the
+    * FAISS-IVFPQ scan set, ~nprobe/k of the corpus per query), ADC =
+    * candidate codes ⋈ LUT summed per (query, candidate), exact
+    * re-rank of the 25 ADC survivors. Seams: `div8` integer division,
+    * `bi` the engine's BIGINT sum cast, `ri` the rank INT cast, `dot`
+    * the native float fold. */
+  private def ivfPqTailSql(div8: String, probeRel: String, aRel: String,
+      cdRel: String, cbRel: String, asgRel: String, nRel: String,
+      dot: (String, String) => String,
+      bi: String => String, ri: String => String): String = s"""
+      SELECT qa, vb, ${ri("rnk")} AS rnk, appx, cos FROM (
+        SELECT qa, vb, appx, cos, ROW_NUMBER() OVER (PARTITION BY qa
+            ORDER BY cos DESC, vb) AS rnk
+        FROM (
+          SELECT t.qa, t.vb, t.appx,
+            ${dot("a2.embedding", "b2.embedding")} / (a2.nrm * b2.nrm) AS cos
+          FROM (
+            SELECT qa, vb, appx FROM (
+              SELECT qa, vb, appx, ROW_NUMBER() OVER (PARTITION BY qa
+                  ORDER BY appx DESC, vb) AS rn
+              FROM (
+                SELECT c.qa, c.vb, ${bi("SUM(l.ip)")} AS appx
+                FROM (SELECT p.qa, m.vec_id AS vb
+                      FROM $probeRel p JOIN $aRel m ON m.cell = p.cell
+                      WHERE m.vec_id <> p.qa) c
+                JOIN $asgRel a ON a.vec_id = c.vb
+                JOIN (SELECT q.vec_id AS qa, q.dim $div8 8 AS s, kb.j,
+                        SUM(q.code * kb.code) AS ip
+                      FROM (SELECT vec_id, dim, code FROM $cdRel
+                        WHERE vec_id % 100 = 0) q
+                      JOIN $cbRel kb ON kb.dim = q.dim GROUP BY 1, 2, 3) l
+                  ON l.qa = c.qa AND l.s = a.s AND l.j = a.j
+                GROUP BY 1, 2) z0) z1
+            WHERE rn <= 25) t
+          JOIN $nRel a2 ON a2.vec_id = t.qa
+          JOIN $nRel b2 ON b2.vec_id = t.vb) z2) z3
+      WHERE rnk <= 5 ORDER BY qa, rnk"""
+
   /** sim_hard_negatives, one body both dialects: `nRel` is the normalized
     * (vec_id, label, embedding, nrm) relation, `dot` the engine's fold. */
   private def hardNegSql(nRel: String,
@@ -467,16 +533,14 @@ object SimOps extends OpModule {
     * assignments), shared by the sim_pq_adc and stream_pq_maintain
     * oracles. Ends with `asg` (vec_id, s, j) and leaves `cd` (long-form
     * codes) open for the caller. */
-  private val duckPqPre: String = s"""
-    unn AS MATERIALIZED (SELECT vec_id, i - 1 AS dim,
-        CAST(embedding[i] AS DOUBLE) AS v
-      FROM embeddings, unnest(generate_series(1, len(embedding))) AS g(i)),
-    mm AS (SELECT dim, MIN(v) AS mn, MAX(v) AS mx FROM unn GROUP BY dim),
+  private def duckPqCtes(unnRel: String): String = s"""
+    mm AS (SELECT dim, MIN(CAST(v AS DOUBLE)) AS mn,
+        MAX(CAST(v AS DOUBLE)) AS mx FROM $unnRel GROUP BY dim),
     cd AS MATERIALIZED (SELECT u.vec_id, u.dim,
         CASE WHEN m.mx = m.mn THEN CAST(0 AS BIGINT)
-          ELSE CAST(floor((u.v - m.mn) * 255.0 / (m.mx - m.mn))
-            AS BIGINT) END AS code
-      FROM unn u JOIN mm m ON m.dim = u.dim),
+          ELSE CAST(floor((CAST(u.v AS DOUBLE) - m.mn) * 255.0
+            / (m.mx - m.mn)) AS BIGINT) END AS code
+      FROM $unnRel u JOIN mm m ON m.dim = u.dim),
     rk AS (SELECT vec_id, ROW_NUMBER() OVER (ORDER BY
         ${duckHash60("CAST(vec_id AS VARCHAR)")}, vec_id) AS j
       FROM (SELECT DISTINCT vec_id FROM cd) z),
@@ -488,6 +552,12 @@ object SimOps extends OpModule {
     asg AS MATERIALIZED (SELECT vec_id, s, j FROM (SELECT vec_id, s, j,
         ROW_NUMBER() OVER (PARTITION BY vec_id, s ORDER BY d, j) AS rn
       FROM dist) t WHERE rn = 1)"""
+
+  private val duckPqPre: String = s"""
+    unn AS MATERIALIZED (SELECT vec_id, i - 1 AS dim,
+        CAST(embedding[i] AS DOUBLE) AS v
+      FROM embeddings, unnest(generate_series(1, len(embedding))) AS g(i)),
+    ${duckPqCtes("unn")}"""
 
   private def ivfStatsFromCounts(rel: String): String = s"""
       SELECT CAST(SUM(n) AS BIGINT) AS n_vectors,
@@ -934,7 +1004,10 @@ object SimOps extends OpModule {
     // the codebook is md5-sampled (deterministic — see pqCbView). At
     // 100 TB: model (codebook+LUT) broadcasts, codes scan partition-
     // parallel, stage 2 touches 25 vectors per query regardless of
-    // corpus size.
+    // corpus size. This key is deliberately the FLAT-ADC baseline (every
+    // corpus code row scanned per query batch — exhaustive-PQ recall);
+    // the production serving shape that scans only the probed IVF
+    // cells' codes is the composed sim_ivfpq below.
     Op("sim_pq_adc",
       (s, dir) => {
         val sl = sqLongView(s, dir)
@@ -999,6 +1072,106 @@ object SimOps extends OpModule {
             ROW_NUMBER() OVER (PARTITION BY qa
               ORDER BY cos DESC, vb) AS rnk
           FROM ex) t WHERE rnk <= 5 ORDER BY qa, rnk""")),
+
+    // IVF-PQ — the COMPOSED serving key (FAISS-IVFPQ lineage): the two
+    // halves that existed separately in this repo, joined the way a
+    // production vector index actually serves. sim_ivf's trained coarse
+    // quantizer picks nprobe = max(2, ⌈√k⌉) cells per query; ONLY those
+    // cells' inverted-file rows are ADC-scanned (codes ⋈ the query's
+    // broadcast 8×16 LUT), and the exact re-rank tail touches 25
+    // survivors per query. Per-query scan work is ~nprobe/k ≈ 1/√k of
+    // the corpus instead of sim_pq_adc's full compressed scan — the fix
+    // for that key's measured 5.11× at 10× (queries grow with the
+    // corpus; the probed fraction SHRINKS as 1/√k, so the composed scan
+    // stays ~linear). All artifacts are the stored views both parent
+    // keys already share (quantizer, inverted file, SQ codes, codebook,
+    // assignments): warm serving reuses every one. Everything before
+    // the final cosine is BIGINT or exact-decimal ⇒ the DuckDB oracle
+    // replays the full chain (train + assign + probe + PQ + ADC)
+    // bit-for-bit.
+    Op("sim_ivfpq",
+      (s, dir) => {
+        GraftFunctions.register(s)
+        val sl = sqLongView(s, dir)
+        val cbv = pqCbView(s, dir)
+        val asg = pqAsgView(s, dir)
+        val nv = normView(s, dir)
+        val unn = unnView(s, dir)
+        val a1 = assignView(s, dir)
+        val c2 = graft.Views.checkpointed(s, dir, "simivf_c2",
+          ivfCentSql(sparkDs, a1, unn))
+        // Probe set materialized as its own (queries × nprobe)-row view —
+        // a single nested SELECT, so the InlineCTE trap never applies,
+        // and every query below is WITH-free nested subqueries (the
+        // sim_pq_adc discipline).
+        val probe = graft.Views.materialize(s, dir, "ivfpqprobe",
+          probeSelSql(sparkDs, unn, c2))
+        // The STORED IVF-PQ index row — (vec_id, cell, 8 packed
+        // sub-codes), literally what a FAISS-IVFPQ inverted list holds.
+        // Folding cell + codes into ONE row is the plan-shape fix the
+        // first cut of this key missed: a relational (vec_id, s, j)
+        // ADC (the sim_pq_adc shape restricted to probed members)
+        // shuffled the candidate stream three times (cell join → code
+        // join → (qa, vb) aggregate) and measured SLOWER than the flat
+        // scan it fronts — the flat scan never shuffles its 8×-wider
+        // stream at all. With the packed row, serving is one scan.
+        val pqidx = graft.Views.materialize(s, dir, "pqidx", s"""
+          SELECT a.vec_id, a.cell, g.jarr FROM $a1 a JOIN (
+            SELECT vec_id, transform(array_sort(collect_list(
+                struct(CAST(s AS INT) AS s, CAST(j AS INT) AS j))),
+              x -> x.j) AS jarr
+            FROM $asg GROUP BY vec_id) g ON g.vec_id = a.vec_id""")
+        // Per-query LUT as a dense 128-slot array (slot s·16+j, 1-based):
+        // the query's integer inner products against every codebook
+        // entry, the table ADC looks up instead of touching vectors.
+        val lut = graft.Views.materialize(s, dir, "pqlutarr", s"""
+          SELECT qa, transform(array_sort(collect_list(struct(
+              CAST(s AS INT) * 16 + CAST(j AS INT) AS pos, ip))),
+            x -> x.ip) AS iparr
+          FROM (SELECT q.vec_id AS qa, q.dim div 8 AS s, c.j,
+              SUM(q.code * c.code) AS ip
+            FROM (SELECT vec_id, dim, code FROM $sl
+              WHERE vec_id % 100 = 0) q
+            JOIN $cbv c ON c.dim = q.dim GROUP BY 1, 2, 3) l
+          GROUP BY qa""")
+        // Serving: ONE pass over the probed cells' index rows (probe and
+        // LUT broadcast onto the pqidx scan), appx = an 8-step array
+        // fold per row, and the per-query top-25 cut via the bounded
+        // topk_rows aggregate (map-side combined — each task reduces to
+        // ≤25 rows per query, so the only candidate-stream shuffle
+        // carries ≤ 25·tasks·queries tuples, never the candidates).
+        // TopKRows' total order (ord DESC, key1 ASC) is exactly the
+        // oracle's ROW_NUMBER (appx DESC, vb) — same survivor set.
+        // appx ≤ 8·8·255² < 2^53, so the DOUBLE ord round-trips exactly.
+        s.sql(s"""
+          SELECT qa, vb, rnk, appx, cos FROM (
+            SELECT qa, vb, appx, cos, ROW_NUMBER() OVER (PARTITION BY qa
+                ORDER BY cos DESC, vb) AS rnk
+            FROM (
+              SELECT t.qa, t.vb, t.appx,
+                vec_dot(a2.embedding, b2.embedding)
+                  / (a2.nrm * b2.nrm) AS cos
+              FROM (
+                SELECT qa, e.key1 AS vb, CAST(e.ord AS BIGINT) AS appx
+                FROM (
+                  SELECT qa, topk_rows(CAST(appx AS DOUBLE), vb,
+                      CAST(0 AS INT), 25) AS top
+                  FROM (
+                    SELECT p.qa, x.vec_id AS vb,
+                      aggregate(zip_with(x.jarr, sequence(1, 8),
+                        (jj, ss) -> element_at(l.iparr,
+                          CAST((ss - 1) * 16 + jj AS INT))),
+                        CAST(0 AS BIGINT), (acc, v) -> acc + v) AS appx
+                    FROM $probe p JOIN $pqidx x ON x.cell = p.cell
+                    JOIN $lut l ON l.qa = p.qa
+                    WHERE x.vec_id <> p.qa) adc
+                  GROUP BY qa) tk
+                LATERAL VIEW explode(top) t0 AS e) t
+              JOIN $nv a2 ON a2.vec_id = t.qa
+              JOIN $nv b2 ON b2.vec_id = t.vb) z2) z3
+          WHERE rnk <= 5 ORDER BY qa, rnk""")
+      },
+      Some(ivfPqOracle)),
 
     // STREAMING PQ-INDEX MAINTENANCE — the PQ family's maintain twin,
     // exactly stream_ivf_maintain's contract at a finer granularity: the
@@ -1098,5 +1271,22 @@ object SimOps extends OpModule {
   private val ivfStatsOracle: String = {
     val body = ivfStatsSql("a1")
     s"WITH $duckIvfPre ${body.trim.stripPrefix("WITH")}"
+  }
+
+  /** sim_ivfpq oracle: the full IVF chain (train + assign + centroids +
+    * probe — duckIvfPre's CTEs) spliced with the PQ model chain over the
+    * SAME unnested relation, closed by the shared composed tail. */
+  private lazy val ivfPqOracle: String = {
+    val pre = duckIvfPre +
+      s"""c2 AS MATERIALIZED (${ivfCentSql(duckDds, "a1", "unnmat")}),
+      probe AS MATERIALIZED (${probeSelSql(duckDds, "unnmat", "c2")}),
+      ${duckPqCtes("unnmat")},
+      """
+    // the trailing comma duckPqCtes does NOT carry is supplied above;
+    // strip the duplicate one pre ends with before the tail body
+    s"WITH ${pre.trim.stripSuffix(",")} " +
+      ivfPqTailSql("//", "probe", "a1", "cd", "cb", "asg", "nmat",
+        (a, b) => duckDot(a, b),
+        e => s"CAST($e AS BIGINT)", e => s"CAST($e AS INTEGER)")
   }
 }

@@ -205,6 +205,25 @@ class GraphAlgoIndependenceSpec extends AnyFunSuite {
     assert(got != uniform, "p/q bias never changed any step — vacuous")
   }
 
+  test("graph_walk_skipgrams: closed-form over the walk matrix") {
+    // each 5-position walk yields exactly 14 window-2 ordered pairs
+    // (8 at dist 1, 6 at dist 2); the graded counts must equal an
+    // in-memory explode of the walks the sibling key emits.
+    val walks = SparkEntry.queries("graph_node2vec_walk")(spark, sf)
+      .collect().map(r => (0 to 4).map(j => r.getLong(j + 1)).toVector)
+    val want = walks.flatMap { w =>
+      for {
+        i <- 0 to 4; j <- 0 to 4
+        if i != j && math.abs(i - j) <= 2
+      } yield (w(i), w(j), math.abs(i - j))
+    }.groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+    val got = SparkEntry.queries("graph_walk_skipgrams")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))
+        -> r.getLong(3)).toMap
+    assert(got == want)
+    assert(got.values.sum == 14L * walks.length)
+  }
+
   test("graph_sssp: reversed BFS to region landmarks recomputed independently") {
     // min hops FOLLOWING OUT-EDGES to the nearest region, bound 8 — i.e.
     // BFS from all region vertices over REVERSED edges.
