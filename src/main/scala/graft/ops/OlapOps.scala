@@ -278,7 +278,86 @@ object OlapOps extends OpModule {
       OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50
         AND l_quantity BETWEEN 20 AND 40)"""
 
+  /** TPC-H Q2 shape — min-cost supplier per part in one region: THE
+    * classic correlated-subquery decorrelation stress (the spec text has
+    * `ps_supplycost = (SELECT MIN(ps_supplycost) ... WHERE ps_partkey =
+    * p_partkey ...)`). No partsupp table ships, so the (part, supplier)
+    * cost relation derives from lineitem (min observed unit price — one
+    * per-row IEEE division, then MIN: deterministic bits both engines,
+    * so the min-cost equality join-back matches exactly). Written as the
+    * decorrelated two-aggregate form BOTH engines should plan: per-part
+    * min joined back to the cost relation — one fact-sized aggregate,
+    * never a per-row re-scan; part/supplier/nation/region attach by
+    * broadcast (region+size predicates prune part first), and the top
+    * 100 is TakeOrderedAndProject, not a global sort. */
+  private val minCostSupplierSql: String = """
+    WITH ps AS (
+      SELECT l_partkey AS pk, l_suppkey AS sk,
+        MIN(l_extendedprice / l_quantity) AS cost
+      FROM lineitem GROUP BY 1, 2),
+    mn AS (SELECT pk, MIN(cost) AS mincost FROM ps GROUP BY 1)
+    SELECT s_acctbal, s_name, n_name, p_partkey, p_brand,
+      ps.cost AS supply_cost
+    FROM ps
+    JOIN mn ON mn.pk = ps.pk AND ps.cost = mn.mincost
+    JOIN part ON p_partkey = ps.pk
+    JOIN supplier ON s_suppkey = ps.sk
+    JOIN nation ON n_nationkey = s_nationkey
+    JOIN region ON r_regionkey = n_regionkey
+    WHERE p_size BETWEEN 1 AND 15 AND r_name = 'EUROPE'
+    ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+    LIMIT 100"""
+
+  /** TPC-H Q20 shape — part-promotion candidates: suppliers holding
+    * excess stake in promoted parts (the nested EXISTS + correlated
+    * half-quantity-threshold stress; spec: ps_availqty > 0.5 × the
+    * supplier's shipped quantity of that part). Without partsupp the
+    * stake is the supplier's share of the part's shipped quantity in
+    * the window: qualify iff q(supp, part) > ½ · q(part) for some
+    * part LIKE '%red%'. The two correlated aggregates decorrelate into
+    * ONE grouped pass with the part-level total as a window over the
+    * (part, supplier) aggregate — partition key = part, group-bounded,
+    * and crucially a single fact scan (a separate tq aggregate
+    * join-back reads sq twice once Spark inlines the CTE — measured as
+    * two lineitem scans; the window form is also join-free). The
+    * threshold compares DECIMALS exactly, and the nested EXISTS
+    * collapses to DISTINCT + an IN (= LEFT SEMI) probe of supplier —
+    * one fact shuffle total where the literal spec text would run two
+    * correlated re-scans per supplier. */
+  private val partPromotionSql: String = """
+    WITH sq AS (
+      SELECT l_partkey AS pk, l_suppkey AS sk,
+        SUM(CAST(l_quantity AS DECIMAL(38,10))) AS q
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1999-01-01'
+        AND l_shipdate < TIMESTAMP '2000-01-01'
+      GROUP BY 1, 2),
+    w AS (SELECT pk, sk, q, SUM(q) OVER (PARTITION BY pk) AS tot FROM sq),
+    qual AS (SELECT DISTINCT w.sk FROM w
+      JOIN part ON p_partkey = w.pk
+      WHERE p_name LIKE '%red%' AND w.q * 2 > w.tot)
+    SELECT s_suppkey, s_name, n_name
+    FROM supplier
+    JOIN nation ON n_nationkey = s_nationkey
+    WHERE s_suppkey IN (SELECT sk FROM qual)
+    ORDER BY s_name"""
+
   def ops: Seq[Op] = Seq(
+    Op("olap_min_cost_supplier",
+      (s, dir) => {
+        Seq("lineitem", "part", "supplier", "nation", "region")
+          .foreach(view(s, dir, _))
+        s.sql(minCostSupplierSql)
+      },
+      Some(minCostSupplierSql)),
+
+    Op("olap_part_promotion",
+      (s, dir) => {
+        Seq("lineitem", "part", "supplier", "nation").foreach(view(s, dir, _))
+        s.sql(partPromotionSql)
+      },
+      Some(partPromotionSql)),
+
     Op("olap_order_priority",
       (s, dir) => {
         Seq("orders", "lineitem").foreach(view(s, dir, _))

@@ -389,6 +389,64 @@ object StreamOps extends OpModule {
         WHERE p.event_type = 'purchase'
         GROUP BY 1, 2 ORDER BY 1""")),
 
+    // FULL OUTER stream-stream join, batch twin — completes the join-mode
+    // ladder (inner → left → full): BOTH sides pad. A purchase with no
+    // prior click emits with n = 0 (the left leg), and a click that no
+    // purchase's 30-minute window ever covered emits from the RIGHT side
+    // — in the true streaming execution (StreamingSpec "full-outer
+    // stream-stream join") each padded row may only emit once BOTH
+    // watermarks prove no future match can arrive, which is exactly the
+    // dual-watermark eviction contract the spec drives past end-of-data
+    // with two-sided sentinels. The graded batch form summarizes the
+    // same semantics deterministically: per-purchase matched-click
+    // counts (zeros included) plus per-user unmatched-click counts, one
+    // unified (side, key_id, user_id, n) schema. One shuffle per side on
+    // user_id; the interval predicate bounds join state (streaming:
+    // watermark evicts; batch: the range residual prunes in the join).
+    Op("stream_stream_full_join",
+      (s, dir) => {
+        val ev = Tables(s, dir, "events")
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
+            col("ts").as("p_ts"))
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("event_id").as("c_id"), col("user_id").as("c_user"),
+            col("ts").as("c_ts"))
+        val j = purchases.join(clicks,
+          col("p_user") === col("c_user") &&
+            col("c_ts") <= col("p_ts") &&
+            col("c_ts") >= col("p_ts") - expr("INTERVAL 30 MINUTES"),
+          "full_outer")
+        val pSide = j.filter(col("p_id").isNotNull)
+          .groupBy(col("p_id"), col("p_user"))
+          .agg(count(col("c_id")).as("n"))
+          .select(lit("purchase").as("side"), col("p_id").as("key_id"),
+            col("p_user").as("user_id"), col("n"))
+        val cSide = j.filter(col("p_id").isNull)
+          .groupBy(col("c_user"))
+          .agg(count(lit(1)).as("n"))
+          .select(lit("click").as("side"), col("c_user").as("key_id"),
+            col("c_user").as("user_id"), col("n"))
+        pSide.unionByName(cSide).orderBy("side", "key_id")
+      },
+      Some("""
+        WITH p AS (SELECT event_id AS p_id, user_id AS p_user, ts AS p_ts
+          FROM events WHERE event_type = 'purchase'),
+        c AS (SELECT event_id AS c_id, user_id AS c_user, ts AS c_ts
+          FROM events WHERE event_type = 'click'),
+        j AS (SELECT p.p_id, p.p_user, c.c_id, c.c_user
+          FROM p FULL JOIN c ON c.c_user = p.p_user
+            AND c.c_ts <= p.p_ts
+            AND c.c_ts >= p.p_ts - INTERVAL '30 minutes')
+        SELECT side, key_id, user_id, n FROM (
+          SELECT 'purchase' AS side, p_id AS key_id, p_user AS user_id,
+            COUNT(c_id) AS n
+          FROM j WHERE p_id IS NOT NULL GROUP BY 2, 3
+          UNION ALL
+          SELECT 'click', c_user, c_user, COUNT(*)
+          FROM j WHERE p_id IS NULL GROUP BY 2, 3) u
+        ORDER BY side, key_id""")),
+
     // Typed stateful path: per-user running purchase count over the ordered
     // timeline. Secondary sort — repartition by user, sort WITHIN partitions
     // by (user, ts, id), then a constant-memory scan per partition. Unlike a

@@ -200,6 +200,35 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
   }
 
+  test("olap_min_cost_supplier: decorrelated min join-back, broadcast dims, top-100 without a global sort") {
+    val p = finalPlan("olap_min_cost_supplier")
+    // the per-part min must be an aggregate joined back — never a
+    // correlated per-row re-scan (which would surface as a nested loop)
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"), p)
+    // dims attach by broadcast (part/supplier/nation/region are all tiny
+    // next to the fact aggregate)
+    assert(p.contains("BroadcastHashJoin"), p)
+    // LIMIT 100 under ORDER BY = TakeOrderedAndProject, not a full sort
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("olap_part_promotion: semi-join probe, no correlated re-scan") {
+    val p = finalPlan("olap_part_promotion")
+    // the IN (SELECT ...) must compile to a LEFT SEMI hash join
+    assert(p.contains("LeftSemi"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"), p)
+    // both correlated aggregates decorrelate into ONE fact scan (the
+    // part total is a window over the grouped relation, so nothing
+    // reads lineitem twice — AQE's toString also renders the initial
+    // plan, count the final section only)
+    val finalSection = p.split("== Initial Plan ==")(0)
+    val lineitemScans = finalSection.split('\n').count(l =>
+      l.contains("Scan parquet") && l.contains("lineitem"))
+    assert(lineitemScans == 1, s"$lineitemScans lineitem scans\n$p")
+  }
+
   test("split_train_test aggregates with map-side combine (pure scan + agg)") {
     val p = finalPlan("split_train_test")
     assert(p.contains("partial_"), p)

@@ -133,6 +133,57 @@ class StreamingSpec extends AnyFunSuite {
     assert(zerosGot > 0, "fixture should have clickless purchases")
   }
 
+  test("full-outer stream-stream join: both sides pad once both watermarks pass") {
+    // The left-outer test's discipline, completed: the engine must prove
+    // BOTH "no future click can match this purchase" (left padding) and
+    // "no future purchase's window can cover this click" (right padding)
+    // before emitting — two-sided far-future sentinels drive the dual
+    // watermark past end-of-data. Sentinel rows (user −1) match nothing
+    // and are excluded from the assertion set.
+    val dir = java.nio.file.Files.createTempDirectory("graft-fojoin").toString
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"${TestSpark.sf}/events.parquet"),
+      java.nio.file.Paths.get(s"$dir/events.parquet"))
+    import org.apache.spark.sql.Row
+    val maxTs = Tables(spark, TestSpark.sf, "events")
+      .agg(max(col("ts"))).collect()(0).getTimestamp(0)
+    val sentinel = new java.sql.Timestamp(maxTs.getTime + 6 * 3600 * 1000L)
+    val schema = Tables(spark, TestSpark.sf, "events").schema
+    spark.createDataFrame(
+      java.util.Arrays.asList(
+        Row(-1L, sentinel, -1L, "click", 0.0, "{}"),
+        Row(-2L, sentinel, -1L, "purchase", 0.0, "{}")),
+      schema).write.mode("append").parquet(dir)
+    val ev = Streams.readEvents(spark, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
+        col("ts").as("p_ts"))
+      .withWatermark("p_ts", "10 minutes")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
+      .withWatermark("c_ts", "10 minutes")
+    val joined = purchases.join(clicks,
+      expr("""p_user = c_user AND c_ts <= p_ts
+        AND c_ts >= p_ts - INTERVAL 30 MINUTES"""), "full_outer")
+    val got = runToMemory(joined, "t_fojoin", mode = "append")
+      .filter(coalesce(col("p_user"), col("c_user")) >= 0)
+    val bev = Tables(spark, TestSpark.sf, "events")
+    val want = bev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
+        col("ts").as("p_ts"))
+      .join(bev.filter(col("event_type") === "click")
+        .select(col("user_id").as("c_user"), col("ts").as("c_ts")),
+        expr("""p_user = c_user AND c_ts <= p_ts
+          AND c_ts >= p_ts - INTERVAL 30 MINUTES"""), "full_outer")
+    assert(got.count() == want.count())
+    val leftPadGot = got.filter(col("c_ts").isNull).count()
+    val rightPadGot = got.filter(col("p_id").isNull).count()
+    assert(leftPadGot == want.filter(col("c_ts").isNull).count())
+    assert(rightPadGot == want.filter(col("p_id").isNull).count())
+    assert(leftPadGot > 0, "fixture should have clickless purchases")
+    assert(rightPadGot > 0, "fixture should have purchase-less clicks")
+  }
+
   test("streaming file sink: parquet sink + checkpoint, read-back == batch") {
     val outDir = java.nio.file.Files.createTempDirectory("graft-fsink").toString
     val q = Streams.dedupEvents(Streams.readEvents(spark, srcDir))
