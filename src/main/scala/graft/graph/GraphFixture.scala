@@ -291,6 +291,62 @@ object GraphSql {
     (Seq(base) ++ steps).mkString(", ")
   }
 
+  /** Unrolled SECOND Louvain level mirroring [[PropertyGraph.louvain2]]
+    * exactly: contraction of the refined labeling (expects `luund` from
+    * [[louvainChain]] and `l12` from [[ccJumpChain]] over the intra
+    * subset already in scope) into (c2und inter-weights, c2self
+    * intra-weights, c2deg strengths with 2·self), then `sweeps` weighted
+    * parity-scheduled sweeps v1..v<sweeps> — the same gain/tie/carry
+    * text as louvainChain with SUM(w) where it counted. All aggregates
+    * CAST back to BIGINT (DuckDB SUMs promote to HUGEINT). */
+  def louvain2Ctes(sweeps: Int): String = {
+    val base = """c2und AS MATERIALIZED (SELECT LEAST(x.lbl, y.lbl) AS a,
+        GREATEST(x.lbl, y.lbl) AS b, CAST(COUNT(*) AS BIGINT) AS w
+      FROM luund u JOIN l12 x ON x.id = u.a JOIN l12 y ON y.id = u.b
+      WHERE x.lbl <> y.lbl GROUP BY 1, 2),
+    c2self AS (SELECT x.lbl AS id, CAST(COUNT(*) AS BIGINT) AS ws
+      FROM luund u JOIN l12 x ON x.id = u.a JOIN l12 y ON y.id = u.b
+      WHERE x.lbl = y.lbl GROUP BY 1),
+    c2half AS MATERIALIZED (SELECT a AS i, b AS j, w FROM c2und
+      UNION ALL SELECT b, a, w FROM c2und),
+    c2deg AS MATERIALIZED (SELECT n.id,
+        CAST(COALESCE(d.dw, 0) + 2 * COALESCE(s.ws, 0) AS BIGINT) AS deg
+      FROM (SELECT DISTINCT lbl AS id FROM l12) n
+      LEFT JOIN (SELECT i AS id, CAST(SUM(w) AS BIGINT) AS dw FROM c2half
+        GROUP BY 1) d ON d.id = n.id
+      LEFT JOIN c2self s ON s.id = n.id),
+    c2m AS (SELECT CAST(SUM(deg) AS BIGINT) AS m2 FROM c2deg),
+    v0 AS MATERIALIZED (SELECT id, id AS comm FROM c2deg)"""
+    val steps = (1 to sweeps).map { t =>
+      s"""vkic$t AS (SELECT h.i, p.comm AS cc, CAST(SUM(h.w) AS BIGINT) AS k
+           FROM c2half h JOIN v${t - 1} p ON p.id = h.j GROUP BY 1, 2),
+         vtot$t AS (SELECT p.comm AS cc, CAST(SUM(d.deg) AS BIGINT) AS tot
+           FROM v${t - 1} p JOIN c2deg d ON d.id = p.id GROUP BY 1),
+         vcand$t AS (SELECT i, cc, MAX(k) AS k FROM (
+           SELECT i, cc, k FROM vkic$t WHERE (i + $t) % 2 = 0
+           UNION ALL SELECT id, comm, 0 FROM v${t - 1}
+           WHERE (id + $t) % 2 = 0) z GROUP BY 1, 2),
+         vsc$t AS (SELECT c.i, c.cc, o.comm AS own,
+             CAST(m.m2 AS DECIMAL(38,0)) * c.k
+               - CAST(d.deg AS DECIMAL(38,0))
+                 * (t.tot - CASE WHEN c.cc = o.comm THEN d.deg ELSE 0 END)
+               AS score
+           FROM vcand$t c JOIN v${t - 1} o ON o.id = c.i
+           JOIN c2deg d ON d.id = c.i
+           JOIN vtot$t t ON t.cc = c.cc CROSS JOIN c2m m),
+         v$t AS MATERIALIZED (SELECT i AS id, cc AS comm FROM (
+           SELECT s.i, s.cc, ROW_NUMBER() OVER (PARTITION BY s.i
+             ORDER BY s.score DESC, s.cc) AS rn
+           FROM vsc$t s
+           JOIN (SELECT i, score AS stay FROM vsc$t WHERE cc = own) y
+             ON y.i = s.i
+           WHERE s.cc = s.own OR s.score > y.stay) q WHERE rn = 1
+           UNION ALL SELECT id, comm FROM v${t - 1}
+           WHERE (id + $t) % 2 = 1)"""
+    }
+    (Seq(base) ++ steps).mkString(", ")
+  }
+
   /** Unrolled k-core peel kc1..kc<rounds> mirroring PropertyGraph.kCore:
     * each round keeps vertices whose degree over surviving edges is ≥ k. */
   /** The undirected distinct edge set every peel chain starts from. */

@@ -55,8 +55,24 @@ object Louvain {
     val und = cut(und0.select("a", "b"))
     val half = und.select(col("a").as("i"), col("b").as("j"))
       .unionAll(und.select(col("b").as("i"), col("a").as("j")))
+      .withColumn("w", lit(1L))
     val deg = cut(half.groupBy("i").agg(count(lit(1)).as("deg"))
       .withColumnRenamed("i", "id"))
+    weightedSweeps(half, deg, sweeps)
+  }
+
+  /** The sweep loop over an arbitrary WEIGHTED half-edge list — the
+    * second-and-up Louvain level runs here: after contraction the graph
+    * carries integer edge weights (inter-community edge counts) and
+    * node strengths that include 2× the community's internal weight
+    * (self-loops travel with the node, never enter k_iC — the standard
+    * contracted-graph convention). `half` is (i, j, w) in BOTH
+    * directions; `deg` is (id, deg) = the strength Σ_j w_ij + 2·w_self
+    * (for a simple unweighted graph w = 1 and deg = degree, which is
+    * how [[oneLevel]] delegates). All gain arithmetic stays the integer
+    * DECIMAL(38,0) form — weights are edge counts. */
+  def weightedSweeps(half: DataFrame, deg: DataFrame,
+      sweeps: Int): DataFrame = {
     // 2m: one 1-row scalar action, sweep-invariant.
     val m2 = deg.agg(sum("deg")).head.getLong(0)
     // NO broadcast hints on the vertex-sized sweep frames: driver-
@@ -77,7 +93,7 @@ object Louvain {
       val elig = (col("i") + lit(t.toLong)) % 2 === 0
       val kic = half.filter(elig)
         .join(c.select(col("id").as("j"), col("comm").as("cc")), "j")
-        .groupBy("i", "cc").agg(count(lit(1)).as("k"))
+        .groupBy("i", "cc").agg(sum("w").as("k"))
       val tot = c.groupBy("comm").agg(sum("deg").as("tot"))
       val own = c.select(col("id").as("i"), col("comm").as("own"),
         col("deg")).filter(elig)

@@ -1413,6 +1413,46 @@ final case class PropertyGraph(vertices: DataFrame, edges: DataFrame) {
         coalesce(col("refined"), col("id")).as("refined")))
   }
 
+  /** Stored SECOND community level — the actual Louvain/Leiden LOOP step
+    * the one-level keys stopped short of: contract the [[leidenRefined]]
+    * labeling into a super-graph (super-node = refined piece; edge
+    * weight = inter-piece edge count; self-loop weight = intra-piece
+    * edge count, entering node strength as 2·w_self) and run the same 4
+    * parity-scheduled weighted sweeps on it. Returns (id, level1,
+    * level2) per original vertex — level1 the refined piece, level2 its
+    * super-community. The contraction is two vertex-map joins + two
+    * community-sized aggregates; the sweep loop then runs on the
+    * SUPER-graph (pieces, not vertices — the size collapse that makes
+    * multi-level Louvain tractable at any scale). */
+  lazy val louvain2: DataFrame = {
+    val l1 = leidenRefined // (id, comm, refined)
+    val lbl = l1.select(col("id"), col("refined"))
+    val e = undirectedEdges
+      .join(lbl.select(col("id").as("a"), col("refined").as("ra")), "a")
+      .join(lbl.select(col("id").as("b"), col("refined").as("rb")), "b")
+    val inter = e.filter(col("ra") =!= col("rb"))
+      .select(least(col("ra"), col("rb")).as("sa"),
+        greatest(col("ra"), col("rb")).as("sb"))
+      .groupBy("sa", "sb").agg(count(lit(1)).as("w"))
+    val selfW = e.filter(col("ra") === col("rb"))
+      .groupBy(col("ra").as("id")).agg(count(lit(1)).as("wself"))
+    val half = inter.select(col("sa").as("i"), col("sb").as("j"), col("w"))
+      .unionAll(inter.select(col("sb").as("i"), col("sa").as("j"), col("w")))
+    val interDeg = half.groupBy("i").agg(sum("w").as("dw"))
+      .withColumnRenamed("i", "id")
+    val nodes = lbl.select(col("refined").as("id")).distinct()
+    val deg = graft.util.cut(nodes
+      .join(interDeg, Seq("id"), "left")
+      .join(selfW, Seq("id"), "left")
+      .select(col("id"), (coalesce(col("dw"), lit(0L))
+        + lit(2L) * coalesce(col("wself"), lit(0L))).as("deg")))
+    val c2 = Louvain.weightedSweeps(graft.util.cut(half), deg, 4)
+    graft.util.cut(l1
+      .join(c2.select(col("id").as("refined"), col("comm").as("level2")),
+        "refined")
+      .select(col("id"), col("refined").as("level1"), col("level2")))
+  }
+
   /** Stored node2vec walk matrix — the graded biased-walk corpus (4-step
     * walks from every 100th customer, p=2/q=0.5 micro-unit weights),
     * stored like the labelings (lp3/lu4): the per-step join/window loop

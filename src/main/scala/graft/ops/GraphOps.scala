@@ -2517,6 +2517,32 @@ object GraphOps extends OpModule {
           """ + GraphSql.ccJumpChain(12, edgesRel = "intra",
             verticesRel = "lu4")))),
 
+    // SECOND COMMUNITY LEVEL — the actual Louvain/Leiden LOOP (Blondel
+    // phase 2 / Traag aggregation step): the leiden-refined labeling
+    // CONTRACTS into a super-graph (super-node per piece, inter-piece
+    // edge counts as weights, intra-piece counts as self-loop strength)
+    // and the same 4 parity-scheduled sweeps run WEIGHTED on it
+    // (Louvain.weightedSweeps). Emits (id, level1, level2) — the
+    // two-level hierarchy a production community pipeline stores. The
+    // sweep loop runs on the contracted graph (pieces, not vertices),
+    // which is the collapse that keeps multi-level Louvain tractable at
+    // 100 TB; GraphAlgoIndependenceSpec asserts Q(level2) ≥ Q(level1)
+    // on the fixture. Oracle: the full unrolled chain — louvain sweeps,
+    // flood+jump refinement, contraction, weighted sweeps
+    // (GraphSql.louvain2Ctes).
+    Op("graph_louvain_hierarchy",
+      (s, dir) => GraphFixture(s, dir).louvain2.orderBy("id"),
+      Some(withGraph(
+        """SELECT r.id, r.lbl AS level1, v4.comm AS level2
+          FROM l12 r JOIN v4 ON v4.id = r.lbl ORDER BY r.id""",
+        extra = GraphSql.louvainChain(4) + """,
+          intra AS MATERIALIZED (SELECT u.a AS src, u.b AS dst
+            FROM luund u
+            JOIN lu4 x ON x.id = u.a JOIN lu4 y ON y.id = u.b
+            WHERE x.comm = y.comm),
+          """ + GraphSql.ccJumpChain(12, edgesRel = "intra",
+            verticesRel = "lu4") + ", " + GraphSql.louvain2Ctes(4)))),
+
     // CONDUCTANCE of the label-propagation communities — the cut-quality
     // score modularity doesn't see (a community can score high Q yet leak
     // half its volume through a thin frontier; φ(C) = cut(C) /

@@ -205,6 +205,84 @@ class GraphAlgoIndependenceSpec extends AnyFunSuite {
     assert(got != uniform, "p/q bias never changed any step — vacuous")
   }
 
+  test("graph_louvain_hierarchy: weighted second level recomputed " +
+      "independently, Q(level2) >= Q(level1)") {
+    // Semantics under test (PropertyGraph.louvain2 / GraphSql
+    // .louvain2Ctes): contract the graded refined labeling (level1 =
+    // graph_leiden_refine's pieces), run 4 parity-scheduled WEIGHTED
+    // sweeps — k_iC sums inter-piece edge weights, strength includes
+    // 2× the piece's internal edge count, self-loops never enter k_iC.
+    val ref = SparkEntry.queries("graph_leiden_refine")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val und = rawEdges.collect { case (s, d, _) if s != d =>
+      (math.min(s, d), math.max(s, d)) }.distinct
+    // contraction: inter-piece weights + self weights
+    val interW = new mutable.HashMap[(Long, Long), Long].withDefaultValue(0L)
+    val selfW = new mutable.HashMap[Long, Long].withDefaultValue(0L)
+    und.foreach { case (a, b) =>
+      val (ra, rb) = (ref(a), ref(b))
+      if (ra == rb) selfW(ra) += 1L
+      else interW((math.min(ra, rb), math.max(ra, rb))) += 1L
+    }
+    val adjW = new mutable.HashMap[Long, mutable.HashMap[Long, Long]]
+    interW.foreach { case ((a, b), w) =>
+      adjW.getOrElseUpdate(a, new mutable.HashMap) += (b -> w)
+      adjW.getOrElseUpdate(b, new mutable.HashMap) += (a -> w)
+    }
+    val nodes = ref.values.toSet
+    val deg: Map[Long, Long] = nodes.map { n =>
+      n -> (adjW.get(n).map(_.values.sum).getOrElse(0L) + 2L * selfW(n))
+    }.toMap
+    val m2 = BigInt(deg.values.sum)
+    var comm: Map[Long, Long] = nodes.map(id => id -> id).toMap
+    for (t <- 1 to 4) {
+      val tot = new mutable.HashMap[Long, Long].withDefaultValue(0L)
+      for ((id, d) <- deg) tot(comm(id)) += d
+      comm = nodes.toSeq.map { i =>
+        val own = comm(i)
+        if ((i + t) % 2 != 0) i -> own else {
+          val kic = new mutable.HashMap[Long, Long].withDefaultValue(0L)
+          adjW.get(i).foreach(_.foreach { case (j, w) => kic(comm(j)) += w })
+          val cands = (kic.keySet + own).toSeq
+          def score(c: Long): BigInt =
+            m2 * BigInt(kic(c)) - BigInt(deg(i)) *
+              BigInt(tot(c) - (if (c == own) deg(i) else 0L))
+          val stay = score(own)
+          val best = cands.filter(c => c == own || score(c) > stay)
+            .minBy(c => (-score(c), c))
+          i -> best
+        }
+      }.toMap
+    }
+    val got = SparkEntry.queries("graph_louvain_hierarchy")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    got.foreach { case (id, l1, _) => assert(l1 == ref(id)) }
+    val gotL2 = got.map { case (id, _, l2) => id -> l2 }.toMap
+    val wantL2 = got.map { case (id, _, _) => id -> comm(ref(id)) }.toMap
+    assert(gotL2 == wantL2,
+      "Spark weighted second level diverges from in-memory sweeps")
+    // the aggregation step must not lose quality: modularity of the
+    // level-2 labeling on the ORIGINAL graph is at least level-1's
+    // (each accepted contracted move strictly improves Q; parity
+    // scheduling makes this an empirical fixture assertion, not a
+    // theorem — which is exactly why it is pinned here)
+    val vdeg = new mutable.HashMap[Long, Long].withDefaultValue(0L)
+    und.foreach { case (a, b) => vdeg(a) += 1L; vdeg(b) += 1L }
+    def q(lbl: Long => Long): Double = {
+      val m = und.size.toDouble
+      val intra = und.count { case (a, b) => lbl(a) == lbl(b) }
+      val sa2 = vdeg.keys.groupBy(lbl).values
+        .map(vs => vs.map(vdeg(_)).sum.toDouble).map(x => x * x).sum
+      intra / m - sa2 / (4 * m * m)
+    }
+    val q1 = q(id => ref(id))
+    val q2 = q(id => gotL2(id))
+    assert(q2 >= q1 - 1e-12,
+      s"second level lost modularity: Q1=$q1 Q2=$q2")
+    assert(gotL2.values.toSet.size < ref.values.toSet.size,
+      "second level merged nothing — vacuous hierarchy")
+  }
+
   test("graph_walk_skipgrams: closed-form over the walk matrix") {
     // each 5-position walk yields exactly 14 window-2 ordered pairs
     // (8 at dist 1, 6 at dist 2); the graded counts must equal an
