@@ -756,8 +756,38 @@ final case class Traversal(g: PropertyGraph, df: DataFrame, depth: Int,
       labels, sideSets = sideSets)
   }
 
+  /** Gremlin coin(p), deterministic: keep a walk iff its hash-seeded
+    * uniform draw clears the threshold — p is given in PPM so the gate
+    * is an INTEGER compare on a 60-bit md5 of the walk columns reduced
+    * mod 10⁶, exactly replayable in the oracle (Gremlin's RNG coin is
+    * not). Same per-row codegen'd filter shape as simplePath: no joins,
+    * no state, embarrassingly parallel at any scale. Drops the bulk
+    * frame (the draw is walk-row-dependent by definition — sample()'s
+    * reason). */
+  def coin(ppm: Int): Traversal = {
+    require(ppm >= 0 && ppm <= 1000000, s"coin ppm out of range: $ppm")
+    val h = expr("CAST(conv(substring(md5(concat_ws('#', " +
+      (0 to depth).map(i => s"v$i").mkString(", ") +
+      ")), 1, 15), 16, 10) AS BIGINT) % 1000000")
+    Traversal(g, df.filter(h < lit(ppm.toLong)), depth, None, labels,
+      sideSets = sideSets)
+  }
+
   /** The walk matrix: one row per surviving walk, columns v0..vK. */
   def path(): DataFrame = df.select((0 to depth).map(i => col(s"v$i")): _*)
+
+  /** Gremlin path().from('a').to('b'): the SUB-path between two labeled
+    * steps (inclusive) — columns p0..p(j−i) = v_i..v_j. Pure column
+    * projection over the walk matrix (the labels are column indexes);
+    * nothing executes. */
+  def pathFromTo(from: String, to: String): DataFrame = {
+    def pos(n: String): Int = labels.getOrElse(n,
+      throw new IllegalArgumentException(s"no as('$n') step in this chain"))
+    val (i, j) = (pos(from), pos(to))
+    require(i <= j, s"path().from('$from').to('$to'): '$from' is after '$to'")
+    df.select((i to j).zipWithIndex.map { case (k, x) =>
+      col(s"v$k").as(s"p$x") }: _*)
+  }
 
   /** Gremlin path().by('attr'): the walk rendered through a by() modulator
     * — position i emits its vertex's `attr` (column p<i>) instead of the
@@ -1210,6 +1240,8 @@ object Traversal {
       case ("dedup", "") :: tl      => t = t.dedup(); loop(tl)
       case ("sample", n) :: tl if n.matches("\\d+") =>
         t = t.sample(n.toInt); loop(tl)
+      case ("coin", n) :: tl if n.matches("\\d+") =>
+        t = t.coin(n.toInt); loop(tl)
       case ("as", a) :: tl          => t = t.as(label(a)); loop(tl)
       // Walk-materializing variants of the emit loops (terminal path()):
       // same pathsUntil machinery as the until().path() case below, with
@@ -1396,6 +1428,8 @@ object Traversal {
       case ("valueMap", "") :: tl => result = Some(t.valueMap()); loop(tl)
       case ("path", "") :: ("by", a) :: tl =>
         result = Some(t.pathBy(label(a))); loop(tl)
+      case ("path", "") :: ("from", a) :: ("to", b) :: tl =>
+        result = Some(t.pathFromTo(label(a), label(b))); loop(tl)
       case ("path", "") :: tl   => result = Some(t.path()); loop(tl)
       case ("tree", "") :: tl   => result = Some(t.tree()); loop(tl)
       case ("ids", "") :: tl    => result = Some(t.ids()); loop(tl)

@@ -2008,6 +2008,38 @@ object GraphOps extends OpModule {
         WHERE c.label = 'customer' AND c.val > 9900
         ORDER BY 1, 2, 3"""))),
 
+    // coin(p) — Gremlin's per-traverser Bernoulli filter, made
+    // DETERMINISTIC: keep a walk iff the 60-bit md5 of its columns mod
+    // 10⁶ clears the ppm threshold (the RNG coin is un-oracle-able; the
+    // hash draw is uniform on the walk population and replays exactly).
+    // Per-row codegen'd filter — no joins, no state; the thinning step
+    // a sampled analytics pass puts mid-chain.
+    Op("graph_traversal_coin",
+      (s, dir) => GraphFixture(s, dir).traverse(
+        "V(label='customer').out('colocated').coin(250000).count()"),
+      Some(withGraph(s"""SELECT COUNT(*) AS n_walks FROM vertices c
+        JOIN edges e ON e.src = c.id AND e.label = 'colocated'
+        WHERE c.label = 'customer'
+          AND ${textsql.duckHash60(
+            "CAST(c.id AS VARCHAR) || '#' || CAST(e.dst AS VARCHAR)")}
+            % 1000000 < 250000"""))),
+
+    // path().from('a').to('b') — the sub-path projection between two
+    // labeled steps: render only the nation→region tail of the
+    // customer walk. Pure column selection over the walk matrix
+    // (labels are column indexes); nothing executes beyond the walk.
+    Op("graph_traversal_path_fromto",
+      (s, dir) => GraphFixture(s, dir).traverse(
+        "V(label='customer').has(val>9900).as('a').out('in_nation')" +
+          ".as('b').out('in_region').as('c').path().from('b').to('c')")
+        .orderBy("p0", "p1"),
+      Some(withGraph("""SELECT e1.dst AS p0, e2.dst AS p1
+        FROM vertices c
+        JOIN edges e1 ON e1.src = c.id AND e1.label = 'in_nation'
+        JOIN edges e2 ON e2.src = e1.dst AND e2.label = 'in_region'
+        WHERE c.label = 'customer' AND c.val > 9900
+        ORDER BY 1, 2"""))),
+
     // coalesce() branch step (first branch with results, per walk): each
     // customer's colocated suppliers when any exist, else its nation —
     // the optional-with-fallback pattern. Later branches anti-join the

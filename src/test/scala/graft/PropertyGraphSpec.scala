@@ -61,6 +61,50 @@ class PropertyGraphSpec extends AnyFunSuite {
       "fixture should exercise both sides of the membership filter")
   }
 
+  test("coin: fluent == parsed, deterministic, complementary thresholds partition") {
+    def base = g.V(col("label") === "customer").out("colocated")
+    val parsed = g.traverse(
+      "V(label='customer').out('colocated').coin(250000).path()")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    val fluent = base.coin(250000).path()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    assert(parsed == fluent)
+    // same draw twice = same keep set (the whole point vs Gremlin's RNG)
+    assert(parsed == base.coin(250000).path()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted)
+    // coin(p) and the full population: kept ⊂ all, and the kept count
+    // is the count of hash-draws under the threshold (exact partition
+    // with the complement is by construction of h < p vs h >= p)
+    val all = base.path().collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(parsed.nonEmpty && parsed.size < all.size)
+    assert(parsed.toSet.subsetOf(all.toSet))
+    // loose binomial sanity: 25% ± 15 points of the population
+    val frac = parsed.size.toDouble / all.size
+    assert(frac > 0.10 && frac < 0.40, s"coin(250000) kept $frac")
+  }
+
+  test("path().from/to: sub-path equals the matching full-path columns") {
+    val full = g.traverse(
+      "V(label='customer').has(val>9900).out('in_nation')" +
+        ".out('in_region').path()")
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSeq.sorted
+    val sub = g.traverse(
+      "V(label='customer').has(val>9900).as('a').out('in_nation')" +
+        ".as('b').out('in_region').as('c').path().from('b').to('c')")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    assert(sub == full)
+    // from == to degenerates to one column; from after to fails loudly
+    val one = g.traverse(
+      "V(label='customer').has(val>9900).as('a').out('in_nation')" +
+        ".as('b').path().from('b').to('b')")
+    assert(one.columns.toSeq == Seq("p0"))
+    intercept[IllegalArgumentException] {
+      g.traverse("V(label='customer').as('a').out('in_nation').as('b')" +
+        ".path().from('b').to('a')").collect()
+    }
+  }
+
   test("whereBy: fluent == parsed, lt/gte partition the walk set") {
     def base = g.V(col("label") === "order").as("a").out("by")
     val parsed = g.traverse(
