@@ -57,7 +57,15 @@ object Plans {
     "sim_pq_adc", "graph_traversal_aggregate", "graph_traversal_where_by",
     "graph_traversal_oute", "graph_traversal_dedup", "graph_louvain",
     "graph_conductance", "graph_node2vec_walk", "graph_leiden_refine",
-    "corpus_importance_sample", "corpus_token_budget")
+    "corpus_importance_sample", "corpus_token_budget",
+    // r16 showcase: the composed IVF-PQ serving scan (probe-restricted,
+    // topk_rows-cut), the second community level over the contracted
+    // graph, the skip-gram export, the full-outer interval join, and
+    // the two decorrelation stresses (Q2/Q20 shapes)
+    "sim_ivfpq", "graph_louvain_hierarchy", "graph_walk_skipgrams",
+    "stream_stream_full_join", "olap_min_cost_supplier",
+    "olap_part_promotion", "graph_traversal_coin",
+    "graph_traversal_path_fromto")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -412,22 +412,50 @@ object StreamOps extends OpModule {
         val clicks = ev.filter(col("event_type") === "click")
           .select(col("event_id").as("c_id"), col("user_id").as("c_user"),
             col("ts").as("c_ts"))
-        val j = purchases.join(clicks,
+        // SALTED two-sided join: full outer is the ONE join mode AQE's
+        // skew split cannot touch (neither side may be duplicated for
+        // padding correctness), so a hub user's pair mass lands in a
+        // single hash(user) partition — measured 13.9× under the 3×
+        // hub-skew overlay for the unsalted form (inner read 7.5×; AQE
+        // left both alone below its 256 MB skew floor, and could not
+        // have split this mode at any size). The deterministic fix:
+        // clicks salt by hash(event_id) into 8 buckets, purchases
+        // replicate across all 8, and the join key becomes (user, salt)
+        // — the hot user's pairs spread over 8 partitions. The
+        // AGGREGATED contract absorbs the replication exactly: a
+        // purchase's 8 rows sum their per-bucket match counts (all-
+        // padded ⇒ the group still exists with n = 0), and each padded
+        // click appears once, in its own salt bucket.
+        val S = 8
+        val pSalt = purchases.withColumn("salt",
+          explode(expr(s"sequence(0, ${S - 1})")))
+        val cSalt = clicks.withColumn("c_salt",
+          pmod(hash(col("c_id")), lit(S)))
+        val j = pSalt.join(cSalt,
           col("p_user") === col("c_user") &&
+            col("salt") === col("c_salt") &&
             col("c_ts") <= col("p_ts") &&
             col("c_ts") >= col("p_ts") - expr("INTERVAL 30 MINUTES"),
           "full_outer")
-        val pSide = j.filter(col("p_id").isNotNull)
-          .groupBy(col("p_id"), col("p_user"))
-          .agg(count(col("c_id")).as("n"))
-          .select(lit("purchase").as("side"), col("p_id").as("key_id"),
-            col("p_user").as("user_id"), col("n"))
-        val cSide = j.filter(col("p_id").isNull)
-          .groupBy(col("c_user"))
-          .agg(count(lit(1)).as("n"))
-          .select(lit("click").as("side"), col("c_user").as("key_id"),
-            col("c_user").as("user_id"), col("n"))
-        pSide.unionByName(cSide).orderBy("side", "key_id")
+        // ONE pass over ONE join execution: an earlier cut split j into
+        // a purchase branch and a click branch — Spark INLINES the
+        // twice-referenced subplan (the Louvain stay-score lesson), so
+        // the full outer join ran twice AND the matched-pair stream
+        // materialized past the join before either branch aggregated.
+        // The conditional-aggregate form streams each joined row
+        // straight into a partial aggregate: purchase rows count their
+        // non-null click matches, padded click rows count themselves.
+        val side = when(col("p_id").isNotNull, lit("purchase"))
+          .otherwise(lit("click"))
+        j.groupBy(side.as("side"),
+            when(col("p_id").isNotNull, col("p_id")).otherwise(col("c_user"))
+              .as("key_id"),
+            when(col("p_id").isNotNull, col("p_user")).otherwise(col("c_user"))
+              .as("user_id"))
+          .agg(sum(when(col("p_id").isNotNull,
+              when(col("c_id").isNotNull, 1L).otherwise(0L))
+            .otherwise(1L)).as("n"))
+          .orderBy("side", "key_id")
       },
       Some("""
         WITH p AS (SELECT event_id AS p_id, user_id AS p_user, ts AS p_ts
