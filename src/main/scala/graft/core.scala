@@ -228,9 +228,16 @@ object util {
     * row-level constructor drops originStats, so every cut is a fresh
     * leaf and per-round planning cost stays constant. The row↔internal
     * conversion this adds is paid on loop-state-sized data (labelings,
-    * pair sets, top-k rows) — noise next to a single stats blowup. */
+    * pair sets, top-k rows) — noise next to a single stats blowup.
+    *
+    * r16: the row↔internal conversion turned out NOT to be noise once the
+    * suite carried ~30 cut-heavy iterative keys — it was paid twice per cut
+    * on every round. [[org.apache.spark.sql.GraftBridge.statlessCut]] now
+    * builds the same stats-less LogicalRDD leaf directly from the
+    * checkpointed internal rows (identical planner behavior, zero
+    * conversion). */
   def cut(df: DataFrame, eager: Boolean = true): DataFrame =
-    df.sparkSession.createDataFrame(df.localCheckpoint(eager).rdd, df.schema)
+    org.apache.spark.sql.GraftBridge.statlessCut(df, eager)
 }
 
 /** Hot-partition-aware partitioned parquet writer (r13 — the "hot-partition

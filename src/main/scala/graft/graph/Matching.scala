@@ -44,7 +44,10 @@ object Matching {
     * pure overhead at any deployment size. */
   def greedy(edges0: DataFrame, localThreshold: Long = 0L): DataFrame = {
     val spark = edges0.sparkSession
-    var e = cut(edges0.select("a", "b", "w"))
+    // No cut on round 0: the input is a stored artifact (stats intact for
+    // the first round's planning); cut() guards REASSIGNED loop frames,
+    // and `e` only needs it from the first shrink on.
+    var e = edges0.select("a", "b", "w")
     var cnt = e.count()
     var out = spark.createDataFrame(
       new java.util.ArrayList[org.apache.spark.sql.Row](),
@@ -75,18 +78,21 @@ object Matching {
         .groupBy("v")
         .agg(min(struct((-col("w")).as("nw"), col("a"), col("b"))).as("s"))
         .select(col("v"), col("s.a").as("a"), col("s.b").as("b"),
-          (-col("s.nw")).as("w")))
+          (-col("s.nw")).as("w")), eager = false)
       val m = cut(best.filter(col("v") === col("a")).drop("v")
         .join(best.filter(col("v") === col("b")).select("a", "b"),
-          Seq("a", "b"), "left_semi"))
+          Seq("a", "b"), "left_semi"), eager = false)
       // ≤ 2·matched rows, V/2-bounded — broadcast by construction (a cut
       // frame has no stats, AQE can't see it; deployments with larger
       // matches per round swap the hint for a stats-aware choice).
       val mv = broadcast(m.select(col("a").as("mid"))
         .unionAll(m.select(col("b").as("mid"))))
       out = out.unionByName(m.select(lit(r).as("r"), col("a"), col("b"), col("w")))
+      // LAZY cuts throughout the round (the hits half-round lesson):
+      // nothing consumes best/m/e until this count fires, so the whole
+      // round materializes in one job tree instead of one job per cut.
       e = cut(e.join(mv, e("a") === mv("mid"), "left_anti")
-        .join(mv, e("b") === mv("mid"), "left_anti"))
+        .join(mv, e("b") === mv("mid"), "left_anti"), eager = false)
       cnt = e.count()
       r += 1
     }
@@ -106,7 +112,7 @@ object Matching {
     * still has many rounds left. */
   def maximalMatching(edges0: DataFrame, localThreshold: Long = 0L): DataFrame = {
     val spark = edges0.sparkSession
-    var e = cut(edges0.select("a", "b", "w"))
+    var e = edges0.select("a", "b", "w") // cut from the first shrink on
     var cnt = e.count()
     var out = spark.createDataFrame(
       new java.util.ArrayList[org.apache.spark.sql.Row](),
@@ -120,15 +126,18 @@ object Matching {
         .groupBy("v")
         .agg(min(struct((-col("w")).as("nw"), col("a"), col("b"))).as("s"))
         .select(col("v"), col("s.a").as("a"), col("s.b").as("b"),
-          (-col("s.nw")).as("w")))
+          (-col("s.nw")).as("w")), eager = false)
       val m = cut(best.filter(col("v") === col("a")).drop("v")
         .join(best.filter(col("v") === col("b")).select("a", "b"),
-          Seq("a", "b"), "left_semi"))
+          Seq("a", "b"), "left_semi"), eager = false)
       val mv = broadcast(m.select(col("a").as("mid"))
         .unionAll(m.select(col("b").as("mid"))))
       out = out.unionByName(m.select(col("a"), col("b"), col("w")))
+      // LAZY cuts throughout the round (the hits half-round lesson):
+      // nothing consumes best/m/e until this count fires, so the whole
+      // round materializes in one job tree instead of one job per cut.
       e = cut(e.join(mv, e("a") === mv("mid"), "left_anti")
-        .join(mv, e("b") === mv("mid"), "left_anti"))
+        .join(mv, e("b") === mv("mid"), "left_anti"), eager = false)
       cnt = e.count()
       r += 1
     }
@@ -225,7 +234,7 @@ object Densest {
     * edge list with zero edge shuffle. */
   def peel(und0: DataFrame): DataFrame = {
     val spark = und0.sparkSession
-    var e = cut(und0.select("a", "b"))
+    var e = und0.select("a", "b") // cut from the first shrink on
     def degOf(ed: DataFrame, verts: Option[DataFrame]): DataFrame = {
       val cnt = ed.select(col("a").as("id"))
         .unionAll(ed.select(col("b").as("id")))
@@ -236,7 +245,7 @@ object Densest {
           .select(col("id"), coalesce(col("d"), lit(0L)).as("d"))
       }
     }
-    var deg = cut(degOf(e, None))
+    var deg = cut(degOf(e, None), eager = false)
     val stats = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Long)]
     var r = 1
     var done = false
@@ -248,14 +257,17 @@ object Densest {
         val ecnt = if (row.isNullAt(1)) 0L else row.getLong(1) / 2
         stats += ((r, n, ecnt))
         val surv = cut(deg
-          .filter(col("d") * lit(n) > lit(4L) * lit(ecnt)).select("id"))
+          .filter(col("d") * lit(n) > lit(4L) * lit(ecnt)).select("id"),
+          eager = false)
         // < n/2 by the ε=1 rule, but guard the hint anyway: at deployment
         // scale an early round's survivor set can exceed executor memory,
         // and a shuffle semi-join is the correct fallback there.
         val sb = if (surv.count() <= 4000000) broadcast(surv) else surv
+        // lazy: the next round's scalar aggregate over deg materializes
+        // the e/deg pair in one job tree
         e = cut(e.join(sb, e("a") === sb("id"), "left_semi")
-          .join(sb, e("b") === sb("id"), "left_semi"))
-        deg = cut(degOf(e, Some(surv)))
+          .join(sb, e("b") === sb("id"), "left_semi"), eager = false)
+        deg = cut(degOf(e, Some(surv)), eager = false)
         r += 1
       }
     }
@@ -296,15 +308,25 @@ object Mis {
     * sight. Hybrid ≡ BSP equality pinned in MatchingDensestSpec. */
   def greedy(und0: DataFrame, localThreshold: Long = 0L): DataFrame = {
     val spark = und0.sparkSession
-    var e = cut(und0.select("a", "b"))
-    var alive = cut(e.select(col("a").as("id"))
-      .unionAll(e.select(col("b").as("id"))).distinct())
+    var e = und0.select("a", "b") // cut from the first shrink on
     var out = spark.createDataFrame(
       new java.util.ArrayList[org.apache.spark.sql.Row](),
       org.apache.spark.sql.types.StructType.fromDDL("id BIGINT"))
     var r = 1
-    var aliveCnt = alive.count()
     var eCnt = e.count()
+    // `alive` starts as support(e) — built LAZILY (null encodes exactly
+    // "alive ≡ support(e)"): when the sequential tail fires immediately
+    // (edge count under localThreshold, the common case at moderate SF),
+    // the post-loop "isolated alive vertices" anti-join is empty BY
+    // CONSTRUCTION and the support distinct+cut (a full shuffle of the
+    // doubled edge list) never needs to run at all.
+    var alive: DataFrame = null
+    var aliveCnt = 0L
+    if (eCnt > localThreshold) {
+      alive = cut(e.select(col("a").as("id"))
+        .unionAll(e.select(col("b").as("id"))).distinct(), eager = false)
+      aliveCnt = alive.count()
+    }
     while (r <= 64 && aliveCnt > 0 && eCnt > localThreshold) {
       // Hints guarded by cheap counts on already-materialized frames: cut
       // frames carry no stats, so AQE can't see broadcastability, but an
@@ -312,21 +334,22 @@ object Mis {
       def hinted(df: DataFrame): DataFrame =
         if (df.count() <= 4000000) broadcast(df) else df
       val losers = e.select(col("b").as("id")).distinct()
-      val winners = cut(alive.join(losers, Seq("id"), "left_anti"))
+      val winners = cut(alive.join(losers, Seq("id"), "left_anti"),
+        eager = false)
       val wb = hinted(winners)
       val dead = e.join(wb, e("a") === wb("id"), "left_semi")
         .select(col("b").as("id")).distinct()
       out = out.unionByName(winners)
       alive = cut(alive.join(winners, Seq("id"), "left_anti")
-        .join(dead, Seq("id"), "left_anti"))
+        .join(dead, Seq("id"), "left_anti"), eager = false)
       val ab = hinted(alive)
       e = cut(e.join(ab, e("a") === ab("id"), "left_semi")
-        .join(ab, e("b") === ab("id"), "left_semi"))
+        .join(ab, e("b") === ab("id"), "left_semi"), eager = false)
       aliveCnt = alive.count()
       eCnt = e.count()
       r += 1
     }
-    if (aliveCnt > 0 && eCnt > 0) {
+    if (eCnt > 0 && (alive == null || aliveCnt > 0)) {
       // Sequential tail: greedy-by-id over the (b, a)-sorted stream (cut
       // between sort and coalesce — the cover-tail lesson).
       val schema = org.apache.spark.sql.types.StructType.fromDDL("id BIGINT")
@@ -358,10 +381,14 @@ object Mis {
       }
       out = out.unionByName(spark.createDataFrame(rdd, schema))
       // alive vertices with no remaining edges are trivially in the MIS
-      val supp = e.select(col("a").as("id"))
-        .unionAll(e.select(col("b").as("id"))).distinct()
-      out = out.unionByName(alive.join(supp, Seq("id"), "left_anti"))
-    } else if (aliveCnt > 0) {
+      // (when the loop never ran, alive ≡ support(e) and this set is
+      // empty — alive == null skips it)
+      if (alive != null) {
+        val supp = e.select(col("a").as("id"))
+          .unionAll(e.select(col("b").as("id"))).distinct()
+        out = out.unionByName(alive.join(supp, Seq("id"), "left_anti"))
+      }
+    } else if (alive != null && aliveCnt > 0) {
       out = out.unionByName(alive) // all isolated ⇒ all in the MIS
     }
     cut(out).orderBy("id")
@@ -386,29 +413,34 @@ object Coloring {
     * distinct). Returns (id, color), sorted by id. */
   def greedy(und0: DataFrame, localThreshold: Long = 0L): DataFrame = {
     val spark = und0.sparkSession
-    var remE = cut(und0.select("a", "b"))
-    var remV = cut(remE.select(col("a").as("id"))
-      .unionAll(remE.select(col("b").as("id"))).distinct())
+    var remE = und0.select("a", "b") // cut from the first shrink on
     var cnt = remE.count()
     var out = spark.createDataFrame(
       new java.util.ArrayList[org.apache.spark.sql.Row](),
       org.apache.spark.sql.types.StructType.fromDDL("id BIGINT, color INT"))
     var c = 1
+    // remV lazily, like Mis.greedy's `alive`: null encodes
+    // "remV ≡ support(remE)", under which the tail's isolated-vertex set
+    // is empty by construction and the support distinct+cut is skipped.
+    var remV: DataFrame = null
+    if (cnt > localThreshold)
+      remV = cut(remE.select(col("a").as("id"))
+        .unionAll(remE.select(col("b").as("id"))).distinct(), eager = false)
     while (c <= 64 && cnt > 0 && cnt > localThreshold) {
       val mis = Mis.greedy(remE).select(col("id"))
       val supp = remE.select(col("a").as("id"))
         .unionAll(remE.select(col("b").as("id"))).distinct()
       val isolated = remV.join(supp, Seq("id"), "left_anti")
-      val layer = cut(mis.unionAll(isolated))
+      val layer = cut(mis.unionAll(isolated), eager = false)
       out = out.unionByName(layer.select(col("id"), lit(c).as("color")))
-      remV = cut(remV.join(layer, Seq("id"), "left_anti"))
+      remV = cut(remV.join(layer, Seq("id"), "left_anti"), eager = false)
       // remV shrinks by only ONE MIS layer per iteration and can stay
       // ~|V| for many layers — guard the hint like Mis.greedy/Densest.peel
       // (a cut frame has no stats, so AQE can't pick broadcast itself,
       // but an O(V) remainder must take the shuffle semi-join).
       val rb = if (remV.count() <= 4000000) broadcast(remV) else remV
       remE = cut(remE.join(rb, remE("a") === rb("id"), "left_semi")
-        .join(rb, remE("b") === rb("id"), "left_semi"))
+        .join(rb, remE("b") === rb("id"), "left_semi"), eager = false)
       cnt = remE.count()
       c += 1
     }
@@ -455,13 +487,18 @@ object Coloring {
         outRows.iterator
       }
       val tail = spark.createDataFrame(rdd, schema)
-      // remaining vertices with no remaining edges take the first free color
-      val supp = remE.select(col("a").as("id"))
-        .unionAll(remE.select(col("b").as("id"))).distinct()
-      val iso = remV.join(supp, Seq("id"), "left_anti")
-        .select(col("id"), lit(c).as("color"))
-      out = out.unionByName(tail).unionByName(iso)
-    } else if (!remV.isEmpty) {
+      out = out.unionByName(tail)
+      // remaining vertices with no remaining edges take the first free
+      // color (empty by construction when the loop never ran: remV ≡
+      // support(remE) then — remV == null skips the two-distinct anti-join)
+      if (remV != null) {
+        val supp = remE.select(col("a").as("id"))
+          .unionAll(remE.select(col("b").as("id"))).distinct()
+        val iso = remV.join(supp, Seq("id"), "left_anti")
+          .select(col("id"), lit(c).as("color"))
+        out = out.unionByName(iso)
+      }
+    } else if (remV != null && !remV.isEmpty) {
       // edges exhausted but vertices remain (all isolated): one layer
       out = out.unionByName(remV.select(col("id"), lit(c).as("color")))
     }

@@ -43,6 +43,29 @@ final case class PropertyGraph(vertices: DataFrame, edges: DataFrame) {
 
   private def spark = vertices.sparkSession
 
+  /** |V|, computed once per graph instance (the fixture memoizes the
+    * PropertyGraph per (session, dir), so this is an ingest-time stat — the
+    * table-level rowCount a deployment's ANALYZE records). */
+  lazy val numVertices: Long = vertices.count()
+
+  /** Size-aware broadcast hint for VERTEX-BOUNDED loop frames (per-vertex
+    * scores/labels/frontiers, usually after a lineage cut): `graft.util.cut`
+    * rebuilds a frame as a stats-less LogicalRDD leaf, so Catalyst plans
+    * every join against it as a full shuffle of BOTH sides even when the
+    * frame is a few MB (guide §3.1: size estimates are often wrong after
+    * opaque operations — hint when you know better). The hint re-attaches
+    * the one statistic known by construction — row count ≤ |V| — and fires
+    * only when |V| × rowBytes fits the session's autoBroadcastJoinThreshold,
+    * so a billion-vertex deployment degrades to exactly the shuffle join
+    * Catalyst would otherwise pick (scale-adaptive, not a local-mode
+    * constant). rowBytes defaults to a conservative unsafe-row estimate for
+    * the (id, value) frames the iterative algorithms carry. */
+  def vhint(df: DataFrame, rowBytes: Long = 48L): DataFrame = {
+    val thr =
+      org.apache.spark.sql.internal.SQLConf.get.autoBroadcastJoinThreshold
+    if (thr > 0 && numVertices * rowBytes <= thr) broadcast(df) else df
+  }
+
   /** Partition count for GraphX RDD views. Pregel pays per-partition
     * scheduling every superstep, so fewer/fatter partitions win at local
     * scale (measured: 8 beats 32 on local[32]); a cluster deployment sets
@@ -1135,8 +1158,14 @@ final case class PropertyGraph(vertices: DataFrame, edges: DataFrame) {
     // half until the terminal fires, so each materializes exactly once.
     def half(scores: DataFrame, in: String, inScore: String, out: String,
         outScore: String): DataFrame = {
+      // vhint: the score frame is a cut leaf (no stats) — without the
+      // size-aware hint every half-round sort-merge-joined the EDGE list
+      // against a ~5 MB frame, shuffling the edges six times per run
+      // (r16 measured: 7.4 s warm → see OPTIMIZATION_r16.md). With it the
+      // edges never shuffle; the only exchange left per half-round is the
+      // vertex-sized partial-aggregated message shuffle.
       val raw = graft.util.cut(
-        e.join(scores.withColumnRenamed("id", in), in)
+        e.join(vhint(scores.withColumnRenamed("id", in)), in)
           .groupBy(out).agg(sum(inScore).as("raw"))
           .withColumnRenamed(out, "id"), eager = false)
       val scale = raw.agg(
@@ -1150,7 +1179,7 @@ final case class PropertyGraph(vertices: DataFrame, edges: DataFrame) {
       a = half(h, "src", "hub", "dst", "auth")   // auth ← in-edge hub mass
       h = half(a, "dst", "auth", "src", "hub")   // hub ← out-edge auth mass
     }
-    ids.join(a, Seq("id"), "left").join(h, Seq("id"), "left")
+    ids.join(vhint(a), Seq("id"), "left").join(vhint(h), Seq("id"), "left")
       .select(col("id"), coalesce(col("auth"), lit(0L)).as("auth"),
         coalesce(col("hub"), lit(0L)).as("hub"))
   }

@@ -74,8 +74,11 @@ final case class Traversal(g: PropertyGraph, df: DataFrame, depth: Int,
           .as("_lastw"))
       else es.select(col(from).as(head), col(to).as(next))
     val b = bulk.map { bf =>
+      // vhint (r16): the bulk frame is a vertex-bounded cut leaf — without
+      // the size-aware hint every fold level sort-merge-shuffled the EDGE
+      // list against a few-MB frame (the hits half-round disease).
       val eb = es.select(col(from).as("h"), col(to).as("h2"))
-      bf.join(eb, "h").groupBy("h2").agg(sum("cnt").as("cnt"))
+      eb.join(g.vhint(bf), "h").groupBy("h2").agg(sum("cnt").as("cnt"))
         .withColumnRenamed("h2", "h")
     }
     Traversal(g, df.drop("_lastw").join(e, head), depth + 1, b, labels, sideSets = sideSets)
@@ -127,7 +130,7 @@ final case class Traversal(g: PropertyGraph, df: DataFrame, depth: Int,
     val b = bulk.map { bf =>
       val ub = e.select(col("src").as("h"), col("dst").as("h2"))
         .unionAll(e.select(col("dst").as("h"), col("src").as("h2")))
-      bf.join(ub, "h").groupBy("h2").agg(sum("cnt").as("cnt"))
+      ub.join(g.vhint(bf), "h").groupBy("h2").agg(sum("cnt").as("cnt"))
         .withColumnRenamed("h2", "h")
     }
     Traversal(g, df.drop("_lastw").join(u, head), depth + 1, b, labels, sideSets = sideSets)
@@ -507,7 +510,7 @@ final case class Traversal(g: PropertyGraph, df: DataFrame, depth: Int,
       // form materializes each level exactly once at the terminal
       // (measured ~15% off the fold family at sf0.1).
       val withV = graft.util.cut(
-        nxt.join(g.vertices.withColumnRenamed("id", "h"), "h"),
+        g.vertices.withColumnRenamed("id", "h").join(g.vhint(nxt), "h"),
         eager = false)
       val stop = withV.filter(pred).select("h", "cnt")
       emitted = Some(emitted.fold(stop)(_ unionAll stop))
@@ -559,7 +562,8 @@ final case class Traversal(g: PropertyGraph, df: DataFrame, depth: Int,
       active = graft.util.cut(foldBody(active, body), eager = false)
       val release =
         if (i == times) active
-        else active.join(g.vertices.withColumnRenamed("id", "h"), "h")
+        else g.vertices.withColumnRenamed("id", "h")
+          .join(g.vhint(active), "h")
           .filter(emitPred).select("h", "cnt")
       emitted = Some(emitted.fold(release)(_ unionAll release))
     }
@@ -605,7 +609,7 @@ final case class Traversal(g: PropertyGraph, df: DataFrame, depth: Int,
       val nxt = foldBody(active, body)
       // cut() per level — same lineage-truncation reason as repeatUntil
       val withV = graft.util.cut(
-        nxt.join(g.vertices.withColumnRenamed("id", "h"), "h"),
+        g.vertices.withColumnRenamed("id", "h").join(g.vhint(nxt), "h"),
         eager = false)
       val all = withV.select("h", "cnt")
       emitted = Some(emitted.fold(all)(_ unionAll all))

@@ -1382,8 +1382,13 @@ object GraphOps extends OpModule {
       (s, dir) => {
         Seq("lineitem", "orders", "customer", "supplier")
           .foreach(n => graft.Tables(s, dir, n).createOrReplaceTempView(n))
-        graft.graph.Matching.greedy(
-          s.sql(mstPairsSql(e => s"CAST($e AS DOUBLE)")))
+        // cut at the call site: the BSP loop re-scans its input (round-1
+        // nomination reads it twice via the doubled-half union), and this
+        // input is a join pipeline, not a stored artifact — materialize
+        // once here. (r16: the loop itself no longer cuts round 0, so
+        // stored-artifact callers skip the copy.)
+        graft.graph.Matching.greedy(graft.util.cut(
+          s.sql(mstPairsSql(e => s"CAST($e AS DOUBLE)"))))
       },
       Some(matchingOracleSql)),
 
