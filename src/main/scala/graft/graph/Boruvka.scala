@@ -105,17 +105,23 @@ object Boruvka {
     var edges = cut(edges0.select("a", "b", "w"))
     var comp = cut(edges.select(col("a").as("id"))
       .unionAll(edges.select(col("b").as("id")))
-      .distinct().withColumn("comp", col("id")))
+      .distinct().withColumn("comp", col("id")), eager = false)
+    // comp starts at |support| rows and only shrinks; cut frames carry no
+    // stats, so hint the vertex-bounded side explicitly (the Matching/
+    // Densest count-guard discipline) — the labeling joins then stream the
+    // edge list map-side instead of shuffling it twice per round.
+    val nV = comp.count()
+    def h(df: DataFrame): DataFrame = if (nV <= 4000000) broadcast(df) else df
     val forest = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     var rounds = 0
     while (rounds < 32 && !edges.isEmpty) {
       rounds += 1
       // label both endpoints; drop intra-component edges for good
       val cross = edges
-        .join(comp.select(col("id").as("a"), col("comp").as("ca")), "a")
-        .join(comp.select(col("id").as("b"), col("comp").as("cb")), "b")
+        .join(h(comp.select(col("id").as("a"), col("comp").as("ca"))), "a")
+        .join(h(comp.select(col("id").as("b"), col("comp").as("cb"))), "b")
         .filter(col("ca") =!= col("cb"))
-      edges = cut(cross.select("a", "b", "w"))
+      edges = cut(cross.select("a", "b", "w"), eager = false)
       if (!edges.isEmpty) {
         // every component's minimum cross edge, seen from both endpoints
         val halves = cross
@@ -123,18 +129,20 @@ object Boruvka {
             col("w"), col("a"), col("b"))
           .unionAll(cross.select(col("cb").as("c"), col("ca").as("tgt"),
             col("w"), col("a"), col("b")))
+        // lazy cuts from here on: par.count() (and the next round's
+        // isEmpty) materializes the whole round in one job tree
         val sel = cut(halves.groupBy("c")
           .agg(min(struct(col("w"), col("a"), col("b"), col("tgt"))).as("m"))
           .select(col("c"), col("m.w").as("w"), col("m.a").as("a"),
-            col("m.b").as("b"), col("m.tgt").as("tgt")))
+            col("m.b").as("b"), col("m.tgt").as("tgt")), eager = false)
         forest += sel.select("a", "b", "w").distinct()
         // hook; break each mutual pair toward the smaller id (tree root)
         val x = sel.select(col("c"), col("tgt"))
         val y = x.select(col("c").as("tc"), col("tgt").as("ttgt"))
-        var par = cut(x.join(y, col("tgt") === col("tc"))
+        var par = cut(x.join(h(y), col("tgt") === col("tc"))
           .select(col("c"),
             when(col("ttgt") === col("c") && col("c") < col("tgt"), col("c"))
-              .otherwise(col("tgt")).as("p")))
+              .otherwise(col("tgt")).as("p")), eager = false)
         // pointer-jump every chain onto its root. Chains are bounded by
         // the hooked-component count n, so ⌈log₂ n⌉ UNCHECKED jumps reach
         // every root (after k jumps a pointer covers distance 2^k; roots
@@ -148,15 +156,16 @@ object Boruvka {
         var j = 0
         while (j < jumps) {
           val q = par.select(col("c").as("qc"), col("p").as("qp"))
-          par = cut(par.join(q, col("p") === col("qc"))
-            .select(col("c"), col("qp").as("p")))
+          par = cut(par.join(h(q), col("p") === col("qc"))
+            .select(col("c"), col("qp").as("p")), eager = false)
           j += 1
         }
         // relabel: hooked components take their root; untouched ones keep
         // their label (left join + coalesce)
         comp = cut(comp
-          .join(par.withColumnRenamed("c", "comp"), Seq("comp"), "left")
-          .select(col("id"), coalesce(col("p"), col("comp")).as("comp")))
+          .join(h(par.withColumnRenamed("c", "comp")), Seq("comp"), "left")
+          .select(col("id"), coalesce(col("p"), col("comp")).as("comp")),
+          eager = false)
       }
     }
     forest.reduceOption(_ unionAll _)

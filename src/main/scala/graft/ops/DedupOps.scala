@@ -42,15 +42,21 @@ object DedupOps extends OpModule {
       concat_ws('_', CAST(m4 AS STRING), CAST(m5 AS STRING), CAST(m6 AS STRING), CAST(m7 AS STRING)) AS b1
     FROM sig"""
 
-  /** Candidate-doc shingles: the corpus shingle scan SEMI-JOINED down to
-    * the docs appearing in `mh_cand` — per-batch verify work is
-    * candidate-bounded, never corpus-sized. Materialized (cut) per batch
-    * before [[candVerifySql]] runs, because that query reads the shingle
-    * set three times (two intersection legs + sizes) and Spark inlines
-    * view references. */
+  /** Candidate-doc shingles: the doc filter sits in the INNERMOST
+    * subquery, before tokenization (r16 — the previous form semi-joined
+    * the fully-derived corpus shingle set, betting on Catalyst pushing
+    * the semi-join below the tokenize projection; written this way the
+    * per-batch tokenize+shingle explode is candidate-bounded by
+    * construction). Materialized (cut) per batch before [[candVerifySql]]
+    * runs, because that query reads the shingle set three times (two
+    * intersection legs + sizes) and Spark inlines view references. */
   private def candShinglesSql: String = s"""
-    SELECT doc_id, s FROM ($sparkShingleSql) q
-    WHERE doc_id IN (SELECT da FROM mh_cand UNION SELECT db FROM mh_cand)"""
+    SELECT doc_id, s FROM (
+      SELECT doc_id, explode(${sparkShingles("toks")}) AS s FROM (
+        SELECT doc_id, ${sparkToks("text")} AS toks FROM documents
+        WHERE doc_id IN (SELECT da FROM mh_cand UNION SELECT db FROM mh_cand)
+          AND size(${sparkToks("text")}) >= 3) t) x
+    GROUP BY doc_id, s"""
 
   /** Exact shingle-Jaccard verify of the `mh_cand` (da, db) candidates
     * over the materialized `mh_sh` candidate shingles — the tail of
@@ -1210,12 +1216,18 @@ object DedupOps extends OpModule {
                 .groupBy("h").agg(min("dmin").as("dmin"), max("dmax").as("dmax")))
             // re-cover ONLY the affected docs: their windows, gated on the
             // now-duplicated hash set, expanded to covered positions
+            // |covered| = Σ min(w, Δpos) over the doc's pos-sorted
+            // duplicated windows ((doc_id, pos) is unique in wins) — the
+            // dedupReportSql gap form, replacing explode(w)+distinct
+            val gw = org.apache.spark.sql.expressions.Window
+              .partitionBy("doc_id").orderBy("pos")
             val cov = wins.join(broadcast(affected), Seq("doc_id"))
               .join(hagg.filter(col("dmin") =!= col("dmax")).select("h"), "h")
-              .select(col("doc_id"),
-                explode(sequence(col("pos"), col("pos") + lit((w - 1).toLong))).as("p"))
-              .distinct()
-              .groupBy("doc_id").agg(count(lit(1)).as("dup_toks"))
+              .select(col("doc_id"), col("pos"))
+              .withColumn("d", col("pos") - lag("pos", 1).over(gw))
+              .groupBy("doc_id")
+              .agg(sum(when(col("d").isNull || col("d") >= w, w)
+                .otherwise(col("d"))).as("dup_toks"))
             dupCnt = graft.util.cut(
               dupCnt.join(broadcast(affected), Seq("doc_id"), "left_anti")
                 .unionAll(cov))
@@ -1359,10 +1371,13 @@ object DedupOps extends OpModule {
     own AS (SELECT doc_id, pos,
       MIN(doc_id) OVER (PARTITION BY h) AS dmin,
       MAX(doc_id) OVER (PARTITION BY h) AS dmax FROM sh),
-    dpw AS (SELECT doc_id, ${genRange("pos", s"pos + ${w - 1}")} AS p
+    -- |covered| = Σ min(w, Δpos) over pos-sorted duplicated windows
+    -- (see curationFunnelSql's fgap note) — replaces explode(w)+DISTINCT
+    dgap AS (SELECT doc_id,
+      pos - LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS d
       FROM own WHERE dmin <> dmax),
-    dcov AS (SELECT DISTINCT doc_id, CAST(p AS BIGINT) AS p FROM dpw),
-    dtok AS (SELECT doc_id, COUNT(*) AS dup_toks FROM dcov GROUP BY doc_id)
+    dtok AS (SELECT doc_id, CAST(SUM(CASE WHEN d IS NULL OR d >= $w
+      THEN $w ELSE d END) AS BIGINT) AS dup_toks FROM dgap GROUP BY doc_id)
     SELECT tok.source, CAST(COUNT(*) AS BIGINT) AS n_docs,
       CAST(SUM(ex.is_exact_dup) AS BIGINT) AS exact_dup_docs,
       CAST(SUM(CASE WHEN COALESCE(dtok.dup_toks, 0) > 0 THEN 1 ELSE 0 END)
@@ -1402,18 +1417,21 @@ object DedupOps extends OpModule {
       toks, len, gen, slice, join, hash)},
     fown AS (SELECT doc_id, pos,
       MIN(doc_id) OVER (PARTITION BY h) AS dmin FROM fsh),
-    fdpw AS (SELECT doc_id, ${genRange("pos", s"pos + ${w - 1}")} AS p
+    -- covered tokens WITHOUT the w-fold position explode: duplicated
+    -- windows per doc, sorted by pos, cover w new tokens when the gap to
+    -- the previous window is ≥ w and exactly gap tokens otherwise, so
+    -- |covered| = Σ min(w, Δpos) — one LAG window over window-count rows
+    -- replaces explode(w)+DISTINCT+COUNT (and the r15 per-token explode +
+    -- NOT EXISTS complement: kept = len − |covered|, since coverage is
+    -- ⊆ 1..len(t)). Guide §2.3: shuffle window rows, not token rows.
+    fgap AS (SELECT doc_id,
+      pos - LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS d
       FROM fown WHERE dmin < doc_id),
-    fdp AS (SELECT DISTINCT doc_id, CAST(p AS BIGINT) AS p FROM fdpw),
-    ftp AS (SELECT doc_id, ${gen(len("t"))} AS i FROM ftok),
-    fkept AS (SELECT a.doc_id, COUNT(*) AS n_kept
-      FROM (SELECT doc_id, i FROM ftp) a
-      WHERE NOT EXISTS (SELECT 1 FROM fdp
-        WHERE fdp.doc_id = a.doc_id AND fdp.p = CAST(a.i AS BIGINT))
-      GROUP BY a.doc_id),
+    fcov AS (SELECT doc_id, CAST(SUM(CASE WHEN d IS NULL OR d >= $w
+      THEN $w ELSE d END) AS BIGINT) AS n_cov FROM fgap GROUP BY doc_id),
     fper AS (SELECT ftok.doc_id, ftok.source,
-      COALESCE(fkept.n_kept, 0) AS n_kept
-      FROM ftok LEFT JOIN fkept ON fkept.doc_id = ftok.doc_id),
+      ${len("ftok.t")} - COALESCE(fcov.n_cov, 0) AS n_kept
+      FROM ftok LEFT JOIN fcov ON fcov.doc_id = ftok.doc_id),
     ffin AS (SELECT source,
       SUM(CASE WHEN n_kept >= $w THEN 1 ELSE 0 END) AS n_final,
       COUNT(*) AS n_near,

@@ -469,7 +469,7 @@ object GraphOps extends OpModule {
       (s, dir) => {
         val g = GraphFixture(s, dir)
         val e = g.edges.select("src", "dst").distinct().persist()
-        var todo = graft.util.cut(g.vertices.select("id"))
+        var todo = g.vertices.select("id") // persisted parent; cut on reassign
         var out: Seq[org.apache.spark.sql.DataFrame] = Nil
         var layer = 0
         var n = todo.count()
@@ -485,7 +485,7 @@ object GraphOps extends OpModule {
           // at sf0.1). todo is vertex-sized and
           // broadcast-hinted; a graph whose unlayered set outgrows
           // broadcast drops the hint and takes the shuffle.
-          val blocked = e.join(broadcast(todo.withColumnRenamed("id", "src")),
+          val blocked = e.join(g.vhint(todo.withColumnRenamed("id", "src")),
               Seq("src"), "left_semi")
             .select(col("dst").as("id")).distinct()
           // ONE eager cut per round (the surviving set); the layer's ready
@@ -494,7 +494,7 @@ object GraphOps extends OpModule {
           // K cheap anti-joins in one job instead of paying a second
           // materialization inside every round (r13: 2 jobs/layer → 1)
           val todo2 = graft.util.cut(
-            todo.join(blocked, Seq("id"), "left_semi"))
+            todo.join(blocked, Seq("id"), "left_semi"), eager = false)
           out = out :+ todo.join(todo2, Seq("id"), "left_anti")
             .withColumn("layer", lit(layer))
           val left = todo2.count()
