@@ -1291,10 +1291,16 @@ final case class PropertyGraph(vertices: DataFrame, edges: DataFrame) {
     // survivors outgrow broadcast drops the hint and takes the shuffle).
     // Round 1 needs no restriction (the live set still contains every
     // endpoint): it is a filter over the stored [[undDegrees]] index.
+    // r16: cuts are LAZY — cut() truncates the PLAN immediately either
+    // way (the checkpoint leaf replaces the round lineage at build time,
+    // so the re-planning blowup this comment describes never depends on
+    // eagerness); lazy materialization lets the terminal action run the
+    // whole peel in one job tree instead of one scheduling round-trip per
+    // round.
     var live = graft.util.cut(undDegrees.select(col("id"), col("d").as("deg"))
-      .filter(col("deg") >= k))
+      .filter(col("deg") >= k), eager = false)
     for (_ <- 2 to rounds)
-      live = graft.util.cut(kCoreRound(live, k))
+      live = graft.util.cut(kCoreRound(live, k), eager = false)
     live
   }
 
